@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the full registered query battery at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": "total_p50_sec", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Methodology mirrors the reference's benchmark stats (p50 of repeated runs,
+/root/reference/benchmarks/src/stats.rs; BASELINE.md §B): one warm-up run,
+then N_RUNS timed runs per query, per-query median, total = sum of medians.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from datafusion_distributed_spark.engine import build_session
+    from datafusion_distributed_spark.operators.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    spark = build_session(app_name="dds-bench")
+
+    sf = SF_DIR.rstrip("/").rsplit("/", 1)[-1].replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    per_query: dict[str, float] = {}
+    for name, qd in sorted(REGISTRY.items()):
+        times = []
+        try:
+            qd.fn(spark, SF_DIR).collect()  # warm-up (also JIT/codegen cache)
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                qd.fn(spark, SF_DIR).collect()
+                times.append(time.perf_counter() - t0)
+            per_query[name] = round(statistics.median(times), 4)
+        except Exception as exc:  # keep the harness alive; surface on stderr
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            per_query[name] = -1.0
+
+    total = round(sum(v for v in per_query.values() if v >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_p50_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf_val,
+                "n_queries": len(per_query),
+                "runs_per_query": N_RUNS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

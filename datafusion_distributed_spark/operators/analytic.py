@@ -1,0 +1,371 @@
+"""TPC-DS-class analytic operators: window functions, ROLLUP/CUBE/GROUPING
+SETS, INTERSECT/EXCEPT, plus the join shapes the reference's planner treats
+specially (cross join, theta/nested-loop join, full outer join — see
+/root/reference/src/distributed_planner/inject_network_boundaries.rs:280-312
+single-task caps and SURVEY.md §2.2 NestedLoopJoinExec/CrossJoinExec rows).
+
+Window coverage mirrors the reference's cost-model tests:
+RANK() OVER(PARTITION BY .. ORDER BY ..) and SUM(..) OVER(PARTITION BY ..)
+(/root/reference/src/distributed_planner/statistics/complexity_cpu.rs:675-709,
+WindowAggExec vs BoundedWindowAggExec at complexity_memory.rs:73-84).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ._util import dbl, dec, t
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# rank() over partition — top-3 customers by order revenue within each nation.
+# ---------------------------------------------------------------------------
+
+_WIN_RANK_ORACLE = """
+SELECT n_name, c_name, CAST(rev AS DOUBLE) AS revenue, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT n.n_name, c.c_name, r.rev,
+         RANK() OVER (PARTITION BY n.n_name ORDER BY r.rev DESC, c.c_custkey) AS rnk
+  FROM (
+    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+    FROM orders GROUP BY o_custkey
+  ) r
+  JOIN customer c ON c.c_custkey = r.o_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+) x
+WHERE rnk <= 3
+"""
+
+
+@query("win_rank_topn_per_nation", oracle=_WIN_RANK_ORACLE, tags=("window", "tpcds"))
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    rev = tb["orders"].groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice", 12, 2)).alias("rev")
+    )
+    joined = rev.join(
+        tb["customer"], F.col("c_custkey") == F.col("o_custkey")
+    ).join(F.broadcast(tb["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    w = Window.partitionBy("n_name").orderBy(F.desc("rev"), F.asc("c_custkey"))
+    return (
+        joined.withColumn("rnk", F.rank().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_name", dbl(F.col("rev")).alias("revenue"), "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded frame (ROWS BETWEEN) + lag + row_number — BoundedWindowAggExec
+# analogue (fixed memory per frame, reference complexity_memory.rs:73-84).
+# ---------------------------------------------------------------------------
+
+_WIN_MOVING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
+  CAST(LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev_price,
+  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn
+FROM orders
+"""
+
+
+@query("win_moving_sum_lag", oracle=_WIN_MOVING_ORACLE, tags=("window", "tpcds"))
+def win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(-2, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        dbl(F.sum(dec("o_totalprice", 12, 2)).over(wf)).alias("moving_sum"),
+        dbl(F.lag("o_totalprice").over(w)).alias("prev_price"),
+        F.row_number().over(w).cast("int").alias("rn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unbounded partition window (WindowAggExec analogue): each customer's share
+# of their nation's revenue.
+# ---------------------------------------------------------------------------
+
+_WIN_SHARE_ORACLE = """
+SELECT n_name, c_custkey, CAST(rev AS DOUBLE) AS revenue,
+       CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY n_name) AS DOUBLE) AS nation_share
+FROM (
+  SELECT n.n_name, c.c_custkey, SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name, c.c_custkey
+) x
+"""
+
+
+@query("win_nation_revenue_share", oracle=_WIN_SHARE_ORACLE, tags=("window", "tpcds"))
+def win_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    rev = (
+        tb["orders"]
+        .join(tb["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(tb["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name", "c_custkey")
+        .agg(F.sum(dec("o_totalprice", 12, 2)).alias("rev"))
+    )
+    w = Window.partitionBy("n_name")
+    return rev.select(
+        "n_name",
+        "c_custkey",
+        dbl(F.col("rev")).alias("revenue"),
+        (dbl(F.col("rev")) / dbl(F.sum("rev").over(w))).alias("nation_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP with GROUPING() — TPC-DS q5/q18/q22 class (SURVEY.md §2.3).
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name,
+       CAST(GROUPING(r_name) + GROUPING(n_name) AS INTEGER) AS lvl,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+@query("gsets_rollup_region_nation", oracle=_ROLLUP_ORACLE, tags=("rollup", "tpcds"))
+def rollup_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    joined = tb["customer"].join(
+        F.broadcast(tb["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(tb["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    return joined.rollup("r_name", "n_name").agg(
+        (F.grouping("r_name") + F.grouping("n_name")).cast("int").alias("lvl"),
+        F.count(F.lit(1)).alias("n_customers"),
+        dbl(F.sum(dec("c_acctbal", 12, 2))).alias("total_acctbal"),
+    ).select(
+        F.coalesce(F.col("r_name"), F.lit("ALL")).alias("r_name"),
+        F.coalesce(F.col("n_name"), F.lit("ALL")).alias("n_name"),
+        "lvl",
+        "n_customers",
+        "total_acctbal",
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE over documents (lang × source).
+# ---------------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY CUBE(lang, source)
+"""
+
+
+@query("gsets_cube_docs", oracle=_CUBE_ORACLE, tags=("cube", "tpcds"))
+def cube_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    return docs.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    ).select(
+        F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+        F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+        "n_docs",
+        "total_chars",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (via Spark SQL — still Catalyst-planned).
+# ---------------------------------------------------------------------------
+
+_GSETS_ORACLE = """
+SELECT COALESCE(p_brand, 'ALL') AS p_brand, COALESCE(p_type, 'ALL') AS p_type,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM part
+GROUP BY GROUPING SETS ((p_brand), (p_type), ())
+"""
+
+
+@query("gsets_grouping_sets_part", oracle=_GSETS_ORACLE, tags=("grouping-sets", "tpcds"))
+def gsets_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT COALESCE(p_brand, 'ALL') AS p_brand, COALESCE(p_type, 'ALL') AS p_type,
+               COUNT(*) AS n_parts,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        FROM part
+        GROUP BY GROUPING SETS ((p_brand), (p_type), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT / EXCEPT — TPC-DS q8/q14/q38/q87 class.
+# ---------------------------------------------------------------------------
+
+_INTERSECT_ORACLE = """
+SELECT c_custkey FROM (
+  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  INTERSECT
+  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+) x
+"""
+
+
+@query("setop_intersect_customers", oracle=_INTERSECT_ORACLE, tags=("setop", "tpcds"))
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir)["orders"]
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return urgent.intersect(finished)
+
+
+_EXCEPT_ORACLE = """
+SELECT c_custkey FROM (
+  SELECT c_custkey FROM customer
+  EXCEPT
+  SELECT o_custkey AS c_custkey FROM orders
+) x
+"""
+
+
+@query("setop_except_customers", oracle=_EXCEPT_ORACLE, tags=("setop", "tpcds"))
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    all_cust = tb["customer"].select("c_custkey")
+    with_orders = tb["orders"].select(F.col("o_custkey").alias("c_custkey"))
+    return all_cust.exceptAll(with_orders.distinct()).distinct()
+
+
+# ---------------------------------------------------------------------------
+# UNION ALL of heterogeneous relations + aggregation on top — the reference
+# runs union branches in isolated task sets (ChildrenIsolatorUnionExec,
+# src/execution_plans/children_isolator_union.rs:23-100); Spark schedules the
+# branches as independent stage lineages natively.
+# ---------------------------------------------------------------------------
+
+_UNION_ORACLE = """
+SELECT kind, COUNT(*) AS n, CAST(SUM(CAST(acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM (
+  SELECT 'customer' AS kind, c_acctbal AS acctbal FROM customer
+  UNION ALL
+  SELECT 'supplier' AS kind, s_acctbal AS acctbal FROM supplier
+) u
+GROUP BY kind
+"""
+
+
+@query("setop_union_all_balances", oracle=_UNION_ORACLE, tags=("union", "tpch"))
+def union_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    cust = tb["customer"].select(
+        F.lit("customer").alias("kind"), F.col("c_acctbal").alias("acctbal")
+    )
+    supp = tb["supplier"].select(
+        F.lit("supplier").alias("kind"), F.col("s_acctbal").alias("acctbal")
+    )
+    return (
+        cust.unionAll(supp)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dbl(F.sum(dec("acctbal", 12, 2))).alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theta (inequality) join — NestedLoopJoinExec analogue
+# (/root/reference/src/distributed_planner/normalize_collect_joins.rs:55-99);
+# Spark plans BroadcastNestedLoopJoin for the non-equi condition.
+# ---------------------------------------------------------------------------
+
+_THETA_ORACLE = """
+SELECT r_name, COUNT(*) AS n_pairs
+FROM nation n1
+JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+JOIN region r ON r.r_regionkey = n1.n_regionkey
+GROUP BY r_name
+"""
+
+
+@query("join_theta_nation_pairs", oracle=_THETA_ORACLE, tags=("theta-join",))
+def theta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    n1 = tb["nation"].select(
+        F.col("n_nationkey").alias("k1"), F.col("n_regionkey").alias("rk1")
+    )
+    n2 = tb["nation"].select(
+        F.col("n_nationkey").alias("k2"), F.col("n_regionkey").alias("rk2")
+    )
+    pairs = n1.join(n2, (F.col("rk1") == F.col("rk2")) & (F.col("k1") < F.col("k2")))
+    return (
+        pairs.join(F.broadcast(tb["region"]), F.col("r_regionkey") == F.col("rk1"))
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross join — CrossJoinExec analogue (reference inject_network_boundaries.rs:308-312).
+# ---------------------------------------------------------------------------
+
+_CROSS_ORACLE = """
+SELECT r_name, o_orderpriority
+FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+"""
+
+
+@query("join_cross_region_priority", oracle=_CROSS_ORACLE, tags=("cross-join",))
+def cross_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    prios = tb["orders"].select("o_orderpriority").distinct()
+    return tb["region"].select("r_name").crossJoin(prios)
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join — build-side-emitting join type the reference must rewrite
+# to Partitioned mode (normalize_collect_joins.rs:103-156); Spark plans SMJ.
+# ---------------------------------------------------------------------------
+
+_FULL_ORACLE = """
+SELECT COALESCE(c.c_custkey, oo.o_custkey) AS custkey,
+       CAST(c.c_custkey IS NOT NULL AS INTEGER) AS has_customer,
+       CAST(COALESCE(oo.n_orders, 0) AS BIGINT) AS n_orders
+FROM customer c
+FULL JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders WHERE o_totalprice > 100.0 GROUP BY o_custkey
+) oo ON c.c_custkey = oo.o_custkey
+"""
+
+
+@query("join_full_outer_customer_orders", oracle=_FULL_ORACLE, tags=("outer-join",))
+def full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    oo = (
+        tb["orders"]
+        .filter(F.col("o_totalprice") > 100.0)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    cust = tb["customer"]
+    joined = cust.join(oo, cust.c_custkey == oo.o_custkey, "full")
+    return joined.select(
+        F.coalesce(cust.c_custkey, oo.o_custkey).alias("custkey"),
+        cust.c_custkey.isNotNull().cast("int").alias("has_customer"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("n_orders"),
+    )

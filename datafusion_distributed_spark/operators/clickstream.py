@@ -1,0 +1,202 @@
+"""ClickBench-class event analytics over the ``events`` table.
+
+Coverage target: the query classes the reference proves with its ClickBench
+43-query suite (/root/reference/tests/clickbench_correctness_test.rs;
+/root/reference/testdata/clickbench/queries/q0..q42 — SURVEY.md §2.3):
+high-cardinality group-by, COUNT(DISTINCT ...), REGEXP_REPLACE/length string
+work, top-k ordering on timestamps, time bucketing.
+
+Scale notes: user_id is the high-cardinality key; all aggregations are
+partial/final hash aggregates (map-side combine before the shuffle), and the
+sessionization query shuffles once on user_id then does all window work
+within partitions.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ._util import dbl, dec, t
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Top-k heavy hitters by user (ClickBench q12-ish).
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+SELECT user_id, n_events, total_value FROM (
+  SELECT user_id, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+  FROM events
+  GROUP BY user_id
+  ORDER BY n_events DESC, user_id
+  LIMIT 20
+) x
+"""
+
+
+@query("cb_topk_users", oracle=_TOPK_ORACLE, tags=("agg", "topk", "clickbench"))
+def cb_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dbl(F.sum(dec("value", 14, 2))).alias("total_value"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# COUNT(DISTINCT) per group (ClickBench q4-q7 class). Exact distinct — Spark
+# plans the expand + two-phase aggregate; at 100 TB one would often prefer
+# approx_count_distinct (HLL), exposed here as a second column at test time?
+# No — oracle compatibility: exact only; HLL is in bench-only paths.
+# ---------------------------------------------------------------------------
+
+_DISTINCT_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+       CAST(MIN(value) AS DOUBLE) AS min_value, CAST(MAX(value) AS DOUBLE) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("cb_distinct_users_per_type", oracle=_DISTINCT_ORACLE, tags=("distinct", "clickbench"))
+def cb_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        dbl(F.min("value")).alias("min_value"),
+        dbl(F.max("value")).alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regex extraction + string length (ClickBench q28 REGEXP_REPLACE/length).
+# ---------------------------------------------------------------------------
+
+_REGEXP_ORACLE = """
+SELECT k_bucket, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
+       CAST(MAX(LENGTH(REGEXP_REPLACE(props, '[0-9]+', '#', 'g'))) AS INTEGER) AS max_masked_len
+FROM (
+  SELECT props, value,
+         CAST(REGEXP_EXTRACT(props, '"k": ([0-9]+)', 1) AS INTEGER) % 10 AS k_bucket
+  FROM events
+) x
+GROUP BY k_bucket
+"""
+
+
+@query("cb_regexp_props", oracle=_REGEXP_ORACLE, tags=("regexp", "clickbench"))
+def cb_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir)["events"]
+    k = F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1).cast("int") % 10
+    masked_len = F.length(F.regexp_replace(F.col("props"), "[0-9]+", "#"))
+    return (
+        ev.select(
+            k.alias("k_bucket"),
+            F.col("value"),
+            masked_len.alias("_mlen"),
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dbl(F.sum(dec("value", 14, 2))).alias("total_value"),
+            F.max("_mlen").cast("int").alias("max_masked_len"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time bucketing (ClickBench q22/q23 class: ordering/grouping on timestamps).
+# ---------------------------------------------------------------------------
+
+_HOUR_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@query("cb_hourly_histogram", oracle=_HOUR_ORACLE, tags=("time", "clickbench"))
+def cb_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir)["events"].filter(F.col("event_type") == "purchase")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    return (
+        ev.select(hour.alias("hour"), "value")
+        .groupBy("hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dbl(F.sum(dec("value", 14, 2))).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization: lag + running sum of boundary flags — one shuffle
+# on user_id, then per-partition window work. Histogram of session sizes.
+# ---------------------------------------------------------------------------
+
+# Gap comparison in epoch MICROSECONDS on both engines: Spark's
+# timestampdiff(SECOND) measures elapsed time while DuckDB's date_diff
+# counts boundary crossings — they disagree on sub-second offsets. epoch_us
+# also truncates DuckDB's ns timestamps exactly like our Spark-side ns->us
+# load conversion, so window ordering ties are identical too.
+_SESSION_ORACLE = """
+SELECT events_per_session, COUNT(*) AS n_sessions
+FROM (
+  SELECT user_id, session_id, COUNT(*) AS events_per_session
+  FROM (
+    SELECT user_id,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM (
+      SELECT user_id, us, event_id,
+             CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                       > 1800 * 1000000
+                  OR LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM (SELECT user_id, event_id, epoch_us(ts) AS us FROM events) e
+    ) flags
+  ) sess
+  GROUP BY user_id, session_id
+) per_session
+GROUP BY events_per_session
+"""
+
+
+@query("cb_sessionize_histogram", oracle=_SESSION_ORACLE, tags=("window", "sessionize", "clickbench"))
+def cb_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir)["events"].select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap_us = F.col("us") - F.lag("us").over(w)
+    flags = ev.select(
+        "user_id",
+        "us",
+        "event_id",
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flags.withColumn(
+        "session_id", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("events_per_session")
+    )
+    return per_session.groupBy("events_per_session").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )

@@ -1,0 +1,324 @@
+"""Deduplication operators over the ``documents`` table.
+
+These are the BASELINE.json extensions beyond reference parity (SURVEY.md §0c,
+§7 Phase 3): exact dedup, normalized-fingerprint dedup, MinHash+LSH candidate
+pairs, and SimHash bucketing — the core of a 100 TB training-data pipeline.
+
+Scale design:
+- Exact/normalized dedup: one hash-shuffle on the content hash; map-side
+  partial aggregation shrinks the shuffle (same effect as the reference's
+  PartialReduce pass, /root/reference/src/distributed_planner/
+  partial_reduce_below_network_shuffles.rs:14-96).
+- MinHash: shingling + per-doc signature is a narrow pipeline (explode →
+  partial min-agg); only the band-bucket self-join shuffles, and it shuffles
+  *bands* (tiny: b rows/doc), never full documents.
+- All hashes are md5-based so the DuckDB oracle reproduces them bit-for-bit
+  (portable across engines, unlike murmur3/xxhash).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ._util import t
+from .registry import query
+
+# MinHash parameters: 8 bands x 2 rows = 16 hash functions.
+_N_HASHES = 16
+_N_BANDS = 8
+_ROWS_PER_BAND = 2
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on md5(text), keep the minimum doc_id per group.
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
+FROM (SELECT doc_id, md5(text) AS content_hash FROM documents) h
+GROUP BY content_hash
+"""
+
+
+@query("dd_dedup_exact", oracle=_EXACT_ORACLE, tags=("dedup",))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    return (
+        docs.select("doc_id", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Normalized-fingerprint dedup (case/punctuation/whitespace-insensitive).
+# ---------------------------------------------------------------------------
+
+# NB: DuckDB regexp_replace needs the 'g' flag; Spark replaces all by default.
+_NORM_ORACLE = """
+SELECT norm_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id
+FROM (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS norm_hash
+  FROM documents
+) h
+GROUP BY norm_hash
+"""
+
+
+@query("dd_dedup_normalized", oracle=_NORM_ORACLE, tags=("dedup",))
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return (
+        docs.select("doc_id", F.md5(norm).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH candidate pairs.
+# Pipeline: words → 3-gram shingles (distinct) → 16 portable min-hashes →
+# 8 band hashes → self-join on (band_idx, band_hash) → distinct pairs.
+# ---------------------------------------------------------------------------
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) distinct word-3-gram shingles. trim() first so the word
+    split never yields empty tokens (keeps Spark/DuckDB tokenization equal)."""
+    words = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), " +").alias("w")
+    )
+    sh = F.expr(
+        "transform(sequence(1, greatest(size(w) - 2, 0)),"
+        " i -> concat_ws(' ', slice(w, i, 3)))"
+    )
+    return (
+        words.filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(sh).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
+    """Per-doc MinHash signature: sig_i = MIN(md5('{i}:' || shingle)).
+    md5-as-string minima are portable across engines."""
+    sh = _shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sigs: DataFrame, n_bands: int = _N_BANDS, rows: int = _ROWS_PER_BAND) -> DataFrame:
+    """Explode signatures into (doc_id, band_idx, band_hash) rows."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash")
+    )
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ",\n    ".join(
+        f"MIN(md5('{i}:' || sh)) AS h{i}" for i in range(_N_HASHES)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, md5(h{b * _ROWS_PER_BAND} || '|' || h{b * _ROWS_PER_BAND + 1}) AS band_hash FROM sigs"
+        for b in range(_N_BANDS)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS w FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+  FROM words WHERE len(w) >= 3
+),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh FROM idx
+),
+sigs AS (
+  SELECT doc_id,
+    {sig_cols}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id
+"""
+
+
+@query("dd_minhash_lsh_pairs", oracle=_minhash_oracle(), tags=("dedup", "minhash"))
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    bands = lsh_bands(minhash_signatures(docs))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard verification of LSH candidates: for each candidate pair,
+# exact Jaccard over the same 3-gram shingle sets (integer set sizes =>
+# exact double division — engine-portable).
+# ---------------------------------------------------------------------------
+
+
+def _jaccard_oracle() -> str:
+    base = _minhash_oracle().strip().rstrip()
+    # Reuse the candidate CTE chain, then join shingle sets back on.
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS w FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+  FROM words WHERE len(w) >= 3
+),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh FROM idx
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+sigs AS (
+  SELECT doc_id,
+    {",".join(f"MIN(md5('{i}:' || sh)) AS h{i}" for i in range(_N_HASHES))}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+{chr(10).join(f"  SELECT doc_id, {b} AS band_idx, md5(h{b * _ROWS_PER_BAND} || '|' || h{b * _ROWS_PER_BAND + 1}) AS band_hash FROM sigs" + (" UNION ALL" if b < _N_BANDS - 1 else "") for b in range(_N_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_common AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_common) >= 0.5
+"""
+
+
+@query("dd_ngram_jaccard", oracle=_jaccard_oracle(), tags=("dedup", "jaccard"))
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    cand = minhash_lsh_pairs(spark, sf_dir)
+    sa = sh.select(F.col("doc_id").alias("_ka"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("_kb"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(sa, F.col("doc_a") == F.col("_ka"))
+        .join(sb, (F.col("doc_b") == F.col("_kb")) & (F.col("sh_b") == F.col("sh_a")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("_za"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("_zb"), F.col("n_sh").alias("n_b"))
+    jac = (
+        inter.join(za, F.col("doc_a") == F.col("_za"))
+        .join(zb, F.col("doc_b") == F.col("_zb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= 0.5).select("doc_a", "doc_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, portable): per distinct token, md5 hex nibble k votes
+# (2*nibble - 15) on bit k; bit set iff the integer vote sum > 0.
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def _simhash_oracle() -> str:
+    vote_cols = ",\n    ".join(
+        f"CAST(SUM(2 * (instr('{_HEX}', substring(md5(tok), {k + 1}, 1)) - 1) - 15) AS BIGINT) AS v{k}"
+        for k in range(16)
+    )
+    bit_expr = " + ".join(f"(CASE WHEN v{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(16))
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+  FROM documents
+),
+votes AS (
+  SELECT doc_id,
+    {vote_cols}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, CAST({bit_expr} AS BIGINT) AS simhash FROM votes
+"""
+
+
+@query("dd_simhash", oracle=_simhash_oracle(), tags=("dedup", "simhash"))
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("tok"),
+    ).distinct()
+    h = F.md5("tok")
+    votes = [
+        F.sum(
+            2 * (F.instr(F.lit(_HEX), F.substring(h, k + 1, 1)) - 1) - 15
+        ).cast("bigint").alias(f"v{k}")
+        for k in range(16)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*votes)
+    bits = None
+    for k in range(16):
+        term = F.when(F.col(f"v{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        bits = term if bits is None else bits + term
+    return per_doc.select("doc_id", bits.cast("bigint").alias("simhash"))

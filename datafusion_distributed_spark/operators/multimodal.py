@@ -1,0 +1,126 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+BASELINE.json extension (SURVEY.md §7 Phase 3). The container has no
+image/audio codecs, so the *decode* step is a deterministic stub behind
+``mapInPandas`` — but the Spark-side plumbing is real and is exactly what a
+production decode would use: binary column in, Arrow-batched Pandas transform,
+typed struct out, no driver-side collection, partition-parallel.
+
+Scale design: ``mapInPandas`` streams Arrow batches through Python one
+partition at a time (constant memory); the metadata aggregation afterwards is
+an ordinary JVM hash aggregate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ._util import t
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Binary metadata: treat text as an opaque UTF-8 payload; compute byte-level
+# stats fully JVM-side. (Real pipelines: payload = image/audio bytes.)
+# ---------------------------------------------------------------------------
+
+_META_ORACLE = """
+SELECT source, COUNT(*) AS n_blobs,
+  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+  CAST(MAX(octet_length(encode(text))) AS INTEGER) AS max_bytes,
+  CAST(MIN(octet_length(encode(text))) AS INTEGER) AS min_bytes
+FROM documents
+GROUP BY source
+"""
+
+
+@query("mm_binary_meta", oracle=_META_ORACLE, tags=("multimodal",))
+def binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    payload = F.encode(F.col("text"), "UTF-8")
+    nbytes = F.octet_length(payload)
+    return (
+        docs.select("source", nbytes.alias("nb"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum("nb").cast("bigint").alias("total_bytes"),
+            F.max("nb").cast("int").alias("max_bytes"),
+            F.min("nb").cast("int").alias("min_bytes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode pipeline (stub): binary payload -> (width, height, n_frames,
+# format) via mapInPandas. Deterministic fake decode derived from payload
+# bytes; swap `_fake_decode` for a real codec (PIL/ffmpeg) in production.
+# ---------------------------------------------------------------------------
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("fmt", StringType()),
+    ]
+)
+
+REAL_DECODE = False  # no codecs in this container
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
+    """Deterministic stand-in for an image/video decode."""
+    if REAL_DECODE:  # pragma: no cover
+        raise NotImplementedError("real codec decode not available in this container")
+    n = len(payload)
+    checksum = sum(payload[:64]) if n else 0
+    width = 64 + (checksum % 17) * 32
+    height = 64 + ((checksum // 17) % 11) * 32
+    n_frames = 1 + n % 3
+    fmt = ("png", "jpeg", "webp")[checksum % 3]
+    return width, height, n_frames, fmt
+
+
+def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched decode: one pandas frame in, one typed frame out."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        meta = [_fake_decode(p if isinstance(p, bytes) else bytes(p)) for p in payloads]
+        out = pd.DataFrame(
+            meta, columns=["width", "height", "n_frames", "fmt"], index=pdf.index
+        )
+        out.insert(0, "doc_id", pdf["doc_id"])
+        out.insert(1, "n_bytes", payloads.map(len).astype("int32"))
+        yield out.astype(
+            {"width": "int32", "height": "int32", "n_frames": "int32", "n_bytes": "int32"}
+        )
+
+
+@query("mm_decode_pipeline", oracle=None, tags=("multimodal", "pandas-udf"))
+def decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: the decode output is Python-defined (not
+    SQL-expressible); correctness of the plumbing is covered by tests."""
+    docs = t(spark, sf_dir)["documents"]
+    with_payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    decoded = with_payload.mapInPandas(decode_batches, schema=_DECODE_SCHEMA)
+    return decoded.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.max("width").cast("int").alias("max_width"),
+        F.max("height").cast("int").alias("max_height"),
+    )

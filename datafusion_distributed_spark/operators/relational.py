@@ -1,0 +1,793 @@
+"""TPC-H-class relational operators, adapted to the driver's simplified star
+schema (TESTDATA.md: no partsupp table, trimmed columns).
+
+Coverage target: the query classes the reference proves via its TPC-H 22/22
+suite (/root/reference/tests/tpch_correctness_test.rs;
+/root/reference/testdata/tpch/queries/q1.sql..q22.sql — see SURVEY.md §2.3):
+multi-way equi-joins, grouped aggregates over decimals, correlated and
+uncorrelated scalar subqueries, EXISTS/NOT EXISTS (semi/anti joins), IN
+subqueries, CASE, LIKE, date arithmetic/EXTRACT, HAVING, top-k.
+
+Everything is expressed with the DataFrame API so Catalyst plans it: scans get
+predicate/projection pushdown, aggregates split partial/final (the reference's
+AggregateExec Partial/FinalPartitioned pair,
+src/distributed_planner/distributed_query_planner.rs:233-238), small dimension
+joins broadcast (the reference's insert_broadcast pass,
+src/distributed_planner/insert_broadcast.rs:17-166 — Spark does this by size),
+and big joins shuffle on their keys (NetworkShuffleExec,
+src/execution_plans/network_shuffle.rs).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ._util import REVENUE_SQL, dbl, dec, fmt_date, revenue_dec, t, ts
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# q1: pricing summary — scan → filter → partial/final hash aggregate.
+# Reference exercises this exact shape as its canonical example
+# (docs/source/learn/02-how-a-distributed-plan-is-built.md; testdata/tpch/queries/q1.sql).
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM({REVENUE_SQL} * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("tpch_q1_pricing_summary", oracle=_Q1_ORACLE, tags=("agg", "tpch"))
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir)["lineitem"].filter(F.col("l_shipdate") <= ts("1998-09-02"))
+    sum_qty = F.sum(dec("l_quantity"))
+    sum_price = F.sum(dec("l_extendedprice"))
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dbl(sum_qty).alias("sum_qty"),
+        dbl(sum_price).alias("sum_base_price"),
+        dbl(F.sum(revenue_dec())).alias("sum_disc_price"),
+        dbl(
+            F.sum(revenue_dec() * (F.lit(1).cast("decimal(2,0)") + dec("l_tax", 6, 4)))
+        ).alias("sum_charge"),
+        (dbl(sum_qty) / cnt).alias("avg_qty"),
+        (dbl(sum_price) / cnt).alias("avg_price"),
+        (dbl(F.sum(dec("l_discount", 6, 4))) / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q3: shipping priority — 3-way join, grouped revenue, deterministic top-10.
+# ---------------------------------------------------------------------------
+
+_Q3_ORACLE = f"""
+SELECT o_orderkey, o_orderdate, CAST(rev AS DOUBLE) AS revenue
+FROM (
+  SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         SUM({REVENUE_SQL}) AS rev
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    AND l.l_shipdate > TIMESTAMP '1998-01-01'
+  GROUP BY o.o_orderkey, o.o_orderdate
+  ORDER BY rev DESC, o.o_orderkey
+  LIMIT 10
+) x
+"""
+
+
+@query("tpch_q3_shipping_priority", oracle=_Q3_ORACLE, tags=("join", "topk", "tpch"))
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    cust = tb["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = tb["orders"].filter(F.col("o_orderdate") < ts("1998-01-01"))
+    li = tb["lineitem"].filter(F.col("l_shipdate") > ts("1998-01-01"))
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey).join(
+        li, orders.o_orderkey == li.l_orderkey
+    )
+    grouped = joined.groupBy("o_orderkey", "o_orderdate").agg(
+        F.sum(revenue_dec()).alias("_rev")
+    )
+    top = grouped.orderBy(F.desc("_rev"), F.asc("o_orderkey")).limit(10)
+    return top.select(
+        "o_orderkey",
+        fmt_date("o_orderdate").alias("o_orderdate"),
+        dbl(F.col("_rev")).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q4: order priority — EXISTS subquery => left-semi join with a non-equi
+# conjunct (reference: semi joins from EXISTS, SURVEY.md §2.3 q4/q21).
+# ---------------------------------------------------------------------------
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@query("tpch_q4_order_priority", oracle=_Q4_ORACLE, tags=("semi-join", "tpch"))
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    orders = tb["orders"].filter(
+        (F.col("o_orderdate") >= ts("1997-01-01"))
+        & (F.col("o_orderdate") < ts("1997-07-01"))
+    )
+    li = tb["lineitem"]
+    semi = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# ---------------------------------------------------------------------------
+# q5: local supplier volume — 6-way join incl. the c_nationkey = s_nationkey
+# co-location condition; small dims broadcast, big join shuffles on keys.
+# ---------------------------------------------------------------------------
+
+_Q5_ORACLE = f"""
+SELECT n_name, CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+@query("tpch_q5_local_supplier_volume", oracle=_Q5_ORACLE, tags=("join", "tpch"))
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    orders = tb["orders"].filter(
+        (F.col("o_orderdate") >= ts("1996-01-01"))
+        & (F.col("o_orderdate") < ts("1998-01-01"))
+    )
+    cust, li, supp = tb["customer"], tb["lineitem"], tb["supplier"]
+    nat = tb["nation"]
+    reg = tb["region"].filter(F.col("r_name") == "ASIA")
+    joined = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(dbl(F.sum(revenue_dec())).alias("revenue"))
+
+
+# ---------------------------------------------------------------------------
+# q6: forecast revenue — pure scan+filter+global agg; predicates must reach
+# the parquet scan (PushedFilters), the reference gets the same via
+# DataFusion pruning (SURVEY.md §4.1).
+# ---------------------------------------------------------------------------
+
+_Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+@query("tpch_q6_revenue_forecast", oracle=_Q6_ORACLE, tags=("filter", "agg", "tpch"))
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir)["lineitem"]
+    filtered = li.filter(
+        (F.col("l_shipdate") >= ts("1997-01-01"))
+        & (F.col("l_shipdate") < ts("1998-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        dbl(F.sum(dec("l_extendedprice") * dec("l_discount", 6, 4))).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q7: volume shipping — same dimension joined twice (supplier nation vs
+# customer nation), disjunctive pair filter, EXTRACT(year).
+# ---------------------------------------------------------------------------
+
+_Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+         {REVENUE_SQL} AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("tpch_q7_volume_shipping", oracle=_Q7_ORACLE, tags=("join", "tpch"))
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    li = tb["lineitem"].filter(
+        F.col("l_shipdate").between(ts("1996-01-01"), ts("1997-12-31"))
+    )
+    n1 = tb["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = tb["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        tb["supplier"]
+        .join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(tb["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(tb["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        joined.withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dbl(F.sum(revenue_dec())).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q9: product type profit — LIKE filter, 5-way join, profit arithmetic.
+# (No partsupp table; supply cost modeled as 0.6 * p_retailprice * quantity.)
+# ---------------------------------------------------------------------------
+
+_Q9_ORACLE = f"""
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+         {REVENUE_SQL}
+           - CAST(0.6 AS DECIMAL(6,4)) * CAST(p.p_retailprice AS DECIMAL(12,4))
+             * CAST(l.l_quantity AS DECIMAL(12,4)) AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@query("tpch_q9_product_profit", oracle=_Q9_ORACLE, tags=("join", "like", "tpch"))
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    part = tb["part"].filter(F.col("p_name").like("%widget%"))
+    joined = (
+        part.join(tb["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(tb["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(tb["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(tb["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    amount = revenue_dec() - (
+        F.lit(0.6).cast("decimal(6,4)") * dec("p_retailprice") * dec("l_quantity")
+    )
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dbl(F.sum("amount")).alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10: returned items — join + group by wide key, deterministic top-20.
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = f"""
+SELECT c_custkey, c_name, CAST(rev AS DOUBLE) AS revenue,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+FROM (
+  SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name, SUM({REVENUE_SQL}) AS rev
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1997-07-01'
+    AND l.l_returnflag = 'R'
+  GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+  ORDER BY rev DESC, c.c_custkey
+  LIMIT 20
+) x
+"""
+
+
+@query("tpch_q10_returned_items", oracle=_Q10_ORACLE, tags=("join", "topk", "tpch"))
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    orders = tb["orders"].filter(
+        (F.col("o_orderdate") >= ts("1997-01-01"))
+        & (F.col("o_orderdate") < ts("1997-07-01"))
+    )
+    li = tb["lineitem"].filter(F.col("l_returnflag") == "R")
+    joined = (
+        tb["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(tb["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    grouped = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.sum(revenue_dec()).alias("_rev")
+    )
+    return (
+        grouped.orderBy(F.desc("_rev"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            dbl(F.col("_rev")).alias("revenue"),
+            dbl(F.col("c_acctbal")).alias("c_acctbal"),
+            "n_name",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12-style: CASE-conditional aggregation over a join.
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT l_returnflag,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+"""
+
+
+@query("tpch_q12_priority_case", oracle=_Q12_ORACLE, tags=("case", "join", "tpch"))
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    li = tb["lineitem"].filter(
+        (F.col("l_shipdate") >= ts("1997-01-01"))
+        & (F.col("l_shipdate") < ts("1998-01-01"))
+    )
+    joined = tb["orders"].join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13: customer order distribution — LEFT OUTER join with an extra join-side
+# predicate, two-level aggregation.
+# ---------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@query("tpch_q13_customer_distribution", oracle=_Q13_ORACLE, tags=("outer-join", "tpch"))
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    cust, orders = tb["customer"], tb["orders"]
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey) & (orders.o_orderpriority != "5-LOW"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# q14: promo revenue — CASE + ratio of decimal sums (division done in double).
+# ---------------------------------------------------------------------------
+
+_Q14_ORACLE = f"""
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_SQL} ELSE CAST(0 AS DECIMAL(20,8)) END) AS DOUBLE) * 100.0
+       / CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS promo_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01' AND l.l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
+@query("tpch_q14_promo_revenue", oracle=_Q14_ORACLE, tags=("case", "tpch"))
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    li = tb["lineitem"].filter(
+        (F.col("l_shipdate") >= ts("1997-09-01"))
+        & (F.col("l_shipdate") < ts("1997-10-01"))
+    )
+    joined = li.join(tb["part"], F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue_dec()).otherwise(
+        F.lit(0).cast("decimal(20,8)")
+    )
+    return joined.agg(
+        (dbl(F.sum(promo)) * F.lit(100.0) / dbl(F.sum(revenue_dec()))).alias(
+            "promo_revenue"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15: top supplier — CTE/view + uncorrelated scalar subquery (= max), exact
+# decimal equality join (reference: views in q15, SURVEY.md §2.3).
+# ---------------------------------------------------------------------------
+
+_Q15_ORACLE = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, SUM({REVENUE_SQL}) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@query("tpch_q15_top_supplier", oracle=_Q15_ORACLE, tags=("subquery", "tpch"))
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    rev = (
+        tb["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= ts("1997-01-01"))
+            & (F.col("l_shipdate") < ts("1997-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(revenue_dec()).alias("total_revenue"))
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("_max"))
+    best = rev.join(F.broadcast(max_rev), rev.total_revenue == max_rev._max)
+    return best.join(
+        tb["supplier"], F.col("supplier_no") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", dbl(F.col("total_revenue")).alias("total_revenue"))
+
+
+# ---------------------------------------------------------------------------
+# q16: supplier count — NOT IN subquery (anti join), COUNT(DISTINCT).
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type NOT LIKE 'PROMO%'
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("tpch_q16_supplier_count", oracle=_Q16_ORACLE, tags=("anti-join", "distinct", "tpch"))
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    part = tb["part"].filter(
+        (F.col("p_brand") != "Brand#1") & (~F.col("p_type").like("PROMO%"))
+    )
+    bad_supp = tb["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = tb["lineitem"].join(
+        F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    joined = part.join(li, F.col("p_partkey") == F.col("l_partkey"))
+    return joined.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17: small-quantity revenue — correlated scalar subquery (per-part AVG),
+# decorrelated to aggregate + join exactly like DataFusion's plan
+# (SURVEY.md §2.3 correlated subqueries q2/q17/q22).
+# AVG over integer-valued doubles is order-independent => oracle-safe.
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+@query("tpch_q17_small_quantity", oracle=_Q17_ORACLE, tags=("subquery", "tpch"))
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    li = tb["lineitem"]
+    part = tb["part"].filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.avg("l_quantity").alias("avg_quantity")
+    )
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_quantity"))
+    )
+    return joined.agg(
+        (dbl(F.sum(dec("l_extendedprice"))) / F.lit(7.0)).alias("avg_yearly")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18: large-volume orders — IN subquery with HAVING, top-k over 3-way join.
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM (
+  SELECT c.c_name, c.c_custkey, o.o_orderkey,
+         strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+         CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 100
+  )
+  GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+  ORDER BY o.o_totalprice DESC, o.o_orderkey
+  LIMIT 20
+) x
+"""
+
+
+@query("tpch_q18_large_orders", oracle=_Q18_ORACLE, tags=("in-subquery", "having", "tpch"))
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    li = tb["lineitem"]
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 100)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    joined = (
+        tb["customer"]
+        .join(tb["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(big, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    grouped = joined.groupBy(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).agg(F.sum(dec("l_quantity")).alias("_sq"))
+    return (
+        grouped.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            fmt_date("o_orderdate").alias("o_orderdate"),
+            dbl(F.col("o_totalprice")).alias("o_totalprice"),
+            dbl(F.col("_sq")).alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19: disjunctive predicates over a join (OR of ANDs — exercises Catalyst's
+# predicate normalization; reference gets this from DataFusion, q19).
+# ---------------------------------------------------------------------------
+
+_Q19_ORACLE = f"""
+SELECT CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 21)
+   OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@query("tpch_q19_disjunctive_join", oracle=_Q19_ORACLE, tags=("join", "tpch"))
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    joined = tb["lineitem"].join(tb["part"], F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return joined.filter(cond).agg(dbl(F.sum(revenue_dec())).alias("revenue"))
+
+
+# ---------------------------------------------------------------------------
+# q21: suppliers who kept orders waiting — EXISTS + NOT EXISTS over the same
+# fact table (semi join + anti join with non-equi conjuncts).
+# ---------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+SELECT s_name, numwait FROM (
+  SELECT s.s_name, COUNT(*) AS numwait
+  FROM supplier s
+  JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+  JOIN orders o ON o.o_orderkey = l1.l_orderkey
+  WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+    AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_returnflag = 'R'
+    )
+  GROUP BY s.s_name
+  ORDER BY numwait DESC, s_name
+  LIMIT 10
+) x
+"""
+
+
+@query("tpch_q21_waiting_supplier", oracle=_Q21_ORACLE, tags=("semi-join", "anti-join", "tpch"))
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    li = tb["lineitem"]
+    l1 = li.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").alias("l3")
+    orders = tb["orders"].filter(F.col("o_orderstatus") == "F")
+    base = (
+        tb["supplier"]
+        .join(l1, F.col("s_suppkey") == F.col("l1.l_suppkey"))
+        .filter(F.col("l1.l_returnflag") == "R")
+        .join(orders, F.col("o_orderkey") == F.col("l1.l_orderkey"))
+    )
+    with_exists = base.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    with_not_exists = with_exists.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        with_not_exists.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22: global sales opportunity — uncorrelated scalar agg subquery + NOT
+# EXISTS anti join. The avg threshold is rewritten multiplication-style
+# (acctbal * n > total) so the filter is exact decimal arithmetic.
+# ---------------------------------------------------------------------------
+
+_Q22_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+CROSS JOIN (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS tot, COUNT(*) AS cnt
+  FROM customer WHERE c_acctbal > 0.0
+) s
+WHERE CAST(c.c_acctbal AS DECIMAL(12,2)) * s.cnt > s.tot
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+@query("tpch_q22_sales_opportunity", oracle=_Q22_ORACLE, tags=("anti-join", "subquery", "tpch"))
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    cust = tb["customer"]
+    stats = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(dec("c_acctbal", 12, 2)).alias("tot"), F.count(F.lit(1)).alias("cnt")
+    )
+    filtered = (
+        cust.crossJoin(F.broadcast(stats))
+        .filter(dec("c_acctbal", 12, 2) * F.col("cnt") > F.col("tot"))
+        .join(tb["orders"], F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+    )
+    return filtered.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dbl(F.sum(dec("c_acctbal", 12, 2))).alias("totacctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q2-style: correlated scalar MIN subquery (per-nation minimum supplier
+# balance) — equality on raw stored doubles is exact in both engines.
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+SELECT n.n_name, s.s_name, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_acctbal = (
+  SELECT MIN(s2.s_acctbal) FROM supplier s2 WHERE s2.s_nationkey = s.s_nationkey
+)
+"""
+
+
+@query("tpch_q2_min_cost_supplier", oracle=_Q2_ORACLE, tags=("subquery", "tpch"))
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    supp = tb["supplier"]
+    min_bal = supp.groupBy(F.col("s_nationkey").alias("mn_nationkey")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        supp.join(
+            min_bal,
+            (F.col("s_nationkey") == F.col("mn_nationkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .join(F.broadcast(tb["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "s_name", dbl(F.col("s_acctbal")).alias("s_acctbal"))
+    )

@@ -1,0 +1,203 @@
+"""Similarity search over the ``embeddings`` table (array<float> x 64).
+
+BASELINE.json extensions (SURVEY.md §7 Phase 3):
+- brute-force cosine top-k (the correctness baseline),
+- LSH-bucketed ANN (the 100 TB scale path: candidates only meet within a
+  bucket, so the pairwise cost drops from O(N·Q) to O(N·Q/2^bits)).
+
+Scale design: queries are broadcast (small side), the corpus streams — the
+cross join is a BroadcastNestedLoopJoin over Q rows per corpus partition, all
+JVM-side arithmetic via zip_with/aggregate (no Python in the hot path). At
+1000 executors this is embarrassingly parallel; the only shuffle is the final
+per-query top-k (TakeOrderedAndProject after a partial per-partition top-k).
+
+Cosine values are rounded to 6 decimals in BOTH engines before ranking so the
+(engine-specific ulp-level) double summation order cannot flip the top-k set;
+ties after rounding break on vec_id.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ._util import t
+from .registry import query
+
+_N_QUERIES = 10  # vec_id < 10 are the query vectors
+_TOP_K = 5
+_N_PLANES = 8  # LSH hyperplanes => 256 buckets
+
+
+def _dot(a: str, b: str):
+    """Sequential-order dot product over array<double> (JVM, codegen)."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k.
+# ---------------------------------------------------------------------------
+
+_COSINE_ORACLE = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id < {_N_QUERIES}),
+c AS (SELECT vec_id, e FROM emb WHERE vec_id >= {_N_QUERIES}),
+flat AS (
+  SELECT q.q_id, c.vec_id, unnest(q.qe) AS qv, unnest(c.e) AS cv
+  FROM q CROSS JOIN c
+),
+dots AS (
+  SELECT q_id, vec_id,
+         SUM(qv * cv) AS dot, SUM(qv * qv) AS qq, SUM(cv * cv) AS cc
+  FROM flat GROUP BY q_id, vec_id
+),
+scored AS (
+  SELECT q_id, vec_id AS neighbor_id,
+         ROUND(dot / (SQRT(qq) * SQRT(cc)), 6) AS cos_sim
+  FROM dots
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT q_id, neighbor_id, cos_sim FROM ranked WHERE rn <= {_TOP_K}
+"""
+
+
+@query("sim_cosine_topk", oracle=_COSINE_ORACLE, tags=("similarity", "ann"))
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    c = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    joined = c.crossJoin(F.broadcast(q))
+    cos = _dot("e", "qe") / (
+        F.sqrt(_dot("e", "e")) * F.sqrt(_dot("qe", "qe"))
+    )
+    scored = joined.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cos, 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("q_id", "neighbor_id", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH bucketing: deterministic integer-LCG hyperplanes (exact in double in
+# BOTH engines, unlike sin()-based noise), bucket = sign-bit pattern of the
+# 8 plane dot products. Output: bucket occupancy histogram.
+# ---------------------------------------------------------------------------
+
+# plane[j][d] = LCG(j*64+d)/2^31 - 0.5, exact rational arithmetic.
+_PLANE_SQL = (
+    "((1103515245 * CAST(({j} * 64 + i) AS BIGINT) + 12345) % 2147483648)"
+    " / 2147483648.0 - 0.5"
+)
+
+
+def _bucket_expr_spark():
+    total = F.lit(0)
+    for j in range(_N_PLANES):
+        plane_dot = F.aggregate(
+            F.zip_with(
+                F.col("e"),
+                F.expr(
+                    "transform(sequence(0, 63), i -> "
+                    + _PLANE_SQL.format(j=j)
+                    + ")"
+                ),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        total = total + F.when(plane_dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return total
+
+
+def _lsh_oracle() -> str:
+    plane_dots = ",\n    ".join(
+        "SUM(ev * ("
+        + _PLANE_SQL.format(j=j).replace("{j}", str(j))
+        + ")) AS d{j}".format(j=j)
+        for j in range(_N_PLANES)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN d{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_N_PLANES)
+    )
+    return f"""
+WITH flat AS (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS ev,
+         unnest(generate_series(0, 63)) AS i
+  FROM embeddings
+),
+dots AS (
+  SELECT vec_id,
+    {plane_dots}
+  FROM flat GROUP BY vec_id
+),
+buckets AS (
+  SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM dots
+)
+SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+FROM buckets GROUP BY bucket
+"""
+
+
+@query("sim_ann_lsh_buckets", oracle=_lsh_oracle(), tags=("similarity", "ann", "lsh"))
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    return (
+        emb.select("vec_id", _bucket_expr_spark().cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN via LSH: top-k within shared buckets only (the scale path). The driver
+# checks rows-only (no oracle): double summation order inside DuckDB's group
+# aggregation makes sign-boundary parity unverifiable in SQL, and the point
+# here is the plan shape (bucket co-partitioned join instead of cross join).
+# ---------------------------------------------------------------------------
+
+
+@query("sim_ann_lsh_topk", oracle=None, tags=("similarity", "ann", "lsh"))
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    bucketed = emb.select("vec_id", "e", _bucket_expr_spark().alias("bucket"))
+    q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), "bucket"
+    )
+    c = bucketed.filter(F.col("vec_id") >= _N_QUERIES)
+    # Equi-join on bucket: shuffles by bucket instead of replicating the corpus.
+    joined = c.join(F.broadcast(q), "bucket")
+    cos = _dot("e", "qe") / (F.sqrt(_dot("e", "e")) * F.sqrt(_dot("qe", "qe")))
+    scored = joined.select(
+        "q_id", F.col("vec_id").alias("neighbor_id"), F.round(cos, 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("q_id", "neighbor_id", "cos_sim")
+    )

@@ -1,0 +1,175 @@
+"""Text-analysis operators over the ``documents`` table (BASELINE.json
+extensions, SURVEY.md §7 Phase 3): token counting, quality scoring,
+language-ID heuristics, document fingerprinting.
+
+All hot-path expressions are JVM built-ins (split/regexp/length) — no Python
+UDFs — so they stay inside whole-stage codegen and scale linearly with input
+(each query is scan → narrow projections → one hash aggregate).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ._util import dbl, t
+from .registry import query
+
+# Spark: split(trim(lower(text)), ' +')  <=>  DuckDB: string_split_regex(...)
+_TOK_SQL = "string_split_regex(trim(lower(text)), ' +')"
+
+
+# ---------------------------------------------------------------------------
+# Token statistics per (lang, source).
+# ---------------------------------------------------------------------------
+
+_TOKENS_ORACLE = f"""
+SELECT lang, source, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens) AS chars_per_token
+FROM (
+  SELECT lang, source, n_chars, CAST(len({_TOK_SQL}) AS INTEGER) AS n_tokens
+  FROM documents
+) d
+GROUP BY lang, source
+"""
+
+
+@query("text_token_stats", oracle=_TOKENS_ORACLE, tags=("text",))
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    n_tokens = F.size(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("n_tokens")
+    return (
+        docs.select("lang", "source", "n_chars", n_tokens)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            (dbl(F.sum("n_chars")) / F.sum("n_tokens")).alias("chars_per_token"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length score + stopword ratio + long-token ratio, bucketed.
+# Ratios are integer/integer divisions in double => engine-portable.
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_RE = r"\b(the|and|of|to|a|in|is|it|for|on)\b"
+
+_QUALITY_ORACLE = f"""
+SELECT quality_bucket, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT n_chars,
+    CAST(FLOOR(
+      10.0 * (
+        0.5 * LEAST(CAST(len({_TOK_SQL}) AS DOUBLE) / 100.0, 1.0)
+      + 0.5 * LEAST(3.0 * CAST(len(regexp_extract_all(lower(text), '{_STOPWORDS_RE}')) AS DOUBLE)
+                    / len({_TOK_SQL}), 1.0)
+      )) AS INTEGER) AS quality_bucket
+  FROM documents
+) q
+GROUP BY quality_bucket
+"""
+
+
+@query("text_quality_score", oracle=_QUALITY_ORACLE, tags=("text",))
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    n_tokens = F.size(F.split(F.trim(F.lower(F.col("text"))), " +"))
+    n_stop = F.regexp_count(F.lower(F.col("text")), F.lit(_STOPWORDS_RE))
+    length_score = F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+    stop_score = F.least(3.0 * n_stop.cast("double") / n_tokens, F.lit(1.0))
+    # floor (not cast) — Spark's double->int cast truncates toward zero while
+    # DuckDB's CAST rounds; FLOOR agrees in both engines.
+    bucket = F.floor(10.0 * (0.5 * length_score + 0.5 * stop_score)).cast("int")
+    return (
+        docs.select("n_chars", bucket.alias("quality_bucket"))
+        .groupBy("quality_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic: marker-token votes with deterministic argmax; the
+# confusion matrix vs the labeled ``lang`` column is the output.
+# ---------------------------------------------------------------------------
+
+_MARKERS = {
+    "en": r"\b(the|and|is|of)\b",
+    "de": r"\b(der|die|das|und)\b",
+    "es": r"\b(el|la|los|de)\b",
+}
+
+_LANGID_ORACLE = f"""
+SELECT lang, predicted, COUNT(*) AS n_docs
+FROM (
+  SELECT lang,
+    CASE
+      WHEN s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+      WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+      WHEN s_es > 0 THEN 'es'
+      ELSE 'unknown'
+    END AS predicted
+  FROM (
+    SELECT lang,
+      len(regexp_extract_all(lower(text), '{_MARKERS["en"]}')) AS s_en,
+      len(regexp_extract_all(lower(text), '{_MARKERS["de"]}')) AS s_de,
+      len(regexp_extract_all(lower(text), '{_MARKERS["es"]}')) AS s_es
+    FROM documents
+  ) scores
+) pred
+GROUP BY lang, predicted
+"""
+
+
+@query("text_langid_confusion", oracle=_LANGID_ORACLE, tags=("text", "langid"))
+def langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    lower = F.lower(F.col("text"))
+    s = {k: F.regexp_count(lower, F.lit(v)) for k, v in _MARKERS.items()}
+    predicted = (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] > 0), "en")
+        .when((s["de"] >= s["es"]) & (s["de"] > 0), "de")
+        .when(s["es"] > 0, "es")
+        .otherwise("unknown")
+    )
+    return (
+        docs.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint (OpenRefine-style): md5 over the sorted distinct token
+# set — whitespace/order/duplication-insensitive canonical identity.
+# ---------------------------------------------------------------------------
+
+_FPRINT_ORACLE = f"""
+SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id
+FROM (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct({_TOK_SQL})), ' ')) AS fingerprint
+  FROM documents
+) f
+GROUP BY fingerprint
+"""
+
+
+@query("text_fingerprint_groups", oracle=_FPRINT_ORACLE, tags=("text", "dedup"))
+def fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+    )

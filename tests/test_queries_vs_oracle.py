@@ -1,0 +1,36 @@
+"""Differential correctness: every registered query with an oracle runs on
+Spark AND DuckDB at sf0.001 and must match exactly (multiset, sorted columns)
+— the reference's core test method (tests/tpch_correctness_test.rs).
+
+Queries without an oracle get a rows-computable smoke check.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_distributed_spark.operators.registry import REGISTRY, _ensure_loaded
+
+from .conftest import SF_DIR, compare_to_oracle, oracle_views
+
+_ensure_loaded()
+
+_WITH_ORACLE = sorted(n for n, q in REGISTRY.items() if q.oracle)
+_ROWS_ONLY = sorted(n for n, q in REGISTRY.items() if not q.oracle)
+
+
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_query_matches_oracle(spark, duck, name):
+    qd = REGISTRY[name]
+    df = qd.fn(spark, SF_DIR)
+    oracle_views(duck, SF_DIR)
+    compare_to_oracle(df, duck, qd.oracle, name=name)
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_query_runs(spark, name):
+    qd = REGISTRY[name]
+    df = qd.fn(spark, SF_DIR)
+    rows = df.collect()
+    assert rows is not None
+    assert len(df.columns) > 0
