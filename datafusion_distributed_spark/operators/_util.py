@@ -1,4 +1,19 @@
-"""Shared helpers for operator implementations (decimal discipline, dates)."""
+"""Shared helpers for operator implementations.
+
+Money arithmetic discipline (performance + oracle parity):
+Aggregating DECIMAL in Spark falls off the codegen fast path (Int128/
+BigDecimal per row — measured ~25x slower than long math on this workload),
+while aggregating DOUBLE is summation-order-dependent and can't hash-match a
+different engine. So money is quantized to integer cents (the source data is
+exact 2-decimal; verified residual < 1e-9): sums/products are exact int64
+arithmetic — fast, deterministic, portable — and only the final output is
+unscaled to DOUBLE. This is what columnar engines do internally (decimal =
+scaled integer; cf. DataFusion's Decimal128 representation).
+
+Range bound: scale-1e4 revenue terms are ~1e9/row, so int64 group sums stay
+exact beyond TPC-H SF1000; for larger groups widen the final sum to
+DECIMAL(38,0) (slow path) or accept double. Documented, not hidden.
+"""
 
 from __future__ import annotations
 
@@ -13,16 +28,37 @@ def t(spark: SparkSession, sf_dir: str):
     return load_tables(spark, sf_dir)
 
 
-def dec(col: str | Column, p: int = 12, s: int = 4) -> Column:
-    """Cast to DECIMAL(p,s). All money arithmetic is decimal so sums are exact
-    and independent of partition/summation order — this is what makes Spark
-    results hash-identical to the DuckDB oracle (SURVEY.md §7 risk #1)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return c.cast(f"decimal({p},{s})")
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def cents(col: str | Column) -> Column:
+    """Exact integer cents of a 2-decimal money double (bigint)."""
+    return F.round(_c(col) * 100, 0).cast("long")
+
+
+def C(col: str) -> str:
+    """DuckDB SQL for cents() — keep in sync."""
+    return f"CAST(ROUND({col} * 100) AS BIGINT)"
+
+
+def qty_i(col: str | Column = "l_quantity") -> Column:
+    """Integer-valued quantity double -> bigint."""
+    return F.round(_c(col), 0).cast("long")
+
+
+def QI(col: str = "l_quantity") -> str:
+    return f"CAST(ROUND({col}) AS BIGINT)"
 
 
 def dbl(col: Column) -> Column:
     return col.cast("double")
+
+
+def unscale(sum_col: Column, scale: int) -> Column:
+    """Exact integer aggregate -> output double (divide in double, same
+    operation order as the oracle SQL)."""
+    return sum_col.cast("double") / F.lit(float(scale))
 
 
 def ts(literal: str) -> Column:
@@ -32,16 +68,18 @@ def ts(literal: str) -> Column:
 
 def fmt_date(col: str | Column) -> Column:
     """Render a timestamp as yyyy-MM-dd (oracle: strftime(x, '%Y-%m-%d'))."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.date_format(c, "yyyy-MM-dd")
+    return F.date_format(_c(col), "yyyy-MM-dd")
 
 
-# revenue = l_extendedprice * (1 - l_discount), exact decimal
-def revenue_dec() -> Column:
-    return dec("l_extendedprice") * (F.lit(1).cast("decimal(2,0)") - dec("l_discount", 6, 4))
+# revenue = l_extendedprice * (1 - l_discount), exact at scale 1e4:
+# cents(ext) * (100 - cents(disc))
+def revenue_i() -> Column:
+    return cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
 
 
-# The same expression in DuckDB SQL (keep in sync with revenue_dec()).
-REVENUE_SQL = (
-    "CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
-)
+REVENUE_I_SQL = f"({C('l_extendedprice')} * (100 - {C('l_discount')}))"
+REVENUE_SCALE = 10_000
+
+# Kept for operators that genuinely need decimal types (none hot-path today).
+def dec(col: str | Column, p: int = 12, s: int = 4) -> Column:
+    return _c(col).cast(f"decimal({p},{s})")

@@ -4,7 +4,7 @@ schema (TESTDATA.md: no partsupp table, trimmed columns).
 Coverage target: the query classes the reference proves via its TPC-H 22/22
 suite (/root/reference/tests/tpch_correctness_test.rs;
 /root/reference/testdata/tpch/queries/q1.sql..q22.sql — see SURVEY.md §2.3):
-multi-way equi-joins, grouped aggregates over decimals, correlated and
+multi-way equi-joins, grouped aggregates over money values, correlated and
 uncorrelated scalar subqueries, EXISTS/NOT EXISTS (semi/anti joins), IN
 subqueries, CASE, LIKE, date arithmetic/EXTRACT, HAVING, top-k.
 
@@ -16,6 +16,9 @@ joins broadcast (the reference's insert_broadcast pass,
 src/distributed_planner/insert_broadcast.rs:17-166 — Spark does this by size),
 and big joins shuffle on their keys (NetworkShuffleExec,
 src/execution_plans/network_shuffle.rs).
+
+Money arithmetic is exact scaled-int64 (see _util docstring): fast (whole-
+stage codegen long math), summation-order independent, oracle-portable.
 """
 
 from __future__ import annotations
@@ -23,7 +26,20 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ._util import REVENUE_SQL, dbl, dec, fmt_date, revenue_dec, t, ts
+from ._util import (
+    C,
+    QI,
+    REVENUE_I_SQL,
+    REVENUE_SCALE,
+    cents,
+    dbl,
+    fmt_date,
+    qty_i,
+    revenue_i,
+    t,
+    ts,
+    unscale,
+)
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -34,13 +50,13 @@ from .registry import query
 
 _Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM({REVENUE_SQL} * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DOUBLE) AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_price,
-  CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  CAST(SUM({QI()}) AS DOUBLE) AS sum_qty,
+  CAST(SUM({C('l_extendedprice')}) AS DOUBLE) / 100.0 AS sum_base_price,
+  CAST(SUM({REVENUE_I_SQL}) AS DOUBLE) / 10000.0 AS sum_disc_price,
+  CAST(SUM({REVENUE_I_SQL} * (100 + {C('l_tax')})) AS DOUBLE) / 1000000.0 AS sum_charge,
+  CAST(SUM({QI()}) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM({C('l_extendedprice')}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+  CAST(SUM({C('l_discount')}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -51,32 +67,33 @@ GROUP BY l_returnflag, l_linestatus
 @query("tpch_q1_pricing_summary", oracle=_Q1_ORACLE, tags=("agg", "tpch"))
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir)["lineitem"].filter(F.col("l_shipdate") <= ts("1998-09-02"))
-    sum_qty = F.sum(dec("l_quantity"))
-    sum_price = F.sum(dec("l_extendedprice"))
     cnt = F.count(F.lit(1))
+    sum_qty = F.sum(qty_i())
+    sum_price = F.sum(cents("l_extendedprice"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dbl(sum_qty).alias("sum_qty"),
-        dbl(sum_price).alias("sum_base_price"),
-        dbl(F.sum(revenue_dec())).alias("sum_disc_price"),
-        dbl(
-            F.sum(revenue_dec() * (F.lit(1).cast("decimal(2,0)") + dec("l_tax", 6, 4)))
+        unscale(sum_price, 100).alias("sum_base_price"),
+        unscale(F.sum(revenue_i()), REVENUE_SCALE).alias("sum_disc_price"),
+        unscale(
+            F.sum(revenue_i() * (F.lit(100) + cents("l_tax"))), 1_000_000
         ).alias("sum_charge"),
         (dbl(sum_qty) / cnt).alias("avg_qty"),
-        (dbl(sum_price) / cnt).alias("avg_price"),
-        (dbl(F.sum(dec("l_discount", 6, 4))) / cnt).alias("avg_disc"),
+        (unscale(sum_price, 100) / cnt).alias("avg_price"),
+        (unscale(F.sum(cents("l_discount")), 100) / cnt).alias("avg_disc"),
         cnt.alias("count_order"),
     )
 
 
 # ---------------------------------------------------------------------------
-# q3: shipping priority — 3-way join, grouped revenue, deterministic top-10.
+# q3: shipping priority — 3-way join, grouped revenue, deterministic top-10
+# (ordering key is the exact integer revenue, tiebreak on o_orderkey).
 # ---------------------------------------------------------------------------
 
 _Q3_ORACLE = f"""
-SELECT o_orderkey, o_orderdate, CAST(rev AS DOUBLE) AS revenue
+SELECT o_orderkey, o_orderdate, CAST(rev AS DOUBLE) / 10000.0 AS revenue
 FROM (
   SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
-         SUM({REVENUE_SQL}) AS rev
+         SUM({REVENUE_I_SQL}) AS rev
   FROM customer c
   JOIN orders o ON c.c_custkey = o.o_custkey
   JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -100,13 +117,13 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, orders.o_orderkey == li.l_orderkey
     )
     grouped = joined.groupBy("o_orderkey", "o_orderdate").agg(
-        F.sum(revenue_dec()).alias("_rev")
+        F.sum(revenue_i()).alias("_rev")
     )
     top = grouped.orderBy(F.desc("_rev"), F.asc("o_orderkey")).limit(10)
     return top.select(
         "o_orderkey",
         fmt_date("o_orderdate").alias("o_orderdate"),
-        dbl(F.col("_rev")).alias("revenue"),
+        unscale(F.col("_rev"), REVENUE_SCALE).alias("revenue"),
     )
 
 
@@ -149,7 +166,7 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q5_ORACLE = f"""
-SELECT n_name, CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue
+SELECT n_name, CAST(SUM({REVENUE_I_SQL}) AS DOUBLE) / 10000.0 AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -182,7 +199,9 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
     )
-    return joined.groupBy("n_name").agg(dbl(F.sum(revenue_dec())).alias("revenue"))
+    return joined.groupBy("n_name").agg(
+        unscale(F.sum(revenue_i()), REVENUE_SCALE).alias("revenue")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -191,8 +210,8 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DataFusion pruning (SURVEY.md §4.1).
 # ---------------------------------------------------------------------------
 
-_Q6_ORACLE = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue
+_Q6_ORACLE = f"""
+SELECT CAST(SUM({C('l_extendedprice')} * {C('l_discount')}) AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -210,7 +229,9 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return filtered.agg(
-        dbl(F.sum(dec("l_extendedprice") * dec("l_discount", 6, 4))).alias("revenue")
+        unscale(
+            F.sum(cents("l_extendedprice") * cents("l_discount")), REVENUE_SCALE
+        ).alias("revenue")
     )
 
 
@@ -220,11 +241,11 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q7_ORACLE = f"""
-SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) / 10000.0 AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
-         {REVENUE_SQL} AS volume
+         {REVENUE_I_SQL} AS volume
   FROM supplier s
   JOIN lineitem l ON s.s_suppkey = l.l_suppkey
   JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -272,23 +293,22 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.withColumn("l_year", F.year("l_shipdate"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(dbl(F.sum(revenue_dec())).alias("revenue"))
+        .agg(unscale(F.sum(revenue_i()), REVENUE_SCALE).alias("revenue"))
     )
 
 
 # ---------------------------------------------------------------------------
 # q9: product type profit — LIKE filter, 5-way join, profit arithmetic.
 # (No partsupp table; supply cost modeled as 0.6 * p_retailprice * quantity.)
+# amount at scale 1e4: rev_i - 60 * cents(retail) * qty.
 # ---------------------------------------------------------------------------
 
 _Q9_ORACLE = f"""
-SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) / 10000.0 AS sum_profit
 FROM (
   SELECT n.n_name AS nation,
          CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
-         {REVENUE_SQL}
-           - CAST(0.6 AS DECIMAL(6,4)) * CAST(p.p_retailprice AS DECIMAL(12,4))
-             * CAST(l.l_quantity AS DECIMAL(12,4)) AS amount
+         {REVENUE_I_SQL} - 60 * {C('p_retailprice')} * {QI('l.l_quantity')} AS amount
   FROM part p
   JOIN lineitem l ON p.p_partkey = l.l_partkey
   JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -310,9 +330,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tb["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(tb["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
     )
-    amount = revenue_dec() - (
-        F.lit(0.6).cast("decimal(6,4)") * dec("p_retailprice") * dec("l_quantity")
-    )
+    amount = revenue_i() - F.lit(60) * cents("p_retailprice") * qty_i()
     return (
         joined.select(
             F.col("n_name").alias("nation"),
@@ -320,7 +338,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(dbl(F.sum("amount")).alias("sum_profit"))
+        .agg(unscale(F.sum("amount"), REVENUE_SCALE).alias("sum_profit"))
     )
 
 
@@ -329,10 +347,10 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q10_ORACLE = f"""
-SELECT c_custkey, c_name, CAST(rev AS DOUBLE) AS revenue,
-       CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+SELECT c_custkey, c_name, CAST(rev AS DOUBLE) / 10000.0 AS revenue,
+       c_acctbal, n_name
 FROM (
-  SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name, SUM({REVENUE_SQL}) AS rev
+  SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name, SUM({REVENUE_I_SQL}) AS rev
   FROM customer c
   JOIN orders o ON c.c_custkey = o.o_custkey
   JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -361,7 +379,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(tb["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     grouped = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
-        F.sum(revenue_dec()).alias("_rev")
+        F.sum(revenue_i()).alias("_rev")
     )
     return (
         grouped.orderBy(F.desc("_rev"), F.asc("c_custkey"))
@@ -369,8 +387,8 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             "c_name",
-            dbl(F.col("_rev")).alias("revenue"),
-            dbl(F.col("c_acctbal")).alias("c_acctbal"),
+            unscale(F.col("_rev"), REVENUE_SCALE).alias("revenue"),
+            "c_acctbal",
             "n_name",
         )
     )
@@ -436,12 +454,12 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q14: promo revenue — CASE + ratio of decimal sums (division done in double).
+# q14: promo revenue — CASE + ratio of exact integer sums (division in double).
 # ---------------------------------------------------------------------------
 
 _Q14_ORACLE = f"""
-SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_SQL} ELSE CAST(0 AS DECIMAL(20,8)) END) AS DOUBLE) * 100.0
-       / CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS promo_revenue
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_I_SQL} ELSE 0 END) AS DOUBLE)
+       / CAST(SUM({REVENUE_I_SQL}) AS DOUBLE) AS promo_revenue
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-09-01' AND l.l_shipdate < TIMESTAMP '1997-10-01'
 """
@@ -455,11 +473,9 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < ts("1997-10-01"))
     )
     joined = li.join(tb["part"], F.col("l_partkey") == F.col("p_partkey"))
-    promo = F.when(F.col("p_type") == "PROMO", revenue_dec()).otherwise(
-        F.lit(0).cast("decimal(20,8)")
-    )
+    promo = F.when(F.col("p_type") == "PROMO", revenue_i()).otherwise(F.lit(0))
     return joined.agg(
-        (dbl(F.sum(promo)) * F.lit(100.0) / dbl(F.sum(revenue_dec()))).alias(
+        (F.lit(100.0) * dbl(F.sum(promo)) / dbl(F.sum(revenue_i()))).alias(
             "promo_revenue"
         )
     )
@@ -467,19 +483,19 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q15: top supplier — CTE/view + uncorrelated scalar subquery (= max), exact
-# decimal equality join (reference: views in q15, SURVEY.md §2.3).
+# integer equality join (reference: views in q15, SURVEY.md §2.3).
 # ---------------------------------------------------------------------------
 
 _Q15_ORACLE = f"""
 WITH revenue AS (
-  SELECT l_suppkey AS supplier_no, SUM({REVENUE_SQL}) AS total_revenue
+  SELECT l_suppkey AS supplier_no, SUM({REVENUE_I_SQL}) AS total_rev
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
   GROUP BY l_suppkey
 )
-SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) / 10000.0 AS total_revenue
 FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
-WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
 """
 
 
@@ -493,13 +509,17 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < ts("1997-04-01"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(revenue_dec()).alias("total_revenue"))
+        .agg(F.sum(revenue_i()).alias("total_rev"))
     )
-    max_rev = rev.agg(F.max("total_revenue").alias("_max"))
-    best = rev.join(F.broadcast(max_rev), rev.total_revenue == max_rev._max)
+    max_rev = rev.agg(F.max("total_rev").alias("_max"))
+    best = rev.join(F.broadcast(max_rev), rev.total_rev == max_rev._max)
     return best.join(
         tb["supplier"], F.col("supplier_no") == F.col("s_suppkey")
-    ).select("s_suppkey", "s_name", dbl(F.col("total_revenue")).alias("total_revenue"))
+    ).select(
+        "s_suppkey",
+        "s_name",
+        unscale(F.col("total_rev"), REVENUE_SCALE).alias("total_revenue"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -538,8 +558,8 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 # AVG over integer-valued doubles is order-independent => oracle-safe.
 # ---------------------------------------------------------------------------
 
-_Q17_ORACLE = """
-SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / 7.0 AS avg_yearly
+_Q17_ORACLE = f"""
+SELECT CAST(SUM({C('l.l_extendedprice')}) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#1'
   AND l.l_quantity < (
@@ -562,7 +582,9 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_quantity"))
     )
     return joined.agg(
-        (dbl(F.sum(dec("l_extendedprice"))) / F.lit(7.0)).alias("avg_yearly")
+        (unscale(F.sum(cents("l_extendedprice")), 100) / F.lit(7.0)).alias(
+            "avg_yearly"
+        )
     )
 
 
@@ -570,13 +592,13 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q18: large-volume orders — IN subquery with HAVING, top-k over 3-way join.
 # ---------------------------------------------------------------------------
 
-_Q18_ORACLE = """
+_Q18_ORACLE = f"""
 SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
 FROM (
   SELECT c.c_name, c.c_custkey, o.o_orderkey,
          strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
-         CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
-         CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+         o.o_totalprice,
+         CAST(SUM({QI('l.l_quantity')}) AS DOUBLE) AS sum_qty
   FROM customer c
   JOIN orders o ON c.c_custkey = o.o_custkey
   JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -608,7 +630,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grouped = joined.groupBy(
         "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
-    ).agg(F.sum(dec("l_quantity")).alias("_sq"))
+    ).agg(F.sum(qty_i()).alias("_sq"))
     return (
         grouped.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(20)
@@ -617,7 +639,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "o_orderkey",
             fmt_date("o_orderdate").alias("o_orderdate"),
-            dbl(F.col("o_totalprice")).alias("o_totalprice"),
+            "o_totalprice",
             dbl(F.col("_sq")).alias("sum_qty"),
         )
     )
@@ -629,7 +651,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q19_ORACLE = f"""
-SELECT CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue
+SELECT CAST(SUM({REVENUE_I_SQL}) AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 21)
    OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 30)
@@ -658,7 +680,9 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(20, 40)
         )
     )
-    return joined.filter(cond).agg(dbl(F.sum(revenue_dec())).alias("revenue"))
+    return joined.filter(cond).agg(
+        unscale(F.sum(revenue_i()), REVENUE_SCALE).alias("revenue")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -726,18 +750,18 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q22: global sales opportunity — uncorrelated scalar agg subquery + NOT
 # EXISTS anti join. The avg threshold is rewritten multiplication-style
-# (acctbal * n > total) so the filter is exact decimal arithmetic.
+# (cents(acctbal) * n > total_cents) so the filter is exact integer math.
 # ---------------------------------------------------------------------------
 
-_Q22_ORACLE = """
+_Q22_ORACLE = f"""
 SELECT c_mktsegment, COUNT(*) AS numcust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+       CAST(SUM({C('c.c_acctbal')}) AS DOUBLE) / 100.0 AS totacctbal
 FROM customer c
 CROSS JOIN (
-  SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS tot, COUNT(*) AS cnt
+  SELECT SUM({C('c_acctbal')}) AS tot, COUNT(*) AS cnt
   FROM customer WHERE c_acctbal > 0.0
 ) s
-WHERE CAST(c.c_acctbal AS DECIMAL(12,2)) * s.cnt > s.tot
+WHERE {C('c.c_acctbal')} * s.cnt > s.tot
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 GROUP BY c_mktsegment
 """
@@ -748,16 +772,16 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = t(spark, sf_dir)
     cust = tb["customer"]
     stats = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.sum(dec("c_acctbal", 12, 2)).alias("tot"), F.count(F.lit(1)).alias("cnt")
+        F.sum(cents("c_acctbal")).alias("tot"), F.count(F.lit(1)).alias("cnt")
     )
     filtered = (
         cust.crossJoin(F.broadcast(stats))
-        .filter(dec("c_acctbal", 12, 2) * F.col("cnt") > F.col("tot"))
+        .filter(cents("c_acctbal") * F.col("cnt") > F.col("tot"))
         .join(tb["orders"], F.col("o_custkey") == F.col("c_custkey"), "left_anti")
     )
     return filtered.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("numcust"),
-        dbl(F.sum(dec("c_acctbal", 12, 2))).alias("totacctbal"),
+        unscale(F.sum(cents("c_acctbal")), 100).alias("totacctbal"),
     )
 
 
@@ -767,7 +791,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q2_ORACLE = """
-SELECT n.n_name, s.s_name, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+SELECT n.n_name, s.s_name, s.s_acctbal
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
 WHERE s.s_acctbal = (
   SELECT MIN(s2.s_acctbal) FROM supplier s2 WHERE s2.s_nationkey = s.s_nationkey
@@ -789,5 +813,5 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("s_acctbal") == F.col("min_bal")),
         )
         .join(F.broadcast(tb["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("n_name", "s_name", dbl(F.col("s_acctbal")).alias("s_acctbal"))
+        .select("n_name", "s_name", "s_acctbal")
     )
