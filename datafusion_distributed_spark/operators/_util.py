@@ -11,8 +11,9 @@ unscaled to DOUBLE. This is what columnar engines do internally (decimal =
 scaled integer; cf. DataFusion's Decimal128 representation).
 
 Range bound: scale-1e4 revenue terms are ~1e9/row, so int64 group sums stay
-exact beyond TPC-H SF1000; for larger groups widen the final sum to
-DECIMAL(38,0) (slow path) or accept double. Documented, not hidden.
+exact beyond TPC-H SF1000. Scale-1e6 terms (q1 sum_charge, ~1e11/row) would
+wrap int64 near SF50, so those specific aggregates are widened to
+DECIMAL(38,0) before summing (exact; DuckDB's SUM(BIGINT)->HUGEINT matches).
 """
 
 from __future__ import annotations

@@ -248,7 +248,10 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = t(spark, sf_dir)
     all_cust = tb["customer"].select("c_custkey")
     with_orders = tb["orders"].select(F.col("o_custkey").alias("c_custkey"))
-    return all_cust.exceptAll(with_orders.distinct()).distinct()
+    # subtract == SQL EXCEPT (distinct) in one pass; exceptAll+distinct would
+    # keep a left row that also appears on the right whenever the left side
+    # has more duplicates of it — wrong for EXCEPT semantics in general.
+    return all_cust.subtract(with_orders)
 
 
 # ---------------------------------------------------------------------------

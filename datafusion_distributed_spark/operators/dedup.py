@@ -19,7 +19,7 @@ Scale design:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ._util import t
 from .registry import query
@@ -109,15 +109,20 @@ def _shingles(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
-    """Per-doc MinHash signature: sig_i = MIN(md5('{i}:' || shingle)).
-    md5-as-string minima are portable across engines."""
-    sh = _shingles(docs)
+def _signatures_from_shingles(sh: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
+    """Per-doc MinHash signature from a (doc_id, sh) frame:
+    sig_i = MIN(md5('{i}:' || shingle)). md5-as-string minima are portable
+    across engines."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
         for i in range(n_hashes)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
+    """Per-doc MinHash signature straight from documents (convenience)."""
+    return _signatures_from_shingles(_shingles(docs), n_hashes)
 
 
 def lsh_bands(sigs: DataFrame, n_bands: int = _N_BANDS, rows: int = _ROWS_PER_BAND) -> DataFrame:
@@ -174,10 +179,10 @@ JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
 """
 
 
-@query("dd_minhash_lsh_pairs", oracle=_minhash_oracle(), tags=("dedup", "minhash"))
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir)["documents"]
-    bands = lsh_bands(minhash_signatures(docs))
+def _band_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from a (doc_id, band_idx, band_hash) frame:
+    equi self-join on the band bucket — shuffles tiny band rows, never the
+    corpus (the reference's "only shuffle what co-locates" discipline)."""
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -190,6 +195,76 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+@query("dd_minhash_lsh_pairs", oracle=_minhash_oracle(), tags=("dedup", "minhash"))
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    # Persist the band table so the self-join's two sides read one
+    # materialization instead of re-running the explode+distinct+minhash
+    # lineage per side. The (tiny) pair result is eagerly localCheckpoint-ed
+    # so the intermediate can be unpersisted before returning.
+    bands = lsh_bands(minhash_signatures(docs)).persist()
+    try:
+        return _band_pairs(bands).localCheckpoint(eager=True)
+    finally:
+        bands.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Capped MinHash-LSH: bounded-bucket variant for hostile corpora. A web-scale
+# corpus has degenerate band buckets (mass-duplicated boilerplate): an uncapped
+# bucket of n docs emits O(n^2) pairs on ONE shuffle key — the classic LSH
+# scale-killer. Cap each (band_idx, band_hash) bucket to its first
+# _BUCKET_CAP doc_ids (deterministic: ordered by doc_id) so pair output is
+# bounded by cap^2/2 per bucket. Duplicates that overflow a bucket are still
+# caught by exact dedup (identical docs share md5) — LSH is for NEAR-dups.
+# ---------------------------------------------------------------------------
+
+_BUCKET_CAP = 16
+
+
+def capped_band_pairs(bands: DataFrame, cap: int = _BUCKET_CAP) -> DataFrame:
+    """Candidate pairs with a per-bucket membership cap. The row_number window
+    shuffles by the same (band_idx, band_hash) key the join uses, so AQE can
+    reuse the exchange; output per bucket is <= cap*(cap-1)/2 pairs."""
+    w = Window.partitionBy("band_idx", "band_hash").orderBy("doc_id")
+    capped = (
+        bands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+    )
+    return _band_pairs(capped)
+
+
+def _minhash_capped_oracle() -> str:
+    base = _minhash_oracle()
+    head, _, _tail = base.rpartition("SELECT DISTINCT")
+    return f"""{head}, ranked AS (
+  SELECT doc_id, band_idx, band_hash,
+         ROW_NUMBER() OVER (PARTITION BY band_idx, band_hash ORDER BY doc_id) AS rn
+  FROM bands
+),
+capped AS (SELECT doc_id, band_idx, band_hash FROM ranked WHERE rn <= {_BUCKET_CAP})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM capped a
+JOIN capped b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+"""
+
+
+@query(
+    "dd_minhash_lsh_pairs_capped",
+    oracle=_minhash_capped_oracle(),
+    tags=("dedup", "minhash", "scale"),
+)
+def minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    bands = lsh_bands(minhash_signatures(docs)).persist()
+    try:
+        return capped_band_pairs(bands).localCheckpoint(eager=True)
+    finally:
+        bands.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -245,33 +320,44 @@ WHERE CAST(i.n_common AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_common) >= 0.5
 
 @query("dd_ngram_jaccard", oracle=_jaccard_oracle(), tags=("dedup", "jaccard"))
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shingles are the most expensive lineage in the repo (explode + distinct
+    # over the corpus), and this query needs them FOUR times: sizes, both
+    # intersection join sides, and the minhash signatures behind the LSH
+    # candidates. Persist them once — at 100 TB this is the difference between
+    # one corpus-wide shingle explosion and four.
     docs = t(spark, sf_dir)["documents"]
-    sh = _shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    cand = minhash_lsh_pairs(spark, sf_dir)
-    sa = sh.select(F.col("doc_id").alias("_ka"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("_kb"), F.col("sh").alias("sh_b"))
-    inter = (
-        cand.join(sa, F.col("doc_a") == F.col("_ka"))
-        .join(sb, (F.col("doc_b") == F.col("_kb")) & (F.col("sh_b") == F.col("sh_a")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    za = sizes.select(F.col("doc_id").alias("_za"), F.col("n_sh").alias("n_a"))
-    zb = sizes.select(F.col("doc_id").alias("_zb"), F.col("n_sh").alias("n_b"))
-    jac = (
-        inter.join(za, F.col("doc_a") == F.col("_za"))
-        .join(zb, F.col("doc_b") == F.col("_zb"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-            ).alias("jaccard"),
+    sh = _shingles(docs).persist()
+    bands = lsh_bands(_signatures_from_shingles(sh)).persist()
+    try:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        cand = _band_pairs(bands)
+        sa = sh.select(F.col("doc_id").alias("_ka"), F.col("sh").alias("sh_a"))
+        sb = sh.select(F.col("doc_id").alias("_kb"), F.col("sh").alias("sh_b"))
+        inter = (
+            cand.join(sa, F.col("doc_a") == F.col("_ka"))
+            .join(sb, (F.col("doc_b") == F.col("_kb")) & (F.col("sh_b") == F.col("sh_a")))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
         )
-    )
-    return jac.filter(F.col("jaccard") >= 0.5).select("doc_a", "doc_b", "jaccard")
+        za = sizes.select(F.col("doc_id").alias("_za"), F.col("n_sh").alias("n_a"))
+        zb = sizes.select(F.col("doc_id").alias("_zb"), F.col("n_sh").alias("n_b"))
+        jac = (
+            inter.join(za, F.col("doc_a") == F.col("_za"))
+            .join(zb, F.col("doc_b") == F.col("_zb"))
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    F.col("n_common").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+                ).alias("jaccard"),
+            )
+        )
+        out = jac.filter(F.col("jaccard") >= 0.5).select("doc_a", "doc_b", "jaccard")
+        return out.localCheckpoint(eager=True)
+    finally:
+        bands.unpersist()
+        sh.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -109,10 +109,48 @@ def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@query("mm_decode_pipeline", oracle=None, tags=("multimodal", "pandas-udf"))
+def _decode_oracle() -> str:
+    """Independent SQL implementation of ``_fake_decode``'s aggregate: the
+    stub decode is a pure function of the payload bytes (checksum of the
+    first 64 bytes), so DuckDB can recompute it from hex digits — a true
+    differential check of the whole mapInPandas pipeline (reference method:
+    /root/reference/tests/tpch_correctness_test.rs oracle comparison)."""
+    hexval = "instr('0123456789abcdef', substring(hx, {pos}, 1)) - 1"
+    return f"""
+WITH h AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n,
+         lower(substring(hex(encode(text)), 1, 128)) AS hx
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, hx, unnest(generate_series(1, CAST(length(hx) / 2 AS INTEGER))) AS i
+  FROM h
+),
+csum0 AS (
+  SELECT doc_id,
+         SUM(({hexval.format(pos='2*i-1')}) * 16 + ({hexval.format(pos='2*i')})) AS checksum
+  FROM bytes GROUP BY doc_id
+),
+decoded AS (
+  SELECT h.doc_id, h.n AS n_bytes,
+         CAST(64 + (COALESCE(c.checksum, 0) % 17) * 32 AS INTEGER) AS width,
+         CAST(64 + ((COALESCE(c.checksum, 0) // 17) % 11) * 32 AS INTEGER) AS height,
+         CASE COALESCE(c.checksum, 0) % 3
+           WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS fmt
+  FROM h LEFT JOIN csum0 c ON c.doc_id = h.doc_id
+)
+SELECT fmt, COUNT(*) AS n_blobs,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(MAX(width) AS INTEGER) AS max_width,
+       CAST(MAX(height) AS INTEGER) AS max_height
+FROM decoded GROUP BY fmt
+"""
+
+
+@query("mm_decode_pipeline", oracle=_decode_oracle(), tags=("multimodal", "pandas-udf"))
 def decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: the decode output is Python-defined (not
-    SQL-expressible); correctness of the plumbing is covered by tests."""
+    """mapInPandas decode pipeline, differentially checked: the deterministic
+    stub decode is recomputed independently in DuckDB (see _decode_oracle)."""
     docs = t(spark, sf_dir)["documents"]
     with_payload = docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")

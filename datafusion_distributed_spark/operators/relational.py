@@ -74,8 +74,12 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         dbl(sum_qty).alias("sum_qty"),
         unscale(sum_price, 100).alias("sum_base_price"),
         unscale(F.sum(revenue_i()), REVENUE_SCALE).alias("sum_disc_price"),
+        # sum_charge terms are scale-1e6 (~1e11/row): int64 group sums would
+        # wrap silently near SF50, so this one aggregate is widened to
+        # DECIMAL(38,0) (exact to 1e38; DuckDB's SUM(BIGINT)->HUGEINT matches).
         unscale(
-            F.sum(revenue_i() * (F.lit(100) + cents("l_tax"))), 1_000_000
+            F.sum((revenue_i() * (F.lit(100) + cents("l_tax"))).cast("decimal(38,0)")),
+            1_000_000,
         ).alias("sum_charge"),
         (dbl(sum_qty) / cnt).alias("avg_qty"),
         (unscale(sum_price, 100) / cnt).alias("avg_price"),

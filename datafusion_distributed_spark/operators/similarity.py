@@ -172,14 +172,50 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ANN via LSH: top-k within shared buckets only (the scale path). The driver
-# checks rows-only (no oracle): double summation order inside DuckDB's group
-# aggregation makes sign-boundary parity unverifiable in SQL, and the point
-# here is the plan shape (bucket co-partitioned join instead of cross join).
+# ANN via LSH: top-k within shared buckets only (the scale path). Oracle:
+# same bucket CTE as sim_ann_lsh_buckets (already bit-verified) + the
+# _COSINE_ORACLE ranking pattern (cosine rounded to 6 decimals in BOTH
+# engines, ties on neighbor_id — round-then-rank makes ranking portable,
+# proven by sim_cosine_topk).
 # ---------------------------------------------------------------------------
 
 
-@query("sim_ann_lsh_topk", oracle=None, tags=("similarity", "ann", "lsh"))
+def _ann_topk_oracle() -> str:
+    bucket_cte = _lsh_oracle().split("SELECT bucket, COUNT(*)")[0].rstrip().rstrip(",")
+    return f"""{bucket_cte},
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (
+  SELECT b.vec_id AS q_id, m.e AS qe, b.bucket
+  FROM buckets b JOIN emb m ON m.vec_id = b.vec_id WHERE b.vec_id < {_N_QUERIES}
+),
+c AS (
+  SELECT b.vec_id, m.e, b.bucket
+  FROM buckets b JOIN emb m ON m.vec_id = b.vec_id WHERE b.vec_id >= {_N_QUERIES}
+),
+flatp AS (
+  SELECT q.q_id, c.vec_id, unnest(q.qe) AS qv, unnest(c.e) AS cv
+  FROM q JOIN c ON q.bucket = c.bucket
+),
+pair_dots AS (
+  SELECT q_id, vec_id,
+         SUM(qv * cv) AS dot, SUM(qv * qv) AS qq, SUM(cv * cv) AS cc
+  FROM flatp GROUP BY q_id, vec_id
+),
+scored AS (
+  SELECT q_id, vec_id AS neighbor_id,
+         ROUND(dot / (SQRT(qq) * SQRT(cc)), 6) AS cos_sim
+  FROM pair_dots
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT q_id, neighbor_id, cos_sim FROM ranked WHERE rn <= {_TOP_K}
+"""
+
+
+@query("sim_ann_lsh_topk", oracle=_ann_topk_oracle(), tags=("similarity", "ann", "lsh"))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
@@ -189,7 +225,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), "bucket"
     )
     c = bucketed.filter(F.col("vec_id") >= _N_QUERIES)
-    # Equi-join on bucket: shuffles by bucket instead of replicating the corpus.
+    # Equi-join on bucket with the tiny query side broadcast: the corpus
+    # streams in place (no shuffle of c at all) and candidates only meet
+    # within a shared bucket. At 100 TB with a large query set, drop the
+    # broadcast hint and this becomes a bucket-co-partitioned shuffle join —
+    # same plan shape the reference would produce.
     joined = c.join(F.broadcast(q), "bucket")
     cos = _dot("e", "qe") / (F.sqrt(_dot("e", "e")) * F.sqrt(_dot("qe", "qe")))
     scored = joined.select(

@@ -31,9 +31,11 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-# Cache keyed by (session id, sf_dir) so repeated queries() calls reuse the
-# analyzed DataFrames (and their registered temp views).
-_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+# Cache keyed by (applicationId, sf_dir) so repeated queries() calls reuse the
+# analyzed DataFrames (and their registered temp views). applicationId is
+# unique per SparkContext (unlike id(spark), which can be reused after GC and
+# serve frames bound to a stopped session).
+_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
 def _normalize(name: str, df: DataFrame) -> DataFrame:
@@ -52,7 +54,7 @@ def load_tables(
     """Load all testdata tables from ``sf_dir`` and (optionally) register them
     as temp views under their bare names."""
     apply_session_confs(spark)
-    key = (id(spark), sf_dir.rstrip("/"))
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     if key in _CACHE:
         return _CACHE[key]
     tables: dict[str, DataFrame] = {}
