@@ -112,12 +112,15 @@ def _ensure_loaded() -> None:
         return
     from . import (  # noqa: F401
         analytic,
+        catalog,
         clickstream,
         dedup,
+        feeds,
         multimodal,
         relational,
         similarity,
         textstats,
+        udfs,
     )
 
     _LOADED = True

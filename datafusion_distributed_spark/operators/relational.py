@@ -302,6 +302,72 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q8: national market share — 7-way join with the nation dimension in two
+# roles (customer-region gate via n1, market-share nation via n2), CASE-sum
+# ratio per order year (/root/reference/testdata/tpch/queries/q8.sql).
+# Numerator and denominator are exact scale-1e4 int64 sums; the single final
+# division happens in double identically in both engines.
+# ---------------------------------------------------------------------------
+
+_Q8_ORACLE = f"""
+SELECT o_year,
+       CAST(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+         SUM(CASE WHEN n2.n_name = 'NATION_1' THEN {REVENUE_I_SQL} ELSE 0 END) AS num,
+         SUM({REVENUE_I_SQL}) AS den
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'AMERICA'
+    AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+  GROUP BY CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER)
+) x
+"""
+
+
+@query("tpch_q8_market_share", oracle=_Q8_ORACLE, tags=("join", "case", "tpch"))
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    part = tb["part"].filter(F.col("p_type") == "ECONOMY")
+    orders = tb["orders"].filter(
+        F.col("o_orderdate").between(ts("1995-01-01"), ts("1996-12-31"))
+    )
+    n1 = tb["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = tb["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = tb["region"].filter(F.col("r_name") == "AMERICA")
+    joined = (
+        tb["lineitem"]
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(tb["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(tb["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+    )
+    num_term = F.when(F.col("supp_nation") == "NATION_1", revenue_i()).otherwise(F.lit(0))
+    grouped = (
+        joined.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(F.sum(num_term).alias("_num"), F.sum(revenue_i()).alias("_den"))
+    )
+    return grouped.select(
+        "o_year", (dbl(F.col("_num")) / dbl(F.col("_den"))).alias("mkt_share")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q9: product type profit — LIKE filter, 5-way join, profit arithmetic.
 # (No partsupp table; supply cost modeled as 0.6 * p_retailprice * quantity.)
 # amount at scale 1e4: rev_i - 60 * cents(retail) * qty.
@@ -818,4 +884,30 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(tb["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("n_name", "s_name", "s_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LIMIT ... OFFSET: the reference costs OFFSET as GlobalLimitExec skip
+# (/root/reference/src/distributed_planner/statistics/complexity_cpu.rs:751-767).
+# Spark: orderBy -> offset -> limit plans as a GlobalLimit (skip, take) over
+# one sorted shuffle. Deterministic because the sort key is unique.
+# ---------------------------------------------------------------------------
+
+_OFFSET_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+ORDER BY c_acctbal DESC, c_custkey
+LIMIT 10 OFFSET 25
+"""
+
+
+@query("limit_offset_customers", oracle=_OFFSET_ORACLE, tags=("limit", "offset"))
+def limit_offset_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir)["customer"]
+    return (
+        cust.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .offset(25)
+        .limit(10)
+        .select("c_custkey", "c_name", "c_acctbal")
     )

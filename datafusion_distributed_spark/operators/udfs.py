@@ -1,0 +1,102 @@
+"""Scalar UDFs participating in the distributed plan — including as the
+shuffle/group key.
+
+Reference parity surface: /root/reference/tests/udfs.rs:19-80 proves scalar
+UDFs work *through the distribution layer* — ``SELECT test_udf(col) ... GROUP
+BY test_udf(col)`` produces ``RepartitionExec: partitioning=Hash([test_udf(...)])``,
+i.e. the UDF output IS the hash-partition key crossing the network boundary.
+
+Spark equivalent: a ``pandas_udf`` (Arrow-batched, vectorized — never
+row-at-a-time Python) whose output column is the ``groupBy`` key. Catalyst
+materializes the UDF column in ``ArrowEvalPython`` below the Exchange, so the
+shuffle hashes on the UDF result exactly like the reference plan. The UDF body
+is deliberately DuckDB-expressible so the query gets a real differential
+oracle instead of a rows-only check.
+
+Scale note: ArrowEvalPython streams Arrow batches through a pooled Python
+worker per core — constant memory, partition-parallel; the aggregate above it
+is a normal partial/final JVM hash aggregate.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType, StringType
+
+from ._util import C, t, unscale
+from .registry import query
+
+# NB: type objects, not DDL strings — string return types are parsed via the
+# active SparkContext at decoration time, which breaks plain module import.
+
+
+@pandas_udf(LongType())
+def acct_bucket(acctbal: pd.Series) -> pd.Series:
+    """floor(acctbal / 1000) — same IEEE double ops as the oracle SQL."""
+    import numpy as np
+
+    return pd.Series(np.floor(acctbal / 1000.0), dtype="int64")
+
+
+_UDF_GROUP_ORACLE = f"""
+SELECT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n_customers,
+       CAST(SUM({C('c_acctbal')}) AS DOUBLE) / 100.0 AS total_bal
+FROM customer
+GROUP BY CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)
+"""
+
+
+@query("udf_group_key", oracle=_UDF_GROUP_ORACLE, tags=("udf", "pandas-udf"))
+def udf_group_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY a pandas_udf output: the shuffle hash-partitions on the UDF
+    column (reference: tests/udfs.rs RepartitionExec Hash([test_udf])).
+    Money sums use the exact scaled-int64 discipline (_util)."""
+    cust = t(spark, sf_dir)["customer"]
+    cents_bal = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    return (
+        cust.select(acct_bucket("c_acctbal").alias("bucket"), cents_bal.alias("_cb"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            unscale(F.sum("_cb"), 100).alias("total_bal"),
+        )
+    )
+
+
+@pandas_udf(StringType())
+def seg_initial(seg: pd.Series) -> pd.Series:
+    """First character of the market segment — a string-typed UDF join key."""
+    return seg.str.slice(0, 1)
+
+
+_UDF_JOIN_ORACLE = """
+SELECT k, COUNT(*) AS n_pairs
+FROM (
+  SELECT substring(c.c_mktsegment, 1, 1) AS k, c.c_custkey, o.o_orderkey
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE substring(c.c_mktsegment, 1, 1) IN ('B', 'A')
+) p
+GROUP BY k
+"""
+
+
+@query("udf_join_filter", oracle=_UDF_JOIN_ORACLE, tags=("udf", "pandas-udf"))
+def udf_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A pandas_udf column flowing through a join + filter + aggregate —
+    UDF output participates across the shuffle boundary like the reference's
+    distributed UDF tests."""
+    tb = t(spark, sf_dir)
+    cust = tb["customer"].select(
+        "c_custkey", seg_initial("c_mktsegment").alias("k")
+    ).filter(F.col("k").isin("B", "A"))
+    orders = tb["orders"]
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
