@@ -36,7 +36,8 @@ SELECT user_id, n_events, total_value FROM (
 """
 
 
-@query("cb_topk_users", oracle=_TOPK_ORACLE, tags=("agg", "topk", "clickbench"))
+@query("cb_topk_users", oracle=_TOPK_ORACLE, tags=("agg", "topk", "clickbench"),
+       order_by="n_events DESC, user_id")
 def cb_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir)["events"]
     return (

@@ -74,19 +74,33 @@ class QueryDef:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL; None => driver runs rows-only check
     tags: tuple[str, ...] = ()
+    # For top-k/sorted queries: an ORDER BY clause (over OUTPUT column names)
+    # that deterministically reproduces the Spark result's row order. Tests
+    # then assert the returned ORDER matches the oracle's, not just the
+    # multiset — the reference's compare_ordering property
+    # (/root/reference/src/test_utils/property_based.rs:14-90).
+    order_by: str | None = None
 
 
 REGISTRY: dict[str, QueryDef] = {}
 
 
-def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+def query(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    order_by: str | None = None,
+):
     """Register a named query. ``oracle`` is DuckDB SQL over the pre-registered
     views (region nation customer supplier part orders lineitem events
-    documents embeddings)."""
+    documents embeddings). ``order_by`` declares the output ordering for
+    sorted queries so tests can verify it (property_based.rs compare_ordering)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         fixed = _portable_double_casts(oracle) if oracle else None
-        REGISTRY[name] = QueryDef(name=name, fn=fn, oracle=fixed, tags=tags)
+        REGISTRY[name] = QueryDef(
+            name=name, fn=fn, oracle=fixed, tags=tags, order_by=order_by
+        )
         return fn
 
     return deco

@@ -111,7 +111,8 @@ FROM (
 """
 
 
-@query("tpch_q3_shipping_priority", oracle=_Q3_ORACLE, tags=("join", "topk", "tpch"))
+@query("tpch_q3_shipping_priority", oracle=_Q3_ORACLE, tags=("join", "topk", "tpch"),
+       order_by="revenue DESC, o_orderkey")
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = t(spark, sf_dir)
     cust = tb["customer"].filter(F.col("c_mktsegment") == "BUILDING")
@@ -434,7 +435,8 @@ FROM (
 """
 
 
-@query("tpch_q10_returned_items", oracle=_Q10_ORACLE, tags=("join", "topk", "tpch"))
+@query("tpch_q10_returned_items", oracle=_Q10_ORACLE, tags=("join", "topk", "tpch"),
+       order_by="revenue DESC, c_custkey")
 def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = t(spark, sf_dir)
     orders = tb["orders"].filter(
@@ -682,7 +684,8 @@ FROM (
 """
 
 
-@query("tpch_q18_large_orders", oracle=_Q18_ORACLE, tags=("in-subquery", "having", "tpch"))
+@query("tpch_q18_large_orders", oracle=_Q18_ORACLE, tags=("in-subquery", "having", "tpch"),
+       order_by="o_totalprice DESC, o_orderkey")
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = t(spark, sf_dir)
     li = tb["lineitem"]
@@ -783,7 +786,8 @@ SELECT s_name, numwait FROM (
 """
 
 
-@query("tpch_q21_waiting_supplier", oracle=_Q21_ORACLE, tags=("semi-join", "anti-join", "tpch"))
+@query("tpch_q21_waiting_supplier", oracle=_Q21_ORACLE, tags=("semi-join", "anti-join", "tpch"),
+       order_by="numwait DESC, s_name")
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = t(spark, sf_dir)
     li = tb["lineitem"]
@@ -902,7 +906,8 @@ LIMIT 10 OFFSET 25
 """
 
 
-@query("limit_offset_customers", oracle=_OFFSET_ORACLE, tags=("limit", "offset"))
+@query("limit_offset_customers", oracle=_OFFSET_ORACLE, tags=("limit", "offset"),
+       order_by="c_acctbal DESC, c_custkey")
 def limit_offset_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir)["customer"]
     return (

@@ -59,8 +59,15 @@ def _canon(value):
     return str(value)
 
 
-def compare_to_oracle(spark_df, con, sql: str, name: str = "?") -> None:
-    """Order-insensitive exact comparison, columns sorted by name."""
+def compare_to_oracle(
+    spark_df, con, sql: str, name: str = "?", order_by: str | None = None
+) -> None:
+    """Order-insensitive exact comparison, columns sorted by name.
+
+    When ``order_by`` is set (sorted/top-k queries), additionally assert the
+    RETURNED row order matches the oracle's under that ordering — the
+    reference's compare_ordering property
+    (/root/reference/src/test_utils/property_based.rs:14-90)."""
     spark_rows = spark_df.collect()
     spark_cols = sorted(spark_df.columns)
     oracle = con.sql(sql)
@@ -83,3 +90,16 @@ def compare_to_oracle(spark_df, con, sql: str, name: str = "?") -> None:
         (a, b) for a, b in zip(s_set, o_set) if a != b
     ]
     assert not mismatches, f"{name}: first value mismatches: {mismatches[:5]}"
+    if order_by:
+        ordered = con.sql(f"SELECT * FROM ({sql}) __ord ORDER BY {order_by}")
+        oo_idx = {c: i for i, c in enumerate(ordered.columns)}
+        o_seq = [
+            tuple(_canon(r[oo_idx[c]]) for c in spark_cols)
+            for r in ordered.fetchall()
+        ]
+        s_seq = [tuple(_canon(row[c]) for c in spark_cols) for row in spark_rows]
+        assert s_seq == o_seq, (
+            f"{name}: returned ORDER differs from oracle under "
+            f"ORDER BY {order_by}: first diff "
+            f"{next((a, b) for a, b in zip(s_seq, o_seq) if a != b)}"
+        )

@@ -24,7 +24,7 @@ def test_query_matches_oracle(spark, duck, name):
     qd = REGISTRY[name]
     df = qd.fn(spark, SF_DIR)
     oracle_views(duck, SF_DIR)
-    compare_to_oracle(df, duck, qd.oracle, name=name)
+    compare_to_oracle(df, duck, qd.oracle, name=name, order_by=qd.order_by)
 
 
 @pytest.mark.parametrize("name", _ROWS_ONLY)
