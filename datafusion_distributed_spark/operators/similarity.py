@@ -110,19 +110,22 @@ _PLANE_SQL = (
 )
 
 
+def _plane_value(j: int, d: int) -> float:
+    """Python mirror of _PLANE_SQL — bit-identical: k < 2^31 divided by 2^31
+    is an exact power-of-two division, minus 0.5 exact, in BOTH engines."""
+    k = (1103515245 * (j * 64 + d) + 12345) % 2147483648
+    return k / 2147483648.0 - 0.5
+
+
 def _bucket_expr_spark():
+    # Plane vectors are CONSTANT: materialize them as array literals once per
+    # plan instead of re-evaluating transform(sequence(0,63), ...) per row
+    # (round-1 profile showed the per-row rebuild in the hot path).
     total = F.lit(0)
     for j in range(_N_PLANES):
+        plane = F.array(*[F.lit(_plane_value(j, d)) for d in range(64)])
         plane_dot = F.aggregate(
-            F.zip_with(
-                F.col("e"),
-                F.expr(
-                    "transform(sequence(0, 63), i -> "
-                    + _PLANE_SQL.format(j=j)
-                    + ")"
-                ),
-                lambda x, y: x * y,
-            ),
+            F.zip_with(F.col("e"), plane, lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

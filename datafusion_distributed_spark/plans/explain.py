@@ -1,12 +1,19 @@
-"""Reference-style stage-tree EXPLAIN over Spark physical plans.
+"""Reference-style stage-tree EXPLAIN / EXPLAIN ANALYZE over Spark plans.
 
-The reference renders its distributed plan as an ASCII stage tree with
-per-stage task/partition annotations (display_plan_ascii,
-/root/reference/src/stage.rs; example output at
-/root/reference/src/distributed_planner/distributed_query_planner.rs:225-244).
-In Spark the equivalent boundaries are Exchange operators (shuffle/broadcast),
-so we walk the executed plan string and cut stages at Exchange nodes —
-exactly the mapping of SURVEY.md §0 terminology (network boundary == Exchange).
+The reference renders its distributed plan as an ASCII stage tree
+(display_plan_ascii, /root/reference/src/stage.rs; example output at
+/root/reference/src/distributed_planner/distributed_query_planner.rs:225-244)
+and, for EXPLAIN ANALYZE, drains the query and re-attaches worker-collected
+metrics onto the plan nodes (/root/reference/src/explain_analyze.rs:19-50,
+src/metrics/task_metrics_rewriter.rs).
+
+Spark mapping: network boundaries == Exchange operators, worker metrics ==
+the SQLMetrics Spark natively attaches to every SparkPlan node. Instead of
+parsing plan strings (fragile under AQE re-prints), we walk the JVM plan tree
+via py4j: ``AdaptiveSparkPlanExec`` is unwrapped through its current
+``executedPlan`` and ``*QueryStageExec`` wrappers through their materialized
+``plan``, so the same walker serves both AQE-on and AQE-off sessions, before
+and after execution.
 """
 
 from __future__ import annotations
@@ -15,62 +22,118 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
-_BOUNDARY_MARKERS = ("Exchange", "BroadcastExchange", "ShuffleQueryStage", "BroadcastQueryStage")
+_BOUNDARY_PREFIXES = ("Exchange", "ShuffleExchange", "BroadcastExchange")
+
+# Metrics worth showing per node in EXPLAIN ANALYZE (reference shows rows /
+# bytes / timing per stage, explain_analyze.rs).
+_METRIC_KEYS = (
+    "numOutputRows",
+    "dataSize",
+    "shuffleBytesWritten",
+    "spillSize",
+    "numFiles",
+    "filesSize",
+)
+
+
+@dataclass
+class PlanNode:
+    name: str
+    metrics: dict[str, int] = field(default_factory=dict)
+    children: list["PlanNode"] = field(default_factory=list)
 
 
 @dataclass
 class Stage:
     stage_id: int
     kind: str  # "head" | "shuffle" | "broadcast"
-    nodes: list[str] = field(default_factory=list)
+    nodes: list[PlanNode] = field(default_factory=list)
     children: list["Stage"] = field(default_factory=list)
 
 
-def _physical_plan_lines(df: DataFrame) -> list[str]:
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    return [ln for ln in plan.splitlines() if ln.strip()]
+def _jchildren(jnode):
+    seq = jnode.children()
+    return [seq.apply(i) for i in range(seq.size())]
 
 
-def _node_name(line: str) -> str:
-    stripped = line.lstrip(" :+-*")
-    # Strip whole-stage-codegen annotation "(N) "
-    if stripped.startswith("(") and ")" in stripped[:6]:
-        stripped = stripped.split(") ", 1)[-1]
-    return stripped
+def _jmetrics(jnode, with_values: bool) -> dict[str, int]:
+    if not with_values:
+        return {}
+    out: dict[str, int] = {}
+    it = jnode.metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        key = kv._1()
+        if key in _METRIC_KEYS:
+            try:
+                out[key] = int(kv._2().value())
+            except Exception:
+                pass
+    return out
 
 
-def _indent(line: str) -> int:
-    return len(line) - len(line.lstrip(" :+-*"))
+def _unwrap(jnode):
+    """Descend through AQE wrappers to the node that carries plan semantics."""
+    cls = jnode.getClass().getSimpleName()
+    if cls.startswith("AdaptiveSparkPlanExec"):
+        return _unwrap(jnode.executedPlan())
+    if cls.endswith("QueryStageExec"):  # Shuffle/Broadcast/Result stages
+        return _unwrap(jnode.plan())
+    if cls.startswith("ReusedExchangeExec"):
+        return _unwrap(jnode.child())
+    return jnode
 
 
-def parse_stages(df: DataFrame) -> Stage:
-    """Cut the physical plan into stages at Exchange boundaries."""
-    lines = _physical_plan_lines(df)
+def build_tree(df: DataFrame, with_metrics: bool = False) -> PlanNode:
+    """Python-side mirror of the (possibly adaptive) executed plan tree."""
+
+    def walk(jnode) -> PlanNode:
+        jnode = _unwrap(jnode)
+        node = PlanNode(
+            name=jnode.nodeName(), metrics=_jmetrics(jnode, with_metrics)
+        )
+        for ch in _jchildren(jnode):
+            node.children.append(walk(ch))
+        return node
+
+    return walk(df._jdf.queryExecution().executedPlan())
+
+
+def parse_stages(df: DataFrame, with_metrics: bool = False) -> Stage:
+    """Cut the plan into stages at Exchange boundaries (network boundaries in
+    reference terms — SURVEY.md §0)."""
+    tree = build_tree(df, with_metrics=with_metrics)
     root = Stage(stage_id=0, kind="head")
     counter = [0]
-    # stack of (indent, stage) — a deeper Exchange starts a child stage.
-    stack: list[tuple[int, Stage]] = [(-1, root)]
-    for line in lines:
-        name = _node_name(line)
-        ind = _indent(line)
-        while len(stack) > 1 and ind <= stack[-1][0]:
-            stack.pop()
-        current = stack[-1][1]
-        if any(name.startswith(m) for m in _BOUNDARY_MARKERS):
+
+    def walk(node: PlanNode, stage: Stage) -> None:
+        if node.name.startswith(_BOUNDARY_PREFIXES):
             counter[0] += 1
-            kind = "broadcast" if "roadcast" in name.split("(")[0] else "shuffle"
-            child = Stage(stage_id=counter[0], kind=kind)
-            child.nodes.append(name)
-            current.children.append(child)
-            stack.append((ind, child))
+            kind = "broadcast" if "roadcast" in node.name else "shuffle"
+            child_stage = Stage(stage_id=counter[0], kind=kind)
+            child_stage.nodes.append(node)
+            stage.children.append(child_stage)
+            stage = child_stage
         else:
-            current.nodes.append(name)
+            stage.nodes.append(node)
+        for ch in node.children:
+            walk(ch, stage)
+
+    walk(tree, root)
     return root
 
 
-def render_stage_tree(df: DataFrame) -> str:
-    """ASCII stage tree in the reference's visual style."""
-    root = parse_stages(df)
+def _fmt_metrics(m: dict[str, int]) -> str:
+    if not m:
+        return ""
+    parts = [f"{k}={v:,}" for k, v in m.items()]
+    return "  [" + ", ".join(parts) + "]"
+
+
+def render_stage_tree(df: DataFrame, with_metrics: bool = False) -> str:
+    """ASCII stage tree in the reference's visual style; with metrics it is
+    the EXPLAIN ANALYZE rendering (call after the query ran)."""
+    root = parse_stages(df, with_metrics=with_metrics)
     out: list[str] = []
 
     def emit(stage: Stage, depth: int) -> None:
@@ -78,7 +141,7 @@ def render_stage_tree(df: DataFrame) -> str:
         label = "Head Stage" if stage.stage_id == 0 else f"Stage {stage.stage_id}"
         out.append(f"{pad}┌───── {label} ({stage.kind})")
         for node in stage.nodes:
-            out.append(f"{pad}│ {node}")
+            out.append(f"{pad}│ {node.name}{_fmt_metrics(node.metrics)}")
         out.append(f"{pad}└──────")
         for child in stage.children:
             emit(child, depth + 1)
@@ -110,3 +173,12 @@ def stage_summary(df: DataFrame) -> dict:
         "n_shuffles": n_shuffles,
         "n_broadcasts": n_broadcasts,
     }
+
+
+def explain_analyze(df: DataFrame) -> str:
+    """Distributed EXPLAIN ANALYZE: drain the query, then render the stage
+    tree annotated with the per-node SQLMetrics Spark collected from the
+    executors — the reference's drain-then-rewrite flow
+    (/root/reference/src/explain_analyze.rs:19-50)."""
+    df.collect()  # drain, like DistributedAnalyzeExec
+    return render_stage_tree(df, with_metrics=True)

@@ -1,0 +1,85 @@
+"""Plan-shape and EXPLAIN ANALYZE tests.
+
+Reference analogues: plan snapshots per query (tests/tpch_plans_test.rs), the
+ASCII stage renderer (src/stage.rs display_plan_ascii), and EXPLAIN ANALYZE
+with per-stage metrics (src/explain_analyze.rs, tests/explain_analyze.rs).
+These assert the *distributed shape* of known plans — q1 is one shuffle
+(partial/final agg), q5's dimension joins broadcast, q6 has no shuffle other
+than the final single-partition gather — independent of result correctness.
+"""
+
+from __future__ import annotations
+
+from datafusion_distributed_spark.operators.relational import (
+    tpch_q1,
+    tpch_q3,
+    tpch_q5,
+    tpch_q6,
+)
+from datafusion_distributed_spark.plans.explain import (
+    explain_analyze,
+    render_stage_tree,
+    stage_summary,
+)
+
+from .conftest import SF_DIR
+
+
+def test_q1_single_shuffle(spark):
+    # scan -> partial agg -> Exchange -> final agg: exactly one network boundary
+    s = stage_summary(tpch_q1(spark, SF_DIR))
+    assert s["n_shuffles"] == 1
+    assert s["n_broadcasts"] == 0
+    assert s["n_stages"] == 2
+
+
+def test_q5_broadcast_dimensions(spark):
+    # 6-way join: small dims broadcast (reference insert_broadcast analogue),
+    # at most the agg/join shuffles remain
+    s = stage_summary(tpch_q5(spark, SF_DIR))
+    assert s["n_broadcasts"] >= 2
+    assert s["n_shuffles"] >= 1
+
+
+def test_q6_no_extra_shuffle(spark):
+    # global agg: the only boundary is the final single-partition gather
+    s = stage_summary(tpch_q6(spark, SF_DIR))
+    assert s["n_shuffles"] == 1
+    assert s["n_broadcasts"] == 0
+
+
+def test_summary_stable_after_execution(spark):
+    # AQE replaces the plan with QueryStageExec wrappers after collect();
+    # the walker must unwrap them to the same stage structure
+    df = tpch_q1(spark, SF_DIR)
+    before = stage_summary(df)
+    df.collect()
+    assert stage_summary(df) == before
+
+
+def test_render_stage_tree_shape(spark):
+    out = render_stage_tree(tpch_q3(spark, SF_DIR))
+    assert "Head Stage" in out
+    assert "Stage 1" in out
+    assert "Scan parquet" in out
+
+
+def test_explain_analyze_metrics(spark):
+    out = explain_analyze(tpch_q1(spark, SF_DIR))
+    # drained query must carry executor-collected metrics on scan + exchange
+    assert "numOutputRows" in out
+    assert "Exchange" in out
+    assert "(shuffle)" in out
+
+
+def test_explain_works_aqe_off(spark):
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = tpch_q1(spark, SF_DIR)
+        # build AFTER the conf change but query fns re-enable AQE via
+        # apply_session_confs; re-disable before the plan materializes
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        s = stage_summary(df)
+        assert s["n_shuffles"] == 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
