@@ -9,9 +9,11 @@ Scale design:
   partial aggregation shrinks the shuffle (same effect as the reference's
   PartialReduce pass, /root/reference/src/distributed_planner/
   partial_reduce_below_network_shuffles.rs:14-96).
-- MinHash: shingling + per-doc signature is a narrow pipeline (explode →
-  partial min-agg); only the band-bucket self-join shuffles, and it shuffles
-  *bands* (tiny: b rows/doc), never full documents.
+- MinHash/SimHash/Jaccard: shingles and tokens live as per-row DISTINCT
+  arrays; signatures (array_min), votes (aggregate) and set intersection
+  (array_intersect) are all narrow whole-stage-codegen transforms. The ONLY
+  shuffles in the whole dedup family are the tiny band-bucket self-join and
+  the candidate-pair joins — never an exploded corpus.
 - All hashes are md5-based so the DuckDB oracle reproduces them bit-for-bit
   (portable across engines, unlike murmur3/xxhash).
 """
@@ -92,37 +94,60 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh) distinct word-3-gram shingles. trim() first so the word
-    split never yields empty tokens (keeps Spark/DuckDB tokenization equal)."""
-    words = docs.select(
+def _shingle_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh_arr): the distinct word-3-gram shingle SET as a per-row
+    array — zero shuffles (split/transform/array_distinct are all narrow,
+    whole-stage-codegen transforms).
+
+    This representation is the scale design: the exploded alternative
+    (explode → distinct → groupBy) shuffles the entire shingled corpus —
+    round-1 profiling showed that lineage dominating the dedup battery, and
+    at 100 TB it is corpus-sized network traffic. Per-row arrays keep
+    signature extraction and set intersection local to the row.
+    trim() first so the word split never yields empty tokens (keeps
+    Spark/DuckDB tokenization equal)."""
+    words = _fan_out(docs.select("doc_id", "text")).select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), " +").alias("w")
     )
-    sh = F.expr(
-        "transform(sequence(1, greatest(size(w) - 2, 0)),"
-        " i -> concat_ws(' ', slice(w, i, 3)))"
+    sh_arr = F.expr(
+        "array_distinct(transform(sequence(1, size(w) - 2),"
+        " i -> concat_ws(' ', slice(w, i, 3))))"
     )
-    return (
-        words.filter(F.size("w") >= 3)
-        .select("doc_id", F.explode(sh).alias("sh"))
-        .distinct()
-    )
+    return words.filter(F.size("w") >= 3).select("doc_id", sh_arr.alias("sh_arr"))
 
 
-def _signatures_from_shingles(sh: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
-    """Per-doc MinHash signature from a (doc_id, sh) frame:
-    sig_i = MIN(md5('{i}:' || shingle)). md5-as-string minima are portable
-    across engines."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread rows across all cores before CPU-heavy per-row transforms.
+
+    The hash work downstream (16 salted md5s per shingle) is compute-bound,
+    not byte-bound: a corpus small in bytes arrives as ONE scan split and
+    would run the ~millions of md5 calls on a single core. An explicit
+    repartition costs one tiny shuffle of (doc_id, text) and buys full
+    parallelism (AQE never coalesces an explicit numPartitions repartition).
+    On a 100 TB corpus the scan itself yields thousands of splits and this
+    shuffle is proportionally free."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
-    """Per-doc MinHash signature straight from documents (convenience)."""
-    return _signatures_from_shingles(_shingles(docs), n_hashes)
+    """Per-doc MinHash signature: sig_i = array_min(md5('{i}:' || shingle)).
+
+    Pure per-row computation — NO shuffle (the groupBy-MIN formulation needs
+    a corpus-wide hash shuffle; array_min over the per-row shingle set is
+    algebraically identical and free). md5-as-string minima are portable
+    across engines (lowercase hex ⇒ byte order == lexicographic order)."""
+    arrs = _shingle_arrays(docs)
+
+    def salted_md5(i: int):
+        # NB: must be a ONE-arg lambda — a second parameter (even defaulted)
+        # makes F.transform pass the array index into it.
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    cols = [
+        F.array_min(F.transform(F.col("sh_arr"), salted_md5(i))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return arrs.select("doc_id", *cols)
 
 
 def lsh_bands(sigs: DataFrame, n_bands: int = _N_BANDS, rows: int = _ROWS_PER_BAND) -> DataFrame:
@@ -200,15 +225,12 @@ def _band_pairs(bands: DataFrame) -> DataFrame:
 @query("dd_minhash_lsh_pairs", oracle=_minhash_oracle(), tags=("dedup", "minhash"))
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir)["documents"]
-    # Persist the band table so the self-join's two sides read one
-    # materialization instead of re-running the explode+distinct+minhash
-    # lineage per side. The (tiny) pair result is eagerly localCheckpoint-ed
-    # so the intermediate can be unpersisted before returning.
-    bands = lsh_bands(minhash_signatures(docs)).persist()
-    try:
-        return _band_pairs(bands).localCheckpoint(eager=True)
-    finally:
-        bands.unpersist()
+    # Signatures are narrow per-row work (no shuffle), so the self-join's two
+    # identical sides cost two pruned scans — and Catalyst's ReuseExchange
+    # collapses their identical shuffle subplans into one at execution time.
+    # (Persisting the band table was measured SLOWER: it materializes the
+    # lineage to the block manager and blocks AQE through the cache.)
+    return _band_pairs(lsh_bands(minhash_signatures(docs)))
 
 
 # ---------------------------------------------------------------------------
@@ -260,11 +282,7 @@ JOIN capped b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
 )
 def minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir)["documents"]
-    bands = lsh_bands(minhash_signatures(docs)).persist()
-    try:
-        return capped_band_pairs(bands).localCheckpoint(eager=True)
-    finally:
-        bands.unpersist()
+    return capped_band_pairs(lsh_bands(minhash_signatures(docs)))
 
 
 # ---------------------------------------------------------------------------
@@ -320,44 +338,38 @@ WHERE CAST(i.n_common AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_common) >= 0.5
 
 @query("dd_ngram_jaccard", oracle=_jaccard_oracle(), tags=("dedup", "jaccard"))
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Shingles are the most expensive lineage in the repo (explode + distinct
-    # over the corpus), and this query needs them FOUR times: sizes, both
-    # intersection join sides, and the minhash signatures behind the LSH
-    # candidates. Persist them once — at 100 TB this is the difference between
-    # one corpus-wide shingle explosion and four.
+    # Exact Jaccard as per-row SET arithmetic: candidate pairs pull each
+    # side's shingle array and intersect locally (array_intersect), so the
+    # only shuffled data is the tiny (band bucket) and (pair, array) joins —
+    # never an exploded corpus. n_common/sizes over DISTINCT arrays are
+    # identical to the oracle's explode+join+count formulation.
     docs = t(spark, sf_dir)["documents"]
-    sh = _shingles(docs).persist()
-    bands = lsh_bands(_signatures_from_shingles(sh)).persist()
-    try:
-        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-        cand = _band_pairs(bands)
-        sa = sh.select(F.col("doc_id").alias("_ka"), F.col("sh").alias("sh_a"))
-        sb = sh.select(F.col("doc_id").alias("_kb"), F.col("sh").alias("sh_b"))
-        inter = (
-            cand.join(sa, F.col("doc_a") == F.col("_ka"))
-            .join(sb, (F.col("doc_b") == F.col("_kb")) & (F.col("sh_b") == F.col("sh_a")))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
+    arrs = _shingle_arrays(docs)
+    cand = _band_pairs(lsh_bands(minhash_signatures(docs)))
+    a = arrs.select(
+        F.col("doc_id").alias("_ka"),
+        F.col("sh_arr").alias("sa"),
+        F.size("sh_arr").alias("n_a"),
+    )
+    b = arrs.select(
+        F.col("doc_id").alias("_kb"),
+        F.col("sh_arr").alias("sb"),
+        F.size("sh_arr").alias("n_b"),
+    )
+    n_common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jac = (
+        cand.join(a, F.col("doc_a") == F.col("_ka"))
+        .join(b, F.col("doc_b") == F.col("_kb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                n_common.cast("double")
+                / (F.col("n_a") + F.col("n_b") - n_common)
+            ).alias("jaccard"),
         )
-        za = sizes.select(F.col("doc_id").alias("_za"), F.col("n_sh").alias("n_a"))
-        zb = sizes.select(F.col("doc_id").alias("_zb"), F.col("n_sh").alias("n_b"))
-        jac = (
-            inter.join(za, F.col("doc_a") == F.col("_za"))
-            .join(zb, F.col("doc_b") == F.col("_zb"))
-            .select(
-                "doc_a",
-                "doc_b",
-                (
-                    F.col("n_common").cast("double")
-                    / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-                ).alias("jaccard"),
-            )
-        )
-        out = jac.filter(F.col("jaccard") >= 0.5).select("doc_a", "doc_b", "jaccard")
-        return out.localCheckpoint(eager=True)
-    finally:
-        bands.unpersist()
-        sh.unpersist()
+    )
+    return jac.filter(F.col("jaccard") >= 0.5).select("doc_a", "doc_b", "jaccard")
 
 
 # ---------------------------------------------------------------------------
@@ -390,19 +402,26 @@ SELECT doc_id, CAST({bit_expr} AS BIGINT) AS simhash FROM votes
 
 @query("dd_simhash", oracle=_simhash_oracle(), tags=("dedup", "simhash"))
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-row formulation: distinct-token array → md5 array → 16 integer vote
+    # folds, all inside whole-stage codegen with ZERO shuffles (the
+    # explode+distinct+groupBy alternative shuffles every token in the
+    # corpus). Bit-identical to the oracle's grouped SUM: integer votes over
+    # the same distinct token set.
     docs = t(spark, sf_dir)["documents"]
-    toks = docs.select(
+    md = _fan_out(docs.select("doc_id", "text")).select(
         "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("tok"),
-    ).distinct()
-    h = F.md5("tok")
+        F.transform(
+            F.expr("array_distinct(split(trim(lower(text)), ' +'))"), F.md5
+        ).alias("ha"),
+    )
     votes = [
-        F.sum(
-            2 * (F.instr(F.lit(_HEX), F.substring(h, k + 1, 1)) - 1) - 15
-        ).cast("bigint").alias(f"v{k}")
+        F.expr(
+            f"aggregate(ha, 0L, (acc, h) -> acc"
+            f" + (2 * (instr('{_HEX}', substring(h, {k + 1}, 1)) - 1) - 15))"
+        ).alias(f"v{k}")
         for k in range(16)
     ]
-    per_doc = toks.groupBy("doc_id").agg(*votes)
+    per_doc = md.select("doc_id", *votes)
     bits = None
     for k in range(16):
         term = F.when(F.col(f"v{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))

@@ -218,6 +218,61 @@ SELECT q_id, neighbor_id, cos_sim FROM ranked WHERE rn <= {_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (the last dedup modality): corpus
+# self-join WITHIN LSH buckets only, keep pairs with cosine >= threshold.
+# At 100 TB the all-pairs O(N^2) compare is impossible; bucketing reduces it
+# to O(sum over buckets |b|^2) with candidates co-located by the bucket
+# shuffle key — same discipline as MinHash-LSH for text.
+# ---------------------------------------------------------------------------
+
+_NEARDUP_THRESHOLD = 0.35  # synthetic embeddings are random; realistic 0.9+
+
+
+def _neardup_oracle() -> str:
+    bucket_cte = _lsh_oracle().split("SELECT bucket, COUNT(*)")[0].rstrip().rstrip(",")
+    return f"""{bucket_cte},
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+withb AS (SELECT b.vec_id, m.e, b.bucket FROM buckets b JOIN emb m ON m.vec_id = b.vec_id),
+flatp AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         unnest(a.e) AS av, unnest(b.e) AS bv
+  FROM withb a JOIN withb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+pair_dots AS (
+  SELECT vec_a, vec_b, SUM(av * bv) AS dot, SUM(av * av) AS aa, SUM(bv * bv) AS bb
+  FROM flatp GROUP BY vec_a, vec_b
+)
+SELECT vec_a, vec_b, ROUND(dot / (SQRT(aa) * SQRT(bb)), 6) AS cos_sim
+FROM pair_dots
+WHERE ROUND(dot / (SQRT(aa) * SQRT(bb)), 6) >= {_NEARDUP_THRESHOLD}
+"""
+
+
+@query("dd_embedding_neardup", oracle=_neardup_oracle(), tags=("dedup", "similarity", "lsh"))
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    bucketed = emb.select("vec_id", "e", _bucket_expr_spark().alias("bucket")).persist()
+    try:
+        a = bucketed.select(
+            F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), "bucket"
+        )
+        b = bucketed.select(
+            F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), "bucket"
+        )
+        joined = a.join(b, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
+        cos = _dot("ea", "eb") / (F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb")))
+        out = (
+            joined.select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= _NEARDUP_THRESHOLD)
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        bucketed.unpersist()
+
+
 @query("sim_ann_lsh_topk", oracle=_ann_topk_oracle(), tags=("similarity", "ann", "lsh"))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir)["embeddings"].select(

@@ -1,0 +1,13 @@
+"""Structured Streaming operators (additive scope).
+
+The reference is bounded-only — no watermarks, windows, or stateful streaming
+exist anywhere in it (SURVEY.md §2.4: every plan node is
+``Boundedness::Bounded``, /root/reference/src/codec/distributed_codec.rs:474).
+These modules are therefore *extensions* for the training-data-pipeline use
+case: the same event sessionization the batch engine computes, expressed as an
+incremental streaming query with watermark-based state cleanup.
+"""
+
+from .sessionize import batch_session_counts, streaming_session_counts
+
+__all__ = ["batch_session_counts", "streaming_session_counts"]
