@@ -61,10 +61,13 @@ def streaming_session_counts(
     # readStream needs the ON-DISK schema (pre-normalization: ts is int64
     # nanos under nanosAsLong), then the same normalization as tables.py.
     raw_schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
+    # The streaming file source wants a DIRECTORY; select just the events
+    # file with a glob filter.
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         # Watermarks require TIMESTAMP (LTZ); with UTC session tz this is the
