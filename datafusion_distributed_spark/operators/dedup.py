@@ -129,14 +129,14 @@ def _fan_out(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
-    """Per-doc MinHash signature: sig_i = array_min(md5('{i}:' || shingle)).
+def _signatures_from_arrays(arrs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
+    """Per-doc MinHash signature from a (doc_id, sh_arr) frame:
+    sig_i = array_min(md5('{i}:' || shingle)).
 
     Pure per-row computation — NO shuffle (the groupBy-MIN formulation needs
     a corpus-wide hash shuffle; array_min over the per-row shingle set is
     algebraically identical and free). md5-as-string minima are portable
     across engines (lowercase hex ⇒ byte order == lexicographic order)."""
-    arrs = _shingle_arrays(docs)
 
     def salted_md5(i: int):
         # NB: must be a ONE-arg lambda — a second parameter (even defaulted)
@@ -148,6 +148,11 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
         for i in range(n_hashes)
     ]
     return arrs.select("doc_id", *cols)
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
+    """Per-doc MinHash signature straight from documents."""
+    return _signatures_from_arrays(_shingle_arrays(docs), n_hashes)
 
 
 def lsh_bands(sigs: DataFrame, n_bands: int = _N_BANDS, rows: int = _ROWS_PER_BAND) -> DataFrame:
@@ -344,8 +349,11 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never an exploded corpus. n_common/sizes over DISTINCT arrays are
     # identical to the oracle's explode+join+count formulation.
     docs = t(spark, sf_dir)["documents"]
+    # ONE canonical shingle-array subplan feeds sizes, both intersection
+    # sides, and the signatures — Catalyst's ReuseExchange collapses the
+    # identical fan-out shuffles into a single materialization.
     arrs = _shingle_arrays(docs)
-    cand = _band_pairs(lsh_bands(minhash_signatures(docs)))
+    cand = _band_pairs(lsh_bands(_signatures_from_arrays(arrs)))
     a = arrs.select(
         F.col("doc_id").alias("_ka"),
         F.col("sh_arr").alias("sa"),
