@@ -9,5 +9,11 @@ incremental streaming query with watermark-based state cleanup.
 """
 
 from .sessionize import batch_session_counts, streaming_session_counts
+from .stateful import batch_user_totals, streaming_user_totals
 
-__all__ = ["batch_session_counts", "streaming_session_counts"]
+__all__ = [
+    "batch_session_counts",
+    "batch_user_totals",
+    "streaming_session_counts",
+    "streaming_user_totals",
+]
