@@ -75,6 +75,13 @@ def build_session(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if shuffle_partitions is None:
+        # Default the shuffle width to the core count: Spark's 200 default is
+        # a cluster-sized guess; AQE coalesces DOWN but never widens a tiny
+        # plan, and 200-partition shuffles of KB-scale stages are pure
+        # scheduling overhead at bench scale. On a real cluster this conf is
+        # sized to executors × cores (and AQE re-sizes at runtime).
+        shuffle_partitions = int(cpus) if str(cpus).isdigit() else None
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for key, value in RUNTIME_CONFS.items():

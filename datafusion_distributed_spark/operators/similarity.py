@@ -254,23 +254,20 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    bucketed = emb.select("vec_id", "e", _bucket_expr_spark().alias("bucket")).persist()
-    try:
-        a = bucketed.select(
-            F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), "bucket"
-        )
-        b = bucketed.select(
-            F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), "bucket"
-        )
-        joined = a.join(b, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
-        cos = _dot("ea", "eb") / (F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb")))
-        out = (
-            joined.select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
-            .filter(F.col("cos_sim") >= _NEARDUP_THRESHOLD)
-        )
-        return out.localCheckpoint(eager=True)
-    finally:
-        bucketed.unpersist()
+    # Identical self-join sides: Catalyst ReuseExchange collapses their
+    # shuffles; Catalyst's size gate picks broadcast here and SMJ at scale.
+    bucketed = emb.select("vec_id", "e", _bucket_expr_spark().alias("bucket"))
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), "bucket"
+    )
+    joined = a.join(b, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
+    cos = _dot("ea", "eb") / (F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb")))
+    return joined.select(
+        "vec_a", "vec_b", F.round(cos, 6).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= _NEARDUP_THRESHOLD)
 
 
 @query("sim_ann_lsh_topk", oracle=_ann_topk_oracle(), tags=("similarity", "ann", "lsh"))
