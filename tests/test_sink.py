@@ -1,0 +1,40 @@
+"""Sink round-trip: the reference has no write path (client-facing stream
+only, SURVEY.md §2.5), but a usable engine needs one — Spark's native
+df.write. Round-trip invariants: partitioned write → read-back equals source,
+and partition-column filters prune at the source (partition pruning visible
+as a fully-filtered scan)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pyspark.sql.functions as F
+
+from datafusion_distributed_spark.tables import load_tables
+
+from .conftest import SF_DIR
+
+_SCRATCH = "/root/repo/.scratch/sink_roundtrip"
+
+
+def test_partitioned_parquet_roundtrip(spark):
+    li = load_tables(spark, SF_DIR)["lineitem"].select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    shutil.rmtree(_SCRATCH, ignore_errors=True)
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(_SCRATCH)
+    back = spark.read.parquet(_SCRATCH)
+    src = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.round("l_quantity", 0)).alias("q")
+    )
+    rt = back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.round("l_quantity", 0)).alias("q")
+    )
+    assert sorted(map(tuple, src.collect())) == sorted(map(tuple, rt.collect()))
+    # partition pruning: filtering on the partition column must not read
+    # the other partitions' files
+    one = back.filter(F.col("l_returnflag") == "R")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert one.count() == li.filter(F.col("l_returnflag") == "R").count()
+    shutil.rmtree(_SCRATCH, ignore_errors=True)
