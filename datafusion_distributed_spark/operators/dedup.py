@@ -129,25 +129,42 @@ def _fan_out(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+# 16 hash functions from only 4 md5 evaluations per shingle: each salted md5
+# yields 32 hex chars, split into 4 disjoint 8-hex (32-bit) sub-hashes.
+# Minima over disjoint substrings are still per-function minima (one-
+# permutation-hashing style); 4x less hash CPU — the dominant cost of the
+# whole dedup family at corpus scale.
+_N_SALTS = 4
+_SUBS_PER_MD5 = _N_HASHES // _N_SALTS  # 4 sub-hashes x 8 hex chars
+
+_MD5_CONCAT_SQL = " || ".join(f"md5('{j}:' || sh)" for j in range(_N_SALTS))
+
+
 def _signatures_from_arrays(arrs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
     """Per-doc MinHash signature from a (doc_id, sh_arr) frame:
-    sig_i = array_min(md5('{i}:' || shingle)).
+    sig_i = array_min(substring(concat_of_salted_md5s, 8i+1, 8)).
 
     Pure per-row computation — NO shuffle (the groupBy-MIN formulation needs
     a corpus-wide hash shuffle; array_min over the per-row shingle set is
-    algebraically identical and free). md5-as-string minima are portable
-    across engines (lowercase hex ⇒ byte order == lexicographic order)."""
+    algebraically identical and free). Hex-string minima are portable across
+    engines (lowercase hex ⇒ byte order == lexicographic order). The md5
+    concat is materialized once per shingle in its own transform so the 16
+    substring minima never re-hash."""
+    salted = " || ".join(
+        f"md5(concat('{j}:', s))" for j in range(_N_SALTS)
+    )
+    mh = F.expr(f"transform(sh_arr, s -> {salted})")
+    withm = arrs.select("doc_id", mh.alias("mh"))
 
-    def salted_md5(i: int):
-        # NB: must be a ONE-arg lambda — a second parameter (even defaulted)
-        # makes F.transform pass the array index into it.
-        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+    def sub(i: int):
+        # NB: ONE-arg lambda — a second parameter would receive the index.
+        return lambda m: F.substring(m, 8 * i + 1, 8)
 
     cols = [
-        F.array_min(F.transform(F.col("sh_arr"), salted_md5(i))).alias(f"h{i}")
+        F.array_min(F.transform(F.col("mh"), sub(i))).alias(f"h{i}")
         for i in range(n_hashes)
     ]
-    return arrs.select("doc_id", *cols)
+    return withm.select("doc_id", *cols)
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
@@ -177,7 +194,7 @@ def lsh_bands(sigs: DataFrame, n_bands: int = _N_BANDS, rows: int = _ROWS_PER_BA
 
 def _minhash_oracle() -> str:
     sig_cols = ",\n    ".join(
-        f"MIN(md5('{i}:' || sh)) AS h{i}" for i in range(_N_HASHES)
+        f"MIN(substring(m, {8 * i + 1}, 8)) AS h{i}" for i in range(_N_HASHES)
     )
     band_selects = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band_idx, md5(h{b * _ROWS_PER_BAND} || '|' || h{b * _ROWS_PER_BAND + 1}) AS band_hash FROM sigs"
@@ -194,10 +211,13 @@ idx AS (
 shingles AS (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh FROM idx
 ),
+mh AS (
+  SELECT doc_id, {_MD5_CONCAT_SQL} AS m FROM shingles
+),
 sigs AS (
   SELECT doc_id,
     {sig_cols}
-  FROM shingles GROUP BY doc_id
+  FROM mh GROUP BY doc_id
 ),
 bands AS (
 {band_selects}
@@ -312,10 +332,13 @@ shingles AS (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh FROM idx
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+mh AS (
+  SELECT doc_id, {_MD5_CONCAT_SQL} AS m FROM shingles
+),
 sigs AS (
   SELECT doc_id,
-    {",".join(f"MIN(md5('{i}:' || sh)) AS h{i}" for i in range(_N_HASHES))}
-  FROM shingles GROUP BY doc_id
+    {",".join(f"MIN(substring(m, {8 * i + 1}, 8)) AS h{i}" for i in range(_N_HASHES))}
+  FROM mh GROUP BY doc_id
 ),
 bands AS (
 {chr(10).join(f"  SELECT doc_id, {b} AS band_idx, md5(h{b * _ROWS_PER_BAND} || '|' || h{b * _ROWS_PER_BAND + 1}) AS band_hash FROM sigs" + (" UNION ALL" if b < _N_BANDS - 1 else "") for b in range(_N_BANDS))}
@@ -377,7 +400,15 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    return jac.filter(F.col("jaccard") >= 0.5).select("doc_a", "doc_b", "jaccard")
+    # coalesce() blocks InferFiltersFromConstraints from deriving
+    # isnotnull(<whole shingle-array expression>) and pushing that derived
+    # filter below the fan-out exchange into the (single-split) scan, where
+    # it re-evaluates the entire array pipeline on one core — measured 3x
+    # slower. jaccard is never NULL here (inner joins, n_sh >= 1), so the
+    # predicate is semantically identical.
+    return jac.filter(F.coalesce(F.col("jaccard"), F.lit(-1.0)) >= 0.5).select(
+        "doc_a", "doc_b", "jaccard"
+    )
 
 
 # ---------------------------------------------------------------------------

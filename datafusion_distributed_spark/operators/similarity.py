@@ -265,9 +265,11 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = a.join(b, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
     cos = _dot("ea", "eb") / (F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb")))
+    # coalesce() keeps InferFiltersFromConstraints from pushing a derived
+    # isnotnull(<plane-dot expression>) into the scans (see ngram_jaccard).
     return joined.select(
         "vec_a", "vec_b", F.round(cos, 6).alias("cos_sim")
-    ).filter(F.col("cos_sim") >= _NEARDUP_THRESHOLD)
+    ).filter(F.coalesce(F.col("cos_sim"), F.lit(-2.0)) >= _NEARDUP_THRESHOLD)
 
 
 @query("sim_ann_lsh_topk", oracle=_ann_topk_oracle(), tags=("similarity", "ann", "lsh"))
