@@ -173,3 +173,47 @@ def fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish subword token counting: a GPT-2-style pre-tokenizer regex
+# (letter runs / digit runs / punctuation runs, each with an optional leading
+# space). Counting is a pure regexp_extract_all length — JVM-side in Spark,
+# RE2 in DuckDB; the pattern uses only constructs both dialects treat
+# identically (no lookaround, no backrefs).
+# ---------------------------------------------------------------------------
+
+_BPE_RE = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+_BPE_ORACLE = f"""
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+  CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
+  CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws) AS bpe_per_word
+FROM (
+  SELECT lang,
+    CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS INTEGER) AS n_bpe,
+    CAST(len({_TOK_SQL}) AS INTEGER) AS n_ws
+  FROM documents
+) d
+GROUP BY lang
+"""
+
+
+@query("text_bpe_token_stats", oracle=_BPE_ORACLE, tags=("text", "tokenizer"))
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    n_bpe = F.size(
+        F.expr(f"regexp_extract_all(lower(text), '{_BPE_RE}', 0)")
+    ).alias("n_bpe")
+    n_ws = F.size(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("n_ws")
+    return (
+        docs.select("lang", n_bpe, n_ws)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+            F.sum("n_ws").cast("bigint").alias("total_ws_tokens"),
+            (dbl(F.sum("n_bpe")) / F.sum("n_ws")).alias("bpe_per_word"),
+        )
+    )
