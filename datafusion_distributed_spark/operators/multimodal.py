@@ -109,12 +109,9 @@ def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def _decode_oracle() -> str:
-    """Independent SQL implementation of ``_fake_decode``'s aggregate: the
-    stub decode is a pure function of the payload bytes (checksum of the
-    first 64 bytes), so DuckDB can recompute it from hex digits — a true
-    differential check of the whole mapInPandas pipeline (reference method:
-    /root/reference/tests/tpch_correctness_test.rs oracle comparison)."""
+def _decoded_cte() -> str:
+    """Shared CTE chain reproducing ``_fake_decode`` in SQL (checksum of the
+    first 64 payload bytes from hex digits)."""
     hexval = "instr('0123456789abcdef', substring(hx, {pos}, 1)) - 1"
     return f"""
 WITH h AS (
@@ -135,10 +132,18 @@ decoded AS (
   SELECT h.doc_id, h.n AS n_bytes,
          CAST(64 + (COALESCE(c.checksum, 0) % 17) * 32 AS INTEGER) AS width,
          CAST(64 + ((COALESCE(c.checksum, 0) // 17) % 11) * 32 AS INTEGER) AS height,
+         CAST(1 + (h.n % 3) AS INTEGER) AS n_frames,
          CASE COALESCE(c.checksum, 0) % 3
            WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS fmt
   FROM h LEFT JOIN csum0 c ON c.doc_id = h.doc_id
-)
+)"""
+
+
+def _decode_oracle() -> str:
+    """Independent SQL implementation of the decode aggregate (reference
+    method: differential vs an independent implementation,
+    /root/reference/tests/tpch_correctness_test.rs)."""
+    return f"""{_decoded_cte()}
 SELECT fmt, COUNT(*) AS n_blobs,
        CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        CAST(MAX(width) AS INTEGER) AS max_width,
@@ -161,4 +166,66 @@ def decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").cast("bigint").alias("total_bytes"),
         F.max("width").cast("int").alias("max_width"),
         F.max("height").cast("int").alias("max_height"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling: second mapInPandas stage over the decoded metadata — emit
+# every 2nd frame index per blob (the video frame-sample step of a real
+# multimodal pipeline; the actual frame extraction would go where the row is
+# produced). Differentially checked end-to-end: the oracle recomputes
+# n_frames = 1 + n_bytes % 3 and the sampled count (n_frames + 1) // 2 from
+# raw bytes in SQL.
+# ---------------------------------------------------------------------------
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("frame_idx", IntegerType()),
+    ]
+)
+
+_FRAME_SAMPLE_STRIDE = 2
+
+
+def sample_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One output row per sampled frame (indices 0, 2, 4, ... per blob)."""
+    for pdf in batches:
+        reps = (pdf["n_frames"] + _FRAME_SAMPLE_STRIDE - 1) // _FRAME_SAMPLE_STRIDE
+        out = pdf.loc[pdf.index.repeat(reps), ["doc_id", "fmt"]].reset_index(drop=True)
+        idx = [
+            i * _FRAME_SAMPLE_STRIDE
+            for r in reps
+            for i in range(int(r))
+        ]
+        out["frame_idx"] = pd.Series(idx, dtype="int32")
+        yield out
+
+
+def _frame_sample_oracle() -> str:
+    return f"""{_decoded_cte()}
+SELECT fmt, CAST(SUM((n_frames + 1) // 2) AS BIGINT) AS n_sampled_frames,
+       COUNT(*) AS n_blobs,
+       CAST(MAX((n_frames + 1) // 2 - 1) * 2 AS INTEGER) AS max_frame_idx
+FROM decoded GROUP BY fmt
+"""
+
+
+@query("mm_frame_sample", oracle=_frame_sample_oracle(), tags=("multimodal", "pandas-udf"))
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode -> frame-sample as two chained mapInPandas stages, aggregated
+    per format; the whole Python pipeline is oracle-checked."""
+    docs = t(spark, sf_dir)["documents"]
+    with_payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    decoded = with_payload.mapInPandas(decode_batches, schema=_DECODE_SCHEMA)
+    frames = decoded.select("doc_id", "fmt", "n_frames").mapInPandas(
+        sample_frame_batches, schema=_FRAME_SCHEMA
+    )
+    return frames.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n_sampled_frames"),
+        F.count_distinct("doc_id").alias("n_blobs"),
+        F.max("frame_idx").cast("int").alias("max_frame_idx"),
     )
