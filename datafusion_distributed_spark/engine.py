@@ -133,3 +133,10 @@ class Engine:
         from .plans.explain import render_stage_tree
 
         return render_stage_tree(df)
+
+    def explain_analyze(self, df: DataFrame) -> str:
+        """Drain the query and render the stage tree with executor-collected
+        metrics (reference: /root/reference/src/explain_analyze.rs:19-50)."""
+        from .plans.explain import explain_analyze
+
+        return explain_analyze(df)
