@@ -298,3 +298,151 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .select("q_id", "neighbor_id", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: corpus vectors are assigned to the nearest of K
+# fixed centroids (cells); a query probes only its N_PROBE nearest cells and
+# ranks candidates there. The 100 TB shape: centroid assignment is a narrow
+# per-row argmin against broadcast centroids, the probe is a cell equi-join —
+# the corpus never meets the full query set. Centroids here are the
+# embeddings of vec_id 10..17 (deterministic stand-in for a k-means fit on a
+# sample; the fit is offline in a real pipeline, the serving plan is
+# identical). Distances are rounded to 6 decimals before the argmin in BOTH
+# engines, ties break on centroid index, so cell assignment is portable.
+# ---------------------------------------------------------------------------
+
+_IVF_K = 8
+_IVF_FIRST_CENTROID = 10  # centroids = vec_id 10 .. 10+K-1
+_IVF_N_PROBE = 2
+
+
+def _ivf_cell_expr(centroids: list[list[float]], vec_col: str = "e"):
+    """1-based index of the nearest centroid (rounded L2^2, tie -> lowest)."""
+    dists = F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+            for c in centroids
+        ]
+    )
+    return F.array_position(dists, F.array_min(dists))
+
+
+def _ivf_oracle() -> str:
+    k0, k1 = _IVF_FIRST_CENTROID, _IVF_FIRST_CENTROID + _IVF_K - 1
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (SELECT vec_id - {k0} + 1 AS k, e AS ce FROM emb WHERE vec_id BETWEEN {k0} AND {k1}),
+dflat AS (
+  SELECT m.vec_id, c.k, unnest(m.e) AS mv, unnest(c.ce) AS cv
+  FROM emb m CROSS JOIN cent c
+),
+dists AS (
+  SELECT vec_id, k, ROUND(SUM((mv - cv) * (mv - cv)), 6) AS d
+  FROM dflat GROUP BY vec_id, k
+),
+cells AS (
+  SELECT vec_id, k AS cell FROM (
+    SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, k AS cell FROM (
+    SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+    FROM dists WHERE vec_id < {_N_QUERIES}
+  ) WHERE rn <= {_IVF_N_PROBE}
+),
+cand AS (
+  SELECT p.q_id, c.vec_id
+  FROM probes p
+  JOIN cells c ON c.cell = p.cell AND c.vec_id >= {_N_QUERIES}
+),
+pflat AS (
+  SELECT cd.q_id, cd.vec_id, unnest(q.e) AS qv, unnest(m.e) AS cv
+  FROM cand cd
+  JOIN emb q ON q.vec_id = cd.q_id
+  JOIN emb m ON m.vec_id = cd.vec_id
+),
+pair_dots AS (
+  SELECT q_id, vec_id, SUM(qv * cv) AS dot, SUM(qv * qv) AS qq, SUM(cv * cv) AS cc
+  FROM pflat GROUP BY q_id, vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id AS neighbor_id,
+         ROUND(dot / (SQRT(qq) * SQRT(cc)), 6) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY ROUND(dot / (SQRT(qq) * SQRT(cc)), 6) DESC, vec_id) AS rn
+  FROM pair_dots
+)
+SELECT q_id, neighbor_id, cos_sim FROM ranked WHERE rn <= {_TOP_K}
+"""
+
+
+@query("sim_ivf_topk", oracle=_ivf_oracle(), tags=("similarity", "ann", "ivf"))
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    k0 = _IVF_FIRST_CENTROID
+    cent_rows = (
+        emb.filter(F.col("vec_id").between(k0, k0 + _IVF_K - 1))
+        .orderBy("vec_id")
+        .collect()
+    )  # K×64 doubles: constant, metadata-scale (a real fit broadcasts this)
+    centroids = [list(r.e) for r in cent_rows]
+    cell = _ivf_cell_expr(centroids)
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
+        "vec_id", "e", cell.alias("cell")
+    )
+    # query probes: N_PROBE nearest centroids each
+    dists = F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("e"),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+            for c in centroids
+        ]
+    )
+    # probe cells = first N_PROBE entries of the (distance, k)-sorted centroid
+    # list, taken by slice — pure per-row array algebra, no window needed
+    probe_cells = F.expr(
+        "transform(slice(array_sort(zip_with(d, sequence(1, size(d)),"
+        f" (dd, kk) -> struct(dd as d, kk as k))), 1, {_IVF_N_PROBE}), s -> s.k)"
+    )
+    qd = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), dists.alias("d"))
+        .select("q_id", "qe", F.explode(probe_cells).alias("cell"))
+    )
+    joined = corpus.join(F.broadcast(qd), "cell")
+    cos = _dot("e", "qe") / (F.sqrt(_dot("e", "e")) * F.sqrt(_dot("qe", "qe")))
+    scored = joined.select(
+        "q_id", F.col("vec_id").alias("neighbor_id"), F.round(cos, 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("q_id", "neighbor_id", "cos_sim")
+    )
