@@ -133,6 +133,7 @@ def _ensure_loaded() -> None:
         multimodal,
         relational,
         similarity,
+        sqlpath,
         textstats,
         udfs,
     )

