@@ -83,3 +83,45 @@ def test_explain_works_aqe_off(spark):
         assert s["n_shuffles"] == 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q6_filter_pushdown_reaches_scan(spark):
+    # predicate pushdown must reach the parquet scan (reference: pushdown
+    # visible in every scan snapshot, SURVEY.md §4.1)
+    df = tpch_q6(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:300]
+
+
+def test_udf_group_key_plan_shape(spark):
+    # the pandas_udf column must be evaluated Arrow-batched BELOW the
+    # exchange, making the UDF output the hash-partition key — the plan
+    # property the reference snapshots in tests/udfs.rs
+    from datafusion_distributed_spark.operators.udfs import udf_group_key
+
+    df = udf_group_key(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    s = stage_summary(df)
+    assert s["n_shuffles"] == 1
+    assert s["n_broadcasts"] == 0
+
+
+def test_q9_broadcasts_dimension(spark):
+    from datafusion_distributed_spark.operators.relational import tpch_q9
+
+    s = stage_summary(tpch_q9(spark, SF_DIR))
+    assert s["n_broadcasts"] >= 1
+    assert s["n_shuffles"] >= 1
+
+
+def test_scan_column_pruning(spark):
+    # a 2-column projection must not read the full lineitem schema
+    from datafusion_distributed_spark.tables import load_tables
+
+    li = load_tables(spark, SF_DIR)["lineitem"].select("l_orderkey", "l_quantity")
+    plan = li._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
