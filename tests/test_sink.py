@@ -38,3 +38,19 @@ def test_partitioned_parquet_roundtrip(spark):
     assert "PartitionFilters" in plan
     assert one.count() == li.filter(F.col("l_returnflag") == "R").count()
     shutil.rmtree(_SCRATCH, ignore_errors=True)
+
+
+def test_work_unit_feed_partition_fanout(spark):
+    """One InputPartition per discovered work unit: 500 docs / 128-row units
+    -> 4 scan partitions (the reference's work-unit -> task mapping)."""
+    from datafusion_distributed_spark.sources import register_work_unit_feed
+
+    register_work_unit_feed(spark)
+    df = (
+        spark.read.format("work_unit_feed")
+        .option("path", f"{SF_DIR}/documents.parquet")
+        .option("rows_per_unit", "128")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 500
