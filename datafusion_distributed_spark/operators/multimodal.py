@@ -229,3 +229,58 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").alias("n_blobs"),
         F.max("frame_idx").cast("int").alias("max_frame_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Resize planning: fit each decoded blob into a 256x256 box preserving
+# aspect ratio. Integer-only arithmetic ((dim * 256) // max_dim) so Spark and
+# DuckDB agree exactly — no float rounding at .5 boundaries. The stub stops at
+# computing target dims (the real pixel resample would be one more Pandas-UDF
+# stage); the aggregation checks the whole decode->resize lineage.
+# ---------------------------------------------------------------------------
+
+_RESIZE_BOX = 256
+
+
+def _resize_oracle() -> str:
+    return f"""{_decoded_cte()},
+resized AS (
+  SELECT fmt,
+    CASE WHEN greatest(width, height) <= {_RESIZE_BOX} THEN width
+         ELSE CAST((width * {_RESIZE_BOX}) // greatest(width, height) AS INTEGER) END AS rw,
+    CASE WHEN greatest(width, height) <= {_RESIZE_BOX} THEN height
+         ELSE CAST((height * {_RESIZE_BOX}) // greatest(width, height) AS INTEGER) END AS rh
+  FROM decoded
+)
+SELECT fmt, COUNT(*) AS n_blobs,
+       CAST(SUM(rw * rh) AS BIGINT) AS total_pixels,
+       CAST(MAX(rw) AS INTEGER) AS max_rw,
+       CAST(MAX(rh) AS INTEGER) AS max_rh
+FROM resized GROUP BY fmt
+"""
+
+
+@query("mm_resize_dims", oracle=_resize_oracle(), tags=("multimodal", "pandas-udf"))
+def resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    with_payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    decoded = with_payload.mapInPandas(decode_batches, schema=_DECODE_SCHEMA)
+    maxd = F.greatest("width", "height")
+    rw = F.when(maxd <= _RESIZE_BOX, F.col("width")).otherwise(
+        F.expr(f"CAST((width * {_RESIZE_BOX}) DIV greatest(width, height) AS INT)")
+    )
+    rh = F.when(maxd <= _RESIZE_BOX, F.col("height")).otherwise(
+        F.expr(f"CAST((height * {_RESIZE_BOX}) DIV greatest(width, height) AS INT)")
+    )
+    return (
+        decoded.select("fmt", rw.alias("rw"), rh.alias("rh"))
+        .groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum(F.col("rw").cast("long") * F.col("rh")).cast("bigint").alias("total_pixels"),
+            F.max("rw").cast("int").alias("max_rw"),
+            F.max("rh").cast("int").alias("max_rh"),
+        )
+    )
