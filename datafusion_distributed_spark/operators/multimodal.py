@@ -284,3 +284,69 @@ def resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("rh").cast("int").alias("max_rh"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction: a 16-bin byte histogram over each payload's first 64
+# bytes (stand-in for an embedding/feature model; same Arrow-batched shape).
+# bin(b) = b // 16 == the byte's first hex digit, which is how the oracle
+# recomputes the features from hex text in SQL.
+# ---------------------------------------------------------------------------
+
+_FEAT_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("fmt", StringType())]
+    + [StructField(f"f{k}", IntegerType()) for k in range(16)]
+)
+
+
+def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, fmt, f0..f15): byte-bucket histogram of payload[:64]."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            p = (payload if isinstance(payload, bytes) else bytes(payload))[:64]
+            hist = [0] * 16
+            for byte in p:
+                hist[byte >> 4] += 1
+            _, _, _, fmt = _fake_decode(
+                payload if isinstance(payload, bytes) else bytes(payload)
+            )
+            rows.append([doc_id, fmt, *hist])
+        out = pd.DataFrame(rows, columns=["doc_id", "fmt"] + [f"f{k}" for k in range(16)])
+        yield out.astype({f"f{k}": "int32" for k in range(16)})
+
+
+def _features_oracle() -> str:
+    hexdig = "instr('0123456789abcdef', substring(hx, 2*i-1, 1)) - 1"
+    sums = ",\n  ".join(
+        f"CAST(SUM(CASE WHEN hi = {k} THEN 1 ELSE 0 END) AS BIGINT) AS f{k}"
+        for k in range(16)
+    )
+    return f"""{_decoded_cte()},
+nib AS (
+  SELECT b.doc_id, {hexdig} AS hi
+  FROM bytes b
+),
+feats AS (
+  SELECT doc_id,
+  {sums}
+  FROM nib GROUP BY doc_id
+)
+SELECT d.fmt, COUNT(*) AS n_blobs,
+  {",".join(f"CAST(SUM(COALESCE(f.f{k}, 0)) AS BIGINT) AS sum_f{k}" for k in range(16))}
+FROM decoded d LEFT JOIN feats f ON f.doc_id = d.doc_id
+GROUP BY d.fmt
+"""
+
+
+@query("mm_feature_extract", oracle=_features_oracle(), tags=("multimodal", "pandas-udf"))
+def feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    with_payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    feats = with_payload.mapInPandas(feature_batches, schema=_FEAT_SCHEMA)
+    return feats.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        *[F.sum(f"f{k}").cast("bigint").alias(f"sum_f{k}") for k in range(16)],
+    )
