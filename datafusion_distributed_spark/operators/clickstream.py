@@ -201,3 +201,56 @@ def cb_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_session.groupBy("events_per_session").agg(
         F.count(F.lit(1)).alias("n_sessions")
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each purchase matched to the user's most recent prior (or
+# simultaneous) view. Spark has no native as-of join; the scalable
+# composition is union-the-tagged-streams + last(ignorenulls) carry-forward
+# window — ONE shuffle on user_id, no range explosion, no per-row search
+# (the same plan KDB/Flink users hand-roll). (user_id, ts) is unique in the
+# data, so the match is deterministic. Oracle: DuckDB's native ASOF JOIN.
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS last_view_ts
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
+@query("cb_asof_view_purchase", oracle=_ASOF_ORACLE, tags=("asof-join", "clickbench"))
+def asof_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir)["events"]
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.col("ts").alias("vts"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("timestamp_ntz").alias("vts"),
+        "event_id",
+    )
+    # views sort before purchases at equal ts (tag 0 < 1) => "<=" semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = views.unionByName(purchases).withColumn(
+        "last_view_ts", F.last("vts", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("tag") == 1).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("last_view_ts", "yyyy-MM-dd HH:mm:ss").alias("last_view_ts"),
+    )
