@@ -254,3 +254,75 @@ def asof_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         F.date_format("last_view_ts", "yyyy-MM-dd HH:mm:ss").alias("last_view_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch: per event_type, keep the k
+# smallest md5(user_id) values; estimate NDV = (k-1) / kth_smallest_fraction.
+# The mergeable-min-k structure is how distributed engines sketch NDV
+# (HLL/theta cousins); unlike those, KMV over a DETERMINISTIC hash is
+# bit-reproducible, so the estimate itself gets an exact differential oracle.
+# Scale shape: distinct (type, hash) -> per-type top-k window (bounded
+# state), never a per-group collect.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 8
+_HEX16 = "0123456789abcdef"
+# value of the first 15 hex digits of h as an integer (Horner), < 16^15
+_KMV_SPARK_VAL = (
+    "aggregate(sequence(1, 15), 0L, (acc, j) ->"
+    f" acc * 16 + CAST(instr('{_HEX16}', substring(h, j, 1)) - 1 AS BIGINT))"
+)
+_KMV_DUCK_VAL = " + ".join(
+    f"(instr('{_HEX16}', substring(h, {j}, 1)) - 1) * {16 ** (15 - j)}"
+    for j in range(1, 16)
+)
+_KMV_SCALE = float(16**15)
+
+
+def _kmv_oracle() -> str:
+    return f"""
+WITH dh AS (
+  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM dh
+),
+kth AS (
+  SELECT event_type, CAST({_KMV_DUCK_VAL} AS BIGINT) AS v
+  FROM ranked WHERE rn = {_KMV_K}
+),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type
+)
+SELECT e.event_type, e.n_exact,
+       ROUND(({_KMV_K} - 1) * {_KMV_SCALE} / CAST(k.v AS DOUBLE), 6) AS kmv_estimate
+FROM exact e LEFT JOIN kth k ON k.event_type = e.event_type
+"""
+
+
+@query("cb_kmv_distinct_sketch", oracle=_kmv_oracle(), tags=("sketch", "clickbench"))
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir)["events"]
+    dh = events.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kth = (
+        dh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == _KMV_K)
+        .select("event_type", F.expr(_KMV_SPARK_VAL).alias("v"))
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    est = F.round(
+        F.lit((_KMV_K - 1) * _KMV_SCALE) / F.col("v").cast("double"), 6
+    )
+    return (
+        exact.join(kth.withColumnRenamed("event_type", "_et"),
+                   F.col("event_type") == F.col("_et"), "left")
+        .select("event_type", "n_exact", est.alias("kmv_estimate"))
+    )
