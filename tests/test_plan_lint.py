@@ -1,0 +1,46 @@
+"""Plan lint across the ENTIRE registry: the anti-pattern sweep as a test.
+
+For every registered query, build the plan (no execution) and reject:
+- CartesianProduct / BroadcastNestedLoopJoin outside the whitelist of
+  queries that are *deliberately* cross/theta joins on constant-size inputs;
+- BatchEvalPython — a row-at-a-time (non-Arrow) Python UDF in any plan is
+  always a bug here (the engine's Python surfaces are ArrowEvalPython,
+  mapInPandas/ArrowEval, or the Python DataSource).
+
+This automates SURVEY.md's scale discipline ("UDFs are the slow path",
+"no cartesians except deliberate ones") as a regression gate.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_distributed_spark.operators.registry import REGISTRY, _ensure_loaded
+
+from .conftest import SF_DIR
+
+_ensure_loaded()
+
+# Queries allowed to contain a cartesian/BNLJ node: deliberate small-side
+# cross joins (dims × constants, 1-row aggregates, broadcast theta joins).
+_CROSS_OK = {
+    "join_cross_region_priority",  # 5 regions × 5 priorities, by design
+    "join_theta_nation_pairs",  # theta join over 25-row nation dim
+    "tpch_q22_sales_opportunity",  # 1-row avg-balance scalar subquery
+    "tpch_q17_small_quantity",  # 1-row threshold aggregate
+    "tpch_q14_promo_revenue",  # 1-row denominators
+    "tpch_q15_top_supplier",  # 1-row max-revenue scalar
+    "sim_cosine_topk",  # broadcast queries × corpus, by design
+}
+
+_ALL = sorted(REGISTRY)
+
+
+@pytest.mark.parametrize("name", _ALL)
+def test_plan_has_no_antipatterns(spark, name):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in _CROSS_OK:
+        assert "CartesianProduct" not in plan, f"{name}: unexpected cartesian"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: unexpected BNLJ"
