@@ -412,6 +412,112 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Duplicate-cluster connected components: near-dup candidate pairs form an
+# undirected graph; a dedup pipeline keeps ONE representative per connected
+# component (the cluster), not per pair. Spark side: iterative min-label
+# propagation (the Pregel/GraphX pattern — Spark has no native transitive
+# closure); oracle side: DuckDB WITH RECURSIVE transitive reachability.
+#
+# Scale design: the loop operates on the PAIR graph, which at 100 TB is
+# orders of magnitude smaller than the corpus (only near-dup docs appear).
+# Each iteration is one small hash-shuffle join + groupBy-min; lineage is cut
+# per iteration with persist() so plans stay constant-size, and convergence
+# is detected by a monotone label-sum fixpoint (labels only ever decrease,
+# so sum-unchanged <=> converged) — one tiny scalar action per iteration,
+# never a data collect. Near-dup clusters from LSH are near-cliques, so
+# convergence is typically 2-3 iterations regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 25
+
+
+def connected_components(edges: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected edge list (doc_a, doc_b).
+
+    Returns (doc_id, cluster_id) for every vertex that appears in an edge,
+    where cluster_id = MIN(doc_id) over the vertex's connected component.
+    Iterative driver loop with per-iteration persist — the standard Spark
+    formulation of an iterative graph algorithm (the reference has no
+    iterative operators; this is additive training-pipeline scope)."""
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .persist()
+    )
+    prev_sum = None
+    for _ in range(_CC_MAX_ITERS):
+        nbr_min = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["dst"], "left")
+            .select(
+                labels["node"],
+                F.least(labels["lbl"], F.coalesce("nbr_lbl", labels["lbl"])).alias(
+                    "lbl"
+                ),
+            )
+            .persist()
+        )
+        cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sym.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
+def _cc_oracle() -> str:
+    """Recursive-CTE transitive closure over the SAME capped candidate pairs:
+    every node's cluster_id is the minimum doc_id it can reach."""
+    base = _minhash_capped_oracle()
+    head, _, _tail = base.rpartition("SELECT DISTINCT")
+    head = head.replace("WITH words AS", "WITH RECURSIVE words AS", 1)
+    return f"""{head}, pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a
+  JOIN capped b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+@query("dd_dup_clusters", oracle=_cc_oracle(), tags=("dedup", "graph", "iterative"))
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the capped MinHash-LSH
+    candidate-pair graph. Output (doc_id, cluster_id) lets a pipeline keep
+    one representative per cluster (e.g. doc_id == cluster_id)."""
+    docs = t(spark, sf_dir)["documents"]
+    pairs = capped_band_pairs(lsh_bands(minhash_signatures(docs))).persist()
+    out = connected_components(pairs)
+    pairs.unpersist(blocking=False)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # SimHash (16-bit, portable): per distinct token, md5 hex nibble k votes
 # (2*nibble - 15) on bit k; bit set iff the integer vote sum > 0.
 # ---------------------------------------------------------------------------
