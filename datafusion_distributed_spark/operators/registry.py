@@ -132,6 +132,7 @@ def _ensure_loaded() -> None:
         feeds,
         multimodal,
         relational,
+        sampling,
         similarity,
         sqlpath,
         textstats,

@@ -1,0 +1,154 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus is never trained on wholesale: pipelines stratify-sample by
+language/quality and re-weight sources to a target mixture. Random sampling
+(``df.sample``) is not reproducible across engines or re-runs; these operators
+use **content-hash thresholds** instead — a row is kept iff the first 32 bits
+of md5(salt || key) fall below a per-stratum threshold. That makes the sample:
+
+- deterministic (same rows every run, every engine — DuckDB-oracle checkable);
+- uniform within each stratum (md5 is uniform on hex strings);
+- embarrassingly parallel (a per-row predicate — NO shuffle for the static
+  variant; one 20-row broadcast join for the dynamic variant);
+- stable under corpus growth (a doc's keep/drop never changes when other
+  docs are added — unlike reservoir/limit sampling).
+
+The reference has no sampling surface (bounded OLAP only); this is additive
+BASELINE.json scope (SURVEY.md §7 Phase 3).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ._util import t
+from .registry import query
+
+# First 8 md5 hex chars as an unsigned 32-bit integer: portable across
+# Spark (conv base-16) and DuckDB ('0x' literal cast).
+_U32_SPAN = 1 << 32
+
+
+def _u32_spark(key):
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+
+
+def _u32_sql(key_sql: str) -> str:
+    return f"CAST(('0x' || substring(md5({key_sql}), 1, 8)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Static stratified sample: fixed per-language keep rates, expressed as
+# PRE-COMPUTED integer thresholds so Spark and the oracle share exact
+# literals (no float rate arithmetic anywhere).
+# ---------------------------------------------------------------------------
+
+# lang -> keep rate numerator/denominator (en downsampled hardest — the
+# classic "rebalance away from English" mixture step).
+_STRATA_RATES: dict[str, tuple[int, int]] = {
+    "en": (1, 4),
+    "de": (1, 2),
+    "es": (1, 2),
+    "fr": (1, 2),
+    "zh": (3, 4),
+}
+_DEFAULT_RATE = (1, 1)  # unknown strata pass through
+
+_SALT = "smp:"
+
+
+def _thresholds() -> dict[str, int]:
+    return {
+        lang: (num * _U32_SPAN) // den for lang, (num, den) in _STRATA_RATES.items()
+    }
+
+
+def _stratified_oracle() -> str:
+    cases = "\n        ".join(
+        f"WHEN lang = '{lang}' THEN {thr}" for lang, thr in _thresholds().items()
+    )
+    default_thr = (_DEFAULT_RATE[0] * _U32_SPAN) // _DEFAULT_RATE[1]
+    return f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_u32_sql(f"'{_SALT}' || CAST(doc_id AS VARCHAR)")} <
+      CASE {cases} ELSE {default_thr} END
+"""
+
+
+@query("ds_stratified_sample", oracle=_stratified_oracle(), tags=("sampling",))
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep each document iff hash(doc_id) < threshold(lang): a pure per-row
+    predicate evaluated inside the scan's whole-stage codegen — zero shuffles,
+    and at 100 TB it composes with partition pruning / pushdown untouched."""
+    docs = t(spark, sf_dir)["documents"]
+    u32 = _u32_spark(F.concat(F.lit(_SALT), F.col("doc_id").cast("string")))
+    thr = None
+    for lang, th in _thresholds().items():
+        cond = F.when(F.col("lang") == lang, F.lit(th))
+        thr = cond if thr is None else thr.when(F.col("lang") == lang, F.lit(th))
+    thr = thr.otherwise(F.lit((_DEFAULT_RATE[0] * _U32_SPAN) // _DEFAULT_RATE[1]))
+    return docs.filter(u32 < thr).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Weighted mixture (dynamic): equalize the per-source mix — downsample every
+# source to the size of the smallest one. Thresholds are computed FROM the
+# data (count per source), so this exercises agg -> scalar -> broadcast-join
+# -> filter -> agg; all threshold arithmetic is integer division (exact in
+# both engines; c_min * 2^32 fits int64 up to c_min ~ 2.1e9 rows — beyond
+# that, lift to DECIMAL(38,0), same shape).
+# ---------------------------------------------------------------------------
+
+_MIX_ORACLE = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source
+),
+cmin AS (SELECT MIN(n_src) AS c_min FROM counts),
+thr AS (
+  SELECT source, n_src, (c_min * {_U32_SPAN}) // n_src AS keep_thr
+  FROM counts, cmin
+),
+sampled AS (
+  SELECT d.source, t.n_src, d.doc_id
+  FROM documents d
+  JOIN thr t ON t.source = d.source
+  WHERE {_u32_sql(f"'mix:' || CAST(d.doc_id AS VARCHAR)")} < t.keep_thr
+)
+SELECT source, MIN(n_src) AS n_src, COUNT(*) AS n_sampled,
+       SUM(doc_id) AS doc_id_sum
+FROM sampled GROUP BY source
+"""
+
+
+@query("ds_weighted_mixture", oracle=_MIX_ORACLE, tags=("sampling", "mixture"))
+def weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equalized source mixture: rate_s = c_min / n_s per source.
+
+    Plan shape at scale: one map-side-combined count aggregate (source is
+    low-cardinality), a 1-row global min, a broadcast of the tiny threshold
+    dim back onto the corpus scan, then a per-row predicate + final count —
+    the corpus itself is never shuffled."""
+    docs = t(spark, sf_dir)["documents"]
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    cmin = counts.agg(F.min("n_src").alias("c_min"))
+    thr = (
+        counts.join(F.broadcast(cmin))
+        .select(
+            "source",
+            "n_src",
+            F.expr(f"(c_min * {_U32_SPAN}L) div n_src").alias("keep_thr"),
+        )
+    )
+    u32 = _u32_spark(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    sampled = (
+        docs.join(F.broadcast(thr), "source")
+        .filter(u32 < F.col("keep_thr"))
+        .select("source", "n_src", "doc_id")
+    )
+    return sampled.groupBy("source").agg(
+        F.min("n_src").alias("n_src"),
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").alias("doc_id_sum"),
+    )
