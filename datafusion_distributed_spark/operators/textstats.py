@@ -176,6 +176,103 @@ def fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style repetition/quality filters (Rae et al. 2021 §A1.1, public):
+# per-doc word count, mean word length, duplicate-3-gram fraction, and
+# top-word fraction, each against a fixed threshold; output is the per-lang
+# pass/fail breakdown with per-criterion failure counts.
+#
+# Scale design: every metric is per-row array algebra over the token array
+# (size / array_distinct / transform / filter) — whole-stage codegen, zero
+# shuffles before the final tiny per-lang aggregate. The double ratios are
+# single divisions of exact integers, so both engines compute bit-identical
+# IEEE values and the threshold comparisons agree.
+# ---------------------------------------------------------------------------
+
+_G_MIN_WORDS = 30
+_G_MAX_DUP3 = 0.005  # duplicate-3-gram fraction
+_G_MAX_TOPW = 0.11  # most-frequent-word fraction
+
+_GOPHER_ORACLE = f"""
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN ok_len AND ok_dup3 AND ok_topw THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+  CAST(SUM(CASE WHEN NOT ok_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len,
+  CAST(SUM(CASE WHEN NOT ok_dup3 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_dup3,
+  CAST(SUM(CASE WHEN NOT ok_topw THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_topw
+FROM (
+  SELECT lang,
+    n_words >= {_G_MIN_WORDS} AS ok_len,
+    (CASE WHEN n_words >= 3 THEN
+       1.0 - CAST(n_dist3 AS DOUBLE) / (n_words - 2)
+     ELSE 0.0 END) <= {_G_MAX_DUP3} AS ok_dup3,
+    CAST(top_cnt AS DOUBLE) / n_words <= {_G_MAX_TOPW} AS ok_topw
+  FROM (
+    SELECT lang, len(w) AS n_words,
+      CASE WHEN len(w) >= 3 THEN
+        len(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                                         i -> array_to_string(w[i:i+2], ' '))))
+      ELSE 0 END AS n_dist3,
+      list_max(list_transform(list_distinct(w),
+                              x -> len(list_filter(w, y -> y = x)))) AS top_cnt
+    FROM (SELECT lang, {_TOK_SQL} AS w FROM documents) tok
+  ) m
+) flags
+GROUP BY lang
+"""
+
+
+@query("text_gopher_filters", oracle=_GOPHER_ORACLE, tags=("text", "quality"))
+def gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    w = F.split(F.trim(F.lower(F.col("text"))), " +")
+    base = docs.select("lang", w.alias("w"))
+    n_words = F.size("w")
+    # NB: guard BEFORE building sequence(1, n-2) — Spark's sequence() runs
+    # DESCENDING when stop < start (so sequence(1, 0) = [1, 0], not empty).
+    n_dist3 = F.when(
+        n_words >= 3,
+        F.size(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2),"
+                    " i -> concat_ws(' ', slice(w, i, 3)))"
+                )
+            )
+        ),
+    ).otherwise(F.lit(0))
+    top_cnt = F.array_max(
+        F.expr("transform(array_distinct(w), x -> size(filter(w, y -> y = x)))")
+    )
+    m = base.select(
+        "lang",
+        n_words.alias("n_words"),
+        n_dist3.alias("n_dist3"),
+        top_cnt.alias("top_cnt"),
+    )
+    dup3 = F.when(
+        F.col("n_words") >= 3,
+        F.lit(1.0) - F.col("n_dist3").cast("double") / (F.col("n_words") - 2),
+    ).otherwise(F.lit(0.0))
+    flags = m.select(
+        "lang",
+        (F.col("n_words") >= _G_MIN_WORDS).alias("ok_len"),
+        (dup3 <= _G_MAX_DUP3).alias("ok_dup3"),
+        (F.col("top_cnt").cast("double") / F.col("n_words") <= _G_MAX_TOPW).alias(
+            "ok_topw"
+        ),
+    )
+    as_int = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    return flags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(as_int(F.col("ok_len") & F.col("ok_dup3") & F.col("ok_topw")))
+        .cast("bigint")
+        .alias("n_pass"),
+        F.sum(as_int(~F.col("ok_len"))).cast("bigint").alias("n_fail_len"),
+        F.sum(as_int(~F.col("ok_dup3"))).cast("bigint").alias("n_fail_dup3"),
+        F.sum(as_int(~F.col("ok_topw"))).cast("bigint").alias("n_fail_topw"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # BPE-ish subword token counting: a GPT-2-style pre-tokenizer regex
 # (letter runs / digit runs / punctuation runs, each with an optional leading
 # space). Counting is a pure regexp_extract_all length — JVM-side in Spark,
