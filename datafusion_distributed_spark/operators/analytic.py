@@ -372,3 +372,66 @@ def full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.c_custkey.isNotNull().cast("int").alias("has_customer"),
         F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join, large-large: every purchase matched to ALL clicks in
+# the following 60 s — no equi key at all. A naive formulation is a cartesian
+# with a range filter (quadratic at scale); the scalable Spark plan is
+# BUCKETED REPLICATION: quantize time into window-width buckets, replicate
+# each probe row to the (at most 2) buckets its window overlaps, equi-join on
+# the bucket id, then apply the exact range predicate. Shuffle volume is
+# 2x probes + 1x builds — linear, skew bounded by events-per-minute.
+# Oracle: DuckDB's native inequality join (IEJoin) on the same predicate.
+# Comparison in epoch MICROS on both engines (see _SESSION_ORACLE note).
+# ---------------------------------------------------------------------------
+
+_RANGE_WIN_US = 60 * 1_000_000  # 60 s
+
+_RANGE_ORACLE = f"""
+WITH p AS (
+  SELECT event_id, epoch_us(ts) AS us, date_trunc('hour', ts) AS hr
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (SELECT epoch_us(ts) AS us FROM events WHERE event_type = 'click')
+SELECT strftime(p.hr, '%Y-%m-%d %H:%M:%S') AS hour,
+       COUNT(*) AS n_pairs,
+       COUNT(DISTINCT p.event_id) AS n_purchases
+FROM p JOIN c ON c.us >= p.us AND c.us < p.us + {_RANGE_WIN_US}
+GROUP BY 1
+"""
+
+
+@query("join_range_purchase_clicks", oracle=_RANGE_ORACLE, tags=("range-join",))
+def range_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir)["events"]
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        us.alias("p_us"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(us.alias("c_us"))
+    # Probe replicated to the <=2 window-width buckets its interval overlaps.
+    p_b = p.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                (F.col("p_us") / _RANGE_WIN_US).cast("bigint"),
+                (F.col("p_us") / _RANGE_WIN_US).cast("bigint") + 1,
+            )
+        ),
+    )
+    c_b = c.withColumn("bucket", (F.col("c_us") / _RANGE_WIN_US).cast("bigint"))
+    pairs = p_b.join(
+        c_b,
+        (p_b["bucket"] == c_b["bucket"])
+        & (c_b["c_us"] >= p_b["p_us"])
+        & (c_b["c_us"] < p_b["p_us"] + _RANGE_WIN_US),
+    )
+    return pairs.groupBy("hour").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("event_id").alias("n_purchases"),
+    )
