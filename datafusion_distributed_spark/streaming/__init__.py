@@ -10,10 +10,20 @@ incremental streaming query with watermark-based state cleanup.
 
 from .sessionize import batch_session_counts, streaming_session_counts
 from .stateful import batch_user_totals, streaming_user_totals
+from .windows import (
+    batch_sliding_counts,
+    batch_tumbling_counts,
+    streaming_sliding_counts,
+    streaming_tumbling_counts,
+)
 
 __all__ = [
     "batch_session_counts",
+    "batch_sliding_counts",
+    "batch_tumbling_counts",
     "batch_user_totals",
     "streaming_session_counts",
+    "streaming_sliding_counts",
+    "streaming_tumbling_counts",
     "streaming_user_totals",
 ]

@@ -7,8 +7,12 @@ from __future__ import annotations
 
 from datafusion_distributed_spark.streaming import (
     batch_session_counts,
+    batch_sliding_counts,
+    batch_tumbling_counts,
     batch_user_totals,
     streaming_session_counts,
+    streaming_sliding_counts,
+    streaming_tumbling_counts,
     streaming_user_totals,
 )
 
@@ -35,4 +39,28 @@ def test_stateful_user_totals_match_batch(spark):
     assert len(batch) > 0
     b = sorted((r.user_id, r.n_events, r.value_cents) for r in batch)
     s = sorted((r.user_id, r.n_events, r.value_cents) for r in stream)
+    assert s == b
+
+
+def test_streaming_tumbling_matches_batch(spark):
+    batch = batch_tumbling_counts(spark, SF_DIR).collect()
+    stream = streaming_tumbling_counts(spark, SF_DIR).collect()
+    assert len(batch) > 0
+    b = sorted((r.win_start, r.event_type, r.n_events, r.first_event_id) for r in batch)
+    s = sorted((r.win_start, r.event_type, r.n_events, r.first_event_id) for r in stream)
+    assert s == b
+
+
+def test_streaming_sliding_matches_batch(spark):
+    batch = batch_sliding_counts(spark, SF_DIR).collect()
+    stream = streaming_sliding_counts(spark, SF_DIR).collect()
+    assert len(batch) > 0
+    # Sliding windows: each event lands in exactly 2 overlapping hourly
+    # windows (1 h window, 30 m slide), so window counts sum to 2x the feed.
+    from datafusion_distributed_spark.tables import load_tables
+
+    n_events = load_tables(spark, SF_DIR)["events"].count()
+    assert sum(r.n_events for r in batch) == 2 * n_events
+    b = sorted((r.win_start, r.n_events) for r in batch)
+    s = sorted((r.win_start, r.n_events) for r in stream)
     assert s == b
