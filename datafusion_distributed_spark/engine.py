@@ -140,3 +140,21 @@ class Engine:
         from .plans.explain import explain_analyze
 
         return explain_analyze(df)
+
+    def advise_stage_sizing(self, *paths: str, shuffle_selectivity: float = 1.0):
+        """Cost-based static stage sizing from input bytes (reference:
+        statistics-driven task counts, /root/reference/src/distributed_planner/
+        statistics/complexity_cpu.rs + distributed_config.rs:11-15). Returns a
+        StageSizing; pass apply=True behavior via apply_stage_sizing."""
+        from .plans.costing import advise
+
+        return advise(
+            *paths,
+            parallelism=self.spark.sparkContext.defaultParallelism,
+            shuffle_selectivity=shuffle_selectivity,
+        )
+
+    def apply_stage_sizing(self, sizing) -> None:
+        from .plans.costing import apply_sizing
+
+        apply_sizing(self.spark, sizing)
