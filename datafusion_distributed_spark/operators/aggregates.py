@@ -1,0 +1,140 @@
+"""Extended aggregate-function surface: exact percentiles, ordered string
+aggregation, and moment statistics (stddev/corr) computed portably.
+
+Widens SURVEY.md §2.3's aggregate class beyond sum/count/min/max/avg to the
+rest of the aggregate surface DataFusion inherits. The portability rules:
+
+- Exact percentiles: Spark ``percentile()`` and DuckDB ``quantile_cont()``
+  both linear-interpolate (1-g)*lo + g*hi at rank (n-1)*q. For q in
+  {.25,.5,.75} g is an exact binary fraction and l_quantity is integral, so
+  both engines produce bit-identical doubles.
+- listagg: Spark has no ordered string_agg; sort_array(collect_list) +
+  array_join is the deterministic equivalent of DuckDB's
+  ``string_agg(x, ',' ORDER BY x)``.
+- stddev/corr: NEVER aggregate doubles directly (summation order). Compute
+  Σx, Σx², Σxy as EXACT integers/decimals (quantity is integral ≤ 50; price
+  is exact cents), then evaluate the closed-form moments in double — every
+  division/sqrt sees identical exact operands in both engines, and IEEE
+  division/sqrt are correctly rounded, so results hash-match.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ._util import t
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (PercentileCont / APPROX-free): p25/median/p75 quantity
+# per return flag.
+# ---------------------------------------------------------------------------
+
+_PCTL_ORACLE = """
+SELECT l_returnflag, COUNT(*) AS n,
+  quantile_cont(l_quantity, 0.25) AS p25_qty,
+  quantile_cont(l_quantity, 0.5) AS median_qty,
+  quantile_cont(l_quantity, 0.75) AS p75_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_exact_percentiles", oracle=_PCTL_ORACLE, tags=("aggregate", "percentile"))
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(l_quantity, 0.25)").alias("p25_qty"),
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (LISTAGG / string_agg WITHIN GROUP).
+# ---------------------------------------------------------------------------
+
+_LISTAGG_ORACLE = """
+SELECT r_name, COUNT(*) AS n_nations,
+  string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM region JOIN nation ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@query("agg_listagg_nations", oracle=_LISTAGG_ORACLE, tags=("aggregate", "listagg"))
+def listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    joined = tb["region"].join(
+        tb["nation"], F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    return joined.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Moment statistics from exact sums: stddev_samp(quantity) and
+# corr(quantity, extendedprice) per return flag. Sums are DECIMAL(38,0)
+# (price-cents squared overflows int64 at this row count); the closed-form
+# moments are evaluated on exact operands in double.
+# ---------------------------------------------------------------------------
+
+_MOMENTS_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+    COUNT(*) AS n,
+    SUM(CAST(l_quantity AS BIGINT)) AS sx,
+    SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+    SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sy,
+    SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS syy,
+    SUM(CAST(l_quantity AS BIGINT) * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_qty,
+  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
+FROM s
+"""
+
+
+@query("agg_exact_moments", oracle=_MOMENTS_ORACLE, tags=("aggregate", "statistics"))
+def exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir)["lineitem"]
+    qty = F.col("l_quantity").cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    s = li.select(
+        "l_returnflag",
+        qty.alias("x"),
+        cents.alias("y"),
+    ).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    stddev = F.sqrt((nd * sxx - sx * sx) / (nd * (nd - F.lit(1.0))))
+    corr = (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        stddev.alias("stddev_qty"),
+        corr.alias("corr_qty_price"),
+    )

@@ -125,6 +125,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from . import (  # noqa: F401
+        aggregates,
         analytic,
         catalog,
         clickstream,

@@ -53,3 +53,92 @@ WHERE a.cents > 2 * b.cents
 def cte_yoy_doublers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir)  # registers the temp views the SQL references
     return spark.sql(_CTE_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Multi-channel report (TPC-DS q5/q77 shape): per-channel sales vs returns
+# built as separate aggregates, FULL-joined, then totalled with ROLLUP.
+# Money as exact integer cents throughout; doubles only at output.
+# ---------------------------------------------------------------------------
+
+_CHANNEL_SPARK_SQL = """
+WITH fulfilled AS (
+  SELECT o_orderpriority AS channel,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS f_cents
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+),
+open_orders AS (
+  SELECT o_orderpriority AS channel,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS o_cents
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_orderpriority
+)
+SELECT COALESCE(COALESCE(f.channel, o.channel), 'ALL') AS channel,
+       CAST(GROUPING(COALESCE(f.channel, o.channel)) AS INTEGER) AS lvl,
+       CAST(SUM(COALESCE(f.f_cents, 0)) AS DOUBLE) / 100.0 AS fulfilled_total,
+       CAST(SUM(COALESCE(o.o_cents, 0)) AS DOUBLE) / 100.0 AS open_total
+FROM fulfilled f FULL OUTER JOIN open_orders o ON f.channel = o.channel
+GROUP BY ROLLUP(COALESCE(f.channel, o.channel))
+"""
+
+
+@query(
+    "sql_channel_rollup",
+    oracle=_CHANNEL_SPARK_SQL,  # identical ANSI text runs on DuckDB
+    tags=("sql-entry", "tpcds", "rollup"),
+)
+def channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_CHANNEL_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Repeat buyers across consecutive years (TPC-DS q38 shape): three-way
+# INTERSECT of distinct customer sets, then a counted aggregate.
+# ---------------------------------------------------------------------------
+
+_REPEAT_SQL = """
+SELECT COUNT(*) AS n_repeat_buyers FROM (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+) repeaters
+"""
+
+
+@query("sql_repeat_buyers", oracle=_REPEAT_SQL, tags=("sql-entry", "tpcds", "setop"))
+def repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_REPEAT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# EXISTS / NOT-EXISTS chain (TPC-DS q10 shape): segment counts of customers
+# active in a year but never urgent — Catalyst decorrelates to a semi-join
+# feeding an anti-join, no per-row subquery execution.
+# ---------------------------------------------------------------------------
+
+_EXISTS_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate < DATE '1996-01-01'
+)
+AND NOT EXISTS (
+  SELECT 1 FROM orders o2
+  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderpriority = '1-URGENT'
+)
+GROUP BY c_mktsegment
+"""
+
+
+@query("sql_exists_chain", oracle=_EXISTS_SQL, tags=("sql-entry", "tpcds", "subquery"))
+def exists_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)
