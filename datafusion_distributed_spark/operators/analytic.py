@@ -435,3 +435,98 @@ def range_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("event_id").alias("n_purchases"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution window functions — ntile / percent_rank / cume_dist /
+# nth_value (the remainder of the BoundedWindowAggExec function surface).
+# (c_acctbal, c_custkey) is a unique sort key, so every rank-derived value
+# is deterministic; percent_rank/cume_dist are single divisions of exact
+# integer ranks — bit-portable.
+# ---------------------------------------------------------------------------
+
+_WIN_DIST_ORACLE = """
+SELECT c_mktsegment, c_custkey,
+  CAST(NTILE(10) OVER w AS INTEGER) AS decile,
+  PERCENT_RANK() OVER w AS pct_rank,
+  CUME_DIST() OVER w AS cume,
+  NTH_VALUE(c_custkey, 3) OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING) AS third_poorest
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@query("win_distribution_funcs", oracle=_WIN_DIST_ORACLE, tags=("window",))
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir)["customer"]
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("c_custkey", 3).over(w_full).alias("third_poorest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT: order money by priority (rows) x status (columns). Spark's relational
+# pivot with an explicit value list == the oracle's conditional-aggregation
+# rewrite — which is also exactly how Catalyst lowers Pivot when the value
+# list is known (no second pass to discover values).
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0 AS "F",
+  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0 AS "O",
+  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0 AS "P"
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("pivot_priority_status", oracle=_PIVOT_ORACLE, tags=("pivot",))
+def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir)["orders"]
+    cents_col = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        orders.select("o_orderpriority", "o_orderstatus", cents_col.alias("cents"))
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg((F.coalesce(F.sum("cents"), F.lit(0)).cast("double") / 100.0))
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (melt): wide per-priority measures back to (priority, measure,
+# value) long form — Spark's Unpivot node vs the UNION-ALL rewrite.
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH agg AS (
+  SELECT o_orderpriority, COUNT(*) AS n_orders,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'n_orders' AS measure, CAST(n_orders AS BIGINT) AS value FROM agg
+UNION ALL
+SELECT o_orderpriority, 'cents' AS measure, CAST(cents AS BIGINT) AS value FROM agg
+"""
+
+
+@query("unpivot_priority_measures", oracle=_UNPIVOT_ORACLE, tags=("unpivot",))
+def unpivot_priority_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir)["orders"]
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents"),
+    )
+    return agg.unpivot(
+        ["o_orderpriority"], ["n_orders", "cents"], "measure", "value"
+    )

@@ -453,3 +453,65 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .select("q_id", "neighbor_id", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 vector quantization: per-vector max-abs scaling to [-127, 127] — the
+# standard storage/bandwidth compression step before ANN indexing (4x smaller
+# than float32). Pure per-row array algebra (array_max/transform/aggregate):
+# zero shuffles before the final checksum aggregate, so at 100 TB it runs at
+# scan speed. Portability: both engines compute round(v * 127 / maxabs) on
+# identical float64 operands (round-half-away-from-zero in both), and the
+# checksums are exact integer sums.
+# ---------------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+m AS (
+  SELECT vec_id, label, v,
+         list_max(list_transform(v, x -> abs(x))) AS maxabs
+  FROM e
+),
+q AS (
+  SELECT vec_id, label, maxabs,
+         list_transform(v, x -> CAST(round(x * 127.0 / maxabs) AS BIGINT)) AS qv
+  FROM m WHERE maxabs > 0
+)
+SELECT label, COUNT(*) AS n_vecs,
+  CAST(SUM(list_sum(qv)) AS BIGINT) AS q_sum,
+  CAST(SUM(list_sum(list_transform(qv, x -> abs(x)))) AS BIGINT) AS q_l1,
+  CAST(SUM(CASE WHEN list_max(list_transform(qv, x -> abs(x))) = 127
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated
+FROM q GROUP BY label
+"""
+
+
+@query("sim_int8_quantize", oracle=_QUANT_ORACLE, tags=("similarity", "quantize"))
+def int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir)["embeddings"].select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    maxabs = F.array_max(F.expr("transform(v, x -> abs(x))"))
+    m = emb.select("label", "v", maxabs.alias("maxabs")).filter(
+        F.col("maxabs") > 0
+    )
+    q = m.select(
+        "label",
+        F.expr(
+            "transform(v, x -> cast(round(x * 127.0D / maxabs) as bigint))"
+        ).alias("qv"),
+    )
+    qsum = F.expr("aggregate(qv, 0L, (a, x) -> a + x)")
+    ql1 = F.expr("aggregate(qv, 0L, (a, x) -> a + abs(x))")
+    sat = F.when(
+        F.array_max(F.expr("transform(qv, x -> abs(x))")) == 127, 1
+    ).otherwise(0)
+    per_vec = q.select("label", qsum.alias("s"), ql1.alias("l1"), sat.alias("sat"))
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("s").cast("bigint").alias("q_sum"),
+        F.sum("l1").cast("bigint").alias("q_l1"),
+        F.sum("sat").cast("bigint").alias("n_saturated"),
+    )
