@@ -142,3 +142,49 @@ GROUP BY c_mktsegment
 def exists_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir)
     return spark.sql(_EXISTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Mark join (ExistenceJoin): an IN-subquery under OR cannot be planned as a
+# plain semi-join (rows failing the subquery must survive via the other
+# disjunct), so Catalyst plans ExistenceJoin — the reference's "mark join"
+# (DataFusion's mark-join support is exercised by its subquery suites).
+# Verified by tests/test_explain.py::test_mark_join_plan_shape.
+# ---------------------------------------------------------------------------
+
+_MARK_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+   OR c_acctbal < 0
+GROUP BY c_mktsegment
+"""
+
+
+@query("sql_mark_join", oracle=_MARK_SQL, tags=("sql-entry", "mark-join", "subquery"))
+def mark_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_MARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# LATERAL join: per-nation argmax row via a correlated lateral subquery with
+# ORDER BY ... LIMIT 1 (deterministic: unique (acctbal, custkey) sort key).
+# Catalyst decorrelates this to a window/aggregate plan rather than running
+# the inner query per outer row.
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT n_name, top_cust, top_bal
+FROM nation n, LATERAL (
+  SELECT c_custkey AS top_cust, c_acctbal AS top_bal
+  FROM customer WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 1
+) t
+"""
+
+
+@query("sql_lateral_topn", oracle=_LATERAL_SQL, tags=("sql-entry", "lateral"))
+def lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

@@ -125,3 +125,14 @@ def test_scan_column_pruning(spark):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_orderkey" in read_schema and "l_quantity" in read_schema
     assert "l_extendedprice" not in read_schema
+
+
+def test_mark_join_plan_shape(spark):
+    # IN-subquery under OR must plan as ExistenceJoin (mark join), not a
+    # semi-join — rows failing the subquery survive via the other disjunct.
+    from datafusion_distributed_spark.operators.sqlpath import mark_join
+
+    df = mark_join(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistenceJoin" in plan
+    assert "LeftSemi" not in plan
