@@ -54,3 +54,57 @@ def test_work_unit_feed_partition_fanout(spark):
     )
     assert df.rdd.getNumPartitions() == 4
     assert df.count() == 500
+
+
+def test_compaction_reduces_file_count(spark):
+    """Fragment lineitem into many small files, compact, verify file count
+    shrinks and contents round-trip exactly."""
+    import glob
+    import os
+
+    from datafusion_distributed_spark.sinks import compact_parquet, plan_compaction
+
+    frag = "/root/repo/.scratch/compact_in"
+    out = "/root/repo/.scratch/compact_out"
+    shutil.rmtree(frag, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    li = load_tables(spark, SF_DIR)["lineitem"]
+    li.repartition(40).write.mode("overwrite").parquet(frag)
+    n_in = len(glob.glob(os.path.join(frag, "part-*.parquet")))
+    assert n_in == 40
+
+    n_planned = plan_compaction(frag)  # tiny data -> 1 file at 128 MiB target
+    assert n_planned == 1
+    n_out = compact_parquet(spark, frag, out)
+    assert n_out == 1
+    files = glob.glob(os.path.join(out, "part-*.parquet"))
+    assert len(files) == 1
+
+    a = sorted(map(tuple, spark.read.parquet(frag).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert a == b
+    shutil.rmtree(frag, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_compaction_partitioned_write_one_file_per_dir(spark):
+    import glob
+    import os
+
+    from datafusion_distributed_spark.sinks import compact_parquet
+
+    frag = "/root/repo/.scratch/compact_part_in"
+    out = "/root/repo/.scratch/compact_part_out"
+    shutil.rmtree(frag, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    li = load_tables(spark, SF_DIR)["lineitem"].select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    li.repartition(16).write.mode("overwrite").parquet(frag)
+    compact_parquet(spark, frag, out, partition_by=["l_returnflag"])
+    # repartitioned on the partition column -> exactly 1 file per directory
+    for d in glob.glob(os.path.join(out, "l_returnflag=*")):
+        assert len(glob.glob(os.path.join(d, "part-*.parquet"))) == 1
+    assert spark.read.parquet(out).count() == li.count()
+    shutil.rmtree(frag, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
