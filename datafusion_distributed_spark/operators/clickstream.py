@@ -326,3 +326,145 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("event_type") == F.col("_et"), "left")
         .select("event_type", "n_exact", est.alias("kmv_estimate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON function surface: parse the props JSON column with the engine's JSON
+# path functions (Spark get_json_object / DuckDB json_extract) — the
+# ClickBench-style semi-structured access path, distinct from the regexp
+# fallback above (cb_regexp_props).
+# ---------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("cb_json_props", oracle=_JSON_ORACLE, tags=("json", "clickbench"))
+def cb_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir)["events"]
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.min("k").cast("bigint").alias("k_min"),
+            F.max("k").cast("bigint").alias("k_max"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (heavy hitters): DEPTH x WIDTH int64 counters over
+# user_id, hashed with salted md5 so the sketch is deterministic and the
+# DuckDB oracle rebuilds it bit-for-bit (same portability trick as MinHash/
+# KMV). The counter matrix is mergeable state: partitions build partial
+# counters map-side and one (depth, bucket) hash aggregate combines them —
+# the sketch the reference would express as a PartialReduce pair. Estimates
+# for the top exact users are MIN over depths of their bucket counters
+# (the classic CM upper bound; verified >= exact count by construction).
+# ---------------------------------------------------------------------------
+
+_CM_DEPTH = 4
+_CM_WIDTH = 64
+
+_CM_ORACLE = f"""
+WITH hashed AS (
+  SELECT user_id,
+    {", ".join(f"CAST(('0x' || substring(md5('cm{d}:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % {_CM_WIDTH} AS b{d}" for d in range(_CM_DEPTH))}
+  FROM events
+),
+counters AS (
+  {" UNION ALL ".join(f"SELECT {d} AS depth, b{d} AS bucket, COUNT(*) AS cnt FROM hashed GROUP BY b{d}" for d in range(_CM_DEPTH))}
+),
+exact AS (
+  SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id
+  ORDER BY exact_n DESC, user_id LIMIT 10
+),
+est AS (
+  SELECT e.user_id, e.exact_n,
+    {", ".join(f"(SELECT cnt FROM counters c WHERE c.depth = {d} AND c.bucket = CAST(('0x' || substring(md5('cm{d}:' || CAST(e.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % {_CM_WIDTH}) AS e{d}" for d in range(_CM_DEPTH))}
+  FROM exact e
+)
+SELECT user_id, CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(LEAST({", ".join(f"e{d}" for d in range(_CM_DEPTH))}) AS BIGINT) AS cm_estimate
+FROM est
+"""
+
+
+@query(
+    "cb_countmin_heavy_hitters",
+    oracle=_CM_ORACLE,
+    tags=("sketch", "clickbench"),
+    order_by="exact_n DESC, user_id",
+)
+def cb_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir)["events"]
+
+    def bucket(d: int):
+        salted = F.concat(F.lit(f"cm{d}:"), F.col("user_id").cast("string"))
+        return (
+            F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("bigint")
+            % _CM_WIDTH
+        )
+
+    hashed = ev.select(
+        "user_id", *[bucket(d).alias(f"b{d}") for d in range(_CM_DEPTH)]
+    )
+    # Mergeable counter matrix: one tiny (depth, bucket) aggregate per depth.
+    from functools import reduce
+
+    counters = reduce(
+        DataFrame.unionAll,
+        [
+            hashed.groupBy(F.lit(d).alias("depth"), F.col(f"b{d}").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            for d in range(_CM_DEPTH)
+        ],
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(10)
+    )
+    est = exact
+    for d in range(_CM_DEPTH):
+        cd = counters.filter(F.col("depth") == d).select(
+            F.col("bucket").alias(f"bk{d}"), F.col("cnt").alias(f"e{d}")
+        )
+        est = est.join(
+            F.broadcast(cd),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"cm{d}:"), F.col("user_id").cast("string")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % _CM_WIDTH
+            )
+            == F.col(f"bk{d}"),
+        )
+    return est.select(
+        "user_id",
+        F.col("exact_n").cast("bigint").alias("exact_n"),
+        F.least(*[F.col(f"e{d}") for d in range(_CM_DEPTH)])
+        .cast("bigint")
+        .alias("cm_estimate"),
+    ).orderBy(F.desc("exact_n"), F.asc("user_id"))
