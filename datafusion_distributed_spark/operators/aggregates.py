@@ -138,3 +138,79 @@ def exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         stddev.alias("stddev_qty"),
         corr.alias("corr_qty_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Boolean / bitwise aggregates: bool_and/bool_or, bit_and/bit_or/bit_xor —
+# the remainder of DataFusion's inherited aggregate surface (§2.3). All
+# integer/boolean-exact, so portability is free.
+# ---------------------------------------------------------------------------
+
+_BOOLBIT_ORACLE = """
+SELECT l_returnflag,
+  bool_and(l_quantity < 49) AS all_small,
+  bool_or(l_discount > 0.09) AS any_deep_discount,
+  CAST(bit_and(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_bit_and,
+  CAST(bit_or(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_bit_or,
+  CAST(bit_xor(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_bit_xor
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_bool_bit_ops", oracle=_BOOLBIT_ORACLE, tags=("aggregate",))
+def bool_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir)["lineitem"]
+    q = F.col("l_quantity").cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") < 49).alias("all_small"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.bit_and(q).cast("bigint").alias("qty_bit_and"),
+        F.bit_or(q).cast("bigint").alias("qty_bit_or"),
+        F.bit_xor(q).cast("bigint").alias("qty_bit_xor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date/time scalar-function surface: quarter, month name boundaries,
+# last_day, add_months, datediff — grouped into a calendar rollup.
+# All date arithmetic is integer-exact; outputs are formatted strings/ints.
+# ---------------------------------------------------------------------------
+
+_DATES_ORACLE = """
+SELECT
+  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+  CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS q,
+  COUNT(*) AS n_orders,
+  strftime(MIN(date_trunc('month', o_orderdate)), '%Y-%m-%d') AS first_month_start,
+  strftime(MAX(last_day(o_orderdate)), '%Y-%m-%d') AS last_month_end,
+  CAST(MAX(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS BIGINT) AS max_days_since_95
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@query("fn_date_surface", oracle=_DATES_ORACLE, tags=("functions", "temporal"))
+def date_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir)["orders"]
+    d = F.col("o_orderdate").cast("date")
+    return (
+        orders.select(
+            F.year(d).alias("y"),
+            F.quarter(d).alias("q"),
+            d.alias("d"),
+        )
+        .groupBy("y", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.date_format(F.min(F.trunc("d", "month")), "yyyy-MM-dd").alias(
+                "first_month_start"
+            ),
+            F.date_format(F.max(F.last_day("d")), "yyyy-MM-dd").alias(
+                "last_month_end"
+            ),
+            F.max(F.datediff("d", F.lit("1995-01-01").cast("date")))
+            .cast("bigint")
+            .alias("max_days_since_95"),
+        )
+    )
