@@ -136,3 +136,41 @@ def test_mark_join_plan_shape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ExistenceJoin" in plan
     assert "LeftSemi" not in plan
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Spark's runtime bloom-filter join pruning (the runtime-filtering
+    analogue of the reference's dynamic SamplerExec re-planning): a selective
+    dim-side filter on a non-broadcast join must inject a bloom_filter_agg on
+    the build side and a might_contain probe into the fact scan side."""
+    import pyspark.sql.functions as F
+
+    from datafusion_distributed_spark.tables import load_tables
+
+    tb = load_tables(spark, SF_DIR)
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        # Force a shuffled join (bloom is pointless under broadcast: the
+        # build side already ships whole) and drop the scan-size floor so
+        # bench-scale data qualifies.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        sel = tb["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
+        j = tb["lineitem"].join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
