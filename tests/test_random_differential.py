@@ -106,3 +106,107 @@ def test_random_query_matches_oracle(spark, duck, i):
     compare_to_oracle(
         _spark_query(spark, case), duck, _oracle_sql(case), name=f"rand[{i}]{case}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomized JOIN differential: generated two-table equi-joins (inner/left/
+# semi/anti) between the natural FK pairs, with a random filter on one side
+# and an exact aggregate on top — covers join-type x filter-side x group-key
+# combinations the hand-written battery fixes in place.
+# ---------------------------------------------------------------------------
+
+_N_JOIN_CASES = 15
+
+_JOINS = [
+    # (left, right, left_key, right_key)
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+]
+
+_JOIN_TYPES = ["inner", "left", "semi", "anti"]
+
+
+def _gen_join_case(rng: random.Random):
+    left, right, lk, rk = rng.choice(_JOINS)
+    jt = rng.choice(_JOIN_TYPES)
+    rcols = _TABLES[right]
+    rnum = rng.choice(rcols["num_cols"])
+    threshold = round(rng.uniform(0, 5000), 2)
+    lcols = _TABLES[left]
+    group = rng.choice(lcols["str_cols"])
+    lint = rng.choice(lcols["int_cols"])
+    return {
+        "left": left, "right": right, "lk": lk, "rk": rk, "jt": jt,
+        "rnum": rnum, "threshold": threshold, "group": group, "lint": lint,
+    }
+
+
+_JOIN_CASES = [_gen_join_case(random.Random(7000 + i)) for i in range(_N_JOIN_CASES)]
+
+
+def _spark_join_query(spark, case):
+    tb = load_tables(spark, SF_DIR)
+    left = tb[case["left"]]
+    right = tb[case["right"]].filter(F.col(case["rnum"]) > case["threshold"])
+    if case["jt"] in ("semi", "anti"):
+        joined = left.join(
+            right,
+            left[case["lk"]] == right[case["rk"]],
+            "left_semi" if case["jt"] == "semi" else "left_anti",
+        )
+    else:
+        joined = left.join(
+            right.select(case["rk"]),
+            left[case["lk"]] == F.col(case["rk"]),
+            case["jt"],
+        )
+    return joined.groupBy(case["group"]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(case["lint"]).alias("min_int"),
+        F.max(case["lint"]).alias("max_int"),
+    )
+
+
+def _oracle_join_sql(case):
+    right_f = (
+        f"(SELECT * FROM {case['right']} WHERE {case['rnum']} > {case['threshold']})"
+    )
+    if case["jt"] == "semi":
+        frm = (
+            f"{case['left']} l WHERE EXISTS (SELECT 1 FROM {right_f} r"
+            f" WHERE r.{case['rk']} = l.{case['lk']})"
+        )
+    elif case["jt"] == "anti":
+        frm = (
+            f"{case['left']} l WHERE NOT EXISTS (SELECT 1 FROM {right_f} r"
+            f" WHERE r.{case['rk']} = l.{case['lk']})"
+        )
+    elif case["jt"] == "left":
+        frm = (
+            f"{case['left']} l LEFT JOIN (SELECT {case['rk']} FROM {right_f} rr) r"
+            f" ON r.{case['rk']} = l.{case['lk']}"
+        )
+    else:
+        frm = (
+            f"{case['left']} l JOIN (SELECT {case['rk']} FROM {right_f} rr) r"
+            f" ON r.{case['rk']} = l.{case['lk']}"
+        )
+    return f"""
+SELECT {case['group']}, COUNT(*) AS n,
+       MIN({case['lint']}) AS min_int,
+       MAX({case['lint']}) AS max_int
+FROM {frm}
+GROUP BY {case['group']}
+"""
+
+
+@pytest.mark.parametrize("i", range(_N_JOIN_CASES))
+def test_random_join_matches_oracle(spark, duck, i):
+    case = _JOIN_CASES[i]
+    oracle_views(duck, SF_DIR)
+    compare_to_oracle(
+        _spark_join_query(spark, case),
+        duck,
+        _oracle_join_sql(case),
+        name=f"randjoin[{i}]{case}",
+    )
