@@ -19,6 +19,8 @@ package is organized as:
                    src/explain_analyze.rs, src/stage.rs)
 - ``sources``    — work-unit-feed analogue via the PySpark DataSource API
                    (reference: src/work_unit_feed/)
+- ``sinks``      — write path: sized parquet writes + small-file compaction
+                   (additive; the reference has no write path, SURVEY.md §2.5)
 - ``streaming``  — additive Structured Streaming support (the reference is
                    bounded-only, SURVEY.md §2.4)
 """
