@@ -530,3 +530,40 @@ def unpivot_priority_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.unpivot(
         ["o_orderpriority"], ["n_orders", "cents"], "measure", "value"
     )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window (value-based bounds): per event, how many events the
+# same user produced in the preceding hour (inclusive). RANGE BETWEEN is the
+# one frame kind the round-1 window surface did not touch: Spark plans a
+# RangeFrame in its window exec (BoundedWindowAggExec analogue with
+# value-ordered bounds, reference complexity_memory.rs:73-84), and peers with
+# equal order-values enter the frame together — semantics ROWS cannot
+# express. Ordering key is epoch seconds (integer), portable to DuckDB.
+# ---------------------------------------------------------------------------
+
+_RANGE_FRAME_ORACLE = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS events_last_hour
+FROM (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec FROM events) e
+"""
+
+
+@query("win_range_frame_hour", oracle=_RANGE_FRAME_ORACLE, tags=("window", "range-frame"))
+def win_range_frame_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir)["events"]
+    base = events.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000))
+        .cast("long")
+        .alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
+    return base.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("events_last_hour"),
+    )

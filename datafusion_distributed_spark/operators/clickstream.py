@@ -468,3 +468,34 @@ def cb_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cm_estimate"),
     ).orderBy(F.desc("exact_n"), F.asc("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# ClickBench string-extrema shape: MIN/MAX over a string column alongside
+# COUNT(DISTINCT) per group (ClickBench exercises string min/max and
+# high-cardinality distincts in the same aggregate,
+# /root/reference/testdata/clickbench/queries — SURVEY.md §2.3 "string
+# min/max, COUNT(DISTINCT ...)"). Both engines compare strings by binary
+# codepoint order, so extrema are portable.
+# ---------------------------------------------------------------------------
+
+_STRMINMAX_ORACLE = """
+SELECT event_type,
+       MIN(props) AS min_props,
+       MAX(props) AS max_props,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("cb_string_minmax", oracle=_STRMINMAX_ORACLE, tags=("agg", "string", "clickbench"))
+def cb_string_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir)["events"]
+    return events.groupBy("event_type").agg(
+        F.min("props").alias("min_props"),
+        F.max("props").alias("max_props"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -188,3 +188,157 @@ FROM nation n, LATERAL (
 def lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Per-aggregate FILTER (WHERE ...) clauses: the reference costs each
+# aggregate's filter expression individually
+# (/root/reference/src/distributed_planner/statistics/complexity_cpu.rs:162-165);
+# round 1 only exercised the F.when() rewrite, not the SQL FILTER clause
+# itself. Identical ANSI text runs on both engines.
+# ---------------------------------------------------------------------------
+
+_FILTER_CLAUSE_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_fulfilled,
+       COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'O') AS open_custs,
+       CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                     FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE) / 100.0
+         AS open_revenue
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("sql_agg_filter_clause", oracle=_FILTER_CLAUSE_SQL, tags=("sql-entry", "agg-filter"))
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_FILTER_CLAUSE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# CREATE VIEW entry path: the reference's TPC-H runner executes `create view`
+# scripts before q15 and resolves the view inside the distributed plan
+# (/root/reference/tests/tpch_correctness_test.rs — view-script handling;
+# SURVEY.md §2.3 "views (q15)"). Here the view is created through spark.sql
+# DDL and the consumer query resolves it through the catalog — proving the
+# view expands into the same Catalyst plan as an inlined CTE. The oracle is
+# the single-statement CTE equivalent.
+# ---------------------------------------------------------------------------
+
+_VIEW_DDL = """
+CREATE OR REPLACE TEMPORARY VIEW cust_revenue_v AS
+SELECT o_custkey AS cust,
+       COUNT(*) AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+GROUP BY o_custkey
+"""
+
+_VIEW_CONSUMER_SQL = """
+SELECT cust, n_orders, CAST(cents AS DOUBLE) / 100.0 AS revenue
+FROM cust_revenue_v
+WHERE cents = (SELECT MAX(cents) FROM cust_revenue_v)
+"""
+
+_VIEW_ORACLE = """
+WITH cust_revenue_v AS (
+  SELECT o_custkey AS cust,
+         COUNT(*) AS n_orders,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+  GROUP BY o_custkey
+)
+SELECT cust, n_orders, CAST(cents AS DOUBLE) / 100.0 AS revenue
+FROM cust_revenue_v
+WHERE cents = (SELECT MAX(cents) FROM cust_revenue_v)
+"""
+
+
+@query("sql_view_top_cust", oracle=_VIEW_ORACLE, tags=("sql-entry", "view", "tpch"))
+def view_top_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    spark.sql(_VIEW_DDL)
+    return spark.sql(_VIEW_CONSUMER_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Cumulative-comparison report (TPC-DS q51 shape): running revenue totals of
+# two order-status "channels" full-outer-joined by date, keeping days where
+# the open-channel cumulative overtakes the fulfilled one. Running sums are
+# exact BIGINT cents (order-independent), dates compared as formatted
+# strings. Identical ANSI text on both engines.
+# ---------------------------------------------------------------------------
+
+_CUMULATIVE_SQL = """
+WITH f AS (
+  SELECT o_orderdate AS d, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+  FROM orders WHERE o_orderstatus = 'F'
+    AND o_orderdate >= DATE '1997-06-01' AND o_orderdate < DATE '1997-09-01'
+  GROUP BY o_orderdate
+),
+o AS (
+  SELECT o_orderdate AS d, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+  FROM orders WHERE o_orderstatus = 'O'
+    AND o_orderdate >= DATE '1997-06-01' AND o_orderdate < DATE '1997-09-01'
+  GROUP BY o_orderdate
+),
+fc AS (SELECT d, SUM(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum FROM f),
+oc AS (SELECT d, SUM(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum FROM o)
+SELECT CAST(COALESCE(fc.d, oc.d) AS STRING) AS day,
+       CAST(COALESCE(fc.cum, 0) AS DOUBLE) / 100.0 AS fulfilled_cum,
+       CAST(COALESCE(oc.cum, 0) AS DOUBLE) / 100.0 AS open_cum
+FROM fc FULL OUTER JOIN oc ON fc.d = oc.d
+WHERE COALESCE(oc.cum, 0) > COALESCE(fc.cum, 0)
+"""
+
+
+@query("sql_cumulative_channels", oracle=_CUMULATIVE_SQL, tags=("sql-entry", "tpcds", "window"))
+def cumulative_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_CUMULATIVE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-deviation report (TPC-DS q47 shape): monthly revenue per priority
+# vs the yearly mean over a window partition, with lag/lead month context;
+# keeps months deviating >20% from their year's mean. The mean divides two
+# exact integers in DOUBLE and the deviation ratio is rounded to 6 decimals
+# — both correctly-rounded and portable. Identical ANSI text on both engines.
+# ---------------------------------------------------------------------------
+
+_DEVIATION_SQL = """
+WITH monthly AS (
+  SELECT o_orderpriority AS pri,
+         CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+         CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+  FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01'
+  GROUP BY 1, 2, 3
+),
+v AS (
+  SELECT pri, y, m, c,
+         CAST(SUM(c) OVER (PARTITION BY pri, y) AS DOUBLE)
+           / CAST(COUNT(*) OVER (PARTITION BY pri, y) AS DOUBLE) AS avg_c,
+         LAG(c)  OVER (PARTITION BY pri ORDER BY y, m) AS prev_c,
+         LEAD(c) OVER (PARTITION BY pri ORDER BY y, m) AS next_c
+  FROM monthly
+)
+SELECT pri, y, m,
+       CAST(c AS DOUBLE) / 100.0 AS revenue,
+       ROUND(CAST(c AS DOUBLE) / avg_c, 6) AS ratio_to_year_mean,
+       CAST(COALESCE(prev_c, 0) AS DOUBLE) / 100.0 AS prev_revenue,
+       CAST(COALESCE(next_c, 0) AS DOUBLE) / 100.0 AS next_revenue
+FROM v
+WHERE CAST(c AS DOUBLE) / avg_c > 1.2 OR CAST(c AS DOUBLE) / avg_c < 0.8
+"""
+
+
+@query("sql_monthly_deviation", oracle=_DEVIATION_SQL, tags=("sql-entry", "tpcds", "window"))
+def monthly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_DEVIATION_SQL)
