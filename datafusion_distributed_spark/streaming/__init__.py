@@ -8,6 +8,12 @@ case: the same event sessionization the batch engine computes, expressed as an
 incremental streaming query with watermark-based state cleanup.
 """
 
+from .joins import (
+    batch_distinct_user_types,
+    batch_view_purchase_join,
+    streaming_dedup_user_types,
+    streaming_view_purchase_join,
+)
 from .sessionize import batch_session_counts, streaming_session_counts
 from .stateful import batch_user_totals, streaming_user_totals
 from .windows import (
@@ -18,7 +24,11 @@ from .windows import (
 )
 
 __all__ = [
+    "batch_distinct_user_types",
     "batch_session_counts",
+    "batch_view_purchase_join",
+    "streaming_dedup_user_types",
+    "streaming_view_purchase_join",
     "batch_sliding_counts",
     "batch_tumbling_counts",
     "batch_user_totals",

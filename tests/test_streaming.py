@@ -64,3 +64,49 @@ def test_streaming_sliding_matches_batch(spark):
     b = sorted((r.win_start, r.n_events) for r in batch)
     s = sorted((r.win_start, r.n_events) for r in stream)
     assert s == b
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from datafusion_distributed_spark.streaming import (
+        batch_view_purchase_join,
+        streaming_view_purchase_join,
+    )
+
+    batch = batch_view_purchase_join(spark, SF_DIR).collect()
+    stream = streaming_view_purchase_join(spark, SF_DIR).collect()
+    key = lambda rows: sorted((r.user_id, r.view_id, r.purchase_id) for r in rows)
+    assert len(batch) > 0
+    assert key(stream) == key(batch)
+
+
+def test_streaming_dedup_matches_batch_distinct(spark):
+    from datafusion_distributed_spark.streaming import (
+        batch_distinct_user_types,
+        streaming_dedup_user_types,
+    )
+
+    batch = batch_distinct_user_types(spark, SF_DIR).collect()
+    stream = streaming_dedup_user_types(spark, SF_DIR).collect()
+    key = lambda rows: sorted((r.user_id, r.event_type) for r in rows)
+    assert key(stream) == key(batch)
+
+
+def test_streaming_dedup_within_watermark_bounds(spark):
+    # Bounded-state variant: emits every exact-distinct key at least once
+    # (superset semantics when duplicates recur beyond the watermark), never
+    # more than the raw row count.
+    from datafusion_distributed_spark.streaming import (
+        batch_distinct_user_types,
+        streaming_dedup_user_types,
+    )
+
+    exact = {
+        (r.user_id, r.event_type)
+        for r in batch_distinct_user_types(spark, SF_DIR).collect()
+    }
+    rows = streaming_dedup_user_types(
+        spark, SF_DIR, table_name="stream_dedup_wm", within_watermark=True
+    ).collect()
+    got = {(r.user_id, r.event_type) for r in rows}
+    assert got == exact  # every key appears
+    assert len(rows) >= len(exact)
