@@ -393,11 +393,11 @@ SELECT q_id, neighbor_id, cos_sim FROM ranked WHERE rn <= {_TOP_K}
 _CENTROID_CACHE: dict[tuple[str, str], list[list[float]]] = {}
 
 
-@query("sim_ivf_topk", oracle=_ivf_oracle(), tags=("similarity", "ann", "ivf"))
-def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir)["embeddings"].select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
+def _centroids(spark: SparkSession, emb: DataFrame, sf_dir: str) -> list[list[float]]:
+    """The K seed centroid vectors, collected once per (session, sf_dir).
+
+    K×64 doubles: constant, metadata-scale (a real fit broadcasts this).
+    """
     k0 = _IVF_FIRST_CENTROID
     cache_key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     centroids = _CENTROID_CACHE.get(cache_key)
@@ -406,9 +406,18 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.filter(F.col("vec_id").between(k0, k0 + _IVF_K - 1))
             .orderBy("vec_id")
             .collect()
-        )  # K×64 doubles: constant, metadata-scale (a real fit broadcasts this)
+        )
         centroids = [list(r.e) for r in cent_rows]
         _CENTROID_CACHE[cache_key] = centroids
+    return centroids
+
+
+@query("sim_ivf_topk", oracle=_ivf_oracle(), tags=("similarity", "ann", "ivf"))
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    centroids = _centroids(spark, emb, sf_dir)
     cell = _ivf_cell_expr(centroids)
     corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
         "vec_id", "e", cell.alias("cell")
@@ -514,4 +523,71 @@ def int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s").cast("bigint").alias("q_sum"),
         F.sum("l1").cast("bigint").alias("q_l1"),
         F.sum("sat").cast("bigint").alias("n_saturated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-means training step (one Lloyd iteration): assign every corpus vector to
+# its nearest seed centroid, then recompute each cell's centroid as the
+# per-dimension mean of its members. This is the fit the IVF index comment
+# defers to ("the fit is offline in a real pipeline") made real: iterate
+# this step and the centroids converge. The 100 TB shape: assignment is the
+# same broadcast argmin as sim_ivf_topk (zero shuffles), the explode fans
+# each row into 64 (cell, dim, value) tuples, and the mean is one hash
+# aggregate onto K*64 = 512 groups with map-side partial aggregation — the
+# shuffle carries only 512 rows per task regardless of corpus size.
+# Portability: member values are scaled to exact integers (round(v * 1e6))
+# before summing, so the mean is (exact int sum) / (1e6 * n) — one correctly
+# rounded double division on both engines, immune to summation order.
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_oracle() -> str:
+    k0, k1 = _IVF_FIRST_CENTROID, _IVF_FIRST_CENTROID + _IVF_K - 1
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (SELECT vec_id - {k0} + 1 AS k, e AS ce FROM emb WHERE vec_id BETWEEN {k0} AND {k1}),
+dflat AS (
+  SELECT m.vec_id, c.k, unnest(m.e) AS mv, unnest(c.ce) AS cv
+  FROM emb m CROSS JOIN cent c WHERE m.vec_id >= {_N_QUERIES}
+),
+dists AS (
+  SELECT vec_id, k, ROUND(SUM((mv - cv) * (mv - cv)), 6) AS d
+  FROM dflat GROUP BY vec_id, k
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, k AS cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+member AS (
+  SELECT cl.cell, unnest(m.e) AS val, unnest(generate_series(1, 64)) AS dim
+  FROM cells cl JOIN emb m ON m.vec_id = cl.vec_id
+)
+SELECT CAST(cell AS INTEGER) AS cell, CAST(dim AS INTEGER) AS dim,
+       CAST(SUM(CAST(ROUND(val * 1000000) AS BIGINT)) AS DOUBLE)
+         / (1000000.0 * COUNT(*)) AS mean_val,
+       COUNT(*) AS n_members
+FROM member GROUP BY cell, dim
+"""
+
+
+@query("sim_kmeans_step", oracle=_kmeans_oracle(), tags=("similarity", "ivf", "kmeans"))
+def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    centroids = _centroids(spark, emb, sf_dir)
+    cell = _ivf_cell_expr(centroids)
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
+        cell.cast("int").alias("cell"), "e"
+    )
+    ex = corpus.select("cell", F.posexplode("e").alias("pos", "val"))
+    return ex.groupBy("cell", (F.col("pos") + 1).cast("int").alias("dim")).agg(
+        (
+            F.sum(F.round(F.col("val") * 1000000, 0).cast("long")).cast("double")
+            / (F.lit(1000000.0) * F.count(F.lit(1)))
+        ).alias("mean_val"),
+        F.count(F.lit(1)).alias("n_members"),
     )
