@@ -567,3 +567,52 @@ def win_range_frame_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.count(F.lit(1)).over(w).alias("events_last_hour"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FIRST_VALUE / LAST_VALUE with IGNORE NULLS over a running frame: carry the
+# most recent fulfilled order's price forward across each customer's order
+# history (NULL-gap fill — the standard "last observation carried forward"
+# shape). IGNORE NULLS changes the window function's null semantics, a
+# distinct code path from the plain first/last aggregates; DuckDB shares the
+# ANSI `IGNORE NULLS` modifier so the oracle is direct.
+# ---------------------------------------------------------------------------
+
+_IGNORE_NULLS_ORACLE = """
+SELECT o_custkey, o_orderkey,
+  CAST(COALESCE(FIRST_VALUE(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END IGNORE NULLS)
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING), -1) AS BIGINT) AS first_f_orderkey,
+  CAST(COALESCE(LAST_VALUE(CASE WHEN o_orderstatus = 'F'
+                       THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END IGNORE NULLS)
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING), -100) AS DOUBLE) / 100.0 AS last_f_price
+FROM orders
+"""
+
+
+@query("win_ignore_nulls_carry", oracle=_IGNORE_NULLS_ORACLE, tags=("window", "ignore-nulls"))
+def win_ignore_nulls_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir)["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f_key = F.when(F.col("o_orderstatus") == "F", F.col("o_orderkey"))
+    f_cents = F.when(
+        F.col("o_orderstatus") == "F",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long"),
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.coalesce(F.first(f_key, ignorenulls=True).over(w), F.lit(-1))
+        .cast("bigint")
+        .alias("first_f_orderkey"),
+        (
+            F.coalesce(F.last(f_cents, ignorenulls=True).over(w), F.lit(-100))
+            .cast("double")
+            / 100.0
+        ).alias("last_f_price"),
+    )

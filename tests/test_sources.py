@@ -1,0 +1,76 @@
+"""Source-format breadth: the engine reads more than parquet. Each format
+round-trips the customer table (write → read-back with explicit schema →
+exact row-set equality vs the parquet original), proving the scan/schema
+path works per format. The reference scans parquet only
+(/root/reference/src/events/defaults/file_scan_config.rs:13-34); CSV/JSON/ORC
+are Spark-native additive scope — on a cluster each format splits and
+parallelizes exactly like the parquet scans the oracle battery exercises."""
+
+from __future__ import annotations
+
+import shutil
+
+import pyspark.sql.functions as F
+
+from datafusion_distributed_spark.tables import load_tables
+
+from .conftest import SF_DIR
+
+_SCRATCH = "/root/repo/.scratch/source_roundtrip"
+
+
+def _customer(spark):
+    # c_acctbal is double: compare as exact cents so text formats (CSV/JSON
+    # print-then-parse) cannot introduce float drift.
+    return load_tables(spark, SF_DIR)["customer"].select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _roundtrip(spark, fmt: str, path: str, **read_opts):
+    src = _customer(spark)
+    shutil.rmtree(path, ignore_errors=True)
+    src.write.mode("overwrite").format(fmt).options(**read_opts).save(path)
+    back = (
+        spark.read.format(fmt)
+        .options(**read_opts)
+        .schema(src.schema)  # explicit schema: no inference pass over the data
+        .load(path)
+    )
+    assert _rows(back) == _rows(src)
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_csv_roundtrip(spark):
+    _roundtrip(spark, "csv", f"{_SCRATCH}/csv", header="true")
+
+
+def test_json_roundtrip(spark):
+    _roundtrip(spark, "json", f"{_SCRATCH}/json")
+
+
+def test_orc_roundtrip(spark):
+    _roundtrip(spark, "orc", f"{_SCRATCH}/orc")
+
+
+def test_csv_scan_pushes_filter(spark):
+    # Filters still reach the CSV scan (PushedFilters) even though CSV cannot
+    # skip row groups — proves the source participates in pushdown planning.
+    src = _customer(spark)
+    path = f"{_SCRATCH}/csv_push"
+    shutil.rmtree(path, ignore_errors=True)
+    src.write.mode("overwrite").option("header", "true").csv(path)
+    back = spark.read.option("header", "true").schema(src.schema).csv(path)
+    q = back.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "c_mktsegment" in plan
+    assert q.count() == src.filter(F.col("c_mktsegment") == "BUILDING").count()
+    shutil.rmtree(path, ignore_errors=True)
