@@ -499,3 +499,96 @@ def cb_string_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel analysis: how many users progress view -> click -> purchase
+# in strict event-time order. Per (user, stage) the earliest timestamp is one
+# hash aggregate (map-side combined); the strictly-increasing comparison is a
+# per-row predicate on the pivoted row — no self-joins, no window over the
+# raw stream, so at 100 TB the shuffle carries one row per user, not one per
+# event. Timestamps compare in epoch micros (portable; see cb_sessionize).
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH stage AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT
+  COUNT(*) AS n_users,
+  COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_viewed,
+  COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 END) AS n_clicked_after,
+  COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+        THEN 1 END) AS n_purchased_after
+FROM stage
+"""
+
+
+@query("cb_funnel_counts", oracle=_FUNNEL_ORACLE, tags=("funnel", "clickbench"))
+def cb_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir)["events"]
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    stage = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", us)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return stage.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(viewed, 1)).alias("n_viewed"),
+        F.count(F.when(clicked, 1)).alias("n_clicked_after"),
+        F.count(F.when(purchased, 1)).alias("n_purchased_after"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap-fill (time-series densification): daily purchase revenue with
+# missing days materialized as zero rows. The day spine is generated, not
+# scanned — Spark's sequence() explodes one row per day from a 1-row
+# aggregate (min/max bounds), DuckDB's generate_series does the same — then
+# a left join pulls in the sparse per-day aggregate. At 100 TB the spine is
+# O(days), metadata-sized next to the fact aggregate, and broadcasts.
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY CAST(ts AS DATE)
+),
+bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+spine AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+)
+SELECT CAST(s.d AS STRING) AS day,
+       CAST(COALESCE(dd.cents, 0) AS DOUBLE) / 100.0 AS revenue,
+       CASE WHEN dd.d IS NULL THEN 1 ELSE 0 END AS filled
+FROM spine s LEFT JOIN daily dd ON dd.d = s.d
+"""
+
+
+@query("cb_calendar_gapfill", oracle=_GAPFILL_ORACLE, tags=("gapfill", "time-series"))
+def cb_calendar_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir)["events"]
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("timestamp").cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    )
+    spine = (
+        daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(F.explode(F.sequence("d0", "d1")).alias("d"))
+    )
+    return spine.join(F.broadcast(daily), "d", "left").select(
+        F.col("d").cast("string").alias("day"),
+        (F.coalesce(F.col("cents"), F.lit(0)).cast("double") / 100.0).alias("revenue"),
+        F.when(F.col("cents").isNull(), 1).otherwise(0).alias("filled"),
+    )
