@@ -24,7 +24,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType, StringType
+from pyspark.sql.types import DoubleType, LongType, StringType
 
 from ._util import C, t, unscale
 from .registry import query
@@ -99,4 +99,43 @@ def udf_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate pandas UDF (UDAF): a user-defined aggregate running
+# per-group in Python over Arrow batches. The reference has no UDAF test
+# (SURVEY.md §2.3: DataFusion supports them, the reference adds nothing), so
+# this completes the UDF story beyond parity: Catalyst plans
+# AggregateInPandas — shuffle on the group key, then the whole group's
+# column is handed to the UDF as one pandas Series. Median is deliberately
+# chosen as a UDAF that Spark has no builtin exact equivalent for
+# (percentile_approx is approximate) yet DuckDB computes exactly: pandas
+# interpolates even-sized groups as (a+b)/2 on exact integer cents, DuckDB's
+# MEDIAN over BIGINT does the same — bit-identical doubles.
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(DoubleType())
+def median_cents(cents: pd.Series) -> float:
+    return float(cents.median())
+
+
+_UDAF_MEDIAN_ORACLE = """
+SELECT o_orderpriority,
+       CAST(MEDIAN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS median_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("udaf_median_price", oracle=_UDAF_MEDIAN_ORACLE, tags=("udf", "udaf", "pandas-udf"))
+def udaf_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir)["orders"]
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        orders.select("o_orderpriority", cents.alias("_cb"))
+        .groupBy("o_orderpriority")
+        .agg((median_cents("_cb") / 100.0).alias("median_price"))
     )
