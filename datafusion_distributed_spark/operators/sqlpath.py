@@ -342,3 +342,47 @@ WHERE CAST(c AS DOUBLE) / avg_c > 1.2 OR CAST(c AS DOUBLE) / avg_c < 0.8
 def monthly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir)
     return spark.sql(_DEVIATION_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Best/worst ranking report (TPC-DS q44 shape): the same per-customer
+# aggregate ranked ascending AND descending, the two rankings equi-joined on
+# rank position — two window passes over one shared aggregate, then a
+# position join. Ranks are deterministic: the order key is (exact cents,
+# custkey). Identical ANSI text on both engines.
+# ---------------------------------------------------------------------------
+
+_BEST_WORST_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+),
+best AS (
+  SELECT o_custkey, cents,
+         ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rnk
+  FROM per_cust
+),
+worst AS (
+  SELECT o_custkey, cents,
+         ROW_NUMBER() OVER (ORDER BY cents ASC, o_custkey) AS rnk
+  FROM per_cust
+)
+SELECT b.rnk AS rnk,
+       b.o_custkey AS best_cust,
+       CAST(b.cents AS DOUBLE) / 100.0 AS best_revenue,
+       w.o_custkey AS worst_cust,
+       CAST(w.cents AS DOUBLE) / 100.0 AS worst_revenue
+FROM best b JOIN worst w ON b.rnk = w.rnk
+WHERE b.rnk <= 10
+"""
+
+
+@query(
+    "sql_best_worst_rank",
+    oracle=_BEST_WORST_SQL,
+    tags=("sql-entry", "tpcds", "window"),
+    order_by="rnk",
+)
+def best_worst_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_BEST_WORST_SQL)
