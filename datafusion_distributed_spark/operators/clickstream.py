@@ -592,3 +592,43 @@ def cb_calendar_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.col("cents"), F.lit(0)).cast("double") / 100.0).alias("revenue"),
         F.when(F.col("cents").isNull(), 1).otherwise(0).alias("filled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiple DISTINCT aggregates over different columns in ONE aggregate
+# (ClickBench shape): Catalyst plans this with Expand — the input is
+# replicated once per distinct group with nulled-out other columns, then a
+# two-level aggregate dedups each. A distinct operator stress the
+# single-distinct queries (cb_distinct_users_per_type, tpch_q16) never hit.
+# At 100 TB the Expand multiplies shuffle input by the number of distinct
+# clauses — the query is the documented cost of exactness (the KMV sketch
+# query is the approximate alternative).
+# ---------------------------------------------------------------------------
+
+_MULTI_DISTINCT_ORACLE = """
+SELECT CAST(ts AS DATE) AS day,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT event_type) AS n_types,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY CAST(ts AS DATE)
+"""
+
+_MULTI_DISTINCT_SPARK_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT event_type) AS n_types,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY CAST(ts AS DATE)
+"""
+
+
+@query("cb_multi_distinct", oracle=_MULTI_DISTINCT_ORACLE, tags=("distinct", "clickbench"))
+def cb_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    out = spark.sql(_MULTI_DISTINCT_SPARK_SQL)
+    # DATE -> formatted string for the comparator (temporal convention)
+    return out.select(
+        F.col("day").cast("string").alias("day"), "n_users", "n_types", "n_events"
+    )
