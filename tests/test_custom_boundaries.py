@@ -95,3 +95,56 @@ def test_range_boundary_feeds_sort(aqe_off):
     plan = _plan(df)
     assert plan.count("Exchange rangepartitioning") == 1
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Runtime partition pruning: a selective filter on the dim side of a
+    join prunes partitions of the fact scan at execution time (the Spark
+    analogue of the reference's runtime DynamicFilter pushdown,
+    /root/reference/docs + SURVEY.md §4.1 "dynamic filters")."""
+    import shutil
+
+    from datafusion_distributed_spark.tables import load_tables
+
+    path = str(tmp_path / "orders_part")
+    orders = load_tables(spark, SF_DIR)["orders"]
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    fact = spark.read.parquet(path)
+    # the dim filter is on an attribute INDEPENDENT of the join key — a
+    # static rewrite cannot push it, only a runtime subquery filter can
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3),
+         ("4-NOT SPECIFIED", 4), ("5-LOW", 5)],
+        ["o_orderpriority", "code"],
+    ).filter(F.col("code") == 1)
+    joined = fact.join(dim, "o_orderpriority")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
+    assert (
+        joined.count()
+        == orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    )
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_observe_metrics(spark):
+    """df.observe() attaches named metrics evaluated during execution — the
+    engine-native per-query metric channel next to the per-stage SQLMetrics
+    EXPLAIN ANALYZE exposes (reference user-guide/05-metrics.md)."""
+    from pyspark.sql import Observation
+
+    from datafusion_distributed_spark.tables import load_tables
+
+    orders = load_tables(spark, SF_DIR)["orders"]
+    obs = Observation("orders_scan")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents"),
+    )
+    n = observed.count()
+    assert obs.get["rows_seen"] == n
+    exact = orders.agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+    ).collect()[0][0]
+    assert obs.get["cents"] == exact
