@@ -591,3 +591,52 @@ def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_val"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions as first-class surface: filter / exists /
+# forall lambdas over the embedding vectors, aggregated per label. All three
+# run inside whole-stage codegen (no UDF, no explode — the array never
+# leaves the row), so at 100 TB this is scan-speed per-row algebra like
+# sim_int8_quantize. DuckDB expresses the same predicates through
+# list_filter + len comparisons, which is semantically identical to
+# exists/forall on finite lists.
+# ---------------------------------------------------------------------------
+
+_HOF_ORACLE = """
+WITH e AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+per AS (
+  SELECT label,
+         len(list_filter(v, x -> x > 0)) AS n_pos,
+         CASE WHEN len(list_filter(v, x -> x > 0.25)) > 0 THEN 1 ELSE 0 END AS has_big,
+         CASE WHEN len(list_filter(v, x -> abs(x) >= 0.9)) = 0 THEN 1 ELSE 0 END AS all_small
+  FROM e
+)
+SELECT label,
+       CAST(SUM(n_pos) AS BIGINT) AS total_pos_dims,
+       CAST(SUM(has_big) AS BIGINT) AS n_with_big,
+       CAST(SUM(all_small) AS BIGINT) AS n_all_small,
+       COUNT(*) AS n_vecs
+FROM per GROUP BY label
+"""
+
+
+@query("sim_hof_label_stats", oracle=_HOF_ORACLE, tags=("similarity", "higher-order"))
+def hof_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir)["embeddings"].select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    per = emb.select(
+        "label",
+        F.expr("size(filter(v, x -> x > 0D))").alias("n_pos"),
+        F.expr("CASE WHEN exists(v, x -> x > 0.25D) THEN 1 ELSE 0 END").alias("has_big"),
+        F.expr("CASE WHEN forall(v, x -> abs(x) < 0.9D) THEN 1 ELSE 0 END").alias("all_small"),
+    )
+    return per.groupBy("label").agg(
+        F.sum("n_pos").cast("bigint").alias("total_pos_dims"),
+        F.sum("has_big").cast("bigint").alias("n_with_big"),
+        F.sum("all_small").cast("bigint").alias("n_all_small"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )

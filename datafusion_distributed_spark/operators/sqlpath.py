@@ -386,3 +386,30 @@ WHERE b.rnk <= 10
 def best_worst_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir)
     return spark.sql(_BEST_WORST_SQL)
+
+
+# ---------------------------------------------------------------------------
+# WITH RECURSIVE (Spark 4 recursive CTE): customers form an implicit binary
+# tree (parent(k) = floor(k/2)); the recursion walks it breadth-first from
+# the root and the outer query histograms node depth. Each recursion step is
+# a distributed join of the frontier against the customer scan — the
+# iterative-algorithm surface dd_dup_clusters drives through the DataFrame
+# API, here through the declarative SQL entry point (DuckDB's recursive CTE
+# executes identically; dd_dup_clusters' oracle already relies on it).
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE tree(k, depth) AS (
+  SELECT CAST(1 AS BIGINT) AS k, 0 AS depth
+  UNION ALL
+  SELECT c.c_custkey AS k, t.depth + 1 AS depth
+  FROM customer c JOIN tree t ON CAST(FLOOR(c.c_custkey / 2.0) AS BIGINT) = t.k
+)
+SELECT depth, COUNT(*) AS n_nodes FROM tree GROUP BY depth
+"""
+
+
+@query("sql_recursive_tree_depth", oracle=_RECURSIVE_SQL, tags=("sql-entry", "recursive-cte"))
+def recursive_tree_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
