@@ -1,0 +1,84 @@
+"""End-to-end corpus-cleaning pipeline as ONE composed DataFrame chain.
+
+The individual training-data operators (dedup.py, textstats.py, sampling.py)
+each verify in isolation; this module proves they COMPOSE — the way a real
+100 TB pipeline runs them — without materialization barriers between stages:
+
+  exact dedup (keep lowest doc_id per content hash)
+    → quality filter (length + token-count bounds)
+      → deterministic 50% hash sample
+        → per-(lang, source) corpus statistics
+
+Catalyst fuses the filter/sample predicates into the post-window projection,
+so the whole pipeline is: one scan → one hash-partition window (the dedup) →
+narrow predicates → one partial/final aggregate. Two shuffles total at any
+scale; the filters and the sample never shuffle anything.
+
+Conventions shared with the component operators (oracle-proven there):
+token split `split(trim(lower(text)), ' +')` == DuckDB
+`string_split_regex`, md5-u32 deterministic sampling (sampling.py), exact
+integer sums with one final double division.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ._util import dbl, t
+from .registry import query
+from .sampling import _u32_spark, _u32_sql
+
+_PIPE_SALT = "pipe:"
+_HALF_SPAN = 1 << 31  # keep iff u32 < 2^31: exactly a 50% deterministic sample
+
+_PIPE_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, lang, source, n_chars, text, md5(text) AS ch FROM documents
+),
+dedup AS (
+  SELECT doc_id, lang, source, n_chars, text FROM (
+    SELECT h.*, ROW_NUMBER() OVER (PARTITION BY ch ORDER BY doc_id) AS rn FROM h
+  ) d WHERE rn = 1
+),
+quality AS (
+  SELECT doc_id, lang, source, n_chars,
+         len(string_split_regex(trim(lower(text)), ' +')) AS n_tokens
+  FROM dedup
+  WHERE n_chars BETWEEN 50 AND 5000
+    AND len(string_split_regex(trim(lower(text)), ' +')) >= 10
+),
+sampled AS (
+  SELECT * FROM quality
+  WHERE {_u32_sql("'" + _PIPE_SALT + "' || CAST(doc_id AS VARCHAR)")} < {_HALF_SPAN}
+)
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM sampled GROUP BY lang, source
+"""
+
+
+@query("pipe_corpus_clean", oracle=_PIPE_ORACLE, tags=("pipeline", "dedup", "sampling"))
+def pipe_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        docs.select("doc_id", "lang", "source", "n_chars", "text")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    n_tokens = F.size(F.split(F.trim(F.lower(F.col("text"))), " +"))
+    quality = deduped.select(
+        "doc_id", "lang", "source", "n_chars", n_tokens.alias("n_tokens")
+    ).filter(
+        F.col("n_chars").between(50, 5000) & (F.col("n_tokens") >= 10)
+    )
+    u32 = _u32_spark(F.concat(F.lit(_PIPE_SALT), F.col("doc_id").cast("string")))
+    sampled = quality.filter(u32 < F.lit(_HALF_SPAN))
+    return sampled.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        (dbl(F.sum("n_chars")) / F.count(F.lit(1))).alias("avg_chars"),
+    )

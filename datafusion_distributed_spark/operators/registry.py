@@ -132,6 +132,7 @@ def _ensure_loaded() -> None:
         dedup,
         feeds,
         multimodal,
+        pipeline,
         relational,
         sampling,
         similarity,
