@@ -70,17 +70,24 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = F.count(F.lit(1))
     sum_qty = F.sum(qty_i())
     sum_price = F.sum(cents("l_extendedprice"))
+    # sum_charge = sum(rev_i * (100 + tax_cents)) at scale 1e6 — split into
+    # two int64 sums so the hot per-row path stays whole-stage-codegen long
+    # arithmetic (a per-row DECIMAL(38,0) agg cost ~1.7x on q1):
+    #   sum_rev   = sum(rev_i)              : rev_i <= ~1.1e9/row; 6e6 rows/SF
+    #               -> ~6.6e15/SF, int64-safe past SF1000.
+    #   sum_cross = sum(rev_i * tax_cents)  : tax_cents <= 8 -> <= ~8.8e9/row
+    #               -> ~5.3e16/SF, int64-safe past SF150.
+    # The exact recombination 100*sum_rev + sum_cross is done POST-aggregation
+    # in DECIMAL(38,0) (4 output rows, exact to 1e38 — matches DuckDB's
+    # SUM(BIGINT)->HUGEINT), so the 128-bit arithmetic never touches row scale.
+    sum_rev = F.sum(revenue_i())
+    sum_cross = F.sum(revenue_i() * cents("l_tax"))
+    charge_exact = sum_rev.cast("decimal(38,0)") * 100 + sum_cross.cast("decimal(38,0)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dbl(sum_qty).alias("sum_qty"),
         unscale(sum_price, 100).alias("sum_base_price"),
-        unscale(F.sum(revenue_i()), REVENUE_SCALE).alias("sum_disc_price"),
-        # sum_charge terms are scale-1e6 (~1e11/row): int64 group sums would
-        # wrap silently near SF50, so this one aggregate is widened to
-        # DECIMAL(38,0) (exact to 1e38; DuckDB's SUM(BIGINT)->HUGEINT matches).
-        unscale(
-            F.sum((revenue_i() * (F.lit(100) + cents("l_tax"))).cast("decimal(38,0)")),
-            1_000_000,
-        ).alias("sum_charge"),
+        unscale(sum_rev, REVENUE_SCALE).alias("sum_disc_price"),
+        unscale(charge_exact, 1_000_000).alias("sum_charge"),
         (dbl(sum_qty) / cnt).alias("avg_qty"),
         (unscale(sum_price, 100) / cnt).alias("avg_price"),
         (unscale(F.sum(cents("l_discount")), 100) / cnt).alias("avg_disc"),

@@ -5,7 +5,8 @@ Catches scale-dependent divergence (overflow, tie-breaking, sampling drift)
 that the driver's sf0.01 gate can't see. Mirrors the driver comparison:
 columns sorted by name, canonicalized values, multiset equality.
 
-Usage: python tools/validate.py            # sf0.1
+Usage: python tools/validate.py            # sf0.1, all queries
+       python tools/validate.py tpch_q1 dd_  # only names matching a prefix
        SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/validate.py
 """
 import math
@@ -42,6 +43,10 @@ def main():
             f"SELECT * FROM read_parquet('{SF_DIR}/{name}.parquet')"
         )
     qs = entry.queries()
+    prefixes = sys.argv[1:]
+    if prefixes:
+        qs = {n: f for n, f in qs.items()
+              if any(n.startswith(p) for p in prefixes)}
     osql = entry.oracle_sql()
     bad = []
     for i, (name, fn) in enumerate(sorted(qs.items())):
