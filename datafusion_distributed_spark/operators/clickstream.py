@@ -587,10 +587,14 @@ def cb_calendar_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
         .select(F.explode(F.sequence("d0", "d1")).alias("d"))
     )
-    return spine.join(F.broadcast(daily), "d", "left").select(
+    # `filled` marks days absent from `daily` — test the JOINED date's
+    # nullity (same signal as the oracle's `dd.d IS NULL`), not `cents`:
+    # a day whose SUM is NULL (all values NULL) is present, not filled.
+    dd = daily.select(F.col("d").alias("dd_d"), "cents")
+    return spine.join(F.broadcast(dd), spine["d"] == dd["dd_d"], "left").select(
         F.col("d").cast("string").alias("day"),
         (F.coalesce(F.col("cents"), F.lit(0)).cast("double") / 100.0).alias("revenue"),
-        F.when(F.col("cents").isNull(), 1).otherwise(0).alias("filled"),
+        F.when(F.col("dd_d").isNull(), 1).otherwise(0).alias("filled"),
     )
 
 

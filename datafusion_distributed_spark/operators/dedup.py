@@ -491,6 +491,15 @@ def connected_components(edges: DataFrame) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # Diameter > _CC_MAX_ITERS (a long near-dup chain at scale): labels
+        # are NOT a fixpoint — returning them silently would mislabel
+        # clusters, so fail loudly and let the caller raise the cap.
+        raise RuntimeError(
+            f"connected_components: min-label propagation did not converge "
+            f"within {_CC_MAX_ITERS} iterations (pair graph diameter exceeds "
+            f"the cap); raise _CC_MAX_ITERS for this graph"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )

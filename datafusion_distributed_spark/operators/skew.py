@@ -36,7 +36,19 @@ def salted_join(
     The left salt is derived from a per-row hash (cheap, deterministic per
     row content, uniform); the right side is exploded once per salt value —
     replication cost is n_salts × |right|, so use this when right is the
-    smaller relation and too big (or the key too hot) to broadcast."""
+    smaller relation and too big (or the key too hot) to broadcast.
+
+    Only joins where the REPLICATED (right) side never emits unmatched rows
+    are result-identical under salting: for right/full outer joins each
+    unmatched right row would surface once per salt value (n_salts duplicate
+    null-extended rows), so those are rejected."""
+    safe = {"inner", "left", "leftouter", "left_outer",
+            "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower() not in safe:
+        raise ValueError(
+            f"salted_join: how={how!r} is not salt-safe (the replicated right "
+            f"side would emit unmatched rows once per salt); use one of {sorted(safe)}"
+        )
     salt = F.pmod(F.hash(*left.columns), F.lit(n_salts)).alias("_salt")
     left_s = left.withColumn("_salt", salt)
     right_s = right.withColumn(

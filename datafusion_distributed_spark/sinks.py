@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import math
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from .plans.costing import input_bytes
@@ -40,16 +41,28 @@ def compact_parquet(
     target file count EXCEEDS the current scan parallelism, in which case a
     ``repartition`` is required to fan out. Returns the planned file count.
 
-    With ``partition_by``, files are sized per partition directory by
-    repartitioning on the partition columns first (each output task then
-    writes one file per directory it owns instead of one per directory per
-    task — the classic partitioned-write file explosion).
+    With ``partition_by``, files are sized per partition directory via
+    ``repartitionByRange`` on (partition columns, deterministic row salt):
+    range bounds are SAMPLED from the data, so each directory receives a
+    number of output tasks proportional to its row share of ``n_files`` —
+    a directory bigger than one target file spans multiple contiguous
+    ranges (multiple files), while many small directories pack into one
+    task (still one file each, since a task writes one file per directory
+    it owns).  A plain ``repartition(n, *partition_by)`` would hash ONLY on
+    the partition columns, collapsing every directory to a single task and
+    producing one arbitrarily-large file per directory.
     """
     df: DataFrame = spark.read.parquet(in_path)
     n_files = plan_compaction(in_path, target_file_bytes)
     if partition_by:
+        # Deterministic salt (hash of the full row) — rand() would re-draw
+        # on task retry and range-partitioning over a non-deterministic
+        # column can duplicate/drop rows under retries.
+        salt = F.pmod(F.hash(*df.columns), F.lit(1 << 20)).alias("_file_salt")
         writer = (
-            df.repartition(n_files, *partition_by)
+            df.withColumn("_file_salt", salt)
+            .repartitionByRange(n_files, *partition_by, "_file_salt")
+            .drop("_file_salt")
             .write.mode("overwrite")
             .partitionBy(*partition_by)
         )

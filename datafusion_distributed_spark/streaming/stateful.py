@@ -19,6 +19,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -48,6 +49,15 @@ _OUTPUT_SCHEMA = StructType(
 )
 
 
+def _cents_half_up(values: pd.Series) -> int:
+    """Sum of exact integer cents, rounded HALF_UP (away from zero) exactly
+    like the batch path's F.round — pandas' Series.round is banker's
+    (half-to-even), which diverges whenever value*100 lands exactly on .5
+    (e.g. 0.125 → 13 cents HALF_UP, 12 under banker's)."""
+    v = values.fillna(0.0).to_numpy(dtype="float64")
+    return int(np.sum(np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)))
+
+
 def _update_user_state(
     key: tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
@@ -59,7 +69,7 @@ def _update_user_state(
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        cents += int(pdf["value"].fillna(0.0).mul(100).round().sum())
+        cents += _cents_half_up(pdf["value"])
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}

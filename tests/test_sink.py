@@ -87,7 +87,12 @@ def test_compaction_reduces_file_count(spark):
     shutil.rmtree(out, ignore_errors=True)
 
 
-def test_compaction_partitioned_write_one_file_per_dir(spark):
+def test_compaction_partitioned_write_sizes_directories(spark):
+    """Partitioned compaction must SIZE files per directory: with a large
+    target each directory packs to one file; with a target smaller than a
+    directory's bytes, that directory must split into multiple files (range
+    partitioning on (partition cols, salt) — a hash on the partition column
+    alone would pin every directory to one arbitrarily-large file)."""
     import glob
     import os
 
@@ -101,10 +106,28 @@ def test_compaction_partitioned_write_one_file_per_dir(spark):
         "l_orderkey", "l_quantity", "l_returnflag"
     )
     li.repartition(16).write.mode("overwrite").parquet(frag)
+
+    # Large target -> n_files=1 -> one file per directory.
     compact_parquet(spark, frag, out, partition_by=["l_returnflag"])
-    # repartitioned on the partition column -> exactly 1 file per directory
     for d in glob.glob(os.path.join(out, "l_returnflag=*")):
         assert len(glob.glob(os.path.join(d, "part-*.parquet"))) == 1
     assert spark.read.parquet(out).count() == li.count()
+
+    # Tiny target (16 KiB) -> n_files >> n_dirs -> the biggest directory
+    # must hold MULTIPLE sized files, and contents still round-trip.
+    shutil.rmtree(out, ignore_errors=True)
+    n_files = compact_parquet(
+        spark, frag, out, target_file_bytes=16 * 1024,
+        partition_by=["l_returnflag"],
+    )
+    assert n_files > 3
+    per_dir = [
+        len(glob.glob(os.path.join(d, "part-*.parquet")))
+        for d in glob.glob(os.path.join(out, "l_returnflag=*"))
+    ]
+    assert max(per_dir) > 1, f"no directory split into sized files: {per_dir}"
+    a = sorted(map(tuple, spark.read.parquet(frag).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert a == b
     shutil.rmtree(frag, ignore_errors=True)
     shutil.rmtree(out, ignore_errors=True)

@@ -39,3 +39,27 @@ def test_salted_join_left_outer(spark):
     assert sorted(map(tuple, salted.collect()), key=str) == sorted(
         map(tuple, plain.collect()), key=str
     )
+
+
+def test_salted_join_rejects_unsafe_how(spark):
+    """Right/full outer joins are NOT salt-safe: an unmatched right row is
+    replicated once per salt value and would surface n_salts times."""
+    import pytest
+
+    left, right = _skewed(spark)
+    for how in ("right", "full", "right_outer", "full_outer", "cross"):
+        with pytest.raises(ValueError, match="not salt-safe"):
+            salted_join(left, right, "k", n_salts=8, how=how)
+
+
+def test_salted_join_semi_anti(spark):
+    left, right = _skewed(spark)
+    right2 = right.filter(F.col("k") != 7)
+    for how in ("left_semi", "left_anti"):
+        plain = left.join(right2, "k", how).select("k", "left_id")
+        salted = salted_join(left, right2, "k", n_salts=8, how=how).select(
+            "k", "left_id"
+        )
+        assert sorted(map(tuple, salted.collect())) == sorted(
+            map(tuple, plain.collect())
+        )

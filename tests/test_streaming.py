@@ -110,3 +110,17 @@ def test_streaming_dedup_within_watermark_bounds(spark):
     got = {(r.user_id, r.event_type) for r in rows}
     assert got == exact  # every key appears
     assert len(rows) >= len(exact)
+
+
+def test_cents_quantization_matches_batch_round():
+    """The stateful fold's cent quantization must be HALF_UP (F.round
+    semantics), not pandas banker's rounding: 0.125*100 = 12.5 exactly
+    -> 13 cents (banker's would give 12)."""
+    import pandas as pd
+
+    from datafusion_distributed_spark.streaming.stateful import _cents_half_up
+
+    assert _cents_half_up(pd.Series([0.125])) == 13
+    assert _cents_half_up(pd.Series([0.135])) == 14  # banker's agrees here
+    assert _cents_half_up(pd.Series([-0.125])) == -13  # away from zero
+    assert _cents_half_up(pd.Series([1.0, None, 2.345])) == 100 + 235
