@@ -398,6 +398,122 @@ def best_worst_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # executes identically; dd_dup_clusters' oracle already relies on it).
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Window-over-rollup (TPC-DS q36/q70/q86 shape,
+# /root/reference/testdata/tpcds/queries/q36.sql): revenue rolled up over
+# (mktsegment, priority), then RANK() computed WITHIN each grouping level —
+# the window partitions on GROUPING() outputs and a CASE-guarded key, so the
+# rank restarts per hierarchy parent. Exercises window functions consuming
+# Expand/rollup output (grouping_id columns resolved inside a window spec).
+# Rank is deterministic: ties on the exact integer sum share a rank in both
+# engines. Identical ANSI text on Spark and DuckDB.
+# ---------------------------------------------------------------------------
+
+_RANK_ROLLUP_SQL = """
+WITH base AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+)
+SELECT COALESCE(seg, 'ALL') AS seg, COALESCE(pri, 'ALL') AS pri,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue,
+       CAST(GROUPING(seg) + GROUPING(pri) AS INTEGER) AS lochierarchy,
+       CAST(RANK() OVER (
+         PARTITION BY GROUPING(seg) + GROUPING(pri),
+                      CASE WHEN GROUPING(pri) = 0 THEN seg END
+         ORDER BY SUM(cents) DESC) AS INTEGER) AS rank_within_parent
+FROM base
+GROUP BY ROLLUP(seg, pri)
+"""
+
+
+@query(
+    "sql_rank_rollup",
+    oracle=_RANK_ROLLUP_SQL,
+    tags=("sql-entry", "tpcds", "rollup", "window"),
+)
+def rank_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_RANK_ROLLUP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# EXCEPT-driven cohort (TPC-DS q87 shape,
+# /root/reference/testdata/tpcds/queries/q87.sql): the set difference of
+# distinct customer sets chained twice — customers who bought in 1995 but
+# never again in 1996 or 1997 — then counted. The INTERSECT sibling is
+# sql_repeat_buyers; this closes the EXCEPT-chain class. Left-associative in
+# both engines. Identical ANSI text on Spark and DuckDB.
+# ---------------------------------------------------------------------------
+
+_EXCEPT_CHAIN_SQL = """
+SELECT COUNT(*) AS n_churned FROM (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+) churned
+"""
+
+
+@query("sql_except_chain", oracle=_EXCEPT_CHAIN_SQL, tags=("sql-entry", "tpcds", "setop"))
+def except_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_EXCEPT_CHAIN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Union-of-channels rollup report (TPC-DS q5/q77 shape,
+# /root/reference/testdata/tpcds/queries/q5.sql): three differently-shaped
+# fact slices (fulfilled orders, open orders, returned lineitems) normalized
+# to one (channel, class, sales, returns) schema with a REAL UNION ALL, then
+# a single shared ROLLUP totals per channel/class/grand — the q5 pattern of
+# per-channel subqueries feeding one aggregate, as opposed to
+# sql_channel_rollup's FULL JOIN formulation. Identical ANSI text on both
+# engines; money stays exact integer cents until the output cast.
+# ---------------------------------------------------------------------------
+
+_UNION_CHANNEL_SQL = """
+WITH per_channel AS (
+  SELECT 'fulfilled' AS channel, o_orderpriority AS class,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS sales_c,
+         CAST(0 AS BIGINT) AS returns_c
+  FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT 'open' AS channel, o_orderpriority AS class,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS sales_c,
+         CAST(0 AS BIGINT) AS returns_c
+  FROM orders WHERE o_orderstatus = 'O'
+  UNION ALL
+  SELECT 'returns' AS channel, CONCAT('LINE-', CAST(l_linenumber AS STRING)) AS class,
+         CAST(0 AS BIGINT) AS sales_c,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS returns_c
+  FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT COALESCE(channel, 'ALL') AS channel, COALESCE(class, 'ALL') AS class,
+       CAST(GROUPING(channel) + GROUPING(class) AS INTEGER) AS lvl,
+       CAST(SUM(sales_c) AS DOUBLE) / 100.0 AS total_sales,
+       CAST(SUM(returns_c) AS DOUBLE) / 100.0 AS total_returns,
+       CAST(SUM(sales_c) - SUM(returns_c) AS DOUBLE) / 100.0 AS net
+FROM per_channel
+GROUP BY ROLLUP(channel, class)
+"""
+
+
+@query(
+    "sql_union_channel_report",
+    oracle=_UNION_CHANNEL_SQL,
+    tags=("sql-entry", "tpcds", "rollup", "union"),
+)
+def union_channel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_UNION_CHANNEL_SQL)
+
+
 _RECURSIVE_SQL = """
 WITH RECURSIVE tree(k, depth) AS (
   SELECT CAST(1 AS BIGINT) AS k, 0 AS depth

@@ -50,7 +50,7 @@ def oracle_views(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
 
 def _canon(value):
     if value is None:
-        return None
+        return "\x00NULL"  # sortable alongside strings (rollup NULL cells)
     if isinstance(value, float):
         if math.isnan(value):
             return "NaN"

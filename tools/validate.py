@@ -26,7 +26,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def canon(v):
     if v is None:
-        return None
+        return "\x00NULL"  # sortable next to strings (rollup NULL cells)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
