@@ -134,6 +134,13 @@ class Engine:
 
         return render_stage_tree(df)
 
+    def explain_graphviz(self, df: DataFrame) -> str:
+        """Graphviz DOT stage rendering (reference: display_plan_graphviz,
+        /root/reference/src/lib.rs:60-62)."""
+        from .plans.explain import render_stage_graphviz
+
+        return render_stage_graphviz(df)
+
     def explain_analyze(self, df: DataFrame) -> str:
         """Drain the query and render the stage tree with executor-collected
         metrics (reference: /root/reference/src/explain_analyze.rs:19-50)."""

@@ -150,6 +150,42 @@ def render_stage_tree(df: DataFrame, with_metrics: bool = False) -> str:
     return "\n".join(out)
 
 
+def render_stage_graphviz(df: DataFrame, with_metrics: bool = False) -> str:
+    """Graphviz DOT rendering of the stage tree — the reference ships
+    ``display_plan_graphviz`` alongside the ASCII renderer
+    (/root/reference/src/lib.rs:60-62, src/stage.rs); this is the Spark
+    analogue over the same parsed ``Stage`` tree as ``render_stage_tree``.
+
+    One record-shaped node per stage (stage id, kind, operator list), one
+    edge per child→parent data flow (shuffle or broadcast), labeled by the
+    boundary kind."""
+    root = parse_stages(df, with_metrics=with_metrics)
+    nodes: list[str] = []
+    edges: list[str] = []
+
+    def esc(s: str) -> str:
+        return s.replace('"', r"\"").replace("{", r"\{").replace("}", r"\}")
+
+    def emit(stage: Stage) -> None:
+        label = "Head Stage" if stage.stage_id == 0 else f"Stage {stage.stage_id}"
+        ops = r"\l".join(
+            esc(f"{n.name}{_fmt_metrics(n.metrics)}") for n in stage.nodes
+        )
+        nodes.append(
+            f'  s{stage.stage_id} [shape=record, '
+            f'label="{{{esc(label)} ({stage.kind})|{ops}\\l}}"];'
+        )
+        for child in stage.children:
+            edges.append(
+                f"  s{child.stage_id} -> s{stage.stage_id} "
+                f'[label="{child.kind}"];'
+            )
+            emit(child)
+
+    emit(root)
+    return "digraph stages {\n  rankdir=BT;\n" + "\n".join(nodes + edges) + "\n}"
+
+
 def stage_summary(df: DataFrame) -> dict:
     """Machine-readable stage statistics (for tests/metrics)."""
     root = parse_stages(df)
@@ -175,10 +211,96 @@ def stage_summary(df: DataFrame) -> dict:
     }
 
 
-def explain_analyze(df: DataFrame) -> str:
+def task_latency_summary(df: DataFrame) -> list[dict]:
+    """Drain the query under a dedicated job group and return per-scheduler-
+    stage task-latency percentiles.
+
+    The reference collects per-task latency via a DDSketch and re-attaches
+    p50/p95/max per plan node (/root/reference/src/metrics/latency_metric.rs,
+    src/metrics/task_metrics_rewriter.rs, tests/metrics_collection.rs). The
+    Spark-native equivalent of that machinery is the AppStatusStore: the
+    scheduler already records every task's duration, and ``taskSummary``
+    computes exact quantiles over them — no listener or sketch code needed.
+    Stages are SCHEDULER stages (shuffle-bounded units of parallel tasks),
+    the same granularity the reference's per-task metrics describe.
+
+    Returns one dict per executed stage:
+    {stage_id, name, n_tasks, p50_ms, p95_ms, max_ms}."""
+    sc = df.sparkSession.sparkContext
+    group = f"explain-analyze-{id(df)}"
+    sc.setJobGroup(group, "explain analyze drain")
+    try:
+        df.collect()  # drain, like DistributedAnalyzeExec
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+
+    # AppStatusStore is fed asynchronously from the listener bus — flush it
+    # so every task-end event of the drain is visible before we read.
+    jsc = sc._jsc.sc()
+    try:
+        jsc.listenerBus().waitUntilEmpty(10_000)
+    except Exception:
+        import time
+
+        time.sleep(0.5)
+
+    tracker = sc.statusTracker()
+    stage_ids = sorted(
+        {
+            s
+            for j in tracker.getJobIdsForGroup(group)
+            for s in (tracker.getJobInfo(j) or _NO_JOB).stageIds
+        }
+    )
+    store = jsc.statusStore()
+    gw = sc._gateway
+    quantiles = gw.new_array(gw.jvm.double, 3)
+    quantiles[0], quantiles[1], quantiles[2] = 0.5, 0.95, 1.0
+    out: list[dict] = []
+    for sid in stage_ids:
+        info = tracker.getStageInfo(sid)
+        summary = store.taskSummary(sid, 0, quantiles)
+        if info is None or not summary.isDefined():
+            continue  # stage skipped (reused exchange) or no finished tasks
+        dur = summary.get().duration()
+        out.append(
+            {
+                "stage_id": sid,
+                "name": info.name.split(" at ")[0],
+                "n_tasks": info.numTasks,
+                "p50_ms": float(dur.apply(0)),
+                "p95_ms": float(dur.apply(1)),
+                "max_ms": float(dur.apply(2)),
+            }
+        )
+    return out
+
+
+class _NoJob:
+    stageIds: tuple = ()
+
+
+_NO_JOB = _NoJob()
+
+
+def explain_analyze(df: DataFrame, with_task_latency: bool = True) -> str:
     """Distributed EXPLAIN ANALYZE: drain the query, then render the stage
     tree annotated with the per-node SQLMetrics Spark collected from the
     executors — the reference's drain-then-rewrite flow
-    (/root/reference/src/explain_analyze.rs:19-50)."""
-    df.collect()  # drain, like DistributedAnalyzeExec
-    return render_stage_tree(df, with_metrics=True)
+    (/root/reference/src/explain_analyze.rs:19-50) — followed by per-task
+    latency percentiles per scheduler stage (the reference's DDSketch
+    latency dimension, src/metrics/latency_metric.rs)."""
+    if not with_task_latency:
+        df.collect()  # drain, like DistributedAnalyzeExec
+        return render_stage_tree(df, with_metrics=True)
+    latency = task_latency_summary(df)  # drains
+    lines = [render_stage_tree(df, with_metrics=True)]
+    lines.append("")
+    lines.append("Task latency per scheduler stage:")
+    for r in latency:
+        lines.append(
+            f"  stage {r['stage_id']} [{r['name']}] tasks={r['n_tasks']}: "
+            f"p50={r['p50_ms']:.0f}ms p95={r['p95_ms']:.0f}ms "
+            f"max={r['max_ms']:.0f}ms"
+        )
+    return "\n".join(lines)

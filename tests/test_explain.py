@@ -72,6 +72,27 @@ def test_explain_analyze_metrics(spark):
     assert "(shuffle)" in out
 
 
+def test_explain_analyze_task_latency_percentiles(spark):
+    """EXPLAIN ANALYZE must carry the per-task latency dimension the
+    reference collects via DDSketch (src/metrics/latency_metric.rs,
+    tests/metrics_collection.rs): p50/p95/max task duration per executed
+    scheduler stage, for a multi-stage (shuffling) query."""
+    import re
+
+    from datafusion_distributed_spark.plans.explain import task_latency_summary
+
+    df = tpch_q3(spark, SF_DIR)
+    out = explain_analyze(df)
+    lines = [l for l in out.splitlines() if re.search(r"p50=\d+ms p95=\d+ms max=\d+ms", l)]
+    assert len(lines) >= 2, out  # multi-stage query -> several scheduler stages
+
+    rows = task_latency_summary(tpch_q3(spark, SF_DIR))
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["n_tasks"] >= 1
+        assert 0 <= r["p50_ms"] <= r["p95_ms"] <= r["max_ms"]
+
+
 def test_explain_works_aqe_off(spark):
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
@@ -174,3 +195,20 @@ def test_runtime_bloom_filter_injection(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_graphviz_edges_match_stage_summary(spark):
+    """DOT rendering (reference: display_plan_graphviz, src/lib.rs:60-62)
+    must contain one node per stage and one edge per non-head stage."""
+    from datafusion_distributed_spark.plans.explain import render_stage_graphviz
+
+    df = tpch_q3(spark, SF_DIR)
+    summ = stage_summary(df)
+    dot = render_stage_graphviz(df)
+    assert dot.startswith("digraph stages {")
+    n_nodes = dot.count("shape=record")
+    n_edges = dot.count(" -> ")
+    assert n_nodes == summ["n_stages"]
+    assert n_edges == summ["n_stages"] - 1
+    assert dot.count('[label="broadcast"]') == summ["n_broadcasts"]
+    assert dot.count('[label="shuffle"]') == summ["n_shuffles"]

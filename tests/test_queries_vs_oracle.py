@@ -27,10 +27,9 @@ def test_query_matches_oracle(spark, duck, name):
     compare_to_oracle(df, duck, qd.oracle, name=name, order_by=qd.order_by)
 
 
-@pytest.mark.parametrize("name", _ROWS_ONLY)
-def test_rows_only_query_runs(spark, name):
-    qd = REGISTRY[name]
-    df = qd.fn(spark, SF_DIR)
-    rows = df.collect()
-    assert rows is not None
-    assert len(df.columns) > 0
+def test_every_query_has_an_oracle():
+    """The registry currently has FULL oracle coverage. If this fails, a new
+    query shipped without a DuckDB oracle — either add one, or (for a
+    genuinely non-SQL-expressible op) re-add a rows-only smoke check for it
+    here, parametrized over the names this assertion prints."""
+    assert _ROWS_ONLY == [], f"queries without an oracle: {_ROWS_ONLY}"
