@@ -514,6 +514,188 @@ def union_channel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_UNION_CHANNEL_SQL)
 
 
+# ---------------------------------------------------------------------------
+# Multi-band counts as cross-joined scalar aggregates (TPC-DS q88 shape,
+# /root/reference/testdata/tpcds/queries/q88.sql): independent COUNT(*)
+# subqueries over disjoint hour bands of the events feed, cross-joined into
+# ONE row. Catalyst plans each band as its own aggregate over a shared scan
+# and the final join is 4 single-row broadcasts — the q88 execution shape.
+# ---------------------------------------------------------------------------
+
+_MULTIBAND_SQL = """
+SELECT s1.n_night, s2.n_morning, s3.n_midday, s4.n_evening FROM
+  (SELECT COUNT(*) AS n_night   FROM events
+   WHERE EXTRACT(hour FROM ts) >= 0  AND EXTRACT(hour FROM ts) < 6)  s1,
+  (SELECT COUNT(*) AS n_morning FROM events
+   WHERE EXTRACT(hour FROM ts) >= 6  AND EXTRACT(hour FROM ts) < 12) s2,
+  (SELECT COUNT(*) AS n_midday  FROM events
+   WHERE EXTRACT(hour FROM ts) >= 12 AND EXTRACT(hour FROM ts) < 18) s3,
+  (SELECT COUNT(*) AS n_evening FROM events
+   WHERE EXTRACT(hour FROM ts) >= 18 AND EXTRACT(hour FROM ts) < 24) s4
+"""
+
+
+@query("sql_multiband_counts", oracle=_MULTIBAND_SQL, tags=("sql-entry", "tpcds", "scalar-agg"))
+def multiband_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_MULTIBAND_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Order-count band (TPC-DS q34/q73 shape,
+# /root/reference/testdata/tpcds/queries/q34.sql): customers whose order
+# count over two years falls in a band (HAVING BETWEEN), joined back to the
+# customer dimension for detail columns.
+# ---------------------------------------------------------------------------
+
+_COUNT_BAND_SQL = """
+WITH cnt AS (
+  SELECT o_custkey, COUNT(*) AS n
+  FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01'
+  GROUP BY o_custkey
+  HAVING COUNT(*) BETWEEN 8 AND 12
+)
+SELECT c.c_custkey AS custkey, c.c_name AS name,
+       c.c_mktsegment AS segment, cnt.n AS n_orders
+FROM cnt JOIN customer c ON c.c_custkey = cnt.o_custkey
+"""
+
+
+@query("sql_order_count_band", oracle=_COUNT_BAND_SQL, tags=("sql-entry", "tpcds", "having"))
+def order_count_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_COUNT_BAND_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Disjunctive cross-dimension predicate aggregate (TPC-DS q13/q48 shape,
+# /root/reference/testdata/tpcds/queries/q13.sql): one aggregate whose WHERE
+# is an OR of AND-bundles spanning the joined dimension and fact — none of
+# the disjuncts can individually push below the join, exercising
+# post-join filter costing.
+# ---------------------------------------------------------------------------
+
+_DISJUNCTIVE_SQL = """
+SELECT COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE (c.c_mktsegment = 'BUILDING'
+       AND o.o_totalprice BETWEEN 1000 AND 100000
+       AND o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+   OR (c.c_mktsegment = 'AUTOMOBILE'
+       AND o.o_totalprice BETWEEN 50000 AND 200000
+       AND o.o_orderpriority = '5-LOW')
+   OR (c.c_mktsegment = 'MACHINERY'
+       AND o.o_totalprice > 150000)
+"""
+
+
+@query("sql_disjunctive_bands", oracle=_DISJUNCTIVE_SQL, tags=("sql-entry", "tpcds", "disjunctive"))
+def disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_DISJUNCTIVE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Net sales after returns (TPC-DS q93 shape,
+# /root/reference/testdata/tpcds/queries/q93.sql): fact LEFT JOIN a derived
+# returns table on the composite line key, CASE on the joined side's
+# nullity to compute effective sales (full price, or price minus a refund
+# for returned lines), grouped per customer, deterministic top-20.
+# ---------------------------------------------------------------------------
+
+_NET_RETURNS_SQL = """
+WITH returns AS (
+  SELECT l_orderkey AS r_okey, l_linenumber AS r_line,
+         CAST(ROUND(l_extendedprice * 50) AS BIGINT) AS refund_c
+  FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT o.o_custkey AS custkey,
+       CAST(SUM(CASE WHEN r.r_okey IS NOT NULL
+                     THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) - r.refund_c
+                     ELSE CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                END) AS DOUBLE) / 100.0 AS net_sales,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+LEFT JOIN returns r
+  ON r.r_okey = l.l_orderkey AND r.r_line = l.l_linenumber
+GROUP BY o.o_custkey
+ORDER BY net_sales DESC, custkey
+LIMIT 20
+"""
+
+
+@query(
+    "sql_net_after_returns",
+    oracle=_NET_RETURNS_SQL,
+    tags=("sql-entry", "tpcds", "outer-join"),
+    order_by="net_sales DESC, custkey",
+)
+def net_after_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_NET_RETURNS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Above-nation-average spenders (TPC-DS q1 shape,
+# /root/reference/testdata/tpcds/queries/q1.sql): per-customer totals from a
+# CTE, kept when exceeding 1.2x their nation's average — the correlated
+# scalar-aggregate subqueries re-reference the SAME CTE. The 1.2x test is
+# integer-exact (5*cents*count > 6*sum) so no float average can flip a
+# boundary row between engines.
+# ---------------------------------------------------------------------------
+
+_NATION_AVG_SQL = """
+WITH ctr AS (
+  SELECT c.c_custkey AS cust, c.c_nationkey AS nk,
+         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_nationkey
+)
+SELECT ctr1.cust AS custkey, CAST(ctr1.cents AS DOUBLE) / 100.0 AS revenue
+FROM ctr ctr1
+WHERE 5 * ctr1.cents * (SELECT COUNT(*) FROM ctr ctr2 WHERE ctr2.nk = ctr1.nk)
+      > 6 * (SELECT SUM(ctr3.cents) FROM ctr ctr3 WHERE ctr3.nk = ctr1.nk)
+"""
+
+
+@query("sql_above_nation_avg", oracle=_NATION_AVG_SQL, tags=("sql-entry", "tpcds", "subquery"))
+def above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_NATION_AVG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Frequent-item restricted revenue (TPC-DS q23 shape,
+# /root/reference/testdata/tpcds/queries/q23.sql): a derived "frequent
+# parts" set (parts appearing in many distinct orders) restricts the fact
+# scan through an IN-subquery (semi-join), feeding one global aggregate.
+# ---------------------------------------------------------------------------
+
+_FREQ_PARTS_SQL = """
+WITH freq AS (
+  SELECT l_partkey
+  FROM lineitem
+  GROUP BY l_partkey
+  HAVING COUNT(DISTINCT l_orderkey) >= 8
+)
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS frequent_revenue
+FROM lineitem l
+WHERE l.l_partkey IN (SELECT l_partkey FROM freq)
+"""
+
+
+@query("sql_frequent_parts", oracle=_FREQ_PARTS_SQL, tags=("sql-entry", "tpcds", "semi-join"))
+def frequent_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_FREQ_PARTS_SQL)
+
+
 _RECURSIVE_SQL = """
 WITH RECURSIVE tree(k, depth) AS (
   SELECT CAST(1 AS BIGINT) AS k, 0 AS depth
