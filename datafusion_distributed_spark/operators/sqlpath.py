@@ -696,6 +696,37 @@ def frequent_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_FREQ_PARTS_SQL)
 
 
+# ---------------------------------------------------------------------------
+# Channel-overlap counts (TPC-DS q97 shape,
+# /root/reference/testdata/tpcds/queries/q97.sql): two distinct
+# (customer, channel-activity) keysets FULL OUTER joined, then one row of
+# CASE-counted exclusive/both memberships — set overlap without INTERSECT,
+# the way q97 counts store-only / catalog-only / both customers.
+# ---------------------------------------------------------------------------
+
+_OVERLAP_SQL = """
+WITH fulfilled AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+),
+open_o AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT SUM(CASE WHEN f.o_custkey IS NOT NULL AND o.o_custkey IS NULL
+                THEN 1 ELSE 0 END) AS fulfilled_only,
+       SUM(CASE WHEN f.o_custkey IS NULL AND o.o_custkey IS NOT NULL
+                THEN 1 ELSE 0 END) AS open_only,
+       SUM(CASE WHEN f.o_custkey IS NOT NULL AND o.o_custkey IS NOT NULL
+                THEN 1 ELSE 0 END) AS both_channels
+FROM fulfilled f FULL OUTER JOIN open_o o ON f.o_custkey = o.o_custkey
+"""
+
+
+@query("sql_channel_overlap", oracle=_OVERLAP_SQL, tags=("sql-entry", "tpcds", "outer-join"))
+def channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_OVERLAP_SQL)
+
+
 _RECURSIVE_SQL = """
 WITH RECURSIVE tree(k, depth) AS (
   SELECT CAST(1 AS BIGINT) AS k, 0 AS depth
