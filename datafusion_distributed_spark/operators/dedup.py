@@ -598,3 +598,91 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"v{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
         bits = term if bits is None else bits + term
     return per_doc.select("doc_id", bits.cast("bigint").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag training documents sharing any word-5-gram
+# with a held-out eval set (here the deterministic doc_id % 20 == 0 slice).
+# The standard pre-training hygiene pass (GPT-3 appendix C / Gopher sec. A.3
+# style n-gram overlap decontamination).
+#
+# Scale design: the eval set is tiny relative to the corpus, so its distinct
+# shingle set is the BROADCAST side of both joins — the training corpus is
+# never shuffled. The exploded train shingles stream through a broadcast
+# hash semi-count, and only the matched (doc_id, shingle) rows — bounded by
+# actual contamination — reach the groupBy shuffle. The final join-back of
+# per-doc hit counts onto the corpus broadcasts the (small) hits side.
+# ---------------------------------------------------------------------------
+
+_DECON_ORACLE = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS w FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i
+  FROM words WHERE len(w) >= 5
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS sh FROM idx
+),
+eval_sh AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0
+),
+hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_eval_shingle_hits
+  FROM sh s JOIN eval_sh e USING (sh)
+  WHERE s.doc_id % 20 <> 0
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_eval_shingle_hits, 0) AS n_eval_shingle_hits,
+       CAST(CASE WHEN COALESCE(h.n_eval_shingle_hits, 0) > 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 20 <> 0
+"""
+
+
+def _shingle5(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh_arr) with DISTINCT word-5-gram shingles per row — same
+    zero-shuffle per-row-array design as _shingle_arrays, longer n-gram
+    (decontamination wants high-precision overlap, dedup wants recall)."""
+    words = _fan_out(docs.select("doc_id", "text")).select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), " +").alias("w")
+    )
+    sh_arr = F.expr(
+        "array_distinct(transform(sequence(1, size(w) - 4),"
+        " i -> concat_ws(' ', slice(w, i, 5))))"
+    )
+    return words.filter(F.size("w") >= 5).select("doc_id", sh_arr.alias("sh_arr"))
+
+
+@query("dd_decontaminate", oracle=_DECON_ORACLE, tags=("dedup", "decontamination"))
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    is_eval = F.col("doc_id") % 20 == 0
+    sh = _shingle5(docs)
+    eval_sh = sh.filter(is_eval).select(F.explode("sh_arr").alias("sh")).distinct()
+    train_sh = sh.filter(~is_eval).select(
+        "doc_id", F.explode("sh_arr").alias("sh")
+    )
+    # Per-row shingle arrays are already distinct, so COUNT(*) of matched
+    # exploded rows == number of distinct shared shingles per doc.
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_eval_shingle_hits"))
+    )
+    n_hits = F.coalesce(F.col("n_eval_shingle_hits"), F.lit(0).cast("long"))
+    return (
+        docs.filter(~is_eval)
+        .select("doc_id")
+        .join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            n_hits.alias("n_eval_shingle_hits"),
+            F.when(n_hits > 0, F.lit(1)).otherwise(F.lit(0))
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )

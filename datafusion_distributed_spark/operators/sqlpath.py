@@ -727,6 +727,221 @@ def channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_OVERLAP_SQL)
 
 
+# ---------------------------------------------------------------------------
+# Equal-share channel compare (TPC-DS q58/q83 shape,
+# /root/reference/testdata/tpcds/queries/q58.sql): per-item revenue in each
+# of three channels, keeping items whose every channel lands within +/-10%
+# of the three-channel average. The +/-10%-of-average test is exact integer
+# arithmetic: chan >= 0.9*avg <=> 30*chan >= 9*total (all scale-1e4 int64).
+# ---------------------------------------------------------------------------
+
+_EQUAL_SHARE_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CASE WHEN l_returnflag = 'R'
+             THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+             ELSE 0 END) AS r_i,
+         SUM(CASE WHEN l_returnflag = 'A'
+             THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+             ELSE 0 END) AS a_i,
+         SUM(CASE WHEN l_returnflag = 'N'
+             THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+             ELSE 0 END) AS n_i
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT l_partkey,
+       CAST(r_i AS DOUBLE) / 10000.0 AS rev_r,
+       CAST(a_i AS DOUBLE) / 10000.0 AS rev_a,
+       CAST(n_i AS DOUBLE) / 10000.0 AS rev_n
+FROM per_part
+WHERE r_i + a_i + n_i > 0
+  AND 30 * r_i BETWEEN 9 * (r_i + a_i + n_i) AND 11 * (r_i + a_i + n_i)
+  AND 30 * a_i BETWEEN 9 * (r_i + a_i + n_i) AND 11 * (r_i + a_i + n_i)
+  AND 30 * n_i BETWEEN 9 * (r_i + a_i + n_i) AND 11 * (r_i + a_i + n_i)
+"""
+
+
+@query("sql_equal_share_parts", oracle=_EQUAL_SHARE_SQL, tags=("sql-entry", "tpcds", "conditional-agg"))
+def equal_share_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_EQUAL_SHARE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Growth-ratio comparison across channels (TPC-DS q31 shape,
+# /root/reference/testdata/tpcds/queries/q31.sql): quarter-over-quarter
+# revenue growth of the high-priority channel vs the low-priority channel
+# per nation, keeping nations where the high channel grew faster. The
+# growth compare divides exact int64 cents in DOUBLE — IEEE division of
+# identical exact inputs is correctly rounded in both engines, so the
+# filter is deterministic cross-engine.
+# ---------------------------------------------------------------------------
+
+_GROWTH_SQL = """
+WITH q AS (
+  SELECT n.n_name,
+         CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 'hi' ELSE 'lo' END AS chan,
+         CASE WHEN o.o_orderdate < TIMESTAMP '1995-04-01' THEN 1 ELSE 2 END AS qtr,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o.o_orderdate < TIMESTAMP '1995-07-01'
+),
+agg AS (
+  SELECT n_name,
+         SUM(CASE WHEN chan = 'hi' AND qtr = 1 THEN cents ELSE 0 END) AS hi1,
+         SUM(CASE WHEN chan = 'hi' AND qtr = 2 THEN cents ELSE 0 END) AS hi2,
+         SUM(CASE WHEN chan = 'lo' AND qtr = 1 THEN cents ELSE 0 END) AS lo1,
+         SUM(CASE WHEN chan = 'lo' AND qtr = 2 THEN cents ELSE 0 END) AS lo2
+  FROM q
+  GROUP BY n_name
+)
+SELECT n_name,
+       CAST(hi2 AS DOUBLE) / hi1 AS hi_growth,
+       CAST(lo2 AS DOUBLE) / lo1 AS lo_growth
+FROM agg
+WHERE hi1 > 0 AND lo1 > 0
+  AND CAST(hi2 AS DOUBLE) / hi1 > CAST(lo2 AS DOUBLE) / lo1
+"""
+
+
+@query("sql_growth_ratio_compare", oracle=_GROWTH_SQL, tags=("sql-entry", "tpcds", "cte"))
+def growth_ratio_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_GROWTH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Worst-return-ratio ranking per channel (TPC-DS q49 shape,
+# /root/reference/testdata/tpcds/queries/q49.sql): per-item return ratio
+# (returned qty / shipped qty) DENSE_RANKed within each channel, top-10
+# ranks kept. The rank key is an exact micros-integer ratio: FLOOR over an
+# IEEE division of exact int64s is bit-identical cross-engine, and
+# (rr_micros DESC, partkey) makes the rank ordering total and deterministic.
+# ---------------------------------------------------------------------------
+
+_RETURN_RANK_SQL = """
+WITH per AS (
+  SELECT l_linestatus AS chan, l_partkey,
+         SUM(CASE WHEN l_returnflag = 'R'
+             THEN CAST(ROUND(l_quantity) AS BIGINT) ELSE 0 END) AS ret_qty,
+         SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS tot_qty
+  FROM lineitem
+  GROUP BY l_linestatus, l_partkey
+),
+ranked AS (
+  SELECT chan, l_partkey, ret_qty, tot_qty,
+         CAST(FLOOR(CAST(ret_qty AS DOUBLE) * 1000000.0 / tot_qty) AS BIGINT)
+           AS rr_micros,
+         DENSE_RANK() OVER (
+           PARTITION BY chan
+           ORDER BY CAST(FLOOR(CAST(ret_qty AS DOUBLE) * 1000000.0 / tot_qty)
+                         AS BIGINT) DESC
+         ) AS rnk
+  FROM per
+  WHERE tot_qty > 0 AND ret_qty > 0
+)
+SELECT chan, l_partkey, ret_qty, tot_qty,
+       CAST(rr_micros AS DOUBLE) / 1000000.0 AS return_ratio, rnk
+FROM ranked
+WHERE rnk <= 10
+ORDER BY chan, rnk, l_partkey
+"""
+
+
+@query(
+    "sql_return_ratio_rank",
+    oracle=_RETURN_RANK_SQL,
+    tags=("sql-entry", "tpcds", "window"),
+    order_by="chan, rnk, l_partkey",
+)
+def return_ratio_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_RETURN_RANK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Month-matrix year-over-year report (TPC-DS q59 shape,
+# /root/reference/testdata/tpcds/queries/q59.sql): per-period revenue of one
+# year joined against the same period of the next year, emitting the YoY
+# ratio per period. q59 keys on week+weekday; the driver schema's portable
+# equivalent keys on month (EXTRACT(MONTH ...) is identical ANSI in both
+# engines, unlike weekday numbering).
+# ---------------------------------------------------------------------------
+
+_MONTHLY_YOY_SQL = """
+WITH m AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
+         CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS mon,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER),
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER)
+)
+SELECT a.mon AS mon,
+       CAST(a.cents AS DOUBLE) / 100.0 AS rev_1996,
+       CAST(b.cents AS DOUBLE) / 100.0 AS rev_1997,
+       CAST(b.cents AS DOUBLE) / CAST(a.cents AS DOUBLE) AS yoy_ratio
+FROM m a
+JOIN m b ON a.mon = b.mon AND a.y = 1996 AND b.y = 1997
+ORDER BY mon
+"""
+
+
+@query(
+    "sql_monthly_yoy_report",
+    oracle=_MONTHLY_YOY_SQL,
+    tags=("sql-entry", "tpcds", "self-join"),
+    order_by="mon",
+)
+def monthly_yoy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_MONTHLY_YOY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Customer-revenue histogram (TPC-DS q54 shape,
+# /root/reference/testdata/tpcds/queries/q54.sql): aggregate-of-aggregate —
+# per-customer lifetime revenue bucketed into $50k bands, then customers
+# counted per band. Bucket boundaries are exact: FLOOR over IEEE division
+# of exact int64 cents is bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+_REV_BUCKETS_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders
+  GROUP BY o_custkey
+)
+SELECT CAST(FLOOR(CAST(cents AS DOUBLE) / 5000000.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n_customers
+FROM per_cust
+GROUP BY CAST(FLOOR(CAST(cents AS DOUBLE) / 5000000.0) AS BIGINT)
+ORDER BY bucket
+"""
+
+
+@query(
+    "sql_revenue_buckets",
+    oracle=_REV_BUCKETS_SQL,
+    tags=("sql-entry", "tpcds", "agg-of-agg"),
+    order_by="bucket",
+)
+def revenue_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_REV_BUCKETS_SQL)
+
+
 _RECURSIVE_SQL = """
 WITH RECURSIVE tree(k, depth) AS (
   SELECT CAST(1 AS BIGINT) AS k, 0 AS depth

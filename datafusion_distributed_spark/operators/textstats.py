@@ -314,3 +314,75 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dbl(F.sum("n_bpe")) / F.sum("n_ws")).alias("bpe_per_word"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence packing: the "concatenate then chop into fixed-length
+# blocks" bookkeeping every LLM pre-training pipeline runs before batching.
+# Documents are streamed in deterministic (source, shard, doc_id) order;
+# each doc records the token offset where it starts, which training
+# sequence (of _PACK_LEN tokens) that offset falls in, and the offset
+# within that sequence.
+#
+# Scale design: the running-sum window partitions by (source, shard) where
+# shard = doc_id % _PACK_SHARDS — shard count is a knob that bounds
+# per-partition sort size, so at 100 TB you raise _PACK_SHARDS and every
+# window partition stays executor-sized (packing semantics are unchanged:
+# any deterministic document order is a valid packing order). One shuffle
+# total (the window's hash partition + in-partition sort).
+# ---------------------------------------------------------------------------
+
+_PACK_LEN = 256
+_PACK_SHARDS = 4
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, doc_id % {_PACK_SHARDS} AS shard,
+         CAST(len({_TOK_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source, shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset_tokens
+  FROM toks
+)
+SELECT doc_id, source, n_tokens, offset_tokens,
+       CAST(FLOOR(CAST(offset_tokens AS DOUBLE) / {_PACK_LEN}.0) AS BIGINT)
+         AS seq_id,
+       offset_tokens % {_PACK_LEN} AS offset_in_seq
+FROM packed
+"""
+
+
+@query("text_pack_sequences", oracle=_PACK_ORACLE, tags=("text", "packing"))
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(F.split(F.trim(F.lower(F.col("text"))), " +"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    packed = toks.select("doc_id", "source", "n_tokens", offset.alias("offset_tokens"))
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "offset_tokens",
+        F.floor(F.col("offset_tokens").cast("double") / float(_PACK_LEN))
+        .cast("long")
+        .alias("seq_id"),
+        (F.col("offset_tokens") % _PACK_LEN).alias("offset_in_seq"),
+    )
