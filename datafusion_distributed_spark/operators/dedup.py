@@ -662,9 +662,17 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir)["documents"]
     is_eval = F.col("doc_id") % 20 == 0
     sh = _shingle5(docs)
-    eval_sh = sh.filter(is_eval).select(F.explode("sh_arr").alias("sh")).distinct()
+    # explode_OUTER, deliberately: plain explode lets Catalyst infer
+    # `isnotnull(sh_arr) AND size(sh_arr) > 0`, substitute the whole 5-gram
+    # pipeline through the projection aliases, and push that predicate below
+    # the fan-out Exchange — re-running the shingle transform (twice) on the
+    # single scan split. Measured 3.3s -> 0.8s at sf0.1. outer-explode is
+    # semantically identical here: size(w) >= 5 guarantees non-empty arrays.
+    eval_sh = (
+        sh.filter(is_eval).select(F.explode_outer("sh_arr").alias("sh")).distinct()
+    )
     train_sh = sh.filter(~is_eval).select(
-        "doc_id", F.explode("sh_arr").alias("sh")
+        "doc_id", F.explode_outer("sh_arr").alias("sh")
     )
     # Per-row shingle arrays are already distinct, so COUNT(*) of matched
     # exploded rows == number of distinct shared shingles per doc.
