@@ -110,17 +110,33 @@ def exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir)["lineitem"]
     qty = F.col("l_quantity").cast("long")
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    # All sums stay int64 on the per-row hot path (whole-stage-codegen long
+    # arithmetic; a per-row DECIMAL(38,0) agg measured ~4x on this query).
+    # Overflow margins per row: x<=50, y<=~1.2e7 cents =>
+    #   sx ~5e1, sxx ~2.5e3, sy ~1.2e7, sxy ~6e8 — int64-safe past SF1000.
+    #   y*y ~1.4e14 fits int64 per row, but its SUM wraps at ~7.5e4 rows —
+    #   so syy is split y*y = hi*1e9 + lo (hi<=~1.4e5, lo<1e9; both sums
+    #   int64-safe past SF1000) and recombined POST-aggregation in
+    #   DECIMAL(38,0), exactly like tpch_q1's sum_charge. DuckDB's
+    #   SUM(BIGINT)->HUGEINT is exact the whole way, so outputs hash-match.
+    yy = F.col("y") * F.col("y")
+    yy_hi = F.expr("(y * y) DIV 1000000000")
     s = li.select(
         "l_returnflag",
         qty.alias("x"),
         cents.alias("y"),
     ).groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
-        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
-        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
-        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(yy_hi).alias("syy_hi"),
+        F.sum(yy - yy_hi * F.lit(1_000_000_000)).alias("syy_lo"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).withColumn(
+        "syy",
+        F.col("syy_hi").cast("decimal(38,0)") * F.lit(1_000_000_000)
+        + F.col("syy_lo").cast("decimal(38,0)"),
     )
     nd = F.col("n").cast("double")
     sx = F.col("sx").cast("double")
