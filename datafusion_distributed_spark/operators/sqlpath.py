@@ -1020,6 +1020,351 @@ def cross_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Coefficient-of-variation month pair (TPC-DS q39 shape,
+# /root/reference/testdata/tpcds/queries/q39.sql): per (supplier, month)
+# quantity mean/stddev from exact integer sums, consecutive months
+# self-joined, keeping pairs where both months' cv exceeds a threshold.
+# One grouped aggregate feeds both join sides (ReuseExchange); stddev/mean
+# derive from the int sums in IEEE double with identical expression text on
+# both engines, so the doubles are bit-equal.
+# ---------------------------------------------------------------------------
+
+_CV_PAIR_SQL = """
+WITH per AS (
+  SELECT l_suppkey, month(l_shipdate) AS m,
+         COUNT(*) AS n,
+         SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sq,
+         SUM(CAST(ROUND(l_quantity) AS BIGINT)
+             * CAST(ROUND(l_quantity) AS BIGINT)) AS sqq
+  FROM lineitem
+  WHERE year(l_shipdate) = 1996
+  GROUP BY l_suppkey, month(l_shipdate)
+  HAVING COUNT(*) > 1
+),
+cv AS (
+  SELECT l_suppkey, m, n,
+         CAST(sq AS DOUBLE) / n AS mean_qty,
+         sqrt((CAST(n AS DOUBLE) * sqq - CAST(sq AS DOUBLE) * sq)
+              / (CAST(n AS DOUBLE) * (n - 1)))
+           / (CAST(sq AS DOUBLE) / n) AS cov
+  FROM per
+)
+SELECT a.l_suppkey, a.m AS m1, a.cov AS cov1, b.m AS m2, b.cov AS cov2
+FROM cv a
+JOIN cv b ON a.l_suppkey = b.l_suppkey AND b.m = a.m + 1
+WHERE a.cov > 0.58 AND b.cov > 0.58
+"""
+
+
+@query(
+    "sql_cv_month_pairs",
+    oracle=_CV_PAIR_SQL,
+    tags=("sql-entry", "tpcds", "self-join", "statistics"),
+)
+def cv_month_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_CV_PAIR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Window-average deviation filter (TPC-DS q53/q63/q89 shape,
+# /root/reference/testdata/tpcds/queries/q89.sql): monthly revenue per brand,
+# compared against the brand's average month via an unbounded window, keeping
+# months that deviate more than 10%. Sums stay exact integer cents; the
+# window average is an explicit SUM-OVER / COUNT-OVER division so no
+# engine-specific AVG accumulation order is involved.
+# ---------------------------------------------------------------------------
+
+_WINDOW_DEV_SQL = """
+WITH monthly AS (
+  SELECT p.p_brand, month(l.l_shipdate) AS m,
+         SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE year(l.l_shipdate) = 1996
+  GROUP BY p.p_brand, month(l.l_shipdate)
+),
+windowed AS (
+  SELECT p_brand, m, cents,
+         CAST(SUM(cents) OVER (PARTITION BY p_brand) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY p_brand) AS avg_cents
+  FROM monthly
+)
+SELECT p_brand, m,
+       CAST(cents AS DOUBLE) / 100.0 AS month_sales,
+       avg_cents / 100.0 AS avg_month_sales
+FROM windowed
+WHERE abs(CAST(cents AS DOUBLE) - avg_cents) > 0.1 * avg_cents
+"""
+
+
+@query(
+    "sql_window_deviation",
+    oracle=_WINDOW_DEV_SQL,
+    tags=("sql-entry", "tpcds", "window"),
+)
+def window_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_WINDOW_DEV_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Morning/evening activity ratio (TPC-DS q90 shape,
+# /root/reference/testdata/tpcds/queries/q90.sql): two independently filtered
+# scalar counts over events joined into one row, ratio in double. Exercises
+# scalar-subquery-only FROM-less projection through both planners.
+# ---------------------------------------------------------------------------
+
+_AMPM_SQL = """
+SELECT am.n AS am_count, pm.n AS pm_count,
+       CAST(am.n AS DOUBLE) / pm.n AS am_pm_ratio
+FROM (SELECT COUNT(*) AS n FROM events
+      WHERE hour(ts) BETWEEN 8 AND 11 AND event_type = 'click') am,
+     (SELECT COUNT(*) AS n FROM events
+      WHERE hour(ts) BETWEEN 16 AND 19 AND event_type = 'click') pm
+"""
+
+
+@query("sql_ampm_ratio", oracle=_AMPM_SQL, tags=("sql-entry", "tpcds", "scalar"))
+def ampm_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_AMPM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Excess-discount revenue (TPC-DS q92/q32 shape,
+# /root/reference/testdata/tpcds/queries/q92.sql): revenue from line items
+# whose discount exceeds 1.3x their part's average discount, the threshold
+# expressed through correlated scalar subqueries. The comparison
+# 1.3 * avg(d) < d is cross-multiplied into pure integers
+# (13 * sum_d < 10 * d * n) so no float rounding can flip a row near the
+# boundary on either engine.
+# ---------------------------------------------------------------------------
+
+_EXCESS_DISCOUNT_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS excess_revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+WHERE l.l_partkey < 200
+  AND 10 * CAST(ROUND(l.l_discount * 100) AS BIGINT)
+      * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    > 13 * (SELECT SUM(CAST(ROUND(l2.l_discount * 100) AS BIGINT))
+            FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@query(
+    "sql_excess_discount",
+    oracle=_EXCESS_DISCOUNT_SQL,
+    tags=("sql-entry", "tpcds", "correlated-subquery"),
+)
+def excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_EXCESS_DISCOUNT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Ship-delay bucket matrix (TPC-DS q62/q99 shape,
+# /root/reference/testdata/tpcds/queries/q62.sql): days between order date
+# and line-item ship date bucketed into 30/60/90/90+ bands, counted per
+# order priority. Day differences are exact integers on both engines; the
+# engines spell date subtraction differently so the oracle text diverges
+# (datediff vs date_diff) while the bucket semantics stay identical.
+# ---------------------------------------------------------------------------
+
+_SHIP_DELAY_SPARK_SQL = """
+SELECT o.o_orderpriority,
+       SUM(CASE WHEN datediff(l.l_shipdate, o.o_orderdate) <= 30
+                THEN 1 ELSE 0 END) AS d30,
+       SUM(CASE WHEN datediff(l.l_shipdate, o.o_orderdate) > 30
+                 AND datediff(l.l_shipdate, o.o_orderdate) <= 60
+                THEN 1 ELSE 0 END) AS d60,
+       SUM(CASE WHEN datediff(l.l_shipdate, o.o_orderdate) > 60
+                 AND datediff(l.l_shipdate, o.o_orderdate) <= 90
+                THEN 1 ELSE 0 END) AS d90,
+       SUM(CASE WHEN datediff(l.l_shipdate, o.o_orderdate) > 90
+                THEN 1 ELSE 0 END) AS d90plus
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+_SHIP_DELAY_ORACLE = """
+SELECT o.o_orderpriority,
+       SUM(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)) <= 30
+                THEN 1 ELSE 0 END) AS d30,
+       SUM(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)) > 30
+                 AND date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)) <= 60
+                THEN 1 ELSE 0 END) AS d60,
+       SUM(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)) > 60
+                 AND date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)) <= 90
+                THEN 1 ELSE 0 END) AS d90,
+       SUM(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)) > 90
+                THEN 1 ELSE 0 END) AS d90plus
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@query(
+    "sql_ship_delay_matrix",
+    oracle=_SHIP_DELAY_ORACLE,
+    tags=("sql-entry", "tpcds", "case-matrix"),
+    order_by="o_orderpriority",
+)
+def ship_delay_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_SHIP_DELAY_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Per-customer channel-growth compare (TPC-DS q11/q74 shape,
+# /root/reference/testdata/tpcds/queries/q11.sql): urgent-priority vs
+# other-priority yearly totals per customer, keeping customers whose urgent
+# growth ratio beat their other-channel growth ratio. The ratio-of-ratios
+# comparison (u96/u95 > s96/s95) is cross-multiplied into exact integer
+# cents (u96*s95 > s96*u95, denominators required positive) — the TPC-DS
+# spec's own decimal-ratio compare made float-proof.
+# ---------------------------------------------------------------------------
+
+_CHANNEL_GROWTH_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+         SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   AND year(o_orderdate) = 1995
+                  THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END) AS u95,
+         SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   AND year(o_orderdate) = 1996
+                  THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END) AS u96,
+         SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                   AND year(o_orderdate) = 1995
+                  THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END) AS s95,
+         SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                   AND year(o_orderdate) = 1996
+                  THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END) AS s96
+  FROM orders
+  WHERE year(o_orderdate) IN (1995, 1996)
+  GROUP BY o_custkey
+)
+SELECT o_custkey,
+       CAST(u96 AS DOUBLE) / u95 AS urgent_growth,
+       CAST(s96 AS DOUBLE) / s95 AS standard_growth
+FROM per
+WHERE u95 > 0 AND s95 > 0 AND u96 > 0 AND s96 > 0
+  AND u96 * s95 > s96 * u95
+"""
+
+
+@query(
+    "sql_channel_growth",
+    oracle=_CHANNEL_GROWTH_SQL,
+    tags=("sql-entry", "tpcds", "ratio-compare"),
+)
+def channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_CHANNEL_GROWTH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Scalar-subquery CASE buckets (TPC-DS q9 shape,
+# /root/reference/testdata/tpcds/queries/q9.sql): a single-row report where
+# each column picks between two scalar-subquery aggregates depending on a
+# third scalar-subquery count — five independent aggregates folded into one
+# projection. Averages are explicit exact-int SUM / COUNT divisions.
+# ---------------------------------------------------------------------------
+
+_CASE_BUCKETS_SQL = """
+SELECT
+  CASE WHEN (SELECT COUNT(*) FROM lineitem
+             WHERE CAST(ROUND(l_quantity) AS BIGINT) BETWEEN 1 AND 20) > 20000
+       THEN (SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                         AS DOUBLE) / COUNT(*) / 100.0
+             FROM lineitem
+             WHERE CAST(ROUND(l_quantity) AS BIGINT) BETWEEN 1 AND 20)
+       ELSE (SELECT CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT))
+                         AS DOUBLE) / COUNT(*) / 100.0
+             FROM lineitem
+             WHERE CAST(ROUND(l_quantity) AS BIGINT) BETWEEN 1 AND 20)
+  END AS bucket1,
+  CASE WHEN (SELECT COUNT(*) FROM lineitem
+             WHERE CAST(ROUND(l_quantity) AS BIGINT) BETWEEN 21 AND 35) > 20000
+       THEN (SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                         AS DOUBLE) / COUNT(*) / 100.0
+             FROM lineitem
+             WHERE CAST(ROUND(l_quantity) AS BIGINT) BETWEEN 21 AND 35)
+       ELSE (SELECT CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT))
+                         AS DOUBLE) / COUNT(*) / 100.0
+             FROM lineitem
+             WHERE CAST(ROUND(l_quantity) AS BIGINT) BETWEEN 21 AND 35)
+  END AS bucket2,
+  CASE WHEN (SELECT COUNT(*) FROM lineitem
+             WHERE CAST(ROUND(l_quantity) AS BIGINT) BETWEEN 36 AND 50) > 20000
+       THEN (SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                         AS DOUBLE) / COUNT(*) / 100.0
+             FROM lineitem
+             WHERE CAST(ROUND(l_quantity) AS BIGINT) BETWEEN 36 AND 50)
+       ELSE (SELECT CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT))
+                         AS DOUBLE) / COUNT(*) / 100.0
+             FROM lineitem
+             WHERE CAST(ROUND(l_quantity) AS BIGINT) BETWEEN 36 AND 50)
+  END AS bucket3
+"""
+
+
+@query(
+    "sql_scalar_case_buckets",
+    oracle=_CASE_BUCKETS_SQL,
+    tags=("sql-entry", "tpcds", "scalar-subquery"),
+)
+def scalar_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_CASE_BUCKETS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Wide month-pivot report (TPC-DS q66 shape,
+# /root/reference/testdata/tpcds/queries/q66.sql): one row per (year,
+# priority) with twelve monthly CASE-sum columns — the classic warehouse
+# report matrix. All cells are exact integer cents cast to double at output.
+# ---------------------------------------------------------------------------
+
+_MONTH_MATRIX_SQL = """
+SELECT year(o_orderdate) AS y, o_orderpriority,
+""" + ",\n".join(
+    f"       CAST(SUM(CASE WHEN month(o_orderdate) = {m}"
+    f" THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+    f" ELSE 0 END) AS DOUBLE) / 100.0 AS m{m:02d}"
+    for m in range(1, 13)
+) + """
+FROM orders
+GROUP BY year(o_orderdate), o_orderpriority
+ORDER BY y, o_orderpriority
+"""
+
+
+@query(
+    "sql_month_matrix",
+    oracle=_MONTH_MATRIX_SQL,
+    tags=("sql-entry", "tpcds", "pivot"),
+    order_by="y, o_orderpriority",
+)
+def month_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_MONTH_MATRIX_SQL)
+
+
 @query("df_tree_depth_iterative", oracle=_RECURSIVE_SQL, tags=("recursive", "iterative"))
 def df_tree_depth_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.functions as F

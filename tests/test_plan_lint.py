@@ -33,6 +33,7 @@ _CROSS_OK = {
     "sim_cosine_topk",  # broadcast queries × corpus, by design
     "ds_weighted_mixture",  # 1-row global-min scalar joined onto 20-row dim
     "sql_multiband_counts",  # q88 shape: cross join of four 1-row counts
+    "sql_ampm_ratio",  # q90 shape: cross join of two 1-row counts
 }
 
 _ALL = sorted(REGISTRY)
