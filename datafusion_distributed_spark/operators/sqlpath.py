@@ -1399,3 +1399,201 @@ def df_tree_depth_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(counts, schema="depth int, n_nodes bigint")
     finally:
         cust.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Multi-channel YoY decline report (TPC-DS q75 shape,
+# /root/reference/testdata/tpcds/queries/q75.sql): a UNION ALL of
+# per-channel detail selects feeds ONE (year, part) aggregate, which
+# self-joins against the prior year and keeps parts whose revenue fell more
+# than 10%. The union happens BELOW the aggregate (q75's sales_detail CTE),
+# so Catalyst plans one shared shuffle over the combined detail — not three.
+# The decline test is integer-exact (10*curr < 9*prev).
+# ---------------------------------------------------------------------------
+
+_DECLINE_DETAIL = "\n  UNION ALL\n".join(
+    f"""  SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS y, l_partkey AS pk,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS r
+  FROM lineitem WHERE l_returnflag = '{flag}'"""
+    for flag in ("A", "N", "R")
+)
+
+_DECLINE_SQL = f"""
+WITH detail AS (
+{_DECLINE_DETAIL}
+),
+tot AS (
+  SELECT y, pk, CAST(SUM(r) AS BIGINT) AS units FROM detail GROUP BY y, pk
+)
+SELECT c.pk AS partkey, c.y AS year,
+       CAST(p.units AS DOUBLE) / 10000.0 AS prev_revenue,
+       CAST(c.units AS DOUBLE) / 10000.0 AS curr_revenue
+FROM tot c
+JOIN tot p ON p.pk = c.pk AND p.y = c.y - 1
+WHERE 10 * c.units < 9 * p.units
+ORDER BY partkey, year
+"""
+
+
+@query(
+    "sql_channel_decline_yoy",
+    oracle=_DECLINE_SQL,
+    tags=("sql-entry", "tpcds", "union-agg"),
+    order_by="partkey, year",
+)
+def channel_decline_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_DECLINE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Below-average part revenue per supplier (TPC-DS q65 shape,
+# /root/reference/testdata/tpcds/queries/q65.sql): per-(supplier, part)
+# revenue joined back against the supplier's average pair revenue, keeping
+# pairs at <= 0.5x the average. The threshold is integer-exact:
+# r <= 0.5*avg  <=>  2*r*cnt <= tot (no float average can flip a boundary
+# row between engines). Both grouped CTEs share one scan; the sa aggregate
+# reuses sp's shuffle partitioning (no extra exchange on sk).
+# ---------------------------------------------------------------------------
+
+_LOW_REV_SQL = """
+WITH sp AS (
+  SELECT l_suppkey AS sk, l_partkey AS pk,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS r
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+),
+sa AS (
+  SELECT sk, CAST(SUM(r) AS BIGINT) AS tot, COUNT(*) AS cnt FROM sp GROUP BY sk
+)
+SELECT s.s_name AS supplier, sp.pk AS partkey,
+       CAST(sp.r AS DOUBLE) / 10000.0 AS revenue
+FROM sp
+JOIN sa ON sa.sk = sp.sk
+JOIN supplier s ON s.s_suppkey = sp.sk
+WHERE 2 * sp.r * sa.cnt <= sa.tot
+ORDER BY supplier, partkey
+"""
+
+
+@query(
+    "sql_low_revenue_parts",
+    oracle=_LOW_REV_SQL,
+    tags=("sql-entry", "tpcds", "group-avg-join"),
+    order_by="supplier, partkey",
+)
+def low_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_LOW_REV_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Customer profile with EXISTS AND (EXISTS OR EXISTS) (TPC-DS q10/q35 shape,
+# /root/reference/testdata/tpcds/queries/q10.sql): one mandatory channel
+# EXISTS plus a DISJUNCTION of two more EXISTS over different tables. The
+# disjunction forces Catalyst's ExistenceJoin (mark join) for the OR'd
+# branches — they can't be plain left-semi joins — while the AND'd branch
+# stays a true semi join. Three hash joins against customer, zero cartesian.
+# ---------------------------------------------------------------------------
+
+_DUAL_EXISTS_SQL = """
+SELECT c.c_mktsegment AS segment, COUNT(*) AS n_cust,
+       CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_bal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+  AND (EXISTS (SELECT 1 FROM events e
+               WHERE e.user_id = c.c_custkey AND e.event_type = 'purchase')
+       OR EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_orderstatus = 'P'))
+GROUP BY c.c_mktsegment
+ORDER BY segment
+"""
+
+
+@query(
+    "sql_dual_exists_disjunct",
+    oracle=_DUAL_EXISTS_SQL,
+    tags=("sql-entry", "tpcds", "mark-join"),
+    order_by="segment",
+)
+def dual_exists_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_DUAL_EXISTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Two-hop EXISTS self-join (TPC-DS q95 shape,
+# /root/reference/testdata/tpcds/queries/q95.sql): lines shipped in 1997
+# whose order ALSO has a line from a DIFFERENT supplier (correlated EXISTS
+# with an inequality on the non-key column) and at least one returned line.
+# The first EXISTS is a left-semi hash join on l_orderkey with the <>
+# residual evaluated inside the join — the q95 "ws1/ws2 different warehouse"
+# pattern — not a cartesian.
+# ---------------------------------------------------------------------------
+
+_TWO_HOP_SQL = """
+SELECT COUNT(DISTINCT l1.l_orderkey) AS n_orders,
+       CAST(SUM(CAST(ROUND(l1.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l1.l_discount * 100) AS BIGINT))) AS DOUBLE)
+         / 10000.0 AS revenue
+FROM lineitem l1
+WHERE l1.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l1.l_shipdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND EXISTS (SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_returnflag = 'R')
+"""
+
+
+@query("sql_two_hop_exists", oracle=_TWO_HOP_SQL, tags=("sql-entry", "tpcds", "semi-join"))
+def two_hop_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_TWO_HOP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Per-band profile buckets (TPC-DS q28 shape,
+# /root/reference/testdata/tpcds/queries/q28.sql): four quantity bands, each
+# computing COUNT(*), an exact average price, and COUNT(DISTINCT price),
+# cross-joined into one wide row. Each band is a 1-row aggregate; the cross
+# join multiplies four single rows (whitelisted in the plan lint). The
+# average divides an exact cents sum by 100*count in double — identical
+# correctly-rounded operations in both engines.
+# ---------------------------------------------------------------------------
+
+_BUCKET_BANDS = [("q1", 1, 10), ("q2", 11, 20), ("q3", 21, 35), ("q4", 36, 50)]
+
+_BUCKET_PROFILE_SQL = (
+    "SELECT "
+    + ",\n       ".join(
+        f"b{i}.cnt_{k}, b{i}.avg_{k}, b{i}.prices_{k}"
+        for i, (k, _, _) in enumerate(_BUCKET_BANDS, 1)
+    )
+    + "\nFROM\n"
+    + ",\n".join(
+        f"""  (SELECT COUNT(*) AS cnt_{k},
+          CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+            / (100.0 * COUNT(*)) AS avg_{k},
+          COUNT(DISTINCT l_extendedprice) AS prices_{k}
+   FROM lineitem WHERE l_quantity BETWEEN {lo} AND {hi}) b{i}"""
+        for i, (k, lo, hi) in enumerate(_BUCKET_BANDS, 1)
+    )
+)
+
+
+@query(
+    "sql_bucket_profile",
+    oracle=_BUCKET_PROFILE_SQL,
+    tags=("sql-entry", "tpcds", "scalar-agg"),
+)
+def bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_BUCKET_PROFILE_SQL)

@@ -386,3 +386,68 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("seq_id"),
         (F.col("offset_tokens") % _PACK_LEN).alias("offset_in_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate phrase mining: word 3-grams appearing in many
+# DISTINCT documents (repeated headers/footers/templates — the phrases an
+# LLM-corpus cleaner strips before training). The shingle fan-out is a
+# narrow per-row array transform (zero shuffle); the only exchange is the
+# final phrase aggregate, and COUNT(DISTINCT doc_id) partial-aggregates
+# map-side, so a phrase occurring in billions of docs never concentrates
+# raw rows on one reducer beyond its distinct pre-aggregated keys.
+# ---------------------------------------------------------------------------
+
+_PHRASE_N = 3  # words per shingle
+_PHRASE_MIN_DOCS = 3  # boilerplate threshold
+_PHRASE_TOPK = 20
+
+_BOILERPLATE_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, {_TOK_SQL} AS w FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(w) - {_PHRASE_N - 2}),
+           i -> array_to_string(w[i:i + {_PHRASE_N - 1}], ' ')))) AS phrase
+  FROM words
+)
+SELECT phrase, COUNT(DISTINCT doc_id) AS n_docs
+FROM grams
+GROUP BY phrase
+HAVING COUNT(DISTINCT doc_id) >= {_PHRASE_MIN_DOCS}
+ORDER BY n_docs DESC, phrase
+LIMIT {_PHRASE_TOPK}
+"""
+
+
+@query(
+    "text_boilerplate_phrases",
+    oracle=_BOILERPLATE_ORACLE,
+    tags=("text", "boilerplate"),
+    order_by="n_docs DESC, phrase",
+)
+def boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    words = F.split(F.trim(F.lower(F.col("text"))), " +")
+    n = F.size(words)
+    # sequence(1, n-2) must not be built with start > stop (Spark would step
+    # BACKWARDS, yielding [1, 0, ...]); short docs get an empty gram list.
+    grams = F.when(
+        n >= _PHRASE_N,
+        F.transform(
+            F.sequence(F.lit(1), n - (_PHRASE_N - 1)),
+            lambda i: F.array_join(F.slice(words, i, _PHRASE_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("phrase")
+    )
+    return (
+        exploded.groupBy("phrase")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= _PHRASE_MIN_DOCS)
+        .orderBy(F.desc("n_docs"), "phrase")
+        .limit(_PHRASE_TOPK)
+    )

@@ -34,6 +34,7 @@ _CROSS_OK = {
     "ds_weighted_mixture",  # 1-row global-min scalar joined onto 20-row dim
     "sql_multiband_counts",  # q88 shape: cross join of four 1-row counts
     "sql_ampm_ratio",  # q90 shape: cross join of two 1-row counts
+    "sql_bucket_profile",  # q28 shape: cross join of four 1-row band aggregates
 }
 
 _ALL = sorted(REGISTRY)
