@@ -152,3 +152,84 @@ def weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum("doc_id").alias("doc_id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget-capped sample: per source, admit documents in deterministic
+# hash order until a token budget fills. The classic "take ~N tokens of
+# web / ~M of code" mixture step: unlike a rate sample, the OUTPUT SIZE is
+# what's fixed, so over-represented sources are truncated instead of
+# thinned. Hash order (not doc_id order) makes the admitted prefix an
+# unbiased uniform subsample; the cumulative sum is one window per source —
+# a single hash shuffle on source, no driver-side state. The window is
+# scan-ordered per source partition; skewed giant sources are bounded by
+# the budget itself (the tail past the budget is filtered before any
+# downstream work).
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 8_000  # per-source token budget
+_BUDGET_SALT = "tb:"
+
+# DuckDB spelling of the tokenizer (kept in sync with textstats._TOK_SQL).
+_TOK_SQL = "string_split_regex(trim(lower(text)), ' +')"
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len({_TOK_SQL}) AS BIGINT) AS n_tokens,
+         {_u32_sql(f"'{_BUDGET_SALT}' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+),
+runn AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM toks
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+       CAST(MAX(cum_tokens) AS BIGINT) AS last_cum
+FROM runn
+WHERE cum_tokens <= {_BUDGET_TOKENS}
+GROUP BY source
+ORDER BY source
+"""
+@query(
+    "ds_token_budget_sample",
+    oracle=_TOKEN_BUDGET_ORACLE,
+    tags=("sampling", "token-budget"),
+    order_by="source",
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), " +"))
+        .cast("long")
+        .alias("n_tokens"),
+        _u32_spark(
+            F.concat(F.lit(_BUDGET_SALT), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runn = toks.select(
+        "source", "n_tokens", F.sum("n_tokens").over(w).alias("cum_tokens")
+    )
+    return (
+        runn.where(F.col("cum_tokens") <= _BUDGET_TOKENS)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("kept_tokens"),
+            F.max("cum_tokens").cast("long").alias("last_cum"),
+        )
+        .orderBy("source")
+    )

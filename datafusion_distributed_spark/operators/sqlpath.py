@@ -1597,3 +1597,186 @@ _BUCKET_PROFILE_SQL = (
 def bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir)
     return spark.sql(_BUCKET_PROFILE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Period-union part revenue (TPC-DS q33/q56/q60 shape,
+# /root/reference/testdata/tpcds/queries/q60.sql): a restricted part set
+# (IN-subquery over the dim) filters THREE disjoint-period aggregates whose
+# UNION ALL feeds one total per part. The IN-subquery plans as a broadcast
+# semi join replicated into each branch; the three branches share one
+# logical scan shape and the final rollup groups only the pre-aggregated
+# union (three rows per part at most).
+# ---------------------------------------------------------------------------
+
+_PERIOD_UNION_PERIODS = [
+    ("1996-01-01", "1996-07-01"),
+    ("1996-07-01", "1997-01-01"),
+    ("1997-01-01", "1997-07-01"),
+]
+
+_PERIOD_UNION_SQL = (
+    """
+WITH sel AS (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY'),
+u AS (
+"""
+    + "\n  UNION ALL\n".join(
+        f"""  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{lo}' AND l_shipdate < TIMESTAMP '{hi}'
+    AND l_partkey IN (SELECT p_partkey FROM sel)
+  GROUP BY l_partkey"""
+        for lo, hi in _PERIOD_UNION_PERIODS
+    )
+    + """
+)
+SELECT pk AS partkey, CAST(SUM(cents) AS DOUBLE) / 10000.0 AS total_revenue
+FROM u
+GROUP BY pk
+ORDER BY total_revenue DESC, partkey
+LIMIT 25
+"""
+)
+
+
+@query(
+    "sql_period_union_parts",
+    oracle=_PERIOD_UNION_SQL,
+    tags=("sql-entry", "tpcds", "union-agg"),
+    order_by="total_revenue DESC, partkey",
+)
+def period_union_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_PERIOD_UNION_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Correlated COUNT(*) predicate over attribute patterns (TPC-DS q41 shape,
+# /root/reference/testdata/tpcds/queries/q41.sql): parts whose BRAND also
+# carries at least one part matching a deep OR of (type, size-band)
+# patterns. q41's distinctive construct is the correlated scalar COUNT
+# compared with > 0 — Catalyst plans a partial aggregate under a left outer
+# join (not a semi join), the same shape DataFusion reaches via its scalar
+# subquery decorrelation.
+# ---------------------------------------------------------------------------
+
+_ATTR_PATTERN_SQL = """
+SELECT DISTINCT p1.p_name AS name
+FROM part p1
+WHERE p1.p_size BETWEEN 5 AND 40
+  AND (SELECT COUNT(*) FROM part p2
+       WHERE p2.p_brand = p1.p_brand
+         AND ((p2.p_type = 'ECONOMY' AND p2.p_size BETWEEN 10 AND 20)
+           OR (p2.p_type = 'SMALL' AND p2.p_size BETWEEN 1 AND 5)
+           OR (p2.p_type = 'STANDARD' AND p2.p_size BETWEEN 25 AND 35))) > 0
+ORDER BY name
+LIMIT 40
+"""
+
+
+@query(
+    "sql_attr_pattern_exists",
+    oracle=_ATTR_PATTERN_SQL,
+    tags=("sql-entry", "tpcds", "subquery"),
+    order_by="name",
+)
+def attr_pattern_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_ATTR_PATTERN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Cross-nation purchase report (TPC-DS q46/q68/q79 shape,
+# /root/reference/testdata/tpcds/queries/q46.sql): the q46 family joins the
+# fact to two dimensions and keeps rows where the two sides DISAGREE on an
+# attribute (bought-city <> current-city). Here: lines where the customer's
+# nation differs from the supplier's — an equi-join chain with a <> residual
+# between the two dimension columns, never a cartesian.
+#
+# The Spark text uses the natural `<>`; the oracle spells the predicate
+# `(c_nationkey - s_nationkey) <> 0` because DuckDB's optimizer recognizes
+# a bare column-to-column <> as an inequality-JOIN condition and plans an
+# IEJoin across the fact (measured 23s vs 0.07s at sf0.1); the arithmetic
+# form keeps DuckDB on hash joins. Semantically identical for int keys.
+# ---------------------------------------------------------------------------
+
+_MISMATCH_BODY = """
+SELECT o.o_custkey AS custkey, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+         / 10000.0 AS cross_nation_revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE {pred}
+GROUP BY o.o_custkey
+ORDER BY cross_nation_revenue DESC, custkey
+LIMIT 20
+"""
+
+_MISMATCH_SQL = _MISMATCH_BODY.format(pred="c.c_nationkey <> s.s_nationkey")
+_MISMATCH_ORACLE = _MISMATCH_BODY.format(
+    pred="(c.c_nationkey - s.s_nationkey) <> 0"
+)
+
+
+@query(
+    "sql_mismatch_channel",
+    oracle=_MISMATCH_ORACLE,
+    tags=("sql-entry", "tpcds", "mismatch-join"),
+    order_by="cross_nation_revenue DESC, custkey",
+)
+def mismatch_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_MISMATCH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT-restricted brand rollup (TPC-DS q14 shape,
+# /root/reference/testdata/tpcds/queries/q14.sql): q14's cross_items CTE is
+# an INTERSECT of the item sets sold in every period; sales restricted to
+# those items then roll up by (brand, year). The INTERSECT runs on
+# projected key columns only (narrow shuffles), and the restriction is a
+# semi join before the rollup. NULL rollup cells use the COALESCE-sentinel
+# convention (multiset compare, no NULL-ordering divergence).
+# ---------------------------------------------------------------------------
+
+_COMMON_PARTS_SQL = """
+WITH common AS (
+  SELECT l_partkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  INTERSECT
+  SELECT l_partkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  INTERSECT
+  SELECT l_partkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+)
+SELECT COALESCE(p.p_brand, 'ALL') AS brand,
+       COALESCE(CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER), 0) AS year,
+       CAST(GROUPING(p.p_brand) + GROUPING(CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER))
+            AS INTEGER) AS lvl,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+         / 10000.0 AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1999-01-01'
+  AND l.l_partkey IN (SELECT l_partkey FROM common)
+GROUP BY ROLLUP(p.p_brand, CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER))
+"""
+
+
+@query(
+    "sql_common_parts_rollup",
+    oracle=_COMMON_PARTS_SQL,
+    tags=("sql-entry", "tpcds", "intersect-rollup"),
+)
+def common_parts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_COMMON_PARTS_SQL)

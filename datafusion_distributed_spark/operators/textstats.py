@@ -430,18 +430,27 @@ LIMIT {_PHRASE_TOPK}
 )
 def boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir)["documents"]
-    words = F.split(F.trim(F.lower(F.col("text"))), " +")
-    n = F.size(words)
+    # Materialize the word array in its OWN projection: referencing the raw
+    # split(...) expression from inside the transform lambda would inline it
+    # into the lambda body, re-splitting the text once per array element
+    # (O(n^2) per doc — measured 3.2s -> 0.6s at sf0.1). With `w` an
+    # attribute referenced 3x (non-cheap, multi-use), CollapseProject keeps
+    # the projection separate and the split runs once per row.
+    wordsdf = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), " +").alias("w")
+    )
+    w = F.col("w")
+    n = F.size(w)
     # sequence(1, n-2) must not be built with start > stop (Spark would step
     # BACKWARDS, yielding [1, 0, ...]); short docs get an empty gram list.
     grams = F.when(
         n >= _PHRASE_N,
         F.transform(
             F.sequence(F.lit(1), n - (_PHRASE_N - 1)),
-            lambda i: F.array_join(F.slice(words, i, _PHRASE_N), " "),
+            lambda i: F.array_join(F.slice(w, i, _PHRASE_N), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = docs.select(
+    exploded = wordsdf.select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("phrase")
     )
     return (
