@@ -1780,3 +1780,62 @@ GROUP BY ROLLUP(p.p_brand, CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER))
 def common_parts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir)
     return spark.sql(_COMMON_PARTS_SQL)
+
+
+@query("df_tree_depth_doubling", oracle=_RECURSIVE_SQL, tags=("recursive", "iterative"))
+def df_tree_depth_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tree depth via POINTER DOUBLING: O(log depth) self-joins instead of
+    the BFS walk's O(depth) frontier joins (`df_tree_depth_iterative`).
+
+    Each round composes every node's ancestor pointer with itself
+    (anc <- anc(anc), d <- d + d(anc)); the root is a fixpoint (anc(1)=1,
+    d(1)=0) so jumps past it stop accumulating. A depth-D tree converges in
+    ceil(log2 D) rounds — at petabyte graph scale this is the difference
+    between ~40 shuffles and ~6 (same doubling discipline as
+    dedup.connected_components; cf. the reference's bounded recursion note
+    at /root/reference/docs/source/learn/03-how-adaptive-query-execution-works.md).
+    Every driver action is a scalar convergence count, never data-scale.
+    """
+    import pyspark.sql.functions as F
+
+    cust = t(spark, sf_dir)["customer"]
+    # Nodes k>=1 (the subtree of root 1 — node 0 is its own parent and
+    # unreachable, matching the recursive oracle's seed).
+    st = (
+        cust.where(F.col("c_custkey") >= 1)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.when(F.col("c_custkey") == 1, F.lit(1).cast("bigint"))
+            .otherwise(F.expr("CAST(FLOOR(c_custkey / 2.0) AS BIGINT)"))
+            .alias("anc"),
+            F.when(F.col("c_custkey") == 1, F.lit(0)).otherwise(F.lit(1)).alias("d"),
+        )
+        .persist()
+    )
+    try:
+        for _ in range(64):  # 64 rounds covers depth 2^64 — never hit
+            if st.where(F.col("anc") != 1).count() == 0:
+                break
+            nxt = (
+                st.alias("a")
+                .join(st.select(
+                    F.col("k").alias("bk"),
+                    F.col("anc").alias("banc"),
+                    F.col("d").alias("bd"),
+                ), F.col("a.anc") == F.col("bk"))
+                .select(
+                    F.col("a.k").alias("k"),
+                    F.col("banc").alias("anc"),
+                    (F.col("a.d") + F.col("bd")).alias("d"),
+                )
+                .localCheckpoint(eager=True)  # cut the doubling lineage
+            )
+            st.unpersist()
+            st = nxt.persist()
+        else:
+            raise RuntimeError("pointer doubling did not converge in 64 rounds")
+        return st.groupBy(F.col("d").cast("int").alias("depth")).agg(
+            F.count(F.lit(1)).alias("n_nodes")
+        )
+    finally:
+        st.unpersist()
