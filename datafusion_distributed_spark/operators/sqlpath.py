@@ -1839,3 +1839,53 @@ def df_tree_depth_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         st.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Wide-chain YoY price comparison (TPC-DS q64 shape,
+# /root/reference/testdata/tpcds/queries/q64.sql): q64's signature is the
+# WIDEST join in the suite — a fact chained through many dimensions, the
+# whole chain aggregated, then SELF-JOINED across adjacent years comparing
+# averages. Here: 7 tables (lineitem-orders-customer-nation-region-
+# supplier-part), per-(part, year) average price, year-vs-next-year decline.
+# The average comparison is cross-multiplied on exact cents (no float avg
+# can flip a boundary row); the small dims broadcast, so the only real
+# shuffles are the fact aggregate and the pair self-join.
+# ---------------------------------------------------------------------------
+
+_WIDE_CHAIN_SQL = """
+WITH chain AS (
+  SELECT p.p_partkey AS pk,
+         CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS y,
+         COUNT(*) AS cnt,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  JOIN region rc ON rc.r_regionkey = nc.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE rc.r_name IN ('AMERICA', 'ASIA')
+  GROUP BY p.p_partkey, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER)
+)
+SELECT a.pk AS partkey, a.y AS year,
+       CAST(a.cents AS DOUBLE) / (100.0 * a.cnt) AS avg_price,
+       CAST(b.cents AS DOUBLE) / (100.0 * b.cnt) AS next_avg_price
+FROM chain a
+JOIN chain b ON b.pk = a.pk AND b.y = a.y + 1
+WHERE b.cents * a.cnt < a.cents * b.cnt
+ORDER BY partkey, year
+"""
+
+
+@query(
+    "sql_wide_chain_yoy",
+    oracle=_WIDE_CHAIN_SQL,
+    tags=("sql-entry", "tpcds", "wide-join"),
+    order_by="partkey, year",
+)
+def wide_chain_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_WIDE_CHAIN_SQL)

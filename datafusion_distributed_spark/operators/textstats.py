@@ -460,3 +460,129 @@ def boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), "phrase")
         .limit(_PHRASE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-window chunking (embedding/pretraining preprocessing): each document
+# splits into overlapping windows of _CHUNK_SIZE tokens at _CHUNK_STRIDE
+# steps — the standard "chunk for embedding" fan-out. The explode is a
+# narrow per-row sequence (no shuffle); chunk count and lengths are pure
+# integer arithmetic, so the one aggregate is the only exchange. A 100 TB
+# corpus fans out ~size/stride rows per doc with zero data movement
+# before the per-source rollup.
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, CAST(len({_TOK_SQL}) AS BIGINT) AS n FROM documents
+),
+chunks AS (
+  SELECT doc_id, source, n,
+         unnest(range(0, CAST(FLOOR((n - 1) / {_CHUNK_STRIDE}.0) AS BIGINT) + 1))
+           AS cid
+  FROM toks
+)
+SELECT source, COUNT(*) AS n_chunks,
+       CAST(SUM(LEAST({_CHUNK_SIZE}, n - cid * {_CHUNK_STRIDE})) AS BIGINT)
+         AS chunk_tokens,
+       CAST(SUM(LEAST({_CHUNK_SIZE}, n - cid * {_CHUNK_STRIDE})) AS DOUBLE)
+         / COUNT(*) AS avg_chunk_len
+FROM chunks
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query(
+    "text_chunk_windows",
+    oracle=_CHUNK_ORACLE,
+    tags=("text", "chunking"),
+    order_by="source",
+)
+def chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), " +")).cast("long").alias("n"),
+    )
+    chunks = toks.select(
+        "source",
+        "n",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor((F.col("n") - 1) / float(_CHUNK_STRIDE)).cast("long"),
+            )
+        ).alias("cid"),
+    )
+    clen = F.least(F.lit(_CHUNK_SIZE).cast("long"), F.col("n") - F.col("cid") * _CHUNK_STRIDE)
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(clen).cast("long").alias("chunk_tokens"),
+            (F.sum(clen).cast("double") / F.count(F.lit(1))).alias("avg_chunk_len"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document-frequency quality score (train-then-score, two passes): pass 1
+# aggregates per-token document frequency over the corpus; pass 2 joins the
+# (small) df table back onto each document's distinct tokens and scores the
+# doc by its MEAN TOKEN DOCUMENT-FREQUENCY — a rarity/commonness filter (the
+# IDF-flavored cousin of stopword-ratio quality scoring). The df table is
+# vocabulary-sized, so the scoring join broadcasts at any corpus scale; the
+# score is an exact integer sum divided once in double (oracle-exact).
+# ---------------------------------------------------------------------------
+
+_DF_TOPK = 20
+
+_DOCFREQ_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOK_SQL})) AS tok FROM documents
+),
+df AS (
+  SELECT tok, COUNT(*) AS n_docs FROM toks GROUP BY tok
+)
+SELECT t.doc_id AS doc_id, COUNT(*) AS n_distinct_toks,
+       CAST(SUM(df.n_docs) AS BIGINT) AS df_sum,
+       CAST(SUM(df.n_docs) AS DOUBLE) / COUNT(*) AS mean_df
+FROM toks t JOIN df ON df.tok = t.tok
+GROUP BY t.doc_id
+ORDER BY mean_df DESC, doc_id
+LIMIT {_DF_TOPK}
+"""
+
+
+@query(
+    "text_docfreq_score",
+    oracle=_DOCFREQ_ORACLE,
+    tags=("text", "quality"),
+    order_by="mean_df DESC, doc_id",
+)
+def docfreq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), " +"))
+        ).alias("tok"),
+    )
+    df_tbl = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = toks.join(F.broadcast(df_tbl), "tok")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_toks"),
+            F.sum("n_docs").cast("long").alias("df_sum"),
+            (F.sum("n_docs").cast("double") / F.count(F.lit(1))).alias("mean_df"),
+        )
+        .orderBy(F.desc("mean_df"), "doc_id")
+        .limit(_DF_TOPK)
+    )
