@@ -136,6 +136,7 @@ def _ensure_loaded() -> None:
         relational,
         sampling,
         similarity,
+        skew,
         sqlpath,
         textstats,
         udfs,

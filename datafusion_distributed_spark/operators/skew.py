@@ -20,7 +20,10 @@ hot-key dataset.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+from ._util import t
+from .registry import query
 
 
 def salted_join(
@@ -56,3 +59,40 @@ def salted_join(
     )
     joined = left_s.join(right_s, on=[key, "_salt"], how=how)
     return joined.drop("_salt")
+
+
+# ---------------------------------------------------------------------------
+# Registry entry: salted fact-dim join, oracle-checked against the PLAIN
+# join (salting must be result-invariant). The fact's supplier key is the
+# salted axis; per-nation revenue is the aggregate. n_salts=8 keeps the
+# replicated dim at 8x|supplier| — the trade this operator exists for.
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+SELECT s.s_nationkey AS nationkey, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total_price
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+GROUP BY s.s_nationkey
+"""
+
+
+@query("join_salted_skew", oracle=_SALTED_ORACLE, tags=("join", "skew"))
+def salted_skew_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prove salting is result-invariant under the driver's oracle gate
+    (unit equivalence lives in tests/test_skew.py; this puts the operator
+    on the same differential footing as every other registry query)."""
+    tb = t(spark, sf_dir)
+    fact = tb["lineitem"].select(
+        F.col("l_suppkey").alias("sk"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+    dim = tb["supplier"].select(
+        F.col("s_suppkey").alias("sk"), F.col("s_nationkey").alias("nationkey")
+    )
+    joined = salted_join(fact, dim, "sk", n_salts=8)
+    return joined.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (F.sum("cents").cast("double") / 100.0).alias("total_price"),
+    )
