@@ -20,6 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..tables import load_tables
+from .windows import _normalize_event_time
 
 _GAP = "30 minutes"
 _WATERMARK = "1 hour"
@@ -69,10 +70,7 @@ def streaming_session_counts(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        # Watermarks require TIMESTAMP (LTZ); with UTC session tz this is the
-        # same instant as the batch path's TIMESTAMP_NTZ.
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _normalize_event_time(stream)
     sessions = _session_agg(stream.withWatermark("ts", _WATERMARK)).select(
         "user_id",
         F.col("session_start").cast("timestamp_ntz").alias("session_start"),

@@ -32,6 +32,7 @@ from pyspark.sql.types import (
 )
 
 from ..tables import load_tables
+from .windows import _normalize_event_time
 
 _STATE_SCHEMA = StructType(
     [
@@ -88,8 +89,7 @@ def streaming_user_totals(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _normalize_event_time(stream)
     totals = stream.groupBy("user_id").applyInPandasWithState(
         _update_user_state,
         outputStructType=_OUTPUT_SCHEMA,

@@ -21,6 +21,23 @@ from ..tables import load_tables
 _WATERMARK = "1 hour"
 
 
+def _normalize_event_time(stream: DataFrame) -> DataFrame:
+    """Bring the on-disk ``ts`` column to TIMESTAMP (LTZ), the only type
+    watermarks accept (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise).
+
+    Two on-disk encodings appear depending on reader config: int64 nanos
+    (under ``nanosAsLong``) and TIMESTAMP_NTZ (Spark 4's
+    ``parquet.inferTimestampNTZ``). The session timezone is pinned to UTC,
+    so the NTZ→LTZ cast denotes the same instant as the batch path.
+    """
+    dt = dict(stream.dtypes).get("ts")
+    if dt == "bigint":
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
 def _tumbling_agg(events: DataFrame) -> DataFrame:
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -61,9 +78,7 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream.withWatermark("ts", _WATERMARK)
+    return _normalize_event_time(stream).withWatermark("ts", _WATERMARK)
 
 
 def _run_to_completion(df: DataFrame, table_name: str) -> DataFrame:
