@@ -1889,3 +1889,122 @@ ORDER BY partkey, year
 def wide_chain_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir)
     return spark.sql(_WIDE_CHAIN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Disjunctive IN-subquery predicate (TPC-DS q45 shape,
+# /root/reference/testdata/tpcds/queries/q45.sql): q45 keeps rows where a
+# LOCAL attribute is in a literal list OR the key is in a SUBQUERY result.
+# Because the subquery membership appears under OR, Catalyst cannot rewrite
+# it to a semi join; it plans an ExistenceJoin (mark join) whose boolean
+# feeds the disjunction — the same decorrelation DataFusion reaches with its
+# mark-join rewrite. The subquery side is aggregated to distinct keys before
+# the join, so the mark join shuffles keys only.
+# ---------------------------------------------------------------------------
+
+_DISJUNCT_IN_SQL = """
+SELECT c.c_mktsegment AS segment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_nationkey IN (1, 4, 9, 14, 19)
+   OR o.o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+GROUP BY c.c_mktsegment
+ORDER BY segment
+"""
+
+
+@query(
+    "sql_disjunct_in_subquery",
+    oracle=_DISJUNCT_IN_SQL,
+    tags=("sql-entry", "tpcds", "mark-join"),
+    order_by="segment",
+)
+def disjunct_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_DISJUNCT_IN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Revenue share within class via window-over-aggregate (TPC-DS q12/q20/q98
+# shape, /root/reference/testdata/tpcds/queries/q98.sql): per-item revenue in
+# a date window, with each item's share of its CLASS total computed by
+# SUM() OVER (PARTITION BY class) over the grouped output. One hash
+# aggregate then one window exchange on the (much smaller) per-item rollup —
+# the window never sees fact-table rows. Numerator and denominator are exact
+# int64 cents, so the DOUBLE division is bit-identical in both engines.
+# ---------------------------------------------------------------------------
+
+_CLASS_SHARE_SQL = """
+WITH itemrev AS (
+  SELECT p.p_type AS class, p.p_partkey AS partkey,
+         SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS cents
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1996-03-01'
+  GROUP BY p.p_type, p.p_partkey
+)
+SELECT class, partkey,
+       CAST(cents AS DOUBLE) / 10000.0 AS item_revenue,
+       CAST(cents * 100 AS DOUBLE)
+         / CAST(SUM(cents) OVER (PARTITION BY class) AS DOUBLE) AS revenue_ratio
+FROM itemrev
+ORDER BY class, partkey
+"""
+
+
+@query(
+    "sql_class_revenue_share",
+    oracle=_CLASS_SHARE_SQL,
+    tags=("sql-entry", "tpcds", "window-over-agg"),
+    order_by="class, partkey",
+)
+def class_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_CLASS_SHARE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Before/after pivot-date flow ratio (TPC-DS q21/q40 shape,
+# /root/reference/testdata/tpcds/queries/q21.sql): conditional sums split a
+# measure around a pivot date per entity, keeping entities whose
+# after/before ratio lies in [2/3, 3/2]. The band test uses integer
+# cross-multiplication (3*after >= 2*before AND 2*after <= 3*before) — exact
+# in both engines, no floating-point boundary rows. One fact aggregate; the
+# supplier dim joins broadcast-small after it.
+# ---------------------------------------------------------------------------
+
+_BEFORE_AFTER_SQL = """
+WITH flows AS (
+  SELECT l_suppkey AS suppkey,
+         SUM(CASE WHEN l_shipdate < TIMESTAMP '1996-06-01'
+                  THEN CAST(ROUND(l_quantity) AS BIGINT) ELSE 0 END) AS qty_before,
+         SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-06-01'
+                  THEN CAST(ROUND(l_quantity) AS BIGINT) ELSE 0 END) AS qty_after
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l_shipdate < TIMESTAMP '1996-09-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_name AS supplier, f.qty_before, f.qty_after
+FROM flows f
+JOIN supplier s ON s.s_suppkey = f.suppkey
+WHERE f.qty_before > 0 AND f.qty_after > 0
+  AND 3 * f.qty_after >= 2 * f.qty_before
+  AND 2 * f.qty_after <= 3 * f.qty_before
+ORDER BY supplier
+"""
+
+
+@query(
+    "sql_before_after_ratio",
+    oracle=_BEFORE_AFTER_SQL,
+    tags=("sql-entry", "tpcds", "conditional-agg"),
+    order_by="supplier",
+)
+def before_after_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_BEFORE_AFTER_SQL)
