@@ -2008,3 +2008,171 @@ ORDER BY supplier
 def before_after_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir)
     return spark.sql(_BEFORE_AFTER_SQL)
+
+
+# ---------------------------------------------------------------------------
+# HAVING vs global scalar average (TPC-DS q24 shape,
+# /root/reference/testdata/tpcds/queries/q24.sql): q24 keeps groups whose
+# SUM exceeds a multiple of the AVG over the WHOLE aggregated set — a scalar
+# subquery over the same CTE the outer query reads, planned as one reused
+# aggregate + a broadcast of the 1-row scalar. The threshold test is integer
+# cross-multiplied (cents * n > 2 * total) so no double AVG (whose
+# summation order differs between engines) appears anywhere.
+# ---------------------------------------------------------------------------
+
+_ABOVE_GLOBAL_AVG_SQL = """
+WITH per_cust AS (
+  SELECT c.c_custkey AS custkey, c.c_name AS name,
+         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey, c.c_name
+)
+SELECT custkey, name, CAST(cents AS DOUBLE) / 100.0 AS total_spend
+FROM per_cust
+WHERE cents * (SELECT COUNT(*) FROM per_cust)
+      > 2 * (SELECT SUM(cents) FROM per_cust)
+ORDER BY custkey
+"""
+
+
+@query(
+    "sql_above_global_avg",
+    oracle=_ABOVE_GLOBAL_AVG_SQL,
+    tags=("sql-entry", "tpcds", "scalar-subquery"),
+    order_by="custkey",
+)
+def above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_ABOVE_GLOBAL_AVG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# NULL-key counts per channel (TPC-DS q76 shape,
+# /root/reference/testdata/tpcds/queries/q76.sql): q76 UNION-ALLs the three
+# sales channels and counts the rows whose dimension FK is NULL, grouped by
+# channel and year. The driver tables have no natural NULL FKs, so each
+# branch derives one with NULLIF on a channel-specific sentinel — the NULL
+# arrives BELOW the union exactly as q76's missing FKs do. The union is
+# append-only (no shuffle); the one exchange is the final group-by.
+# ---------------------------------------------------------------------------
+
+_NULL_KEY_CHANNELS_SQL = """
+WITH allchan AS (
+  SELECT 'orders' AS channel,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
+         NULLIF(o_orderpriority, '3-MEDIUM') AS attr,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem' AS channel,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS y,
+         NULLIF(l_returnflag, 'N') AS attr,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+)
+SELECT channel, y AS year, COUNT(*) AS n_null_attr,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS total
+FROM allchan
+WHERE attr IS NULL
+GROUP BY channel, y
+ORDER BY channel, year
+"""
+
+
+@query(
+    "sql_null_key_channels",
+    oracle=_NULL_KEY_CHANNELS_SQL,
+    tags=("sql-entry", "tpcds", "union"),
+    order_by="channel, year",
+)
+def null_key_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_NULL_KEY_CHANNELS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Substring-prefix IN-list INTERSECT customer set (TPC-DS q8 shape,
+# /root/reference/testdata/tpcds/queries/q8.sql): q8 restricts stores to zip
+# prefixes that appear BOTH in a literal list AND among preferred customers'
+# zips — a literal-filtered dimension INTERSECTed with a fact-derived key
+# set, feeding a semi join. Key types are cast to BIGINT on both INTERSECT
+# branches (nation.n_nationkey is int64, customer.c_nationkey int32).
+# ---------------------------------------------------------------------------
+
+_PREFIX_INTERSECT_SQL = """
+WITH target_nations AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS nk
+  FROM nation
+  WHERE SUBSTRING(n_name, 8, 1) IN ('1', '3', '5', '7', '9')
+  INTERSECT
+  SELECT CAST(c_nationkey AS BIGINT) AS nk
+  FROM customer
+  WHERE c_acctbal > 7500
+)
+SELECT n.n_name AS nation, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_price
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE CAST(c.c_nationkey AS BIGINT) IN (SELECT nk FROM target_nations)
+GROUP BY n.n_name
+ORDER BY nation
+"""
+
+
+@query(
+    "sql_prefix_intersect_semi",
+    oracle=_PREFIX_INTERSECT_SQL,
+    tags=("sql-entry", "tpcds", "intersect"),
+    order_by="nation",
+)
+def prefix_intersect_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_PREFIX_INTERSECT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# YoY decline over NULL-filtered LEFT JOIN (TPC-DS q78 shape,
+# /root/reference/testdata/tpcds/queries/q78.sql): q78 computes per-item
+# yearly sales EXCLUDING returned rows via LEFT JOIN returns ... WHERE
+# return key IS NULL (an anti join spelled as a null-filtered outer join),
+# then self-joins adjacent years. Returns here are the distinct
+# (orderkey, partkey) pairs flagged 'R'. The decline test (2*qty < prev)
+# is exact integer arithmetic.
+# ---------------------------------------------------------------------------
+
+_NET_YOY_DECLINE_SQL = """
+WITH returned AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_returnflag = 'R'
+),
+net AS (
+  SELECT l.l_partkey AS pk,
+         CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS y,
+         SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS qty,
+         SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem l
+  LEFT JOIN returned r
+    ON r.l_orderkey = l.l_orderkey AND r.l_partkey = l.l_partkey
+  WHERE r.l_orderkey IS NULL
+  GROUP BY l.l_partkey, CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER)
+)
+SELECT a.pk AS partkey, a.y AS year, a.qty AS qty, b.qty AS prev_qty,
+       CAST(a.cents AS DOUBLE) / 100.0 AS revenue
+FROM net a
+JOIN net b ON b.pk = a.pk AND b.y = a.y - 1
+WHERE 2 * a.qty < b.qty
+ORDER BY partkey, year
+"""
+
+
+@query(
+    "sql_net_yoy_decline",
+    oracle=_NET_YOY_DECLINE_SQL,
+    tags=("sql-entry", "tpcds", "anti-join"),
+    order_by="partkey, year",
+)
+def net_yoy_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_NET_YOY_DECLINE_SQL)
