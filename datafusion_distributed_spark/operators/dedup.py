@@ -694,3 +694,76 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-representative selection: after clustering near-dups, a training
+# pipeline keeps ONE document per cluster — the "best" one, not an arbitrary
+# one. Representative = greatest n_chars (most content preserved), doc_id as
+# the exact tiebreak; both keys are integers, so the choice is bit-portable
+# (no double score whose summation order could flip a boundary doc).
+#
+# Scale shape: the cluster labels come from the pair graph (LSH candidates
+# only — a small fraction of the corpus), so the members frame is tiny
+# relative to the scan; the labels broadcast-join against `documents`, the
+# per-cluster window partitions are near-clique-sized, and nothing here
+# touches unclustered docs (singletons keep themselves by definition).
+# ---------------------------------------------------------------------------
+
+
+def _cluster_reps_oracle() -> str:
+    base = _cc_oracle()
+    head, _, final = base.rpartition("\nSELECT node AS doc_id")
+    return f"""{head},
+clusters AS (
+  SELECT node AS doc_id{final}
+),
+members AS (
+  SELECT d.doc_id, c.cluster_id, d.n_chars
+  FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
+),
+rep_ranked AS (
+  SELECT cluster_id, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM members
+)
+SELECT cluster_id, doc_id AS rep_doc_id, n_members, n_chars AS rep_chars
+FROM rep_ranked WHERE rk = 1
+"""
+
+
+@query(
+    "dd_cluster_representatives",
+    oracle=_cluster_reps_oracle(),
+    tags=("dedup", "graph", "pipeline"),
+)
+def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-per-cluster: near-dup clusters (capped LSH pairs ->
+    connected components) joined back to `documents`, one representative per
+    cluster chosen by (n_chars DESC, doc_id). Every cluster here has >= 2
+    members (labels only exist for docs that appear in a candidate pair)."""
+    docs = t(spark, sf_dir)["documents"]
+    pairs = capped_band_pairs(lsh_bands(minhash_signatures(docs))).persist()
+    clusters = connected_components(pairs)
+    pairs.unpersist(blocking=False)
+    members = docs.select("doc_id", "n_chars").join(
+        F.broadcast(clusters), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = members.select(
+        "cluster_id",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).alias("n_members"),
+    )
+    return ranked.where(F.col("rk") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("rep_doc_id"),
+        "n_members",
+        F.col("n_chars").alias("rep_chars"),
+    )
