@@ -11,6 +11,7 @@ then N_RUNS timed runs per query, per-query median, total = sum of medians.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import statistics
@@ -47,6 +48,15 @@ def main() -> None:
         except Exception as exc:  # keep the harness alive; surface on stderr
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             per_query[name] = -1.0
+        # Per-query hygiene: iterative queries localCheckpoint/persist
+        # intermediate frames; without an explicit release those blocks
+        # accumulate across the battery and squeeze the unified memory pool,
+        # inflating later queries' times (measured ~1.4x on the
+        # alphabetically-late sim_* family at 155 queries). clearCache drops
+        # cached frames; gc.collect() releases Python-side RDD handles so
+        # the ContextCleaner frees checkpoint blocks.
+        spark.catalog.clearCache()
+        gc.collect()
 
     total = round(sum(v for v in per_query.values() if v >= 0), 4)
     print(
