@@ -586,3 +586,86 @@ def docfreq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("mean_df"), "doc_id")
         .limit(_DF_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: scrub emails / IPv4s / phone numbers with built-in regexp
+# (JVM codegen — no Python in the row path), reporting per-source counts and
+# chars removed. The synthetic corpus carries no PII, so the query INJECTS a
+# deterministic email+IP+phone per doc (derived from doc_id, identically in
+# both engines) before scrubbing — proving the patterns and the replace
+# chain end-to-end. Redaction order (email -> IP -> phone) matters: the
+# email's local part contains digits the later patterns must never see.
+# At 100 TB this is a pure scan-transform: zero shuffles before the tiny
+# per-source aggregate.
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+    " || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    " || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+_PII_ORACLE = f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(aug, '{_PII_EMAIL_RE}'))) AS BIGINT) AS n_emails,
+       CAST(SUM(len(regexp_extract_all(aug, '{_PII_IP_RE}'))) AS BIGINT) AS n_ips,
+       CAST(SUM(len(regexp_extract_all(aug, '{_PII_PHONE_RE}'))) AS BIGINT) AS n_phones,
+       CAST(SUM(len(aug) - len(
+         regexp_replace(regexp_replace(regexp_replace(aug,
+           '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_PII_IP_RE}', '<IP>', 'g'),
+           '{_PII_PHONE_RE}', '<PHONE>', 'g'))) AS BIGINT) AS chars_removed
+FROM (SELECT source, {_PII_AUG_SQL} AS aug FROM documents) p
+GROUP BY source
+"""
+
+
+@query("text_pii_redact", oracle=_PII_ORACLE, tags=("text", "pii"))
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    doc_id = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        doc_id.cast("string"),
+        F.lit("@example.com from 10.0."),
+        (doc_id % 256).cast("string"),
+        F.lit(".7 call 555-"),
+        F.lpad((doc_id % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), _PII_EMAIL_RE, "<EMAIL>"),
+            _PII_IP_RE,
+            "<IP>",
+        ),
+        _PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return (
+        docs.select("source", aug.alias("aug"))
+        .select(
+            "source",
+            F.regexp_count(F.col("aug"), F.lit(_PII_EMAIL_RE)).alias("e"),
+            F.regexp_count(F.col("aug"), F.lit(_PII_IP_RE)).alias("i"),
+            F.regexp_count(F.col("aug"), F.lit(_PII_PHONE_RE)).alias("p"),
+            (F.length("aug") - F.length(redacted)).alias("removed"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("e").cast("bigint").alias("n_emails"),
+            F.sum("i").cast("bigint").alias("n_ips"),
+            F.sum("p").cast("bigint").alias("n_phones"),
+            F.sum("removed").cast("bigint").alias("chars_removed"),
+        )
+    )
