@@ -669,3 +669,62 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("removed").cast("bigint").alias("chars_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary top-k: global token frequencies, the primitive under
+# tokenizer training / vocab pruning. Scale shape: tokens are counted
+# per-row FIRST (explode of per-row DISTINCT tokens with their in-row
+# counts), so the shuffle carries one row per (doc, distinct token), not per
+# token occurrence; the vocabulary is Zipf-distributed, so hash partial
+# aggregation collapses the head tokens map-side and the final exchange is
+# ~vocab-sized per partition. Ordering (count DESC, token ASC) is exact.
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 30
+
+_VOCAB_ORACLE = f"""
+SELECT tok, CAST(SUM(c) AS BIGINT) AS n_occurrences,
+       COUNT(*) AS n_docs
+FROM (
+  SELECT doc_id, u.tok AS tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents) u
+  GROUP BY doc_id, u.tok
+) per_doc
+GROUP BY tok
+ORDER BY n_occurrences DESC, tok
+LIMIT {_VOCAB_K}
+"""
+
+
+@query(
+    "text_vocab_topk",
+    oracle=_VOCAB_ORACLE,
+    tags=("text", "tokenizer"),
+    order_by="n_occurrences DESC, tok",
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), " +").alias("w")
+    )
+    # Per-row (token, in-row count) pairs via a narrow aggregate-free
+    # transform: explode the distinct set, count via size(filter(...)).
+    per_doc = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct("w")).alias("tok"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        "tok",
+        F.expr("size(filter(w, x -> x = tok))").cast("long").alias("c"),
+    )
+    return (
+        per_doc.groupBy("tok")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("tok"))
+        .limit(_VOCAB_K)
+    )
