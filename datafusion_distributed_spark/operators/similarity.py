@@ -640,3 +640,57 @@ def hof_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("all_small").cast("bigint").alias("n_all_small"),
         F.count(F.lit(1)).alias("n_vecs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cosine RANGE search: all neighbors with similarity >= threshold (the
+# retrieval mode under near-dup mining and diversity filtering, complementing
+# top-k). Plan shape: broadcast queries -> per-partition scan with JVM
+# zip_with arithmetic -> FILTER. Zero shuffles — unlike top-k there is no
+# final ranking exchange, so at 100 TB this is pure embarrassingly-parallel
+# scan work; output size scales with corpus density above the threshold.
+# Same 6-decimal rounding discipline as sim_cosine_topk before the
+# threshold compare, so boundary pairs cannot flip between engines.
+# ---------------------------------------------------------------------------
+
+_RANGE_THRESHOLD = 0.3
+
+_COSINE_RANGE_ORACLE = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id < {_N_QUERIES}),
+c AS (SELECT vec_id, e FROM emb WHERE vec_id >= {_N_QUERIES}),
+flat AS (
+  SELECT q.q_id, c.vec_id, unnest(q.qe) AS qv, unnest(c.e) AS cv
+  FROM q CROSS JOIN c
+),
+dots AS (
+  SELECT q_id, vec_id,
+         SUM(qv * cv) AS dot, SUM(qv * qv) AS qq, SUM(cv * cv) AS cc
+  FROM flat GROUP BY q_id, vec_id
+)
+SELECT q_id, vec_id AS neighbor_id,
+       ROUND(dot / (SQRT(qq) * SQRT(cc)), 6) AS cos_sim
+FROM dots
+WHERE ROUND(dot / (SQRT(qq) * SQRT(cc)), 6) >= {_RANGE_THRESHOLD}
+"""
+
+
+@query("sim_cosine_range", oracle=_COSINE_RANGE_ORACLE, tags=("similarity", "range"))
+def cosine_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    c = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    cos = F.round(
+        _dot("e", "qe") / (F.sqrt(_dot("e", "e")) * F.sqrt(_dot("qe", "qe"))), 6
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _RANGE_THRESHOLD)
+    )
