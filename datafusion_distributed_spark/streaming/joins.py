@@ -121,3 +121,54 @@ def streaming_dedup_user_types(
     )
     q.awaitTermination()
     return spark.table(table_name)
+
+
+def _enrich_purchases(purchases: DataFrame, customers: DataFrame) -> DataFrame:
+    """Per-segment purchase totals: purchases keyed by user joined to the
+    static customer dim (user_id -> c_custkey), aggregated by segment.
+    Money in exact integer cents until output."""
+    joined = purchases.join(
+        F.broadcast(customers.select("c_custkey", "c_mktsegment")),
+        purchases["user_id"] == F.col("c_custkey"),
+    )
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast(
+                    "long"
+                )
+            ).alias("cents"),
+        )
+        .select("segment", "n_purchases", "cents")
+    )
+
+
+def batch_purchase_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir)
+    purchases = tables["events"].filter(F.col("event_type") == "purchase")
+    return _enrich_purchases(purchases, tables["customer"])
+
+
+def streaming_purchase_segments(
+    spark: SparkSession, sf_dir: str, table_name: str = "stream_static_join"
+) -> DataFrame:
+    """STREAM-STATIC join: the event stream enriched against the static
+    customer dimension. The static side is planned as a broadcast per
+    micro-batch — no stream state at all (unlike stream-stream joins), which
+    is the 100 TB-scale enrichment pattern: dimension updates are picked up
+    per batch, the stream never shuffles on the join key."""
+    stream = _event_stream(spark, sf_dir)
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    static_cust = load_tables(spark, sf_dir)["customer"]
+    out = _enrich_purchases(purchases, static_cust)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table_name)

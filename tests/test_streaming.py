@@ -124,3 +124,16 @@ def test_cents_quantization_matches_batch_round():
     assert _cents_half_up(pd.Series([0.135])) == 14  # banker's agrees here
     assert _cents_half_up(pd.Series([-0.125])) == -13  # away from zero
     assert _cents_half_up(pd.Series([1.0, None, 2.345])) == 100 + 235
+
+
+def test_stream_static_join_matches_batch(spark):
+    from datafusion_distributed_spark.streaming.joins import (
+        batch_purchase_segments,
+        streaming_purchase_segments,
+    )
+
+    batch = batch_purchase_segments(spark, SF_DIR).collect()
+    stream = streaming_purchase_segments(spark, SF_DIR).collect()
+    key = lambda rows: sorted((r.segment, r.n_purchases, r.cents) for r in rows)
+    assert len(batch) > 0
+    assert key(stream) == key(batch)
