@@ -469,6 +469,13 @@ def connected_components(edges: DataFrame) -> DataFrame:
         .select("node", F.col("node").alias("lbl"))
         .localCheckpoint(eager=True)
     )
+    # Join strategy note (measured): broadcasting the tiny label frames per
+    # iteration (turning 3 shuffles into 1) is SLOWER in practice — each
+    # broadcast is a driver collect + rebuild on every iteration (A/B at
+    # sf0.1: 4.6-5.5s broadcast vs 3.1-3.4s shuffle), while AQE coalesces
+    # the tiny shuffles to near-free. Plain shuffle joins also scale
+    # unchanged when the pair graph IS huge, so there is no small-graph
+    # special case here.
     prev_sum = None
     for _ in range(_CC_MAX_ITERS):
         nbr_min = (
