@@ -210,3 +210,88 @@ def test_random_join_matches_oracle(spark, duck, i):
         _oracle_join_sql(case),
         name=f"randjoin[{i}]{case}",
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomized WINDOW differential: generated (partition key, order key,
+# function) combinations over the uniquely-keyed tables. Order keys always
+# end in the unique id, so every per-row window value is deterministic
+# (rank() deliberately orders by the non-unique measure alone — its value is
+# tie-stable even though row order is not).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Window  # noqa: E402
+
+_N_WIN_CASES = 12
+
+_WIN_UID = {"orders": "o_orderkey", "customer": "c_custkey"}
+_WIN_FNS = ["row_number", "rank", "lag", "cumsum"]
+
+
+def _gen_win_case(rng: random.Random):
+    table = rng.choice(sorted(_WIN_UID))
+    cols = _TABLES[table]
+    return {
+        "table": table,
+        "part": rng.choice(cols["str_cols"]),
+        "num": rng.choice(cols["num_cols"]),
+        "uid": _WIN_UID[table],
+        "fn": rng.choice(_WIN_FNS),
+    }
+
+
+_WIN_CASES = [_gen_win_case(random.Random(9000 + i)) for i in range(_N_WIN_CASES)]
+
+
+def _spark_win_query(spark, case):
+    df = load_tables(spark, SF_DIR)[case["table"]]
+    cents = F.round(F.col(case["num"]) * 100, 0).cast("long")
+    base = df.select(
+        F.col(case["part"]).alias("p"),
+        F.col(case["uid"]).alias("uid"),
+        cents.alias("cents"),
+    )
+    w = Window.partitionBy("p").orderBy("cents", "uid")
+    if case["fn"] == "row_number":
+        val = F.row_number().over(w)
+    elif case["fn"] == "rank":
+        val = F.rank().over(Window.partitionBy("p").orderBy("cents"))
+    elif case["fn"] == "lag":
+        val = F.lag("uid").over(w)
+    else:
+        val = F.sum("cents").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    return base.select("p", "uid", val.cast("bigint").alias("val"))
+
+
+def _oracle_win_sql(case):
+    exprs = {
+        "row_number": "ROW_NUMBER() OVER (PARTITION BY p ORDER BY cents, uid)",
+        "rank": "RANK() OVER (PARTITION BY p ORDER BY cents)",
+        "lag": "LAG(uid) OVER (PARTITION BY p ORDER BY cents, uid)",
+        "cumsum": (
+            "SUM(cents) OVER (PARTITION BY p ORDER BY cents, uid"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+    }
+    return f"""
+SELECT p, uid, CAST({exprs[case['fn']]} AS BIGINT) AS val
+FROM (
+  SELECT {case['part']} AS p, {case['uid']} AS uid,
+         CAST(ROUND({case['num']} * 100) AS BIGINT) AS cents
+  FROM {case['table']}
+) t
+"""
+
+
+@pytest.mark.parametrize("i", range(_N_WIN_CASES))
+def test_random_window_matches_oracle(spark, duck, i):
+    case = _WIN_CASES[i]
+    oracle_views(duck, SF_DIR)
+    compare_to_oracle(
+        _spark_win_query(spark, case),
+        duck,
+        _oracle_win_sql(case),
+        name=f"randwin[{i}]{case}",
+    )
