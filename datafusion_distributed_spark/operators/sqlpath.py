@@ -2176,3 +2176,93 @@ ORDER BY partkey, year
 def net_yoy_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir)
     return spark.sql(_NET_YOY_DECLINE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Single-month brand revenue report (TPC-DS q42/q52/q55 class,
+# /root/reference/testdata/tpcds/queries/q55.sql): the simplest TPC-DS
+# reporting shape — one month slice of the fact, one dimension join, one
+# aggregate, revenue-ordered top-k. Exact cents under the double output;
+# (revenue DESC, brand) is a deterministic total order.
+# ---------------------------------------------------------------------------
+
+_BRAND_MONTH_SQL = """
+SELECT CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS year,
+       p.p_brand AS brand,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+         / 10000.0 AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-02-01'
+GROUP BY CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER), p.p_brand
+ORDER BY revenue DESC, brand
+LIMIT 10
+"""
+
+
+@query(
+    "sql_brand_month_report",
+    oracle=_BRAND_MONTH_SQL,
+    tags=("sql-entry", "tpcds", "report"),
+    order_by="revenue DESC, brand",
+)
+def brand_month_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_BRAND_MONTH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Attribute-band catalog probe with recency EXISTS (TPC-DS q37/q82 class,
+# /root/reference/testdata/tpcds/queries/q82.sql): dimension rows inside a
+# (size, price) band restricted to those with recent fact activity — a
+# selective dim scan semi-joined against a date-sliced fact.
+# ---------------------------------------------------------------------------
+
+_PART_BAND_SQL = """
+SELECT p.p_partkey AS partkey, p.p_name AS name, p.p_retailprice AS price
+FROM part p
+WHERE p.p_size BETWEEN 10 AND 20
+  AND p.p_retailprice BETWEEN 500 AND 1500
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_partkey = p.p_partkey
+                AND l.l_shipdate >= TIMESTAMP '1998-01-01')
+ORDER BY partkey
+LIMIT 50
+"""
+
+
+@query(
+    "sql_part_band_recent",
+    oracle=_PART_BAND_SQL,
+    tags=("sql-entry", "tpcds", "semi-join"),
+    order_by="partkey",
+)
+def part_band_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_PART_BAND_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Time-of-day traffic count for high-frequency users (TPC-DS q96 class,
+# /root/reference/testdata/tpcds/queries/q96.sql): a single COUNT over the
+# fact restricted by an hour-of-day band and a semi join against a
+# HAVING-derived user cohort (q96's household-demographics restriction
+# re-expressed on the events schema).
+# ---------------------------------------------------------------------------
+
+_HOUR_TRAFFIC_SQL = """
+SELECT COUNT(*) AS n_clicks
+FROM events e
+JOIN (SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) > 60) hf
+  ON hf.user_id = e.user_id
+WHERE EXTRACT(HOUR FROM e.ts) BETWEEN 8 AND 10
+  AND e.event_type = 'click'
+"""
+
+
+@query("sql_hour_traffic_count", oracle=_HOUR_TRAFFIC_SQL, tags=("sql-entry", "tpcds"))
+def hour_traffic_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_HOUR_TRAFFIC_SQL)
