@@ -1,5 +1,7 @@
 """TPC-H-class relational operators, adapted to the driver's simplified star
-schema (TESTDATA.md: no partsupp table, trimmed columns).
+schema (TESTDATA.md: no partsupp table, trimmed columns; q11/q20 recover
+their partsupp-dependent constructs from a lineitem-derived equivalent —
+see the q11+q20 block at the end of this module).
 
 Coverage target: the query classes the reference proves via its TPC-H 22/22
 suite (/root/reference/tests/tpch_correctness_test.rs;
@@ -923,3 +925,98 @@ def limit_offset_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("c_custkey", "c_name", "c_acctbal")
     )
+
+
+# ---------------------------------------------------------------------------
+# q11 + q20: the two TPC-H queries whose original text needs the partsupp
+# table (absent from the driver schema). Both are recovered by DERIVING a
+# partsupp-equivalent from lineitem — per (partkey, suppkey) aggregates
+# computed identically in both engines — so the distinctive CONSTRUCTS are
+# still proven: q11's group-HAVING against a scalar-subquery fraction of the
+# global total, and q20's semi join against a two-aggregate availability/
+# shipment comparison (/root/reference/testdata/tpch/queries/q11.sql,
+# q20.sql; tests/tpch_correctness_test.rs proves 22/22 distributed).
+# ---------------------------------------------------------------------------
+
+# q11 "important stock": per-part value share within one nation's suppliers,
+# HAVING value > 3x the nation's average part value (scale-invariant, unlike the original's FRACTION/SF literal). Value sums are exact int64
+# cents*discount-scale; the fraction compare is cross-multiplied in
+# DECIMAL(38,0) post-aggregation (never at row scale).
+_Q11_SQL = """
+WITH ps AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS value_i
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+),
+national AS (
+  SELECT ps.partkey, ps.value_i
+  FROM ps
+  JOIN supplier s ON s.s_suppkey = ps.suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_7'
+)
+SELECT partkey, CAST(SUM(value_i) AS DOUBLE) / 10000.0 AS value
+FROM national
+GROUP BY partkey
+HAVING CAST(SUM(value_i) AS DECIMAL(38,0))
+       * (SELECT COUNT(DISTINCT partkey) FROM national)
+       > 3 * (SELECT CAST(SUM(value_i) AS DECIMAL(38,0)) FROM national)
+ORDER BY value DESC, partkey
+"""
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle=_Q11_SQL,
+    tags=("tpch", "having", "scalar-subquery"),
+    order_by="value DESC, partkey",
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_Q11_SQL)
+
+
+# q20 "potential part promotion": suppliers holding (across the full
+# history) more than 8x their 1997 shipments of any 'red' part — the
+# availability/shipment comparison is exact integer arithmetic; the final
+# restriction is an IN semi join exactly as the original.
+_Q20_SQL = """
+WITH avail AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS availqty
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+),
+shipped AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS shipqty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s.s_name AS supplier, n.n_name AS nation
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (
+  SELECT a.suppkey
+  FROM avail a
+  JOIN shipped sh ON sh.partkey = a.partkey AND sh.suppkey = a.suppkey
+  JOIN part p ON p.p_partkey = a.partkey
+  WHERE p.p_name LIKE 'red%' AND a.availqty > 8 * sh.shipqty
+)
+ORDER BY supplier
+"""
+
+
+@query(
+    "tpch_q20_part_promotion",
+    oracle=_Q20_SQL,
+    tags=("tpch", "semi-join"),
+    order_by="supplier",
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_Q20_SQL)
