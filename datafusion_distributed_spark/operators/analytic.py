@@ -616,64 +616,3 @@ def win_ignore_nulls_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("last_f_price"),
     )
-
-
-# ---------------------------------------------------------------------------
-# AS-OF join (timeseries): each purchase matched to the SAME USER's most
-# recent view at-or-before it. The scalable Spark formulation is the
-# union + carry-forward window: tag both sides, union (no shuffle), then one
-# window partitioned by user ordered by (time, side-tag) where
-# last(view_time, ignorenulls) carries the latest view forward into each
-# purchase row. EXACTLY ONE shuffle (hash on user_id) regardless of scale —
-# never a range/inequality join. The side-tag orders a view BEFORE a
-# purchase at equal timestamps, giving <= (at-or-before) semantics.
-# Oracle: DuckDB's native ASOF LEFT JOIN on the identical predicate.
-# Gap arithmetic in epoch micros (exact int64 on both engines).
-# ---------------------------------------------------------------------------
-
-_ASOF_ORACLE = """
-WITH v AS (
-  SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'view'
-),
-p AS (
-  SELECT event_id, user_id, epoch_us(ts) AS us
-  FROM events WHERE event_type = 'purchase'
-)
-SELECT p.event_id AS event_id, p.user_id AS user_id,
-       v.us AS view_us, p.us - v.us AS gap_us
-FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.us <= p.us
-"""
-
-
-@query("join_asof_view_purchase", oracle=_ASOF_ORACLE, tags=("asof-join", "timeseries"))
-def asof_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir)["events"]
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id",
-        us.alias("us"),
-        F.lit(0).alias("kind"),
-        F.lit(None).cast("bigint").alias("event_id"),
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", us.alias("us"), F.lit(1).alias("kind"), "event_id"
-    )
-    u = views.unionByName(purchases)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("us", "kind")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = F.last(
-        F.when(F.col("kind") == 0, F.col("us")), ignorenulls=True
-    ).over(w)
-    return (
-        u.withColumn("view_us", carried)
-        .filter(F.col("kind") == 1)
-        .select(
-            "event_id",
-            "user_id",
-            "view_us",
-            (F.col("us") - F.col("view_us")).alias("gap_us"),
-        )
-    )
