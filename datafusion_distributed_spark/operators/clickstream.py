@@ -636,3 +636,54 @@ def cb_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("day").cast("string").alias("day"), "n_users", "n_types", "n_events"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (D1/D7): users grouped by first-active day; how many
+# return exactly 1 and 7 days later. Day arithmetic in integer epoch-days
+# (exact, engine-portable — no datediff signature divergence). Scale shape:
+# one distinct shuffle on (user, day), a per-user MIN reusing that key, and
+# a user-keyed join — the fact table never joins itself at event
+# granularity. The conditional COUNT DISTINCTs plan as one Expand pass.
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH ev AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+  FROM events
+),
+cohort AS (SELECT user_id, MIN(day) AS d0 FROM ev GROUP BY user_id)
+SELECT c.d0 AS cohort_day,
+       COUNT(DISTINCT c.user_id) AS cohort_size,
+       COUNT(DISTINCT CASE WHEN e.day = c.d0 + 1 THEN c.user_id END) AS d1_retained,
+       COUNT(DISTINCT CASE WHEN e.day = c.d0 + 7 THEN c.user_id END) AS d7_retained
+FROM cohort c
+JOIN ev e ON e.user_id = c.user_id
+GROUP BY c.d0
+"""
+
+
+@query("cb_cohort_retention", oracle=_RETENTION_ORACLE, tags=("retention", "clickbench"))
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir)["events"]
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / 86400_000_000
+    ).cast("bigint")
+    ev = events.select("user_id", day.alias("day")).distinct()
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("d0"))
+    j = cohort.join(ev, "user_id")
+    return j.groupBy("d0").agg(
+        F.countDistinct("user_id").alias("cohort_size"),
+        F.countDistinct(
+            F.when(F.col("day") == F.col("d0") + 1, F.col("user_id"))
+        ).alias("d1_retained"),
+        F.countDistinct(
+            F.when(F.col("day") == F.col("d0") + 7, F.col("user_id"))
+        ).alias("d7_retained"),
+    ).select(
+        F.col("d0").alias("cohort_day"),
+        "cohort_size",
+        "d1_retained",
+        "d7_retained",
+    )
