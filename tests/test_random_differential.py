@@ -295,3 +295,77 @@ def test_random_window_matches_oracle(spark, duck, i):
         _oracle_win_sql(case),
         name=f"randwin[{i}]{case}",
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomized SET-OP differential: generated UNION / UNION ALL / INTERSECT /
+# EXCEPT between two filtered projections of the same table. Branch
+# predicates come from the same spec space as the scan cases, so branches
+# overlap partially — exercising duplicate elimination semantics on every
+# operator.
+# ---------------------------------------------------------------------------
+
+_N_SETOP_CASES = 10
+
+_SETOPS = ["union", "union_all", "intersect", "except"]
+
+
+def _gen_setop_case(rng: random.Random):
+    table = rng.choice(sorted(_TABLES))
+    cols = _TABLES[table]
+    num = rng.choice(cols["num_cols"])
+    t1 = round(rng.uniform(0, 800), 2)
+    t2 = round(rng.uniform(200, 1000), 2)
+    return {
+        "table": table,
+        "num": num,
+        "lo1": min(t1, t2) * 0.0,  # branch 1: num <= hi1
+        "hi1": max(t1, t2),
+        "lo2": min(t1, t2),  # branch 2: num > lo2
+        "cols": [rng.choice(cols["str_cols"]), rng.choice(cols["int_cols"])],
+        "op": rng.choice(_SETOPS),
+    }
+
+
+_SETOP_CASES = [_gen_setop_case(random.Random(11000 + i)) for i in range(_N_SETOP_CASES)]
+
+
+def _spark_setop_query(spark, case):
+    df = load_tables(spark, SF_DIR)[case["table"]]
+    c1, c2 = case["cols"]
+    a = df.filter(F.col(case["num"]) <= case["hi1"]).select(c1, c2)
+    b = df.filter(F.col(case["num"]) > case["lo2"]).select(c1, c2)
+    if case["op"] == "union":
+        return a.union(b).distinct()
+    if case["op"] == "union_all":
+        return a.unionAll(b)
+    if case["op"] == "intersect":
+        return a.intersect(b)
+    return a.subtract(b)
+
+
+def _oracle_setop_sql(case):
+    c1, c2 = case["cols"]
+    ops = {
+        "union": "UNION",
+        "union_all": "UNION ALL",
+        "intersect": "INTERSECT",
+        "except": "EXCEPT",
+    }
+    return f"""
+SELECT {c1}, {c2} FROM {case['table']} WHERE {case['num']} <= {case['hi1']}
+{ops[case['op']]}
+SELECT {c1}, {c2} FROM {case['table']} WHERE {case['num']} > {case['lo2']}
+"""
+
+
+@pytest.mark.parametrize("i", range(_N_SETOP_CASES))
+def test_random_setop_matches_oracle(spark, duck, i):
+    case = _SETOP_CASES[i]
+    oracle_views(duck, SF_DIR)
+    compare_to_oracle(
+        _spark_setop_query(spark, case),
+        duck,
+        _oracle_setop_sql(case),
+        name=f"randsetop[{i}]{case}",
+    )
