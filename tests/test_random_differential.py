@@ -319,8 +319,7 @@ def _gen_setop_case(rng: random.Random):
     return {
         "table": table,
         "num": num,
-        "lo1": min(t1, t2) * 0.0,  # branch 1: num <= hi1
-        "hi1": max(t1, t2),
+        "hi1": max(t1, t2),  # branch 1: num <= hi1
         "lo2": min(t1, t2),  # branch 2: num > lo2
         "cols": [rng.choice(cols["str_cols"]), rng.choice(cols["int_cols"])],
         "op": rng.choice(_SETOPS),
