@@ -712,8 +712,11 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale shape: the cluster labels come from the pair graph (LSH candidates
 # only — a small fraction of the corpus), so the members frame is tiny
-# relative to the scan; the labels broadcast-join against `documents`, the
-# per-cluster window partitions are near-clique-sized, and nothing here
+# relative to the scan. The labels join carries NO broadcast hint: AQE
+# broadcasts it when the label frame is actually small, but at corpus scale
+# (billions of near-dup docs) a forced broadcast would be the anti-pattern,
+# and the fallback hash join keys only (doc_id, n_chars) — never the text.
+# Per-cluster window partitions are near-clique-sized, and nothing here
 # touches unclustered docs (singletons keep themselves by definition).
 # ---------------------------------------------------------------------------
 
@@ -755,9 +758,7 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = capped_band_pairs(lsh_bands(minhash_signatures(docs))).persist()
     clusters = connected_components(pairs)
     pairs.unpersist(blocking=False)
-    members = docs.select("doc_id", "n_chars").join(
-        F.broadcast(clusters), "doc_id"
-    )
+    members = docs.select("doc_id", "n_chars").join(clusters, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
     )
