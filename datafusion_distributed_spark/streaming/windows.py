@@ -113,3 +113,32 @@ def streaming_sliding_counts(
         "n_events",
     )
     return _run_to_completion(out, table_name)
+
+
+def streaming_tumbling_to_parquet(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Durable-sink variant: the tumbling aggregation written to PARQUET via
+    foreachBatch (complete mode — each micro-batch overwrites with the full
+    refreshed result, so the final files hold the converged aggregate). This
+    is the production sink path: checkpointed progress + atomic per-batch
+    overwrite, where the memory sink used elsewhere is test-only."""
+    out = _tumbling_agg(_event_stream(spark, sf_dir)).select(
+        F.col("win_start").cast("timestamp_ntz").alias("win_start"),
+        "event_type",
+        "n_events",
+        "first_event_id",
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        out.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

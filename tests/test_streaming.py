@@ -137,3 +137,23 @@ def test_stream_static_join_matches_batch(spark):
     key = lambda rows: sorted((r.segment, r.n_purchases, r.cents) for r in rows)
     assert len(batch) > 0
     assert key(stream) == key(batch)
+
+
+def test_streaming_foreachbatch_parquet_sink_matches_batch(spark, tmp_path):
+    from datafusion_distributed_spark.streaming.windows import (
+        batch_tumbling_counts,
+        streaming_tumbling_to_parquet,
+    )
+
+    result = streaming_tumbling_to_parquet(
+        spark,
+        SF_DIR,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    batch = batch_tumbling_counts(spark, SF_DIR).collect()
+    key = lambda rows: sorted(
+        (r.win_start, r.event_type, r.n_events, r.first_event_id) for r in rows
+    )
+    assert len(batch) > 0
+    assert key(result.collect()) == key(batch)
