@@ -72,3 +72,35 @@ def compact_parquet(
         writer = sized.write.mode("overwrite")
     writer.parquet(out_path)
     return n_files
+
+
+def write_range_clustered(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    cluster_by: list[str],
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> int:
+    """Rewrite a dataset RANGE-CLUSTERED on ``cluster_by``: global range
+    partitioning (sampled bounds) + an in-partition sort, so each output
+    file covers a narrow, near-disjoint range of the cluster key.
+
+    This is the scan-side layout optimization for a 100 TB store: parquet
+    footers carry per-file/rowgroup min-max for the cluster columns, so a
+    range predicate on them prunes whole files before any IO (the same
+    effect the reference gets from splitting scans into file groups at the
+    source, /root/reference/src/events/defaults/file_scan_config.rs:36-86 —
+    but persisted into the layout instead of recomputed per query). Cost:
+    one range shuffle at write time, amortized over every later scan.
+    Returns the planned file count.
+    """
+    df: DataFrame = spark.read.parquet(in_path)
+    n_files = plan_compaction(in_path, target_file_bytes)
+    cols = [F.col(c) for c in cluster_by]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    return n_files

@@ -131,3 +131,50 @@ def test_compaction_partitioned_write_sizes_directories(spark):
     assert a == b
     shutil.rmtree(frag, ignore_errors=True)
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_range_clustered_write_produces_disjoint_file_ranges(spark, tmp_path):
+    """write_range_clustered lays files out so their per-file [min, max]
+    ranges of the cluster key are non-overlapping (modulo the single
+    boundary value shared when a range bound splits a tie) — the property
+    that makes footer-stats pruning effective."""
+    import pyarrow.parquet as pq
+
+    from datafusion_distributed_spark.sinks import write_range_clustered
+
+    out = str(tmp_path / "clustered")
+    # Small target size forces multiple files even at sf0.001.
+    write_range_clustered(
+        spark,
+        f"{SF_DIR}/lineitem.parquet",
+        out,
+        cluster_by=["l_shipdate"],
+        target_file_bytes=16 * 1024,
+    )
+    ranges = []
+    for f in sorted((tmp_path / "clustered").glob("*.parquet")):
+        md = pq.read_metadata(str(f))
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(
+                next(
+                    i
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == "l_shipdate"
+                )
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 3, "expected multiple clustered files"
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        # Adjacent files may share exactly one boundary value; they must
+        # never properly interleave.
+        assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+    # The layout survives a roundtrip with identical data.
+    orig = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    back = spark.read.parquet(out)
+    assert back.count() == orig.count()
