@@ -687,3 +687,32 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d1_retained",
         "d7_retained",
     )
+
+
+# ---------------------------------------------------------------------------
+# WIDE aggregate (ClickBench q29 class,
+# /root/reference/testdata/clickbench/queries/q29.sql: 90 SUM() columns in
+# one pass): many independent aggregates over one scan stress the codegen
+# path — one generated function must carry all accumulators without
+# spilling to interpreted evaluation. 30 exact integer sums here; columns
+# generated programmatically so both texts stay identical by construction.
+# ---------------------------------------------------------------------------
+
+_N_WIDE = 30
+
+_WIDE_AGG_ORACLE = "SELECT " + ", ".join(
+    f"CAST(SUM(CAST(ROUND(value * 100) AS BIGINT) + {k}) AS BIGINT) AS s{k}"
+    for k in range(_N_WIDE)
+) + " FROM events WHERE value IS NOT NULL"
+
+
+@query("cb_wide_aggregate", oracle=_WIDE_AGG_ORACLE, tags=("agg", "wide", "clickbench"))
+def wide_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir)["events"].filter(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return ev.agg(
+        *[
+            F.sum(cents + F.lit(k)).cast("bigint").alias(f"s{k}")
+            for k in range(_N_WIDE)
+        ]
+    )
