@@ -17,7 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ._util import dbl, dec, t
+from ._util import cents, dbl, dec, t
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -709,10 +709,9 @@ _WIDE_AGG_ORACLE = "SELECT " + ", ".join(
 @query("cb_wide_aggregate", oracle=_WIDE_AGG_ORACLE, tags=("agg", "wide", "clickbench"))
 def wide_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir)["events"].filter(F.col("value").isNotNull())
-    cents = F.round(F.col("value") * 100, 0).cast("long")
     return ev.agg(
         *[
-            F.sum(cents + F.lit(k)).cast("bigint").alias(f"s{k}")
+            F.sum(cents("value") + F.lit(k)).cast("bigint").alias(f"s{k}")
             for k in range(_N_WIDE)
         ]
     )

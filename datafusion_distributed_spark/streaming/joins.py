@@ -27,6 +27,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators._util import cents
 from ..tables import load_tables
 from .windows import _event_stream, _WATERMARK
 
@@ -135,11 +136,7 @@ def _enrich_purchases(purchases: DataFrame, customers: DataFrame) -> DataFrame:
         joined.groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
-            F.sum(
-                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast(
-                    "long"
-                )
-            ).alias("cents"),
+            F.sum(cents(F.coalesce(F.col("value"), F.lit(0.0)))).alias("cents"),
         )
         .select("segment", "n_purchases", "cents")
     )

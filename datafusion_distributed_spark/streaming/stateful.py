@@ -31,6 +31,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from ..operators._util import cents as _cents
 from ..tables import load_tables
 from .windows import _normalize_event_time
 
@@ -115,7 +116,7 @@ def streaming_user_totals(
 def batch_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch reference for the stateful fold."""
     events = load_tables(spark, sf_dir)["events"]
-    cents = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast("long")
+    cents = _cents(F.coalesce(F.col("value"), F.lit(0.0)))
     return events.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(cents).alias("value_cents"),

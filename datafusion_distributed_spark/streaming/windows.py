@@ -13,6 +13,8 @@ cluster these run continuously with RocksDB state and append-mode sinks.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -141,4 +143,12 @@ def streaming_tumbling_to_parquet(
         .start()
     )
     q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        # Zero micro-batches ran (empty source / path filter matched
+        # nothing): write_batch never fired, so fail with a clear message
+        # instead of spark.read's opaque PATH_NOT_FOUND.
+        raise RuntimeError(
+            "streaming_tumbling_to_parquet: no micro-batch produced output "
+            f"(source empty or filter matched no file); {out_dir} was never written"
+        )
     return spark.read.parquet(out_dir)

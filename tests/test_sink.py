@@ -174,7 +174,11 @@ def test_range_clustered_write_produces_disjoint_file_ranges(spark, tmp_path):
         # never properly interleave.
         assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
 
-    # The layout survives a roundtrip with identical data.
+    # The layout survives a roundtrip with identical data — full multiset
+    # equality, not just row count (catches duplicated/dropped/corrupted
+    # rows from the range shuffle).
     orig = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    back = spark.read.parquet(out)
+    back = spark.read.parquet(out).select(*orig.columns)
     assert back.count() == orig.count()
+    assert back.exceptAll(orig).count() == 0
+    assert orig.exceptAll(back).count() == 0

@@ -21,6 +21,10 @@ def main() -> int:
     regs, imps = [], []
     for name in common:
         o, n = old[name], new[name]
+        if o > 0 and n <= 0:
+            # Success -> failure is the worst regression of all.
+            regs.append((float("inf"), name, o, n))
+            continue
         if o <= 0 or n <= 0:
             continue
         r = n / o
@@ -35,7 +39,8 @@ def main() -> int:
     print(
         f"{len(common)} common queries; {len(regs)} regressions, "
         f"{len(imps)} improvements; totals "
-        f"{sum(old[q] for q in common):.1f}s -> {sum(new[q] for q in common):.1f}s"
+        f"{sum(old[q] for q in common if old[q] >= 0):.1f}s -> "
+        f"{sum(new[q] for q in common if new[q] >= 0):.1f}s"
     )
     return 1 if regs else 0
 
