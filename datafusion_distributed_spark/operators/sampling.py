@@ -233,3 +233,137 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split: each doc lands in exactly one split by
+# its content-hash u32 (90/5/5 by integer thresholds — no float rates, no
+# randomness). The split assignment is a pure per-row predicate: zero
+# shuffles before the tiny per-(source, split) audit aggregate, stable under
+# corpus growth (adding docs never moves an existing doc between splits —
+# the property reservoir/modulo-on-row-number splits do NOT have).
+# ---------------------------------------------------------------------------
+
+_SPLIT_SALT = "split:"
+# u32 thresholds: [0, 90%) train, [90%, 95%) val, [95%, 2^32) test.
+_TRAIN_HI = (_U32_SPAN * 90) // 100
+_VAL_HI = (_U32_SPAN * 95) // 100
+
+_SPLIT_ORACLE = f"""
+SELECT source, split, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT source, n_chars,
+         CASE WHEN u < {_TRAIN_HI} THEN 'train'
+              WHEN u < {_VAL_HI} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT source, n_chars,
+               {_u32_sql(f"'{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")} AS u
+        FROM documents) h
+) s
+GROUP BY source, split
+"""
+
+
+@query("ds_train_val_test_split", oracle=_SPLIT_ORACLE, tags=("sampling", "split"))
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    u = _u32_spark(F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string")))
+    split = (
+        F.when(u < _TRAIN_HI, F.lit("train"))
+        .when(u < _VAL_HI, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("source", "n_chars", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batch assignment (dynamic batching): docs grouped into
+# power-of-two token-length buckets, then numbered into fixed-size batches
+# within each bucket by deterministic hash order. The batching primitive
+# under LLM inference/training dataloaders — padding waste is bounded by the
+# bucket width, and the assignment is reproducible. One window shuffle on
+# the bucket key; batch ids derive from row_number, so the output is exact.
+# ---------------------------------------------------------------------------
+
+_BATCH_SIZE = 16
+
+_BATCHING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split_regex(trim(lower(text)), ' +')) AS n_tokens
+  FROM documents
+),
+bucketed AS (
+  -- Smallest power of two >= n_tokens, computed EXACTLY as
+  -- 2^bitlength(n-1): float LOG2 (ln-ratio) can land a hair above an
+  -- integer in one engine and below in the other, moving docs across
+  -- buckets. bin()/length() is integer-exact in both engines.
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens <= 1 THEN 1
+              ELSE CAST(POWER(2, LENGTH(bin(n_tokens - 1))) AS BIGINT)
+         END AS bucket
+  FROM toks
+),
+numbered AS (
+  SELECT bucket, doc_id, n_tokens,
+         ROW_NUMBER() OVER (
+           PARTITION BY bucket
+           ORDER BY md5('batch:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) - 1 AS rn
+  FROM bucketed
+)
+SELECT bucket, CAST(FLOOR(rn / {_BATCH_SIZE}.0) AS BIGINT) AS batch_id,
+       COUNT(*) AS batch_rows,
+       CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens,
+       MIN(doc_id) AS first_doc
+FROM numbered
+GROUP BY bucket, CAST(FLOOR(rn / {_BATCH_SIZE}.0) AS BIGINT)
+"""
+
+
+@query("ds_length_batching", oracle=_BATCHING_ORACLE, tags=("sampling", "batching"))
+def length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    n_tokens = F.size(F.split(F.trim(F.lower(F.col("text"))), " +"))
+    bucket = (
+        F.when(n_tokens <= 1, F.lit(1))
+        .otherwise(
+            F.pow(
+                F.lit(2.0),
+                F.length(F.bin((n_tokens - 1).cast("bigint"))),
+            )
+        )
+        .cast("bigint")
+    )
+    toks = docs.select(
+        "doc_id", n_tokens.alias("n_tokens"), bucket.alias("bucket")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy(
+        F.md5(F.concat(F.lit("batch:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    numbered = toks.select(
+        "bucket",
+        "doc_id",
+        "n_tokens",
+        (F.row_number().over(w) - 1).alias("rn"),
+    )
+    return (
+        numbered.groupBy(
+            "bucket", F.floor(F.col("rn") / _BATCH_SIZE).cast("bigint").alias("batch_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("batch_rows"),
+            F.sum("n_tokens").cast("bigint").alias("batch_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
