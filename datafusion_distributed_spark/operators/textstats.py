@@ -728,3 +728,54 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("tok"))
         .limit(_VOCAB_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index construction: token -> ordered posting list of doc_ids, for
+# the RARE tail of the vocabulary (document frequency in [2, 10] — head
+# tokens' postings are corpus-sized and belong in a different storage tier).
+# Posting lists are emitted as comma-joined sorted doc_ids, a canonical
+# string both engines produce byte-identically. Shuffle granularity is one
+# row per (doc, distinct token), like text_vocab_topk; the df-band filter
+# runs BEFORE list materialization, so only tail postings are built.
+# ---------------------------------------------------------------------------
+
+_POSTINGS_ORACLE = f"""
+WITH per_doc AS (
+  SELECT DISTINCT doc_id, unnest({_TOK_SQL}) AS tok FROM documents
+),
+banded AS (
+  SELECT tok FROM per_doc GROUP BY tok HAVING COUNT(*) BETWEEN 2 AND 10
+)
+SELECT p.tok AS tok, COUNT(*) AS df,
+       array_to_string(list_sort(list(p.doc_id)), ',') AS postings
+FROM per_doc p
+JOIN banded b ON b.tok = p.tok
+GROUP BY p.tok
+"""
+
+
+@query("text_inverted_index", oracle=_POSTINGS_ORACLE, tags=("text", "index"))
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    per_doc = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), " +"))
+        ).alias("tok"),
+    )
+    banded = (
+        per_doc.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(2, 10))
+    )
+    return (
+        per_doc.join(banded, "tok")
+        .groupBy("tok", "df")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("doc_id"))).alias(
+                "postings"
+            )
+        )
+        .select("tok", "df", "postings")
+    )
