@@ -69,6 +69,17 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(per_query),
                 "runs_per_query": N_RUNS,
+                # Session configs BASELINE.md §B says to record per run.
+                "configs": {
+                    k: spark.conf.get(k, None)
+                    for k in (
+                        "spark.master",
+                        "spark.sql.shuffle.partitions",
+                        "spark.sql.adaptive.enabled",
+                        "spark.sql.files.maxPartitionBytes",
+                        "spark.sql.autoBroadcastJoinThreshold",
+                    )
+                },
             }
         )
     )
