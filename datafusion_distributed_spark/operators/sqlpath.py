@@ -2266,3 +2266,44 @@ WHERE EXTRACT(HOUR FROM e.ts) BETWEEN 8 AND 10
 def hour_traffic_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir)
     return spark.sql(_HOUR_TRAFFIC_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Cross-table measure inequality on an equi-join (TPC-DS q72 shape,
+# /root/reference/testdata/tpcds/queries/q72.sql): q72's distinctive
+# construct is inv_quantity_on_hand < cs_quantity — an equi-join on keys
+# whose RESIDUAL compares measures from the two sides. Here: 1997+ demand
+# lines whose quantity exceeds 1/5 of the supplier's pre-1997 availability
+# for that part (integer cross-multiplied — no division). The residual
+# stays attached to the hash join; never an inequality-driven join plan.
+# ---------------------------------------------------------------------------
+
+_SHORTAGE_SQL = """
+WITH avail AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS availqty
+  FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT p.p_brand AS brand, COUNT(*) AS n_shortage_lines,
+       CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS shortage_qty
+FROM lineitem l
+JOIN avail a ON a.pk = l.l_partkey AND a.sk = l.l_suppkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND 5 * CAST(ROUND(l.l_quantity) AS BIGINT) > a.availqty
+GROUP BY p.p_brand
+ORDER BY brand
+"""
+
+
+@query(
+    "sql_shortage_lines",
+    oracle=_SHORTAGE_SQL,
+    tags=("sql-entry", "tpcds", "inequality-residual"),
+    order_by="brand",
+)
+def shortage_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_SHORTAGE_SQL)
