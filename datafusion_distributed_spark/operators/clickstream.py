@@ -715,3 +715,60 @@ def wide_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(_N_WIDE)
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch MERGE: union the per-type k-min sketches into ONE global
+# sketch and estimate global NDV from it — the mergeability property that
+# makes min-k sketches distributed-aggregation-safe (partial sketches from
+# every partition/group combine losslessly: min-k(union of min-k sets) =
+# min-k(union) whenever each input set kept its k smallest). State is
+# bounded at k rows per group then k rows globally; the final compare
+# against the exact global distinct is a 1-row x 1-row join.
+# ---------------------------------------------------------------------------
+
+
+def _kmv_merge_oracle() -> str:
+    return f"""
+WITH dh AS (
+  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM dh
+),
+merged AS (SELECT DISTINCT h FROM ranked WHERE rn <= {_KMV_K}),
+mranked AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM merged),
+kth AS (SELECT CAST({_KMV_DUCK_VAL} AS BIGINT) AS v FROM mranked WHERE rn = {_KMV_K}),
+exact AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events)
+SELECT e.n_exact AS n_exact,
+       ROUND(({_KMV_K} - 1) * {_KMV_SCALE} / CAST(k.v AS DOUBLE), 6) AS kmv_estimate
+FROM exact e CROSS JOIN kth k
+"""
+
+
+@query("cb_kmv_sketch_merge", oracle=_kmv_merge_oracle(), tags=("sketch", "clickbench"))
+def kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir)["events"]
+    dh = events.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kept = (
+        dh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("h")
+        .distinct()
+    )
+    gw = Window.orderBy("h")
+    kth = (
+        kept.withColumn("rn", F.row_number().over(gw))
+        .filter(F.col("rn") == _KMV_K)
+        .select(F.expr(_KMV_SPARK_VAL).alias("v"))
+    )
+    exact = events.agg(F.countDistinct("user_id").alias("n_exact"))
+    est = F.round(
+        (_KMV_K - 1) * F.lit(_KMV_SCALE) / F.col("v").cast("double"), 6
+    )
+    return exact.crossJoin(kth).select("n_exact", est.alias("kmv_estimate"))

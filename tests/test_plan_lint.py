@@ -35,6 +35,7 @@ _CROSS_OK = {
     "ds_weighted_mixture",  # 1-row global-min scalar joined onto 20-row dim
     "sql_multiband_counts",  # q88 shape: cross join of four 1-row counts
     "sql_ampm_ratio",  # q90 shape: cross join of two 1-row counts
+    "cb_kmv_sketch_merge",  # 1-row exact count x 1-row merged-sketch kth value
     "sql_bucket_profile",  # q28 shape: cross join of four 1-row band aggregates
 }
 
