@@ -368,3 +368,99 @@ def test_random_setop_matches_oracle(spark, duck, i):
         _oracle_setop_sql(case),
         name=f"randsetop[{i}]{case}",
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomized ROLLUP differential: generated 2-level rollups with GROUPING
+# disambiguation and COALESCE sentinels (NULL rollup cells vs genuine NULLs
+# never collide because grouping_id is part of the row identity).
+# ---------------------------------------------------------------------------
+
+_N_ROLLUP_CASES = 8
+
+# Approximate column maxima so generated thresholds keep inputs NON-EMPTY.
+# On empty input the engines genuinely diverge: ANSI (and DuckDB) emit the
+# grand-total () grouping-set row with COUNT 0, while Spark's rollup yields
+# no rows at all — a real semantic edge we document and sidestep rather
+# than paper over in the comparator.
+_NUM_MAX = {
+    "l_quantity": 50.0,
+    "l_extendedprice": 2000.0,
+    "l_discount": 0.1,
+    "o_totalprice": 9000.0,
+    "c_acctbal": 9000.0,
+}
+
+
+def _gen_rollup_case(rng: random.Random):
+    table = rng.choice(sorted(_TABLES))
+    cols = _TABLES[table]
+    g1, g2 = (
+        rng.sample(cols["str_cols"], k=2)
+        if len(cols["str_cols"]) >= 2
+        else (cols["str_cols"][0], cols["int_cols"][0])
+    )
+    num = rng.choice(cols["num_cols"])
+    return {
+        "table": table,
+        "g1": g1,
+        "g2": g2,
+        "num": num,
+        "threshold": round(rng.uniform(0, 0.6 * _NUM_MAX[num]), 3),
+    }
+
+
+_ROLLUP_CASES = [
+    _gen_rollup_case(random.Random(13000 + i)) for i in range(_N_ROLLUP_CASES)
+]
+
+
+def _spark_rollup_query(spark, case):
+    df = load_tables(spark, SF_DIR)[case["table"]]
+    cents = F.round(F.col(case["num"]) * 100, 0).cast("long")
+    g1, g2 = F.col(case["g1"]).cast("string"), F.col(case["g2"]).cast("string")
+    return (
+        df.filter(F.col(case["num"]) > case["threshold"])
+        .select(g1.alias("g1"), g2.alias("g2"), cents.alias("cents"))
+        .rollup("g1", "g2")
+        .agg(
+            F.grouping_id().cast("int").alias("lvl"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            F.coalesce("g1", F.lit("ALL")).alias("g1"),
+            F.coalesce("g2", F.lit("ALL")).alias("g2"),
+            "lvl",
+            "n",
+            "sum_cents",
+        )
+    )
+
+
+def _oracle_rollup_sql(case):
+    return f"""
+SELECT COALESCE(g1, 'ALL') AS g1, COALESCE(g2, 'ALL') AS g2,
+       CAST(GROUPING(g1) * 2 + GROUPING(g2) AS INTEGER) AS lvl,
+       COUNT(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM (
+  SELECT CAST({case['g1']} AS VARCHAR) AS g1, CAST({case['g2']} AS VARCHAR) AS g2,
+         CAST(ROUND({case['num']} * 100) AS BIGINT) AS cents
+  FROM {case['table']}
+  WHERE {case['num']} > {case['threshold']}
+) t
+GROUP BY ROLLUP(g1, g2)
+"""
+
+
+@pytest.mark.parametrize("i", range(_N_ROLLUP_CASES))
+def test_random_rollup_matches_oracle(spark, duck, i):
+    case = _ROLLUP_CASES[i]
+    oracle_views(duck, SF_DIR)
+    compare_to_oracle(
+        _spark_rollup_query(spark, case),
+        duck,
+        _oracle_rollup_sql(case),
+        name=f"randrollup[{i}]{case}",
+    )
