@@ -943,19 +943,19 @@ def limit_offset_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cents*discount-scale; the fraction compare is cross-multiplied in
 # DECIMAL(38,0) post-aggregation (never at row scale).
 _Q11_SQL = """
-WITH ps AS (
-  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
-         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS value_i
-  FROM lineitem
-  GROUP BY l_partkey, l_suppkey
-),
-national AS (
-  SELECT ps.partkey, ps.value_i
-  FROM ps
-  JOIN supplier s ON s.s_suppkey = ps.suppkey
+WITH national AS (
+  -- Supplier-nation restriction BELOW the aggregate: the broadcast joins
+  -- filter lineitem to one nation's suppliers (~1/25 of rows) before the
+  -- (partkey, suppkey) aggregation — the 100 TB-correct plan; aggregating
+  -- the full fact first and filtering after costs 25x aggregate input.
+  SELECT l.l_partkey AS partkey,
+         SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS value_i
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
   JOIN nation n ON n.n_nationkey = s.s_nationkey
   WHERE n.n_name = 'NATION_7'
+  GROUP BY l.l_partkey, l.l_suppkey
 )
 SELECT partkey, CAST(SUM(value_i) AS DOUBLE) / 10000.0 AS value
 FROM national
