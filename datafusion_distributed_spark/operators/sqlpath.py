@@ -2307,3 +2307,59 @@ ORDER BY brand
 def shortage_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir)
     return spark.sql(_SHORTAGE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Modern SQL dialect surface: GROUP BY ALL (infer grouping keys from the
+# select list) and an inline VALUES relation joined as a dimension — both
+# part of the contemporary ANSI surface DataFusion and DuckDB share; Spark 4
+# accepts the identical text.
+# ---------------------------------------------------------------------------
+
+_GROUP_BY_ALL_SQL = """
+SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-03'
+GROUP BY ALL
+ORDER BY returnflag, linestatus
+"""
+
+
+@query(
+    "sql_group_by_all",
+    oracle=_GROUP_BY_ALL_SQL,
+    tags=("sql-entry", "dialect"),
+    order_by="returnflag, linestatus",
+)
+def group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+_VALUES_DIM_SQL = """
+SELECT w.tier AS tier, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT) * w.weight) AS DOUBLE)
+         / 100.0 AS weighted_total
+FROM orders o
+JOIN (VALUES ('1-URGENT', 3, 'hot'),
+             ('2-HIGH', 2, 'hot'),
+             ('3-MEDIUM', 1, 'warm'),
+             ('4-NOT SPECIFIED', 1, 'cold'),
+             ('5-LOW', 1, 'cold')) AS w(priority, weight, tier)
+  ON w.priority = o.o_orderpriority
+GROUP BY w.tier
+ORDER BY tier
+"""
+
+
+@query(
+    "sql_values_dim_join",
+    oracle=_VALUES_DIM_SQL,
+    tags=("sql-entry", "dialect", "values"),
+    order_by="tier",
+)
+def values_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_VALUES_DIM_SQL)
