@@ -157,3 +157,54 @@ def test_streaming_foreachbatch_parquet_sink_matches_batch(spark, tmp_path):
     )
     assert len(batch) > 0
     assert key(result.collect()) == key(batch)
+
+
+def test_streaming_append_mode_emits_only_closed_windows(spark):
+    """Append mode (the production file-sink mode) emits a window only after
+    the watermark passes its end. With a bounded availableNow run the final
+    watermark stops at max(event_time) - delay, so the tail windows are
+    withheld: output must be exactly the batch windows whose end <= final
+    watermark — a real semantic difference from complete mode that users of
+    durable sinks hit immediately."""
+    import datetime as dt
+
+    from datafusion_distributed_spark.streaming.windows import (
+        _event_stream,
+        _tumbling_agg,
+        _WATERMARK,
+        batch_tumbling_counts,
+    )
+    import pyspark.sql.functions as F
+
+    out = _tumbling_agg(_event_stream(spark, SF_DIR)).select(
+        F.col("win_start").cast("timestamp_ntz").alias("win_start"),
+        "event_type",
+        "n_events",
+        "first_event_id",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_append_windows")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    appended = spark.table("stream_append_windows").collect()
+    batch = batch_tumbling_counts(spark, SF_DIR).collect()
+
+    from datafusion_distributed_spark.tables import load_tables
+
+    max_ts = load_tables(spark, SF_DIR)["events"].agg(F.max("ts")).collect()[0][0]
+    assert _WATERMARK == "1 hour"
+    watermark = max_ts - dt.timedelta(hours=1)
+    closed = [
+        r for r in batch
+        if r.win_start + dt.timedelta(hours=1) <= watermark
+    ]
+    key = lambda rows: sorted(
+        (r.win_start, r.event_type, r.n_events, r.first_event_id) for r in rows
+    )
+    assert len(appended) > 0
+    assert len(appended) < len(batch), "append mode must withhold tail windows"
+    assert key(appended) == key(closed)
