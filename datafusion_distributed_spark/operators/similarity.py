@@ -694,3 +694,91 @@ def cosine_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= _RANGE_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# Metadata-FILTERED vector top-k (hybrid retrieval): cosine top-k restricted
+# to corpus vectors whose DOCUMENT passes a text predicate (language +
+# minimum length) — the filtered-ANN pattern every vector store implements.
+# The filter applies BEFORE any distance arithmetic: documents prunes to the
+# qualifying keys (column-pruned scan: doc_id, lang, n_chars only), joins
+# embeddings on the key, and only survivors meet the broadcast queries.
+# At 100 TB the text predicate's selectivity directly divides the distance
+# FLOPs — the reason filtered-ANN is not "ANN then post-filter".
+# ---------------------------------------------------------------------------
+
+_FILTERED_MIN_CHARS = 600
+
+_FILTERED_TOPK_ORACLE = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id < {_N_QUERIES}),
+keep AS (
+  SELECT doc_id FROM documents
+  WHERE lang = 'en' AND n_chars >= {_FILTERED_MIN_CHARS}
+),
+c AS (
+  SELECT emb.vec_id, emb.e FROM emb
+  JOIN keep k ON k.doc_id = emb.vec_id
+  WHERE emb.vec_id >= {_N_QUERIES}
+),
+flat AS (
+  SELECT q.q_id, c.vec_id, unnest(q.qe) AS qv, unnest(c.e) AS cv
+  FROM q CROSS JOIN c
+),
+dots AS (
+  SELECT q_id, vec_id,
+         SUM(qv * cv) AS dot, SUM(qv * qv) AS qq, SUM(cv * cv) AS cc
+  FROM flat GROUP BY q_id, vec_id
+),
+scored AS (
+  SELECT q_id, vec_id AS neighbor_id,
+         ROUND(dot / (SQRT(qq) * SQRT(cc)), 6) AS cos_sim
+  FROM dots
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT q_id, neighbor_id, cos_sim FROM ranked WHERE rn <= {_TOP_K}
+"""
+
+
+@query(
+    "sim_filtered_topk",
+    oracle=_FILTERED_TOPK_ORACLE,
+    tags=("similarity", "ann", "hybrid"),
+)
+def filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = t(spark, sf_dir)
+    emb = tables["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    keep = (
+        tables["documents"]
+        .filter(
+            (F.col("lang") == "en") & (F.col("n_chars") >= _FILTERED_MIN_CHARS)
+        )
+        .select("doc_id")
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    c = emb.filter(F.col("vec_id") >= _N_QUERIES).join(
+        keep, emb["vec_id"] == keep["doc_id"]
+    )
+    cos = _dot("e", "qe") / (F.sqrt(_dot("e", "e")) * F.sqrt(_dot("qe", "qe")))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cos, 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("q_id", "neighbor_id", "cos_sim")
+    )
