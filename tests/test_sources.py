@@ -96,3 +96,18 @@ def test_avro_roundtrip_when_module_present(spark):
     back = spark.read.format("avro").load(path)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_file_metadata_columns(spark):
+    """The scan exposes Spark's hidden _metadata struct (file provenance —
+    the per-file lineage a 100 TB pipeline uses for incremental reprocessing
+    and bad-file quarantine) without disturbing the data columns."""
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "_metadata.file_name", "_metadata.file_size"
+    )
+    rows = df.groupBy("file_name", "file_size").count().collect()
+    assert len(rows) == 1
+    assert rows[0]["file_name"] == "lineitem.parquet"
+    assert rows[0]["file_size"] > 0
+    total = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    assert rows[0]["count"] == total
