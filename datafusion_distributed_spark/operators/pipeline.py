@@ -82,3 +82,61 @@ def pipe_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         (dbl(F.sum("n_chars")) / F.count(F.lit(1))).alias("avg_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregation merge: the materialized-view refresh pattern. A
+# standing per-(returnflag, linestatus) summary is maintained as PARTIAL
+# aggregates per period; refreshing = aggregate only the NEW period and
+# merge by key (sums add, counts add, mins min) — never rescan history.
+# This query computes the merge of two period partials and must equal the
+# oracle's direct aggregate over the full range: the algebraic property
+# (partial aggregates form a commutative monoid) that makes incremental
+# refresh correct at all. At 100 TB the refresh cost is O(delta), not
+# O(history) — the entire point.
+# ---------------------------------------------------------------------------
+
+_INC_SPLIT_TS = "TIMESTAMP '1997-01-01'"
+
+_INC_ORACLE = """
+SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
+       MIN(l_orderkey) AS first_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("pipe_incremental_merge", oracle=_INC_ORACLE, tags=("pipeline", "incremental"))
+def incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir)["lineitem"]
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.round("l_quantity", 0).cast("bigint"))
+            .cast("bigint")
+            .alias("total_qty"),
+            F.min("l_orderkey").alias("first_order"),
+        )
+
+    split = F.col("l_shipdate") < F.expr(_INC_SPLIT_TS)
+    history = partial(li.filter(split))
+    delta = partial(li.filter(~split))
+    merged = history.unionByName(delta)
+    return (
+        merged.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("n_lines").cast("bigint").alias("n_lines"),
+            F.sum("total_qty").cast("bigint").alias("total_qty"),
+            F.min("first_order").alias("first_order"),
+        )
+        .select(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+            "n_lines",
+            "total_qty",
+            "first_order",
+        )
+    )
