@@ -139,3 +139,35 @@ def udaf_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg((median_cents("_cb") / 100.0).alias("median_price"))
     )
+
+
+# ---------------------------------------------------------------------------
+# UDF through the SQL ENTRY PATH: spark.udf.register makes the pandas_udf
+# callable from SQL text — the reference's registration model
+# (tests/udfs.rs registers test_udf into the SessionContext and queries it
+# with SQL). Same Arrow-batched execution as the DataFrame path; only the
+# binding surface differs. Registration is idempotent per session.
+# ---------------------------------------------------------------------------
+
+_UDF_SQL_ENTRY = """
+SELECT acct_bucket_sql(c_acctbal) AS bucket,
+       COUNT(*) AS n_customers,
+       MIN(c_custkey) AS first_cust
+FROM customer
+GROUP BY acct_bucket_sql(c_acctbal)
+"""
+
+_UDF_SQL_ORACLE = """
+SELECT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n_customers,
+       MIN(c_custkey) AS first_cust
+FROM customer
+GROUP BY CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)
+"""
+
+
+@query("udf_sql_entry", oracle=_UDF_SQL_ORACLE, tags=("udf", "sql-entry"))
+def udf_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    spark.udf.register("acct_bucket_sql", acct_bucket)
+    return spark.sql(_UDF_SQL_ENTRY)
