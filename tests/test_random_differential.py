@@ -464,3 +464,62 @@ def test_random_rollup_matches_oracle(spark, duck, i):
         _oracle_rollup_sql(case),
         name=f"randrollup[{i}]{case}",
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomized SCALAR-FUNCTION differential: generated grouping expressions
+# from a portable template family (EXTRACT parts, CASE buckets, SUBSTRING,
+# LENGTH%m, UPPER) — the IDENTICAL SQL text runs in Spark (via spark.sql
+# over the registered views) and DuckDB, so the scalar-function surface
+# itself is the unit under test.
+# ---------------------------------------------------------------------------
+
+from datafusion_distributed_spark.operators._util import t as _register_views  # noqa: E402
+
+_N_SCALAR_CASES = 12
+
+_SCALAR_TEMPLATES = [
+    lambda rng: "CAST(EXTRACT({} FROM o_orderdate) AS INTEGER)".format(
+        rng.choice(["YEAR", "MONTH", "DAY", "QUARTER"])
+    ),
+    lambda rng: (
+        "CASE WHEN o_totalprice > {} THEN 'hi' WHEN o_totalprice > {} "
+        "THEN 'mid' ELSE 'lo' END"
+    ).format(round(rng.uniform(4000, 8000), 2), round(rng.uniform(500, 3500), 2)),
+    lambda rng: "SUBSTRING(o_orderpriority, 1, {})".format(rng.randint(1, 3)),
+    lambda rng: "LENGTH(o_orderstatus || o_orderpriority) % {}".format(
+        rng.randint(2, 5)
+    ),
+    lambda rng: "UPPER(SUBSTRING(o_orderpriority, {}, 2))".format(rng.randint(1, 4)),
+]
+
+
+def _gen_scalar_case(rng: random.Random):
+    k1 = rng.choice(_SCALAR_TEMPLATES)(rng)
+    k2 = rng.choice(_SCALAR_TEMPLATES)(rng)
+    return {"k1": k1, "k2": k2}
+
+
+_SCALAR_CASES = [
+    _gen_scalar_case(random.Random(17000 + i)) for i in range(_N_SCALAR_CASES)
+]
+
+
+def _scalar_sql(case):
+    return f"""
+SELECT {case['k1']} AS k1, {case['k2']} AS k2, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+       MIN(o_orderkey) AS first_key
+FROM orders
+GROUP BY {case['k1']}, {case['k2']}
+"""
+
+
+@pytest.mark.parametrize("i", range(_N_SCALAR_CASES))
+def test_random_scalar_exprs_match_oracle(spark, duck, i):
+    case = _SCALAR_CASES[i]
+    _register_views(spark, SF_DIR)
+    oracle_views(duck, SF_DIR)
+    compare_to_oracle(
+        spark.sql(_scalar_sql(case)), duck, _scalar_sql(case), name=f"randscalar[{i}]{case}"
+    )
