@@ -523,3 +523,53 @@ def test_random_scalar_exprs_match_oracle(spark, duck, i):
     compare_to_oracle(
         spark.sql(_scalar_sql(case)), duck, _scalar_sql(case), name=f"randscalar[{i}]{case}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomized NULL-semantics differential: NULLIF-derived nulls flowing
+# through grouping keys (the NULL group must survive as its own row),
+# COUNT(*) vs COUNT(col) vs COUNT(DISTINCT col), and MIN over a
+# partially-null column — the classic cross-engine divergence territory.
+# ---------------------------------------------------------------------------
+
+_N_NULL_CASES = 8
+
+
+def _gen_null_case(rng: random.Random):
+    table = rng.choice(sorted(_TABLES))
+    cols = _TABLES[table]
+    return {
+        "table": table,
+        "g": rng.choice(cols["str_cols"]),
+        "v": rng.choice(cols["int_cols"]),
+        "m": rng.randint(3, 9),
+        "k": rng.randint(0, 2),
+    }
+
+
+_NULL_CASES = [_gen_null_case(random.Random(19000 + i)) for i in range(_N_NULL_CASES)]
+
+
+def _null_sql(case):
+    # Sentinel = the column's own MIN, derived in-query so every table/string
+    # column yields a real NULL group without hand-picked literals.
+    return f"""
+SELECT g, COUNT(*) AS n_all, COUNT(v) AS n_nonnull,
+       COUNT(DISTINCT v) AS ndv, MIN(v) AS mn
+FROM (
+  SELECT NULLIF({case['g']}, (SELECT MIN({case['g']}) FROM {case['table']})) AS g,
+         NULLIF({case['v']} % {case['m']}, {case['k']}) AS v
+  FROM {case['table']}
+) t
+GROUP BY g
+"""
+
+
+@pytest.mark.parametrize("i", range(_N_NULL_CASES))
+def test_random_null_semantics_match_oracle(spark, duck, i):
+    case = _NULL_CASES[i]
+    _register_views(spark, SF_DIR)
+    oracle_views(duck, SF_DIR)
+    compare_to_oracle(
+        spark.sql(_null_sql(case)), duck, _null_sql(case), name=f"randnull[{i}]{case}"
+    )
