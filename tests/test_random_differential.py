@@ -573,3 +573,46 @@ def test_random_null_semantics_match_oracle(spark, duck, i):
     compare_to_oracle(
         spark.sql(_null_sql(case)), duck, _null_sql(case), name=f"randnull[{i}]{case}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomized DATE-ARITHMETIC differential: interval shifts + EXTRACT +
+# date_trunc groupings over timestamps — portable literal syntax
+# (`+ INTERVAL n DAY`) shared by both engines.
+# ---------------------------------------------------------------------------
+
+_N_DATE_CASES = 8
+
+
+def _gen_date_case(rng: random.Random):
+    return {
+        "shift": rng.randint(1, 400),
+        "part": rng.choice(["YEAR", "MONTH", "QUARTER"]),
+        "trunc": rng.choice(["month", "year", "week"]),
+    }
+
+
+_DATE_CASES = [_gen_date_case(random.Random(23000 + i)) for i in range(_N_DATE_CASES)]
+
+
+def _date_sql(case):
+    return f"""
+SELECT CAST(EXTRACT({case['part']} FROM o_orderdate + INTERVAL {case['shift']} DAY)
+            AS INTEGER) AS shifted_part,
+       CAST(EXTRACT(YEAR FROM date_trunc('{case['trunc']}', o_orderdate)) AS INTEGER)
+         AS trunc_year,
+       COUNT(*) AS n,
+       MIN(o_orderkey) AS first_key
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@pytest.mark.parametrize("i", range(_N_DATE_CASES))
+def test_random_date_arithmetic_matches_oracle(spark, duck, i):
+    case = _DATE_CASES[i]
+    _register_views(spark, SF_DIR)
+    oracle_views(duck, SF_DIR)
+    compare_to_oracle(
+        spark.sql(_date_sql(case)), duck, _date_sql(case), name=f"randdate[{i}]{case}"
+    )
