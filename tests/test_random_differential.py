@@ -616,3 +616,72 @@ def test_random_date_arithmetic_matches_oracle(spark, duck, i):
     compare_to_oracle(
         spark.sql(_date_sql(case)), duck, _date_sql(case), name=f"randdate[{i}]{case}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomized FULL OUTER join differential: null-extension on BOTH sides —
+# the filtered right side leaves unmatched left rows (NULL right columns)
+# and right-only rows landing in the NULL group of the left-side group key.
+# Kept as a separate seeded block so the original join cases stay stable.
+# ---------------------------------------------------------------------------
+
+_N_FULL_JOIN_CASES = 6
+
+
+def _gen_full_join_case(rng: random.Random):
+    left, right, lk, rk = rng.choice(_JOINS)
+    rcols = _TABLES[right]
+    lcols = _TABLES[left]
+    return {
+        "left": left, "right": right, "lk": lk, "rk": rk,
+        "rnum": rng.choice(rcols["num_cols"]),
+        "threshold": round(rng.uniform(0, 4000), 2),
+        "group": rng.choice(lcols["str_cols"]),
+        "lint": rng.choice(lcols["int_cols"]),
+    }
+
+
+_FULL_JOIN_CASES = [
+    _gen_full_join_case(random.Random(29000 + i)) for i in range(_N_FULL_JOIN_CASES)
+]
+
+
+def _spark_full_join_query(spark, case):
+    tb = load_tables(spark, SF_DIR)
+    left = tb[case["left"]]
+    right = (
+        tb[case["right"]]
+        .filter(F.col(case["rnum"]) > case["threshold"])
+        .select(case["rk"])
+    )
+    joined = left.join(right, left[case["lk"]] == F.col(case["rk"]), "full")
+    return joined.groupBy(F.col(case["group"]).alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(case["rk"]).alias("n_matched"),
+        F.min(case["lint"]).alias("min_int"),
+    )
+
+
+def _oracle_full_join_sql(case):
+    return f"""
+SELECT l.{case['group']} AS g, COUNT(*) AS n,
+       COUNT(r.{case['rk']}) AS n_matched,
+       MIN(l.{case['lint']}) AS min_int
+FROM {case['left']} l
+FULL JOIN (SELECT {case['rk']} FROM {case['right']}
+           WHERE {case['rnum']} > {case['threshold']}) r
+  ON r.{case['rk']} = l.{case['lk']}
+GROUP BY l.{case['group']}
+"""
+
+
+@pytest.mark.parametrize("i", range(_N_FULL_JOIN_CASES))
+def test_random_full_join_matches_oracle(spark, duck, i):
+    case = _FULL_JOIN_CASES[i]
+    oracle_views(duck, SF_DIR)
+    compare_to_oracle(
+        _spark_full_join_query(spark, case),
+        duck,
+        _oracle_full_join_sql(case),
+        name=f"randfulljoin[{i}]{case}",
+    )
