@@ -2498,3 +2498,112 @@ ORDER BY custkey
 def growth_ratio_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir)
     return spark.sql(_GROWTH_RATIO_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week pivot with year-over-year ratios (TPC-DS q59/q43 shape,
+# /root/reference/testdata/tpcds/queries/q59.sql, q43.sql): weekly sales
+# pivoted into one column per weekday, self-joined on the following year to
+# emit per-weekday YoY ratios. Spark's DAYOFWEEK and DuckDB's dayofweek
+# disagree on numbering (Sunday=1 vs Sunday=0), so the weekday is computed
+# PORTABLY as MOD(epoch_days + 3, 7) (1970-01-01 was a Thursday; Monday=0)
+# — the only construct in the battery where the two engines' SQL texts
+# differ beyond casts (datediff argument order). Ratios divide exact cent
+# sums in DOUBLE with identical expression text, so hashes match.
+# ---------------------------------------------------------------------------
+
+def _dow_pivot_sql(days_expr: str) -> str:
+    pivots = ",\n         ".join(
+        f"SUM(CASE WHEN dow = {d} THEN cents ELSE 0 END) AS c{d}" for d in range(7)
+    )
+    ratios = ",\n       ".join(
+        f"CAST(b.c{d} AS DOUBLE) / a.c{d} AS {n}_ratio"
+        for d, n in enumerate(["mon", "tue", "wed", "thu", "fri", "sat", "sun"])
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
+         MOD({days_expr} + 3, 7) AS dow,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+weekly AS (
+  SELECT y,
+         {pivots}
+  FROM daily
+  GROUP BY y
+)
+SELECT a.y AS base_year,
+       {ratios}
+FROM weekly a JOIN weekly b ON b.y = a.y + 1
+WHERE a.c0 > 0 AND a.c1 > 0 AND a.c2 > 0 AND a.c3 > 0
+  AND a.c4 > 0 AND a.c5 > 0 AND a.c6 > 0
+ORDER BY base_year
+"""
+
+
+_DOW_PIVOT_SPARK_SQL = _dow_pivot_sql(
+    "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+)
+_DOW_PIVOT_ORACLE = _dow_pivot_sql(
+    "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
+)
+
+
+@query(
+    "sql_dow_yoy_pivot",
+    oracle=_DOW_PIVOT_ORACLE,
+    tags=("sql-entry", "tpcds", "pivot"),
+    order_by="base_year",
+)
+def dow_yoy_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_DOW_PIVOT_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Dual independent rankings with an OR filter (TPC-DS q49 shape,
+# /root/reference/testdata/tpcds/queries/q49.sql): q49 ranks items both by
+# return RATIO and by returned CURRENCY amount, keeping items in either
+# top-10. Both ranks carry the part key as an explicit tiebreaker, so RANK
+# is deterministic; the ratio sort key is a single double division of two
+# exact int64 sums (same operands -> bit-identical ordering on both
+# engines). Two window passes over the same per-part aggregate = one
+# aggregation shuffle + two single-partition sorts of an already-small
+# grouped relation.
+# ---------------------------------------------------------------------------
+
+_DUAL_RANK_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         SUM(CASE WHEN l_returnflag = 'R' THEN CAST(ROUND(l_quantity) AS BIGINT) ELSE 0 END) AS ret_qty,
+         SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS tot_qty,
+         SUM(CASE WHEN l_returnflag = 'R' THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS ret_cents
+  FROM lineitem
+  GROUP BY l_partkey
+),
+ranked AS (
+  SELECT pk, ret_qty, tot_qty, ret_cents,
+         RANK() OVER (ORDER BY CAST(ret_qty AS DOUBLE) / tot_qty DESC, pk) AS rank_ratio,
+         RANK() OVER (ORDER BY ret_cents DESC, pk) AS rank_amount
+  FROM per_part
+)
+SELECT pk AS partkey,
+       CAST(ret_qty AS DOUBLE) / tot_qty AS return_ratio,
+       CAST(ret_cents AS DOUBLE) / 100.0 AS returned_value,
+       rank_ratio, rank_amount
+FROM ranked
+WHERE rank_ratio <= 10 OR rank_amount <= 10
+ORDER BY rank_ratio, rank_amount, partkey
+"""
+
+
+@query(
+    "sql_dual_rank_returns",
+    oracle=_DUAL_RANK_SQL,
+    tags=("sql-entry", "tpcds", "window"),
+    order_by="rank_ratio, rank_amount, partkey",
+)
+def dual_rank_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_DUAL_RANK_SQL)
