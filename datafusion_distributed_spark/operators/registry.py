@@ -97,6 +97,11 @@ def query(
     sorted queries so tests can verify it (property_based.rs compare_ordering)."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(
+                f"duplicate query name {name!r}: already registered by "
+                f"{REGISTRY[name].fn.__module__}.{REGISTRY[name].fn.__qualname__}"
+            )
         fixed = _portable_double_casts(oracle) if oracle else None
         REGISTRY[name] = QueryDef(
             name=name, fn=fn, oracle=fixed, tags=tags, order_by=order_by

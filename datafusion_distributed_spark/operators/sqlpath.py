@@ -2365,140 +2365,6 @@ def values_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_VALUES_DIM_SQL)
 
 
-# ---------------------------------------------------------------------------
-# Channel-overlap matrix (TPC-DS q97 shape,
-# /root/reference/testdata/tpcds/queries/q97.sql): q97 builds DISTINCT
-# (customer, item) sets for two sales channels, FULL OUTER joins them, and
-# counts left-only / right-only / both in one row. Here the two "channels"
-# are returned (l_returnflag = 'R') vs kept ('N') purchase pairs. COUNT(CASE)
-# keeps the outputs BIGINT in both engines (SUM(INT) would be HUGEINT in
-# DuckDB). One shuffle per DISTINCT + the pair-keyed outer join; the join
-# keys are the high-cardinality pair, so no skew concentration at scale.
-# ---------------------------------------------------------------------------
-
-_OVERLAP_MATRIX_SQL = """
-WITH ret AS (
-  SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-  WHERE l.l_returnflag = 'R'
-),
-kept AS (
-  SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-  WHERE l.l_returnflag = 'N'
-)
-SELECT COUNT(CASE WHEN r.ck IS NOT NULL AND k.ck IS NULL THEN 1 END) AS returned_only,
-       COUNT(CASE WHEN r.ck IS NULL AND k.ck IS NOT NULL THEN 1 END) AS kept_only,
-       COUNT(CASE WHEN r.ck IS NOT NULL AND k.ck IS NOT NULL THEN 1 END) AS both_channels
-FROM ret r FULL OUTER JOIN kept k ON r.ck = k.ck AND r.pk = k.pk
-"""
-
-
-@query("sql_overlap_matrix", oracle=_OVERLAP_MATRIX_SQL, tags=("sql-entry", "tpcds", "full-outer"))
-def overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t(spark, sf_dir)
-    return spark.sql(_OVERLAP_MATRIX_SQL)
-
-
-# ---------------------------------------------------------------------------
-# Coefficient-of-variation over consecutive periods (TPC-DS q39 shape,
-# /root/reference/testdata/tpcds/queries/q39.sql): q39 flags (warehouse,
-# item, month) inventory groups whose stdev/mean exceeds 1, self-joined on
-# the NEXT month. Re-expressed on lineitem quantities per (supplier, month
-# of 1997): the CoV > 0.5 filter is evaluated EXACTLY via integer moment
-# sums — cov > 1/2 <=> var_samp > mean^2/4 <=> 4*n*(n*q - s*s) >
-# (n-1)*s*s with n=COUNT, s=SUM(x), q=SUM(x*x) — no floating point in the
-# predicate (quantities <= 50, so n*q and 4n(nq-s^2) stay in int64 beyond
-# SF100; widen to DECIMAL(38,0) past that). The double cov is computed only
-# at output from the same exact sums with identical expression text on both
-# engines, so hashes match bit-for-bit.
-# ---------------------------------------------------------------------------
-
-_COV_CONSECUTIVE_SQL = """
-WITH moments AS (
-  SELECT l_suppkey AS sk,
-         CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER) AS m,
-         COUNT(*) AS n,
-         SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS s,
-         SUM(CAST(ROUND(l_quantity) AS BIGINT) * CAST(ROUND(l_quantity) AS BIGINT)) AS q
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
-  GROUP BY l_suppkey, CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER)
-  HAVING COUNT(*) >= 2 AND SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 0
-),
-volatile AS (
-  SELECT sk, m,
-         SQRT(CAST(n * q - s * s AS DOUBLE) / (n * (n - 1))) * n / s AS cov
-  FROM moments
-  WHERE 4 * n * (n * q - s * s) > (n - 1) * s * s
-)
-SELECT a.sk AS suppkey, a.m AS month_1, a.cov AS cov_1, b.m AS month_2, b.cov AS cov_2
-FROM volatile a JOIN volatile b ON a.sk = b.sk AND b.m = a.m + 1
-ORDER BY suppkey, month_1
-"""
-
-
-@query(
-    "sql_cov_consecutive",
-    oracle=_COV_CONSECUTIVE_SQL,
-    tags=("sql-entry", "tpcds", "statistics"),
-    order_by="suppkey, month_1",
-)
-def cov_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t(spark, sf_dir)
-    return spark.sql(_COV_CONSECUTIVE_SQL)
-
-
-# ---------------------------------------------------------------------------
-# Cross-channel growth-ratio comparison (TPC-DS q4/q31 shape,
-# /root/reference/testdata/tpcds/queries/q4.sql, q31.sql): per customer,
-# year-over-year growth in one channel must exceed growth in another —
-# q4's "web growth > store growth" predicate. Channels here are hot
-# (1-URGENT/2-HIGH) vs cold (4/5) order priorities, years 1996 -> 1997.
-# The ratio comparison h2/h1 > c2/c1 is cross-multiplied in int64: both
-# factors are per-customer-year cent sums (~5e7, scale-INVARIANT — TPC-H
-# adds customers with SF, not orders per customer), so the products stay
-# ~2.5e15 at any SF. Four aliases of one grouped CTE = one aggregation
-# shuffle, then three co-partitioned self-joins on ck (AQE collapses them
-# into the same exchange).
-# ---------------------------------------------------------------------------
-
-_GROWTH_RATIO_SQL = """
-WITH per AS (
-  SELECT o_custkey AS ck,
-         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hot' ELSE 'cold' END AS chan,
-         CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
-         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
-  FROM orders
-  WHERE o_orderpriority <> '3-MEDIUM'
-    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
-  GROUP BY o_custkey,
-           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hot' ELSE 'cold' END,
-           CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER)
-)
-SELECT h1.ck AS custkey,
-       CAST(h2.cents AS DOUBLE) / h1.cents AS hot_growth,
-       CAST(c2.cents AS DOUBLE) / c1.cents AS cold_growth
-FROM per h1
-JOIN per h2 ON h2.ck = h1.ck AND h2.chan = 'hot' AND h2.y = 1997
-JOIN per c1 ON c1.ck = h1.ck AND c1.chan = 'cold' AND c1.y = 1996
-JOIN per c2 ON c2.ck = h1.ck AND c2.chan = 'cold' AND c2.y = 1997
-WHERE h1.chan = 'hot' AND h1.y = 1996
-  AND h2.cents * c1.cents > c2.cents * h1.cents
-ORDER BY custkey
-"""
-
-
-@query(
-    "sql_growth_ratio_compare",
-    oracle=_GROWTH_RATIO_SQL,
-    tags=("sql-entry", "tpcds", "self-join"),
-    order_by="custkey",
-)
-def growth_ratio_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t(spark, sf_dir)
-    return spark.sql(_GROWTH_RATIO_SQL)
-
 
 # ---------------------------------------------------------------------------
 # Day-of-week pivot with year-over-year ratios (TPC-DS q59/q43 shape,
