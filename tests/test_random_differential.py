@@ -685,3 +685,91 @@ def test_random_full_join_matches_oracle(spark, duck, i):
         _oracle_full_join_sql(case),
         name=f"randfulljoin[{i}]{case}",
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomized correlated-subquery family: EXISTS / NOT EXISTS (correlated on
+# the join key with a random inner predicate) and IN / NOT IN (uncorrelated
+# list subquery), identical SQL text on both engines. Two templates per
+# seed pool deliberately route NOT IN through a NULLIF-injected list so the
+# three-valued "x NOT IN (list containing NULL) is never TRUE" rule — the
+# classic null-aware anti-join trap the reference handles via
+# null-aware HashJoin single-task plans
+# (/root/reference/src/distributed_planner/inject_network_boundaries.rs:280-294)
+# — is pinned by differential evidence, not assumed.
+# ---------------------------------------------------------------------------
+
+_N_SUBQ_CASES = 10
+
+_SUBQ_LINKS = [
+    # (outer, outer_key, outer_group, outer_int, inner, inner_key, inner_num, lo, hi)
+    ("orders", "o_orderkey", "o_orderstatus", "o_custkey",
+     "lineitem", "l_orderkey", "l_quantity", 5, 45),
+    ("customer", "c_custkey", "c_mktsegment", "c_nationkey",
+     "orders", "o_custkey", "o_totalprice", 1000, 150000),
+    ("part", "p_partkey", "p_brand", "p_size",
+     "lineitem", "l_partkey", "l_extendedprice", 1000, 50000),
+]
+
+
+def _gen_subq_case(rng: random.Random):
+    link = rng.choice(_SUBQ_LINKS)
+    outer, okey, ogroup, oint, inner, ikey, inum, lo, hi = link
+    quant = rng.choice(["EXISTS", "NOT EXISTS", "IN", "NOT IN", "NOT IN NULLIF"])
+    op = rng.choice([">", "<="])
+    threshold = round(rng.uniform(lo, hi), 2)
+    # For the NULLIF template: half the seeds pick a key value that survives
+    # the inner filter (=> a NULL lands in the list and NOT IN returns zero
+    # rows), half pick one that does not (=> ordinary anti-join semantics).
+    nullif_key = rng.choice([1, 999999999])
+    return {
+        "outer": outer, "okey": okey, "ogroup": ogroup, "oint": oint,
+        "inner": inner, "ikey": ikey, "inum": inum,
+        "quant": quant, "op": op, "threshold": threshold,
+        "nullif_key": nullif_key,
+    }
+
+
+_SUBQ_CASES = [_gen_subq_case(random.Random(9000 + i)) for i in range(_N_SUBQ_CASES)]
+# The seed pool happens never to draw the NULLIF template — force both its
+# arms (NULL lands in the list => zero rows; NULL does not => plain
+# anti-join) so the three-valued-logic trap always has coverage:
+_SUBQ_CASES[-2].update(quant="NOT IN NULLIF", nullif_key=1)
+_SUBQ_CASES[-1].update(quant="NOT IN NULLIF", nullif_key=999999999)
+
+
+def _subq_sql(case) -> str:
+    inner_pred = f"i.{case['inum']} {case['op']} {case['threshold']}"
+    if case["quant"] in ("EXISTS", "NOT EXISTS"):
+        where = (
+            f"{case['quant']} (SELECT 1 FROM {case['inner']} i "
+            f"WHERE i.{case['ikey']} = o.{case['okey']} AND {inner_pred})"
+        )
+    elif case["quant"] == "NOT IN NULLIF":
+        where = (
+            f"o.{case['okey']} NOT IN "
+            f"(SELECT NULLIF(i.{case['ikey']}, {case['nullif_key']}) "
+            f"FROM {case['inner']} i WHERE {inner_pred})"
+        )
+    else:
+        where = (
+            f"o.{case['okey']} {case['quant']} "
+            f"(SELECT i.{case['ikey']} FROM {case['inner']} i WHERE {inner_pred})"
+        )
+    return f"""
+SELECT o.{case['ogroup']} AS g, COUNT(*) AS n, MIN(o.{case['oint']}) AS min_int
+FROM {case['outer']} o
+WHERE {where}
+GROUP BY o.{case['ogroup']}
+"""
+
+
+@pytest.mark.parametrize("i", range(_N_SUBQ_CASES))
+def test_random_subquery_matches_oracle(spark, duck, i):
+    case = _SUBQ_CASES[i]
+    load_tables(spark, SF_DIR)
+    oracle_views(duck, SF_DIR)
+    sql = _subq_sql(case)
+    compare_to_oracle(
+        spark.sql(sql), duck, sql, name=f"randsubq[{i}]{case}"
+    )
