@@ -1,0 +1,68 @@
+"""Max-fan-out stress: re-run a representative operator cross-section with
+``spark.sql.files.maxPartitionBytes`` forced to 64 KiB, so every parquet
+scan splinters into the largest task count Spark will plan — the analogue
+of the reference's ``FILE_SCAN_CONFIG_BYTES_PER_PARTITION=1`` stress knob
+(/root/reference/tests/tpch_correctness_test.rs:18), which validates that
+correctness is invariant to how finely leaves are split across tasks.
+
+At sf0.01 the bigger tables are ~1-4 MiB, so 64 KiB splits yield tens of
+scan partitions per table (asserted below) — far more partition boundaries
+than the default 128 MiB setting's single split. Shuffle/agg/join/window
+results must be bit-identical to DuckDB regardless.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_distributed_spark.operators.registry import REGISTRY, _ensure_loaded
+from datafusion_distributed_spark.tables import load_tables
+
+from .conftest import SF_DIR_MED, compare_to_oracle, oracle_views
+
+_ensure_loaded()
+
+# One query per operator family (agg, join+topk, window, rollup, set-op,
+# subquery/mark-join, dedup, events-scan histogram): broad plan coverage
+# without re-running the whole battery under the stress conf.
+_STRESS_QUERIES = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "win_rank_topn_per_nation",
+    "gsets_rollup_region_nation",
+    "setop_intersect_customers",
+    "sql_mark_join",
+    "dd_dedup_exact",
+    "cb_hourly_histogram",
+]
+
+_TINY_SPLIT = 64 * 1024
+
+
+@pytest.fixture()
+def fanout_spark(spark):
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    # openCostInBytes also pads each file's size estimate; shrink it too so
+    # the 64 KiB split size actually bites on ~MiB files.
+    old_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(_TINY_SPLIT))
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    yield spark
+    spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
+
+
+def test_tiny_splits_actually_fan_out(fanout_spark):
+    """The stress conf must really multiply scan tasks, or the suite below
+    proves nothing."""
+    li = load_tables(fanout_spark, SF_DIR_MED)["lineitem"]
+    n = li.rdd.getNumPartitions()
+    assert n >= 16, f"expected >=16 scan splits under 64KiB maxPartitionBytes, got {n}"
+
+
+@pytest.mark.parametrize("name", _STRESS_QUERIES)
+def test_query_matches_oracle_under_max_fanout(fanout_spark, duck, name):
+    qd = REGISTRY[name]
+    df = qd.fn(fanout_spark, SF_DIR_MED)
+    oracle_views(duck, SF_DIR_MED)
+    compare_to_oracle(df, duck, qd.oracle, name=f"fanout:{name}", order_by=qd.order_by)
