@@ -37,6 +37,13 @@ TABLE_NAMES = (
 # serve frames bound to a stopped session).
 _CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
+# Which sf_dir's frames currently own the session's bare-named temp views.
+# A cache hit alone is NOT enough to return early: if another sf_dir was
+# loaded since, the session's views point at THAT data, and every
+# spark.sql-path query would silently read the wrong scale. (Found by the
+# max-fan-out suite — the first caller to alternate sf_dirs in one session.)
+_ACTIVE_VIEWS: dict[str, str] = {}
+
 
 def _normalize(name: str, df: DataFrame) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -54,15 +61,24 @@ def load_tables(
     """Load all testdata tables from ``sf_dir`` and (optionally) register them
     as temp views under their bare names."""
     apply_session_confs(spark)
-    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    app = spark.sparkContext.applicationId
+    dir_key = sf_dir.rstrip("/")
+    key = (app, dir_key)
     if key in _CACHE:
-        return _CACHE[key]
-    tables: dict[str, DataFrame] = {}
+        tables = _CACHE[key]
+        if register and _ACTIVE_VIEWS.get(app) != dir_key:
+            for name, df in tables.items():
+                df.createOrReplaceTempView(name)
+            _ACTIVE_VIEWS[app] = dir_key
+        return tables
+    tables = {}
     for name in TABLE_NAMES:
-        df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+        df = spark.read.parquet(f"{dir_key}/{name}.parquet")
         df = _normalize(name, df)
         if register:
             df.createOrReplaceTempView(name)
         tables[name] = df
     _CACHE[key] = tables
+    if register:
+        _ACTIVE_VIEWS[app] = dir_key
     return tables

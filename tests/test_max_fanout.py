@@ -66,3 +66,17 @@ def test_query_matches_oracle_under_max_fanout(fanout_spark, duck, name):
     df = qd.fn(fanout_spark, SF_DIR_MED)
     oracle_views(duck, SF_DIR_MED)
     compare_to_oracle(df, duck, qd.oracle, name=f"fanout:{name}", order_by=qd.order_by)
+
+
+def test_view_repointing_across_sf_dirs(spark):
+    """Alternating sf_dirs in one session must re-point the bare-named views:
+    a cached load_tables hit used to skip re-registration, leaving every
+    spark.sql-path query silently reading the OTHER scale's data."""
+    from .conftest import SF_DIR
+
+    n_small = load_tables(spark, SF_DIR)["customer"].count()
+    n_med = load_tables(spark, SF_DIR_MED)["customer"].count()
+    assert n_small != n_med  # different scales, different row counts
+    assert spark.sql("SELECT COUNT(*) FROM customer").collect()[0][0] == n_med
+    load_tables(spark, SF_DIR)
+    assert spark.sql("SELECT COUNT(*) FROM customer").collect()[0][0] == n_small
