@@ -773,3 +773,61 @@ def test_random_subquery_matches_oracle(spark, duck, i):
     compare_to_oracle(
         spark.sql(sql), duck, sql, name=f"randsubq[{i}]{case}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomized ordered-pagination family: ORDER BY a value column with a
+# unique-key tiebreaker, then LIMIT k OFFSET m — the TopK + GlobalLimit-skip
+# surface (reference: push_fetch_into_network_coalesce.rs, OFFSET →
+# GlobalLimit skip, SURVEY §2.2 rows 9/24) under generated orderings.
+# Identical SQL text on both engines; the tiebreaker makes the selected
+# page unique, and compare_to_oracle's order_by re-check asserts the
+# RETURNED sequence, not just the multiset.
+# ---------------------------------------------------------------------------
+
+_N_PAGE_CASES = 8
+
+_PAGE_TABLES = [
+    ("orders", "o_orderkey", ["o_totalprice"]),
+    ("customer", "c_custkey", ["c_acctbal"]),
+    ("part", "p_partkey", ["p_retailprice", "p_size"]),
+]
+
+
+def _gen_page_case(rng: random.Random):
+    table, pk, nums = rng.choice(_PAGE_TABLES)
+    return {
+        "table": table,
+        "pk": pk,
+        "num": rng.choice(nums),
+        "dir": rng.choice(["ASC", "DESC"]),
+        "limit": rng.randint(1, 40),
+        "offset": rng.choice([0, rng.randint(1, 80)]),
+    }
+
+
+_PAGE_CASES = [_gen_page_case(random.Random(11000 + i)) for i in range(_N_PAGE_CASES)]
+
+
+def _page_sql(case) -> str:
+    return (
+        f"SELECT {case['pk']} AS pk, {case['num']} AS val "
+        f"FROM {case['table']} "
+        f"ORDER BY val {case['dir']}, pk "
+        f"LIMIT {case['limit']} OFFSET {case['offset']}"
+    )
+
+
+@pytest.mark.parametrize("i", range(_N_PAGE_CASES))
+def test_random_pagination_matches_oracle(spark, duck, i):
+    case = _PAGE_CASES[i]
+    load_tables(spark, SF_DIR)
+    oracle_views(duck, SF_DIR)
+    sql = _page_sql(case)
+    compare_to_oracle(
+        spark.sql(sql),
+        duck,
+        sql,
+        name=f"randpage[{i}]{case}",
+        order_by=f"val {case['dir']}, pk",
+    )
