@@ -80,3 +80,25 @@ def test_view_repointing_across_sf_dirs(spark):
     assert spark.sql("SELECT COUNT(*) FROM customer").collect()[0][0] == n_med
     load_tables(spark, SF_DIR)
     assert spark.sql("SELECT COUNT(*) FROM customer").collect()[0][0] == n_small
+
+
+@pytest.fixture()
+def odd_shuffle_spark(spark):
+    """Prime, non-default shuffle-partition count: results must be invariant
+    to how many reduce tasks every exchange fans into (the reference's
+    varying-task-count validation, e.g. 1/2/3-task plans in
+    /root/reference/tests/distributed_aggregation.rs)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "97")
+    yield spark
+    spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@pytest.mark.parametrize("name", _STRESS_QUERIES)
+def test_query_matches_oracle_under_odd_shuffle_count(odd_shuffle_spark, duck, name):
+    qd = REGISTRY[name]
+    df = qd.fn(odd_shuffle_spark, SF_DIR_MED)
+    oracle_views(duck, SF_DIR_MED)
+    compare_to_oracle(
+        df, duck, qd.oracle, name=f"shuffle97:{name}", order_by=qd.order_by
+    )
