@@ -160,15 +160,36 @@ def weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # web / ~M of code" mixture step: unlike a rate sample, the OUTPUT SIZE is
 # what's fixed, so over-represented sources are truncated instead of
 # thinned. Hash order (not doc_id order) makes the admitted prefix an
-# unbiased uniform subsample; the cumulative sum is one window per source —
-# a single hash shuffle on source, no driver-side state. The window is
-# scan-ordered per source partition; skewed giant sources are bounded by
-# the budget itself (the tail past the budget is filtered before any
-# downstream work).
+# unbiased uniform subsample.
+#
+# Scale design — bucketed two-pass prefix sum, NOT one window per source.
+# A naive `SUM() OVER (PARTITION BY source ORDER BY h)` sorts EVERY row of a
+# source inside one task before the budget filter can apply: with a handful
+# of sources that is a single-task scan of the whole corpus, the per-task
+# self-selection discipline of the reference's work distribution turned
+# inside out (/root/reference/src/execution_plans/distributed_leaf.rs:63-130
+# — tasks self-select bounded slices; no task owns a whole logical group).
+# Instead the hash order is range-split into _PREFIX_BUCKETS contiguous
+# buckets (bucket = h div width, so (bucket, h, doc_id) order == (h, doc_id)
+# order), and:
+#   pass 1: per-(source, bucket) token totals — a map-side-combined
+#           aggregate over ~sources × B rows; a prefix sum over that tiny
+#           frame classifies each bucket: kept entirely (cumulative end
+#           under budget), dropped entirely (starts past budget), or THE
+#           boundary bucket (at most one per source).
+#   pass 2: only boundary-bucket rows (~1/B of each source, broadcast
+#           semi-pruned at the scan) are windowed for the exact row-level
+#           cutoff; fully-kept buckets contribute through pass-1 totals
+#           without ever being re-sorted.
+# Max task input drops from |largest source| to |source|/B, tunable by B,
+# and the result is bit-identical to the naive window (the oracle below IS
+# the naive spelling).
 # ---------------------------------------------------------------------------
 
 _BUDGET_TOKENS = 8_000  # per-source token budget
 _BUDGET_SALT = "tb:"
+_PREFIX_BUCKETS = 32  # hash-range buckets per source (B); raise with corpus size
+_BUCKET_WIDTH = _U32_SPAN // _PREFIX_BUCKETS
 
 # DuckDB spelling of the tokenizer (kept in sync with textstats._TOK_SQL).
 _TOK_SQL = "string_split_regex(trim(lower(text)), ' +')"
@@ -202,6 +223,8 @@ ORDER BY source
     order_by="source",
 )
 def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     docs = t(spark, sf_dir)["documents"]
     toks = docs.select(
         "doc_id",
@@ -212,25 +235,81 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _u32_spark(
             F.concat(F.lit(_BUDGET_SALT), F.col("doc_id").cast("string"))
         ).alias("h"),
-    )
-    from pyspark.sql import Window
+    ).withColumn("bucket", F.expr(f"h div {_BUCKET_WIDTH}"))
 
-    w = (
+    # Pass 1: per-(source, bucket) totals — tiny (sources × B rows), so the
+    # prefix-sum window over it is metadata-scale, not corpus-scale.
+    btot = toks.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("bucket_docs"),
+        F.sum("n_tokens").alias("bucket_tokens"),
+    )
+    w_off = (
         Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = btot.withColumn(
+        "offset_before", F.coalesce(F.sum("bucket_tokens").over(w_off), F.lit(0))
+    )
+    # Classification: a bucket whose cumulative end fits the budget is kept
+    # whole; one that starts past the budget is dropped whole (strict >, so
+    # an exactly-at-budget start still windows — exact even for 0-token
+    # rows); what remains is the single boundary bucket per source.
+    kept_whole = offs.where(
+        F.col("offset_before") + F.col("bucket_tokens") <= _BUDGET_TOKENS
+    )
+    boundary = offs.where(
+        (F.col("offset_before") + F.col("bucket_tokens") > _BUDGET_TOKENS)
+        & (F.col("offset_before") <= _BUDGET_TOKENS)
+    )
+
+    # Pass 2: the row-level cutoff runs ONLY inside the boundary bucket —
+    # the broadcast inner join prunes the corpus re-scan to ~|source|/B rows
+    # before any sort happens.
+    w_in = (
+        Window.partitionBy("source", "bucket")
         .orderBy("h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    runn = toks.select(
-        "source", "n_tokens", F.sum("n_tokens").over(w).alias("cum_tokens")
+    bnd_rows = toks.join(
+        F.broadcast(boundary.select("source", "bucket", "offset_before")),
+        ["source", "bucket"],
     )
+    bnd_kept = bnd_rows.withColumn(
+        "cum_tokens", F.col("offset_before") + F.sum("n_tokens").over(w_in)
+    ).where(F.col("cum_tokens") <= _BUDGET_TOKENS)
+    bnd_agg = bnd_kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("b_docs"),
+        F.sum("n_tokens").alias("b_tokens"),
+        F.max("cum_tokens").alias("b_last"),
+    )
+
+    # Fully-kept buckets contribute via pass-1 totals alone: within such a
+    # bucket the last row's cumulative sum is exactly offset_before +
+    # bucket_tokens, so no per-row cum is ever materialized for them.
+    whole_agg = kept_whole.groupBy("source").agg(
+        F.sum("bucket_docs").alias("w_docs"),
+        F.sum("bucket_tokens").alias("w_tokens"),
+        F.max(F.col("offset_before") + F.col("bucket_tokens")).alias("w_last"),
+    )
+
     return (
-        runn.where(F.col("cum_tokens") <= _BUDGET_TOKENS)
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("kept_tokens"),
-            F.max("cum_tokens").cast("long").alias("last_cum"),
+        whole_agg.join(bnd_agg, "source", "full_outer")
+        .select(
+            "source",
+            (F.coalesce("w_docs", F.lit(0)) + F.coalesce("b_docs", F.lit(0))).alias(
+                "n_docs"
+            ),
+            (F.coalesce("w_tokens", F.lit(0)) + F.coalesce("b_tokens", F.lit(0)))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.greatest(
+                F.coalesce("w_last", F.lit(0)), F.coalesce("b_last", F.lit(0))
+            )
+            .cast("long")
+            .alias("last_cum"),
         )
+        .where(F.col("n_docs") > 0)
         .orderBy("source")
     )
 

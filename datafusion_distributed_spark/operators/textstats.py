@@ -239,8 +239,19 @@ def gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.lit(0))
-    top_cnt = F.array_max(
-        F.expr("transform(array_distinct(w), x -> size(filter(w, y -> y = x)))")
+    # Most-frequent-word count as a sorted run-length max: sort once
+    # (O(n log n)) then a single linear fold tracking the current and best
+    # run. The transform(array_distinct(w), x -> size(filter(w, ...)))
+    # spelling is O(distinct × length) per row — quadratic on long documents
+    # (the same pattern removed from text_vocab_topk in round 3).
+    top_cnt = F.expr(
+        "aggregate(array_sort(w),"
+        " named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(x <=> acc.prev, acc.run + 1, 1),"
+        "   'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1))),"
+        " acc -> acc.best)"
     )
     m = base.select(
         "lang",

@@ -31,18 +31,22 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-# Cache keyed by (applicationId, sf_dir) so repeated queries() calls reuse the
-# analyzed DataFrames (and their registered temp views). applicationId is
-# unique per SparkContext (unlike id(spark), which can be reused after GC and
-# serve frames bound to a stopped session).
-_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+# Both the DataFrame cache and the view-ownership token live as attributes ON
+# the SparkSession object itself, not in a module dict keyed by applicationId:
+# temp views (and DataFrames) are SparkSession-scoped, and two sessions
+# sharing one SparkContext (spark.newSession()) share an applicationId — a
+# module-level cache hit in the second session would both return frames bound
+# to the FIRST session and skip view registration while the second session
+# has no (or stale) views. Attributes die with the session wrapper, so there
+# is no id()-reuse aliasing either.
+_CACHE_ATTR = "_dds_tables_cache"  # dict[sf_dir, dict[name, DataFrame]]
+_VIEWS_ATTR = "_dds_active_views"  # sf_dir whose frames own the bare views
 
 # Which sf_dir's frames currently own the session's bare-named temp views.
 # A cache hit alone is NOT enough to return early: if another sf_dir was
 # loaded since, the session's views point at THAT data, and every
 # spark.sql-path query would silently read the wrong scale. (Found by the
 # max-fan-out suite — the first caller to alternate sf_dirs in one session.)
-_ACTIVE_VIEWS: dict[str, str] = {}
 
 
 def _normalize(name: str, df: DataFrame) -> DataFrame:
@@ -61,15 +65,17 @@ def load_tables(
     """Load all testdata tables from ``sf_dir`` and (optionally) register them
     as temp views under their bare names."""
     apply_session_confs(spark)
-    app = spark.sparkContext.applicationId
     dir_key = sf_dir.rstrip("/")
-    key = (app, dir_key)
-    if key in _CACHE:
-        tables = _CACHE[key]
-        if register and _ACTIVE_VIEWS.get(app) != dir_key:
+    cache: dict[str, dict[str, DataFrame]] = getattr(spark, _CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, _CACHE_ATTR, cache)
+    if dir_key in cache:
+        tables = cache[dir_key]
+        if register and getattr(spark, _VIEWS_ATTR, None) != dir_key:
             for name, df in tables.items():
                 df.createOrReplaceTempView(name)
-            _ACTIVE_VIEWS[app] = dir_key
+            setattr(spark, _VIEWS_ATTR, dir_key)
         return tables
     tables = {}
     for name in TABLE_NAMES:
@@ -78,7 +84,7 @@ def load_tables(
         if register:
             df.createOrReplaceTempView(name)
         tables[name] = df
-    _CACHE[key] = tables
+    cache[dir_key] = tables
     if register:
-        _ACTIVE_VIEWS[app] = dir_key
+        setattr(spark, _VIEWS_ATTR, dir_key)
     return tables

@@ -212,3 +212,33 @@ def test_graphviz_edges_match_stage_summary(spark):
     assert n_edges == summ["n_stages"] - 1
     assert dot.count('[label="broadcast"]') == summ["n_broadcasts"]
     assert dot.count('[label="shuffle"]') == summ["n_shuffles"]
+
+
+def test_token_budget_window_bounded_to_boundary_bucket(spark):
+    """ds_token_budget_sample's per-row running-sum window must consume ONLY
+    boundary-bucket rows: its child chain must contain the broadcast join
+    that prunes the corpus to the (at most one per source) boundary bucket.
+    A window whose input is the raw per-source corpus is the single-task
+    scale hazard this operator exists to avoid."""
+    from datafusion_distributed_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    df = token_budget_sample(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Walk the plan text: every Window over the corpus hash order ("h") must
+    # appear ABOVE (earlier in the tree dump than) a BroadcastHashJoin —
+    # i.e. its input subtree contains the boundary-bucket pruning join.
+    lines = plan.splitlines()
+    row_windows = [
+        i
+        for i, ln in enumerate(lines)
+        if "Window" in ln and " h#" in ln  # the per-row cum window sorts by h
+    ]
+    assert row_windows, "expected the boundary-bucket running-sum window"
+    joins = [i for i, ln in enumerate(lines) if "BroadcastHashJoin" in ln]
+    for wi in row_windows:
+        assert any(ji > wi for ji in joins), (
+            "running-sum window is not fed by the boundary broadcast join:\n"
+            + plan
+        )

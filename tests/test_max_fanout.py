@@ -82,6 +82,29 @@ def test_view_repointing_across_sf_dirs(spark):
     assert spark.sql("SELECT COUNT(*) FROM customer").collect()[0][0] == n_small
 
 
+def test_sibling_sessions_get_their_own_views(spark):
+    """Temp views are SparkSession-scoped but spark.newSession() shares the
+    applicationId: an app-keyed cache used to hit in the sibling and skip view
+    registration there entirely (and hand back frames bound to the parent)."""
+    from .conftest import SF_DIR
+
+    n_small = load_tables(spark, SF_DIR)["customer"].count()
+    sibling = spark.newSession()
+    try:
+        tb = load_tables(sibling, SF_DIR)
+        # Frames must be usable (and views registered) IN the sibling session.
+        assert sibling.sql("SELECT COUNT(*) FROM customer").collect()[0][0] == n_small
+        assert tb["customer"].count() == n_small
+        # The sibling can track a different active sf_dir without clobbering
+        # the parent's views.
+        load_tables(sibling, SF_DIR_MED)
+        n_med = sibling.sql("SELECT COUNT(*) FROM customer").collect()[0][0]
+        assert n_med != n_small
+        assert spark.sql("SELECT COUNT(*) FROM customer").collect()[0][0] == n_small
+    finally:
+        load_tables(spark, SF_DIR)  # restore parent views for later tests
+
+
 @pytest.fixture()
 def odd_shuffle_spark(spark):
     """Prime, non-default shuffle-partition count: results must be invariant

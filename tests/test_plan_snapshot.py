@@ -82,7 +82,15 @@ def test_no_stale_snapshots():
 
 
 def _write_snapshots() -> None:
-    merged = {name: _COLLECTED[name] for name in sorted(_COLLECTED)}
+    # Merge over the existing file so a filtered regen (-k, or skipped tests)
+    # only rewrites the entries it actually collected; entries for queries
+    # that no longer exist are pruned (the stale-entry test would catch them
+    # on full runs, but a partial regen must not resurrect or drop others).
+    merged = {
+        name: _COLLECTED.get(name, _SNAPSHOTS.get(name))
+        for name in sorted(set(_SNAPSHOTS) | set(_COLLECTED))
+        if name in _COLLECTED or name in _ALL
+    }
     _SNAPSHOT_PATH.write_text(json.dumps(merged, indent=1, sort_keys=True) + "\n")
 
 

@@ -36,11 +36,14 @@ def main() -> int:
         print(f"REG  {name}: {o:.2f}s -> {n:.2f}s ({r:.2f}x)")
     for r, name, o, n in sorted(imps):
         print(f"IMP  {name}: {o:.2f}s -> {n:.2f}s ({r:.2f}x)")
+    # Totals compare the SAME workload: only queries that succeeded in both
+    # runs (a query failing in exactly one run would otherwise skew one side).
+    both_ok = [q for q in common if old[q] > 0 and new[q] > 0]
     print(
-        f"{len(common)} common queries; {len(regs)} regressions, "
-        f"{len(imps)} improvements; totals "
-        f"{sum(old[q] for q in common if old[q] >= 0):.1f}s -> "
-        f"{sum(new[q] for q in common if new[q] >= 0):.1f}s"
+        f"{len(common)} common queries ({len(both_ok)} succeeded in both); "
+        f"{len(regs)} regressions, {len(imps)} improvements; totals "
+        f"{sum(old[q] for q in both_ok):.1f}s -> "
+        f"{sum(new[q] for q in both_ok):.1f}s"
     )
     return 1 if regs else 0
 
