@@ -772,3 +772,161 @@ def kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_KMV_K - 1) * F.lit(_KMV_SCALE) / F.col("v").cast("double"), 6
     )
     return exact.crossJoin(kth).select("n_exact", est.alias("kmv_estimate"))
+
+
+# ---------------------------------------------------------------------------
+# URL-prefix top-k with a distinct-user measure (ClickBench q21-q28 family,
+# /root/reference/testdata/clickbench/queries/q21.sql-q28.sql): the hits
+# table's URL-manipulation class — a LIKE '%...%' restriction, grouping by a
+# URL substring, COUNT(*) plus COUNT(DISTINCT UserID), ORDER BY hits DESC
+# LIMIT k, all in one pass over the wide table. The events table has no URL
+# column, so a deterministic URL is synthesized from event columns with the
+# SAME expression on both engines (the injected-PII precedent in
+# textstats): site shard from user_id, path from event_type and the props
+# k. Plan: scan → project+filter (pushable LIKE on a derived column stays a
+# cheap post-scan filter) → one hash aggregate with the distinct Expand →
+# TopK. No joins; the distinct is the only shuffle.
+# ---------------------------------------------------------------------------
+
+_URL_TOPK_SQL = """
+SELECT SUBSTRING(url, 1, 28) AS url_prefix,
+       COUNT(*) AS n_hits,
+       COUNT(DISTINCT user_id) AS n_users,
+       MIN(url) AS first_url
+FROM (
+  SELECT user_id,
+         'https://site-' || CAST(user_id % 20 AS VARCHAR(8)) || '.example/'
+           || event_type || '/k' || REGEXP_EXTRACT(props, '"k": ([0-9]+)', 1)
+           AS url
+  FROM events
+) u
+WHERE url LIKE '%.example/click/%' OR url LIKE '%.example/view/%'
+GROUP BY SUBSTRING(url, 1, 28)
+ORDER BY n_hits DESC, url_prefix
+LIMIT 10
+"""
+
+
+@query(
+    "cb_url_prefix_topk",
+    oracle=_URL_TOPK_SQL,
+    tags=("string", "topk", "clickbench"),
+    order_by="n_hits DESC, url_prefix",
+)
+def cb_url_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_URL_TOPK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Heavy-group report with regexp domain extraction (ClickBench q27/q28
+# class, /root/reference/testdata/clickbench/queries/q27.sql, q28.sql): q28
+# extracts the referer domain with a capture-group REGEXP_REPLACE, keeps
+# groups above a row-count floor (HAVING), and ranks them by average URL
+# length. The HAVING floor is a scalar subquery fraction of the table size
+# (q28's absolute 100000 would empty out at small SF — scale-invariant
+# thresholds per repo convention). The capture-group replacement syntax is
+# the template parameter ($1 Spark vs \1 DuckDB); the rest is shared text.
+# ---------------------------------------------------------------------------
+
+
+def _heavy_groups_sql(repl: str) -> str:
+    return f"""
+SELECT REGEXP_REPLACE(url, '^https://([^/]+)/.*$', '{repl}') AS domain,
+       CAST(SUM(LENGTH(url)) AS DOUBLE) / COUNT(*) AS avg_len,
+       COUNT(*) AS c,
+       MIN(url) AS first_url
+FROM (
+  SELECT 'https://site-' || CAST(user_id % 20 AS VARCHAR(8)) || '.example/'
+           || event_type || '/k' || REGEXP_EXTRACT(props, '"k": ([0-9]+)', 1)
+           AS url
+  FROM events
+) u
+GROUP BY REGEXP_REPLACE(url, '^https://([^/]+)/.*$', '{repl}')
+HAVING COUNT(*) > (SELECT COUNT(*) FROM events) / 40
+ORDER BY avg_len DESC, domain
+LIMIT 25
+"""
+
+
+@query(
+    "cb_having_heavy_groups",
+    oracle=_heavy_groups_sql("\\1"),
+    tags=("regexp", "having", "clickbench"),
+    order_by="avg_len DESC, domain",
+)
+def cb_having_heavy_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_heavy_groups_sql("$1"))
+
+
+# ---------------------------------------------------------------------------
+# Wide-row top-k by event time under a LIKE restriction (ClickBench q23,
+# /root/reference/testdata/clickbench/queries/q23.sql: SELECT * ... WHERE
+# URL LIKE ... ORDER BY EventTime LIMIT 10): the "fetch the earliest
+# matching full rows" class — a TopK that must carry EVERY column through
+# the sort instead of aggregating, the row-reconstruction stress the
+# other cb_* classes never exercise. event_id breaks timestamp ties so the
+# returned set is deterministic on both engines; the timestamp is emitted
+# second-formatted per the temporal output convention.
+# ---------------------------------------------------------------------------
+
+
+def _wide_row_sql(fmt_open: str, fmt_close: str) -> str:
+    return f"""
+SELECT event_id, {fmt_open}ts{fmt_close} AS ts_s, user_id, event_type,
+       value, props
+FROM (
+  SELECT e.*,
+         'https://site-' || CAST(user_id % 20 AS VARCHAR(8)) || '.example/'
+           || event_type || '/k' || REGEXP_EXTRACT(props, '"k": ([0-9]+)', 1)
+           AS url
+  FROM events e
+) u
+WHERE url LIKE '%.example/purchase/%'
+ORDER BY ts, event_id
+LIMIT 10
+"""
+
+
+@query(
+    "cb_wide_row_time_topk",
+    oracle=_wide_row_sql("strftime(", ", '%Y-%m-%d %H:%M:%S')"),
+    tags=("topk", "wide-row", "clickbench"),
+    order_by="ts_s, event_id",
+)
+def cb_wide_row_time_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_wide_row_sql("date_format(", ", 'yyyy-MM-dd HH:mm:ss')"))
+
+
+# ---------------------------------------------------------------------------
+# Two-key top-k with a deep OFFSET (ClickBench q38-q41 class,
+# /root/reference/testdata/clickbench/queries/q38.sql-q41.sql: multi-
+# predicate filter, two grouping keys, ORDER BY count DESC LIMIT 10 OFFSET
+# 1000): the deep-pagination tail — the engine must compute the full
+# ordered prefix (offset + k rows) on the merged result, not just k.
+# Identical text on both engines. OFFSET 40 against the ~60 groups at
+# sf0.001 keeps every scale non-empty (the q38 spirit, not its absolute).
+# ---------------------------------------------------------------------------
+
+_DEEP_OFFSET_SQL = """
+SELECT user_id, event_type, COUNT(*) AS c,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type <> 'error' AND value > 0
+GROUP BY user_id, event_type
+ORDER BY c DESC, user_id, event_type
+LIMIT 10 OFFSET 40
+"""
+
+
+@query(
+    "cb_topk_deep_offset",
+    oracle=_DEEP_OFFSET_SQL,
+    tags=("topk", "offset", "clickbench"),
+    order_by="c DESC, user_id, event_type",
+)
+def cb_topk_deep_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_DEEP_OFFSET_SQL)

@@ -2502,3 +2502,134 @@ ORDER BY rank_ratio, rank_amount, partkey
 def dual_rank_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir)
     return spark.sql(_DUAL_RANK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Ship-latency band matrix over three dimensions (TPC-DS q62/q99 shape,
+# /root/reference/testdata/tpcds/queries/q62.sql:4-27, q99.sql): q62 pivots
+# ship latency (ship_date − sold_date) into fixed day bands and counts per
+# (warehouse-name-substring, ship mode, web site) within a 12-month window,
+# TopK'd on the dimension triple. Mapped to the driver star schema: latency
+# = days(o_orderdate → l_shipdate), dimensions = SUBSTRING(s_name, 1, 17)
+# (bands suppliers by tens — the name-prefix truncation q62 applies to
+# warehouses) × o_orderpriority × l_returnflag, window = orderdate year
+# 1996. Five bands: ≤30 / 31-60 / 61-90 / 91-120 / >120 (the negative
+# latencies in the synthetic data fall in the first band, like q62's
+# unconstrained lower edge). One fact shuffle (the group-by); supplier is a
+# broadcast dim; the band CASEs are a single projection pass. The day-diff
+# expression is the template parameter (Spark datediff(end, start) vs
+# DuckDB date_diff('day', start, end)); every other byte of the two texts
+# is identical — the dow-pivot convention.
+# ---------------------------------------------------------------------------
+
+
+def _latency_band_sql(lat: str) -> str:
+    return f"""
+SELECT SUBSTRING(s.s_name, 1, 17) AS supplier_band,
+       o.o_orderpriority AS priority,
+       l.l_returnflag AS rflag,
+       SUM(CASE WHEN {lat} <= 30 THEN 1 ELSE 0 END) AS d30,
+       SUM(CASE WHEN {lat} > 30 AND {lat} <= 60 THEN 1 ELSE 0 END) AS d31_60,
+       SUM(CASE WHEN {lat} > 60 AND {lat} <= 90 THEN 1 ELSE 0 END) AS d61_90,
+       SUM(CASE WHEN {lat} > 90 AND {lat} <= 120 THEN 1 ELSE 0 END) AS d91_120,
+       SUM(CASE WHEN {lat} > 120 THEN 1 ELSE 0 END) AS d120_plus,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1997-01-01'
+GROUP BY SUBSTRING(s.s_name, 1, 17), o.o_orderpriority, l.l_returnflag
+ORDER BY supplier_band, priority, rflag
+LIMIT 100
+"""
+
+
+_LATENCY_BAND_SPARK_SQL = _latency_band_sql(
+    "datediff(CAST(l.l_shipdate AS DATE), CAST(o.o_orderdate AS DATE))"
+)
+_LATENCY_BAND_ORACLE = _latency_band_sql(
+    "date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))"
+)
+
+
+@query(
+    "sql_latency_band_matrix",
+    oracle=_LATENCY_BAND_ORACLE,
+    tags=("sql-entry", "tpcds", "case-matrix"),
+    order_by="supplier_band, priority, rflag",
+)
+def latency_band_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_LATENCY_BAND_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Cohort-build-then-spend-band histogram (TPC-DS q54 shape,
+# /root/reference/testdata/tpcds/queries/q54.sql:1-20): q54 builds a
+# customer cohort from a UNION ALL of two sales channels restricted to an
+# item attribute and one month, totals each cohort member's spend over the
+# FOLLOWING three months, then histograms customers into fixed revenue
+# segments. Mapped: channels = urgent-class vs medium/low-class order
+# priorities (two scans unioned, like catalog_sales ∪ web_sales), item
+# filter = p_name LIKE 'red %' AND p_size < 30 (the two-attribute item
+# restriction), cohort month = 1996-03, spend window = 1996-04..06 on the
+# orders fact, segment = exact integer div of cents into $50,000 bands
+# (q54's round(revenue/50) made float-proof; per-customer spend is
+# SF-invariant so the histogram populates at every scale). Plan shape: the
+# union feeds one distinct-cohort shuffle; the spend join is
+# cohort-key-partitioned; segments aggregate a per-customer relation. The
+# integer-division operator is the only template parameter (Spark `div`
+# vs DuckDB `//` — float `/` + int-cast would round vs truncate
+# differently at band edges).
+# ---------------------------------------------------------------------------
+
+
+def _cohort_spend_sql(intdiv: str) -> str:
+    return f"""
+WITH my_customers AS (
+  SELECT DISTINCT u.custkey
+  FROM (
+    SELECT o.o_custkey AS custkey, o.o_orderdate AS sold_date,
+           l.l_partkey AS partkey
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+    UNION ALL
+    SELECT o.o_custkey AS custkey, o.o_orderdate AS sold_date,
+           l.l_partkey AS partkey
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority IN ('3-MEDIUM', '5-LOW')
+  ) u
+  JOIN part p ON p.p_partkey = u.partkey
+  WHERE p.p_name LIKE 'red %' AND p.p_size < 30
+    AND u.sold_date >= DATE '1996-03-01' AND u.sold_date < DATE '1996-04-01'
+),
+my_revenue AS (
+  SELECT c.custkey,
+         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM my_customers c
+  JOIN orders o ON o.o_custkey = c.custkey
+  WHERE o.o_orderdate >= DATE '1996-04-01' AND o.o_orderdate < DATE '1996-07-01'
+  GROUP BY c.custkey
+)
+SELECT cents {intdiv} 5000000 AS segment,
+       COUNT(*) AS num_customers,
+       (cents {intdiv} 5000000) * 50000 AS segment_base
+FROM my_revenue
+GROUP BY cents {intdiv} 5000000
+ORDER BY segment
+"""
+
+
+_COHORT_SPEND_SPARK_SQL = _cohort_spend_sql("div")
+_COHORT_SPEND_ORACLE = _cohort_spend_sql("//")
+
+
+@query(
+    "sql_cohort_spend_bands",
+    oracle=_COHORT_SPEND_ORACLE,
+    tags=("sql-entry", "tpcds", "cohort"),
+    order_by="segment",
+)
+def cohort_spend_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_COHORT_SPEND_SPARK_SQL)
