@@ -283,6 +283,47 @@ class _NoJob:
 _NO_JOB = _NoJob()
 
 
+def network_stream_summary(df: DataFrame) -> list[dict]:
+    """Bytes and rows per network stream (call after the query ran).
+
+    The reference counts bytes on every consumer←producer Arrow-Flight
+    stream (/root/reference/src/metrics/ — ``BytesCounterMetric`` wrapping
+    each ``FlightDataEncoder``). In the Spark mapping every Exchange node IS
+    one such stream: the producer stage serializes into it (shuffle write /
+    broadcast build) and the consumer stage reads it. This reports one row
+    per exchange edge — the per-stream split the per-stage SQLMetrics
+    rendering doesn't give — from the producer-side metrics Spark attaches
+    to the exchange node itself. Finer (per-reducer-task) granularity would
+    need a custom shuffle manager; per-edge matches the reference's
+    per-stream tables.
+
+    Returns [{producer_stage, consumer_stage, kind, bytes, rows}] in plan
+    order."""
+    root = parse_stages(df, with_metrics=True)
+    out: list[dict] = []
+
+    def walk(stage: Stage) -> None:
+        for child in stage.children:
+            boundary = child.nodes[0] if child.nodes else None
+            m = boundary.metrics if boundary is not None else {}
+            # Shuffle edges report shuffleBytesWritten; broadcast edges
+            # report the built relation's dataSize.
+            nbytes = m.get("shuffleBytesWritten", m.get("dataSize", 0))
+            out.append(
+                {
+                    "producer_stage": child.stage_id,
+                    "consumer_stage": stage.stage_id,
+                    "kind": child.kind,
+                    "bytes": int(nbytes),
+                    "rows": int(m.get("numOutputRows", 0)),
+                }
+            )
+            walk(child)
+
+    walk(root)
+    return out
+
+
 def explain_analyze(df: DataFrame, with_task_latency: bool = True) -> str:
     """Distributed EXPLAIN ANALYZE: drain the query, then render the stage
     tree annotated with the per-node SQLMetrics Spark collected from the
@@ -295,6 +336,15 @@ def explain_analyze(df: DataFrame, with_task_latency: bool = True) -> str:
         return render_stage_tree(df, with_metrics=True)
     latency = task_latency_summary(df)  # drains
     lines = [render_stage_tree(df, with_metrics=True)]
+    streams = network_stream_summary(df)
+    if streams:
+        lines.append("")
+        lines.append("Network streams (consumer ← producer):")
+        for s in streams:
+            lines.append(
+                f"  stage {s['consumer_stage']} ← stage {s['producer_stage']} "
+                f"[{s['kind']}]: {s['bytes']:,} bytes, {s['rows']:,} rows"
+            )
     lines.append("")
     lines.append("Task latency per scheduler stage:")
     for r in latency:

@@ -242,3 +242,34 @@ def test_token_budget_window_bounded_to_boundary_bucket(spark):
             "running-sum window is not fed by the boundary broadcast join:\n"
             + plan
         )
+
+
+def test_network_stream_summary_per_edge_bytes(spark):
+    """One row per exchange edge with producer-side bytes/rows — the
+    reference's per-(consumer, producer) Flight-stream byte counters
+    (src/metrics/ BytesCounterMetric) at plan-edge granularity."""
+    from datafusion_distributed_spark.plans.explain import (
+        network_stream_summary,
+    )
+
+    df = tpch_q3(spark, SF_DIR)
+    df.collect()  # metrics exist only after the drain
+    streams = network_stream_summary(df)
+    summ = stage_summary(df)
+    assert len(streams) == summ["n_shuffles"] + summ["n_broadcasts"]
+    kinds = {s["kind"] for s in streams}
+    assert "shuffle" in kinds and "broadcast" in kinds
+    for s in streams:
+        assert s["producer_stage"] != s["consumer_stage"]
+        assert s["rows"] >= 0
+    # Every shuffle stream that carried rows must report bytes.
+    assert all(s["bytes"] > 0 for s in streams
+               if s["kind"] == "shuffle" and s["rows"] > 0)
+
+
+def test_explain_analyze_renders_network_streams(spark):
+    from datafusion_distributed_spark.plans.explain import explain_analyze
+
+    out = explain_analyze(tpch_q3(spark, SF_DIR))
+    assert "Network streams (consumer ← producer):" in out
+    assert "bytes," in out
