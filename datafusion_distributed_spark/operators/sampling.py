@@ -446,3 +446,77 @@ def length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixture (the multilingual sampling step of
+# mC4 / XLM-R style pipelines): sample sources proportional to n_s^alpha
+# with alpha = 1/2 — the interpolation between keeping the natural
+# distribution (alpha=1) and fully equalizing (alpha=0, ds_weighted_mixture).
+# Keep rate r_s = sqrt(n_min / n_s), so the smallest source keeps
+# everything and larger sources are downsampled by the square-root ratio.
+#
+# Engine-portability of the threshold arithmetic: a/b and sqrt are
+# IEEE-754 correctly-rounded in both engines (bit-identical), and the
+# 2^32 scaling is a pure exponent shift (exact) — no transcendental
+# (ln/exp/pow) ever runs, so FLOOR lands on the same integer everywhere.
+# Same scale shape as the equalized mixture: tiny count aggregate ->
+# 1-row min -> broadcast thresholds -> per-row predicate; the corpus is
+# never shuffled.
+# ---------------------------------------------------------------------------
+
+_TEMP_SALT = "temp:"
+
+_TEMP_MIX_ORACLE = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source
+),
+cmin AS (SELECT MIN(n_src) AS n_min FROM counts),
+thr AS (
+  SELECT source, n_src,
+         CAST(FLOOR({_U32_SPAN}.0 * SQRT(CAST(n_min AS DOUBLE) / n_src))
+              AS BIGINT) AS keep_thr
+  FROM counts, cmin
+),
+sampled AS (
+  SELECT d.source, t.n_src, d.doc_id
+  FROM documents d
+  JOIN thr t ON t.source = d.source
+  WHERE {_u32_sql(f"'{_TEMP_SALT}' || CAST(d.doc_id AS VARCHAR)")} < t.keep_thr
+)
+SELECT source, MIN(n_src) AS n_src, COUNT(*) AS n_sampled,
+       SUM(doc_id) AS doc_id_sum
+FROM sampled GROUP BY source
+"""
+
+
+@query(
+    "ds_temperature_mixture",
+    oracle=_TEMP_MIX_ORACLE,
+    tags=("sampling", "mixture"),
+)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    nmin = counts.agg(F.min("n_src").alias("n_min"))
+    thr = counts.join(F.broadcast(nmin)).select(
+        "source",
+        "n_src",
+        F.floor(
+            F.lit(float(_U32_SPAN))
+            * F.sqrt(F.col("n_min").cast("double") / F.col("n_src"))
+        )
+        .cast("bigint")
+        .alias("keep_thr"),
+    )
+    u32 = _u32_spark(F.concat(F.lit(_TEMP_SALT), F.col("doc_id").cast("string")))
+    sampled = (
+        docs.join(F.broadcast(thr), "source")
+        .filter(u32 < F.col("keep_thr"))
+        .select("source", "n_src", "doc_id")
+    )
+    return sampled.groupBy("source").agg(
+        F.min("n_src").alias("n_src"),
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").alias("doc_id_sum"),
+    )

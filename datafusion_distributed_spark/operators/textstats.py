@@ -785,3 +785,102 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("tok", "df", "postings")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rare-token-fraction quality filter (unigram-LM proxy): flag documents
+# whose OCCURRENCE-level fraction of corpus-rare tokens exceeds a bound —
+# the cheap stand-in for perplexity filtering (a doc dominated by tokens the
+# corpus barely uses is noise/garble under a unigram model; no ln/exp runs,
+# so the score stays engine-exact).
+#
+# Scale design: rarity is decided by joining token occurrences against the
+# FREQUENT head (df*5 >= n_docs), not the rare tail — under Zipf the head
+# is small and broadcastable at any corpus size while the tail (and its
+# df table) grows with the corpus; a token is rare iff it misses the head
+# (LEFT JOIN null). The df aggregate itself is the one inherent
+# corpus-scale shuffle (distinct (doc, token) pairs). All ratios are exact
+# integer sums cross-multiplied; the single double division happens at
+# output.
+# ---------------------------------------------------------------------------
+
+_RARE_FLAG_PCT = 20  # flag docs with > 20% rare-token occurrences
+
+_RARE_TOK_ORACLE = f"""
+WITH dtok AS (
+  SELECT doc_id, unnest(list_distinct({_TOK_SQL})) AS tok FROM documents
+),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+head AS (
+  SELECT tok FROM dtok, nd GROUP BY tok, n_docs
+  HAVING COUNT(*) * 5 >= n_docs
+),
+occ AS (
+  SELECT d.doc_id, d.lang, o.tok,
+         CASE WHEN h.tok IS NULL THEN 1 ELSE 0 END AS is_rare
+  FROM (SELECT doc_id, lang, unnest({_TOK_SQL}) AS tok FROM documents) o
+  JOIN documents d ON d.doc_id = o.doc_id
+  LEFT JOIN head h ON h.tok = o.tok
+),
+per_doc AS (
+  SELECT doc_id, lang, COUNT(*) AS n_toks,
+         CAST(SUM(is_rare) AS BIGINT) AS n_rare
+  FROM occ GROUP BY doc_id, lang
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_rare * 100 > {_RARE_FLAG_PCT} * n_toks
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(SUM(n_rare) AS BIGINT) AS total_rare,
+       CAST(SUM(n_toks) AS BIGINT) AS total_toks,
+       CAST(SUM(n_rare) AS DOUBLE) / SUM(n_toks) AS rare_fraction
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query(
+    "text_rare_token_fraction",
+    oracle=_RARE_TOK_ORACLE,
+    tags=("text", "quality"),
+    order_by="lang",
+)
+def rare_token_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    w = F.split(F.trim(F.lower(F.col("text"))), " +")
+    dtok = docs.select("doc_id", F.explode(F.array_distinct(w)).alias("tok"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))  # 1-row frame, no collect
+    head = (
+        dtok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(nd))
+        .where(F.col("df") * 5 >= F.col("n_docs"))
+        .select("tok")
+    )
+    occ = docs.select("doc_id", "lang", F.explode(w).alias("tok"))
+    marked = occ.join(F.broadcast(head.withColumn("in_head", F.lit(1))), "tok", "left")
+    per_doc = marked.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.sum(F.when(F.col("in_head").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_rare"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("n_rare") * 100 > _RARE_FLAG_PCT * F.col("n_toks"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_flagged"),
+            F.sum("n_rare").cast("long").alias("total_rare"),
+            F.sum("n_toks").cast("long").alias("total_toks"),
+            (F.sum("n_rare").cast("double") / F.sum("n_toks")).alias(
+                "rare_fraction"
+            ),
+        )
+        .orderBy("lang")
+    )

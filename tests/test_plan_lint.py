@@ -34,6 +34,8 @@ _CROSS_OK = {
     "sim_cosine_range",  # broadcast queries × corpus, by design
     "sim_filtered_topk",  # broadcast queries × filtered corpus, by design
     "ds_weighted_mixture",  # 1-row global-min scalar joined onto 20-row dim
+    "ds_temperature_mixture",  # 1-row global-min scalar joined onto 20-row dim
+    "text_rare_token_fraction",  # 1-row corpus-count scalar joined onto vocab df
     "sql_multiband_counts",  # q88 shape: cross join of four 1-row counts
     "sql_ampm_ratio",  # q90 shape: cross join of two 1-row counts
     "cb_kmv_sketch_merge",  # 1-row exact count x 1-row merged-sketch kth value
