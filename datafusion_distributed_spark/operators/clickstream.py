@@ -930,3 +930,48 @@ LIMIT 10 OFFSET 40
 def cb_topk_deep_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir)
     return spark.sql(_DEEP_OFFSET_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Derived-arithmetic-key group-by (ClickBench q35: GROUP BY "ClientIP",
+# "ClientIP" - 1, "ClientIP" - 2, "ClientIP" - 3). The family's point is a
+# multi-column hash aggregate whose keys are COMPUTED expressions, not stored
+# columns — the planner must evaluate them pre-shuffle and hash on all four.
+# Functionally the shifted keys are redundant (same grouping as user_id
+# alone); the benchmark keeps them to price expression-key hashing, and so
+# does this class. Top-10 by count with the exact integer tiebreak.
+# ---------------------------------------------------------------------------
+
+_DERIVED_KEY_ORACLE = """
+SELECT user_id, user_id - 1 AS u1, user_id - 2 AS u2, user_id - 3 AS u3,
+       COUNT(*) AS c,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id, user_id - 1, user_id - 2, user_id - 3
+ORDER BY c DESC, user_id
+LIMIT 10
+"""
+
+
+@query(
+    "cb_derived_key_groupby",
+    oracle=_DERIVED_KEY_ORACLE,
+    tags=("agg", "clickbench"),
+    order_by="c DESC, user_id",
+)
+def cb_derived_key_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(
+            F.col("user_id"),
+            (F.col("user_id") - 1).alias("u1"),
+            (F.col("user_id") - 2).alias("u2"),
+            (F.col("user_id") - 3).alias("u3"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            dbl(F.sum(dec("value", 14, 2))).alias("total_value"),
+        )
+        .orderBy(F.desc("c"), F.asc("user_id"))
+        .limit(10)
+    )

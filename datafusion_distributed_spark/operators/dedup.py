@@ -775,3 +775,126 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         F.col("n_chars").alias("rep_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide block-level dedup with document reassembly (the C4 /
+# RefinedWeb "remove duplicated lines across the whole corpus" filter —
+# a different class from doc-level dedup: the unit is an 8-word block and
+# every document is REBUILT from its surviving blocks). The synthetic docs
+# carry no newline structure, so the paragraph analogue is a fixed 8-word
+# non-overlapping block grid — the operator shape (global first-occurrence
+# per block + order-preserving reassembly) is identical to the newline case.
+#
+# Scale shape: this op is inherently a corpus-wide shuffle on the block hash
+# — there is no per-row shortcut, the whole point is cross-document
+# structure. The design keeps exactly three shuffles at any scale:
+#   blocks --groupBy(block_hash: partial agg map-side)--> keeper table
+#   blocks --hash join on block_hash (no broadcast: keeper table is
+#           distinct-blocks-sized, corpus-scale)--> kept rows
+#   kept   --groupBy(doc_id)--> reassembled docs
+# Deliberately groupBy+join, NOT Window.partitionBy(block_hash): a
+# boilerplate block repeated 10^8 times (cookie banners) would make one fat
+# window partition = one straggler task; the aggregate path partial-
+# aggregates those rows map-side, so the skewed key arrives at the reducer
+# as near-singleton partials, and AQE skew-join handles the join side.
+# First-occurrence = min (doc_id, block_idx) lexicographically, encoded as
+# one integer key doc_id*1e6+idx so both engines order identically.
+# ---------------------------------------------------------------------------
+
+_BLOCK_W = 8  # words per block
+
+
+def _block_dedup_oracle() -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS w FROM documents
+),
+blocks AS (
+  SELECT doc_id, i AS b_idx,
+         array_to_string(w[(i*{_BLOCK_W}+1):(i*{_BLOCK_W}+{_BLOCK_W})], ' ') AS block
+  FROM words, unnest(generate_series(0, (len(w)-1)//{_BLOCK_W})) AS g(i)
+  WHERE len(w) >= 1
+),
+keepers AS (
+  SELECT md5(block) AS bh, MIN(doc_id*1000000 + b_idx) AS keep_key
+  FROM blocks GROUP BY md5(block)
+),
+kept AS (
+  SELECT b.doc_id, b.b_idx, b.block
+  FROM blocks b JOIN keepers k
+    ON md5(b.block) = k.bh AND b.doc_id*1000000 + b.b_idx = k.keep_key
+),
+rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(block, ' ' ORDER BY b_idx)) AS dedup_hash,
+         SUM(len(block)) + COUNT(*) - 1 AS dedup_len
+  FROM kept GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, COUNT(*) AS n_blocks FROM blocks GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(t.n_blocks AS BIGINT) AS n_blocks,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(r.dedup_hash, md5('')) AS dedup_hash,
+       CAST(COALESCE(r.dedup_len, 0) AS BIGINT) AS dedup_len
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+
+@query("dd_block_dedup", oracle=_block_dedup_oracle(), tags=("dedup", "block", "pipeline"))
+def block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global block-level dedup + reassembly: every 8-word block that appears
+    anywhere in the corpus survives only at its first occurrence
+    (min (doc_id, idx)); each document is rebuilt from its surviving blocks
+    in original order. Output per doc: block counts before/after and the
+    md5 + length of the rebuilt text (proves the reassembly byte-exactly
+    without shipping full texts through the comparator)."""
+    docs = t(spark, sf_dir)["documents"]
+    words = _fan_out(docs.select("doc_id", "text")).select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), " +").alias("w")
+    )
+    blocks = (
+        words.filter(F.size("w") >= 1)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, (size(w)-1) div {_BLOCK_W}),"
+                    f" b -> concat_ws(' ', slice(w, b*{_BLOCK_W}+1, {_BLOCK_W})))"
+                )
+            ).alias("b_idx", "block"),
+        )
+        .withColumn("bh", F.md5("block"))
+        .withColumn(
+            "ord_key", F.col("doc_id") * F.lit(1000000) + F.col("b_idx")
+        )
+    )
+    keepers = blocks.groupBy("bh").agg(F.min("ord_key").alias("keep_key"))
+    # Every block row survives the join (every bh has a keeper); kept is a
+    # flag, not a filter, so ONE doc_id aggregate produces both the
+    # before/after counts and the reassembly — no second corpus groupBy +
+    # join-back branch.
+    flagged = (
+        blocks.join(keepers, "bh")
+        .withColumn("kept", F.col("ord_key") == F.col("keep_key"))
+    )
+    kept_blocks = F.expr(
+        "transform(array_sort(collect_list(CASE WHEN kept"
+        " THEN struct(b_idx, block) END)), s -> s.block)"
+    )
+    n_kept = F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        n_kept.alias("n_kept"),
+        F.md5(F.concat_ws(" ", kept_blocks)).alias("dedup_hash"),
+        F.greatest(
+            F.coalesce(
+                F.sum(F.when(F.col("kept"), F.length("block"))) + n_kept - 1,
+                F.lit(0),
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("dedup_len"),
+    )

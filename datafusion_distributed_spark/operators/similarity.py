@@ -782,3 +782,65 @@ def filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .select("q_id", "neighbor_id", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the LSH-bucketed index against the
+# exact brute-force ranking — the acceptance gate every production ANN
+# deployment runs before swapping an index in. Recall is exact rational
+# arithmetic (matched count / k, one double division at the end), and both
+# input rankings are already deterministic (6-decimal rounding + vec_id
+# tiebreak), so the metric is hash-portable.
+#
+# Scale shape: both sides reuse their production plans unchanged (broadcast
+# queries, bucket-join candidates); the evaluation join keys on
+# (q_id, neighbor_id) over two k-per-query frames — query-set-sized, i.e.
+# metadata relative to the corpus. The left join from the exact side keeps
+# recall correct when LSH returns fewer than k candidates (sparse buckets).
+# ---------------------------------------------------------------------------
+
+
+def _ann_recall_oracle() -> str:
+    return f"""
+WITH exact_k AS (
+  SELECT q_id, neighbor_id FROM ({_COSINE_ORACLE.strip()}) e
+),
+approx_k AS (
+  SELECT q_id, neighbor_id FROM ({_ann_topk_oracle().strip()}) a
+)
+SELECT e.q_id,
+       COUNT(*) AS n_exact,
+       COUNT(a.neighbor_id) AS n_matched,
+       CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+FROM exact_k e
+LEFT JOIN approx_k a ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.q_id
+"""
+
+
+@query(
+    "sim_ann_recall",
+    oracle=_ann_recall_oracle(),
+    tags=("similarity", "ann", "evaluation"),
+)
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of sim_ann_lsh_topk vs sim_cosine_topk, per query vector —
+    composes the two registered plans unchanged and joins their k-row-per-
+    query outputs (evaluation cost is independent of corpus size)."""
+    exact_k = cosine_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    approx_k = ann_lsh_topk(spark, sf_dir).select(
+        "q_id", F.col("neighbor_id").alias("a_neighbor")
+    )
+    matched = exact_k.join(
+        approx_k,
+        (exact_k["q_id"] == approx_k["q_id"])
+        & (exact_k["neighbor_id"] == approx_k["a_neighbor"]),
+        "left",
+    ).select(exact_k["q_id"].alias("q_id"), "a_neighbor")
+    return matched.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("a_neighbor").alias("n_matched"),
+        (F.count("a_neighbor").cast("double") / F.count(F.lit(1))).alias(
+            "recall_at_k"
+        ),
+    )

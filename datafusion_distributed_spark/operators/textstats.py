@@ -884,3 +884,125 @@ def rare_token_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-slice distribution drift: per-source token-distribution divergence
+# from the whole corpus, as total-variation distance — the monitoring op a
+# training pipeline runs to detect a source whose content shifted (crawl
+# regression, contaminated dump) before it pollutes a mixture.
+#
+# TV(p_s, q) = 1/2 * sum_t |p_s(t) - q(t)| with p_s(t) = c_st/T_s and
+# q(t) = c_t/T. Everything stays exact-integer until one final division:
+# |c_st*T - c_t*T_s| is an integer (DECIMAL(38,0) — the products overflow
+# BIGINT once corpus token counts pass ~3e9, i.e. immediately at 100 TB),
+# absent tokens (c_st = 0, q(t) > 0) contribute T_s*(T - C_s) in closed form
+# (C_s = corpus counts summed over the tokens PRESENT in s), so the absent
+# (source x token) pairs are never materialized. One double division at the
+# end — deterministic regardless of partitioning, so the result is
+# hash-portable vs the oracle.
+#
+# Scale shape: explode -> groupBy(source, token) with map-side combine is
+# the only corpus-sized shuffle; everything after operates on the
+# vocab x sources frame (token-keyed joins, no per-source windows — a
+# groupBy max(struct) picks the top-gap token stat in one pass, no
+# row_number over a vocab-sized single-source partition).
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = f"""
+WITH st AS (
+  SELECT source, t AS token, CAST(COUNT(*) AS DECIMAL(38,0)) AS c_st
+  FROM (SELECT source, unnest({_TOK_SQL}) AS t FROM documents) x
+  GROUP BY source, t
+),
+tok AS (
+  SELECT token, CAST(SUM(c_st) AS DECIMAL(38,0)) AS c_t FROM st GROUP BY token
+),
+src AS (
+  SELECT source, CAST(SUM(c_st) AS DECIMAL(38,0)) AS t_s,
+         COUNT(*) AS vocab_size
+  FROM st GROUP BY source
+),
+tot AS (SELECT CAST(SUM(c_t) AS DECIMAL(38,0)) AS t_all FROM tok),
+terms AS (
+  SELECT st.source,
+         ABS(st.c_st * tot.t_all - tok.c_t * src.t_s) AS gap_num
+  FROM st JOIN tok USING (token) JOIN src USING (source) CROSS JOIN tot
+),
+present AS (
+  SELECT source, SUM(gap_num) AS present_num, MAX(gap_num) AS top_gap_num
+  FROM terms GROUP BY source
+),
+cov AS (
+  SELECT st.source, CAST(SUM(tok.c_t) AS DECIMAL(38,0)) AS c_s
+  FROM st JOIN tok USING (token) GROUP BY st.source
+)
+SELECT s.source,
+       CAST(s.t_s AS BIGINT) AS n_tokens,
+       CAST(s.vocab_size AS BIGINT) AS vocab_size,
+       CAST(CAST(p.present_num + s.t_s * (tot.t_all - c.c_s) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(2 * s.t_s * tot.t_all AS VARCHAR) AS DOUBLE) AS tv_drift,
+       CAST(CAST(p.top_gap_num AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(s.t_s * tot.t_all AS VARCHAR) AS DOUBLE) AS top_token_gap
+FROM src s JOIN present p USING (source) JOIN cov c USING (source) CROSS JOIN tot
+"""
+
+
+@query("text_source_drift", oracle=_DRIFT_ORACLE, tags=("text", "drift", "monitoring"))
+def source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift vs the full corpus (exact total-
+    variation distance, integer-exact numerators, one final double division).
+    top_token_gap is the largest single-token |p_s(t) - q(t)| — the "what
+    moved" scalar next to the "how much moved" TV distance."""
+    docs = t(spark, sf_dir)["documents"]
+    dec = "decimal(38,0)"
+    st = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast(dec).alias("c_st"))
+    )
+    tok = st.groupBy("token").agg(F.sum("c_st").cast(dec).alias("c_t"))
+    src = st.groupBy("source").agg(
+        F.sum("c_st").cast(dec).alias("t_s"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )
+    tot = tok.agg(F.sum("c_t").cast(dec).alias("t_all"))
+    terms = (
+        st.join(tok, "token")
+        .join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.abs(
+                F.col("c_st") * F.col("t_all") - F.col("c_t") * F.col("t_s")
+            ).alias("gap_num"),
+        )
+    )
+    present = terms.groupBy("source").agg(
+        F.sum("gap_num").alias("present_num"),
+        F.max("gap_num").alias("top_gap_num"),
+    )
+    cov = (
+        st.join(tok, "token")
+        .groupBy("source")
+        .agg(F.sum("c_t").cast(dec).alias("c_s"))
+    )
+    out = (
+        src.join(present, "source")
+        .join(cov, "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    num = F.col("present_num") + F.col("t_s") * (F.col("t_all") - F.col("c_s"))
+    return out.select(
+        "source",
+        F.col("t_s").cast("long").alias("n_tokens"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        (num.cast("double") / (F.lit(2).cast(dec) * F.col("t_s") * F.col("t_all")).cast("double")).alias("tv_drift"),
+        (
+            F.col("top_gap_num").cast("double")
+            / (F.col("t_s") * F.col("t_all")).cast("double")
+        ).alias("top_token_gap"),
+    )

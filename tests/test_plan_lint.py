@@ -40,6 +40,8 @@ _CROSS_OK = {
     "sql_ampm_ratio",  # q90 shape: cross join of two 1-row counts
     "cb_kmv_sketch_merge",  # 1-row exact count x 1-row merged-sketch kth value
     "sql_bucket_profile",  # q28 shape: cross join of four 1-row band aggregates
+    "text_source_drift",  # 1-row corpus-total scalar crossed onto vocab frame
+    "sim_ann_recall",  # composes sim_cosine_topk (broadcast queries × corpus)
 }
 
 _ALL = sorted(REGISTRY)
