@@ -805,15 +805,16 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOCK_W = 8  # words per block
 
 
-def _block_dedup_oracle() -> str:
+def _block_dedup_oracle(width: int = _BLOCK_W, where: str = "") -> str:
     return f"""
 WITH words AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS w FROM documents
+  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS w
+  FROM documents {where}
 ),
 blocks AS (
   SELECT doc_id, i AS b_idx,
-         array_to_string(w[(i*{_BLOCK_W}+1):(i*{_BLOCK_W}+{_BLOCK_W})], ' ') AS block
-  FROM words, unnest(generate_series(0, (len(w)-1)//{_BLOCK_W})) AS g(i)
+         array_to_string(w[(i*{width}+1):(i*{width}+{width})], ' ') AS block
+  FROM words, unnest(generate_series(0, (len(w)-1)//{width})) AS g(i)
   WHERE len(w) >= 1
 ),
 keepers AS (
@@ -842,15 +843,9 @@ FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 """
 
 
-@query("dd_block_dedup", oracle=_block_dedup_oracle(), tags=("dedup", "block", "pipeline"))
-def block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global block-level dedup + reassembly: every 8-word block that appears
-    anywhere in the corpus survives only at its first occurrence
-    (min (doc_id, idx)); each document is rebuilt from its surviving blocks
-    in original order. Output per doc: block counts before/after and the
-    md5 + length of the rebuilt text (proves the reassembly byte-exactly
-    without shipping full texts through the comparator)."""
-    docs = t(spark, sf_dir)["documents"]
+def block_dedup_frames(docs: DataFrame, width: int = _BLOCK_W) -> DataFrame:
+    """Parameterized core of dd_block_dedup (width varies in the randomized
+    differential family, tests/test_random_differential.py)."""
     words = _fan_out(docs.select("doc_id", "text")).select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), " +").alias("w")
     )
@@ -860,8 +855,8 @@ def block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.posexplode(
                 F.expr(
-                    f"transform(sequence(0, (size(w)-1) div {_BLOCK_W}),"
-                    f" b -> concat_ws(' ', slice(w, b*{_BLOCK_W}+1, {_BLOCK_W})))"
+                    f"transform(sequence(0, (size(w)-1) div {width}),"
+                    f" b -> concat_ws(' ', slice(w, b*{width}+1, {width})))"
                 )
             ).alias("b_idx", "block"),
         )
@@ -898,3 +893,14 @@ def block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dedup_len"),
     )
+
+
+@query("dd_block_dedup", oracle=_block_dedup_oracle(), tags=("dedup", "block", "pipeline"))
+def block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global block-level dedup + reassembly: every 8-word block that appears
+    anywhere in the corpus survives only at its first occurrence
+    (min (doc_id, idx)); each document is rebuilt from its surviving blocks
+    in original order. Output per doc: block counts before/after and the
+    md5 + length of the rebuilt text (proves the reassembly byte-exactly
+    without shipping full texts through the comparator)."""
+    return block_dedup_frames(t(spark, sf_dir)["documents"], _BLOCK_W)

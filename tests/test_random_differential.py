@@ -831,3 +831,47 @@ def test_random_pagination_matches_oracle(spark, duck, i):
         name=f"randpage[{i}]{case}",
         order_by=f"val {case['dir']}, pk",
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomized block-dedup family: the dd_block_dedup operator re-run with
+# generated block widths and doc-subset filters. Varying the width moves
+# every block boundary (different collision sets, different keepers);
+# varying the subset changes WHICH occurrence of a shared block is first.
+# Pins the operator's semantics (first-occurrence choice, order-preserving
+# reassembly, empty-document handling) well beyond the single registered
+# width-8 configuration.
+# ---------------------------------------------------------------------------
+
+_N_BLOCK_CASES = 6
+
+
+def _gen_block_case(rng: random.Random):
+    return {
+        "width": rng.choice([2, 3, 5, 8, 12]),
+        "mod": rng.choice([None, 2, 3]),  # doc_id % mod == 0 subset
+    }
+
+
+_BLOCK_CASES = [_gen_block_case(random.Random(12000 + i)) for i in range(_N_BLOCK_CASES)]
+
+
+@pytest.mark.parametrize("i", range(_N_BLOCK_CASES))
+def test_random_block_dedup_matches_oracle(spark, duck, i):
+    from datafusion_distributed_spark.operators.dedup import (
+        _block_dedup_oracle,
+        block_dedup_frames,
+    )
+
+    case = _BLOCK_CASES[i]
+    docs = load_tables(spark, SF_DIR)["documents"]
+    oracle_views(duck, SF_DIR)
+    where = "" if case["mod"] is None else f"WHERE doc_id % {case['mod']} = 0"
+    if case["mod"] is not None:
+        docs = docs.filter(F.col("doc_id") % case["mod"] == 0)
+    compare_to_oracle(
+        block_dedup_frames(docs, case["width"]),
+        duck,
+        _block_dedup_oracle(case["width"], where),
+        name=f"randblock[{i}]{case}",
+    )
