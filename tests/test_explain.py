@@ -192,6 +192,22 @@ def test_runtime_bloom_filter_injection(spark):
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "bloom_filter_agg" in plan
         assert "might_contain" in plan
+        # the probe must guard the FACT side's join key (prunes pre-shuffle)
+        assert "l_orderkey" in plan.split("might_contain", 1)[1][:400]
+        with_bloom = j.count()
+        # result invariance: the filter is an optimization, never a semantic
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        try:
+            off = tb["lineitem"].join(
+                sel, F.col("l_orderkey") == F.col("o_orderkey")
+            )
+            plan_off = off._jdf.queryExecution().executedPlan().toString()
+            assert "might_contain" not in plan_off
+            assert off.count() == with_bloom
+        finally:
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+            )
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
