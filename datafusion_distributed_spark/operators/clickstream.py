@@ -975,3 +975,63 @@ def cb_derived_key_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c"), F.asc("user_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC timeseries downsampling — the hypertable-rollup shape: collapse a raw
+# event stream into per-(series, hour-bucket) bars where open/close are
+# SELECTIVE extremes (the value AT the earliest/latest row), not plain
+# min/max. Exercises the min_by/max_by aggregate surface (DataFusion's
+# first_value/arg_min family) that no other battery query touches: in Spark
+# these are single-pass hash aggregates with struct ordering keys —
+# (ts, event_id) — so the bar choice is deterministic under ts ties and
+# never needs a per-bucket sort or window. The DuckDB oracle spells the
+# same semantics with ROW_NUMBER (DuckDB's arg_min has no composite-key
+# overload), which also documents the equivalence.
+#
+# Scale shape: one shuffle on (event_type, bucket); partial min_by/max_by
+# aggregates combine map-side exactly like min/max, so a hot series never
+# concentrates raw rows on one task — the reason min_by beats the
+# "ROW_NUMBER = 1 per bucket" window formulation at 100 TB.
+# ---------------------------------------------------------------------------
+
+_OHLC_ORACLE = """
+WITH ranked AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_hour,
+         CAST(value AS DECIMAL(14,2)) AS v,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_open,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_close
+  FROM events
+)
+SELECT event_type, bucket_hour,
+       COUNT(*) AS n_events,
+       CAST(MIN(CASE WHEN rn_open = 1 THEN v END) AS DOUBLE) AS open_value,
+       CAST(MAX(v) AS DOUBLE) AS high_value,
+       CAST(MIN(v) AS DOUBLE) AS low_value,
+       CAST(MIN(CASE WHEN rn_close = 1 THEN v END) AS DOUBLE) AS close_value,
+       CAST(SUM(v) AS DOUBLE) AS total_value
+FROM ranked
+GROUP BY event_type, bucket_hour
+"""
+
+
+@query("ts_ohlc_downsample", oracle=_OHLC_ORACLE, tags=("timeseries", "agg", "min_by"))
+def ts_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir)["events"]
+    bucket = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    v = dec("value", 14, 2)
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    base = ev.select(
+        "event_type", bucket.alias("bucket_hour"), v.alias("v"), ord_key.alias("o")
+    )
+    return base.groupBy("event_type", "bucket_hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dbl(F.min_by("v", F.col("o"))).alias("open_value"),
+        dbl(F.max("v")).alias("high_value"),
+        dbl(F.min("v")).alias("low_value"),
+        dbl(F.max_by("v", F.col("o"))).alias("close_value"),
+        dbl(F.sum("v")).alias("total_value"),
+    )
