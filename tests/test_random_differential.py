@@ -875,3 +875,59 @@ def test_random_block_dedup_matches_oracle(spark, duck, i):
         _block_dedup_oracle(case["width"], where),
         name=f"randblock[{i}]{case}",
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomized selective-extreme (min_by / max_by) family: generated grouping
+# and ordering keys over events. Pins the struct-ordering-key semantics the
+# ts_ohlc_downsample operator relies on — in particular that Spark's
+# min_by/max_by with a (ord, unique-id) struct picks exactly the ROW_NUMBER
+# = 1 row of the equivalent window formulation, under every generated
+# (group, order, direction) combination.
+# ---------------------------------------------------------------------------
+
+_N_MINBY_CASES = 6
+
+
+def _gen_minby_case(rng: random.Random):
+    return {
+        "group": rng.choice(["event_type", "user_id % 7", "user_id % 3"]),
+        "ord": rng.choice(["ts", "value", "event_id"]),
+        "target": rng.choice(["value", "event_id", "user_id"]),
+        "fn": rng.choice(["min_by", "max_by"]),
+    }
+
+
+_MINBY_CASES = [_gen_minby_case(random.Random(13000 + i)) for i in range(_N_MINBY_CASES)]
+
+
+@pytest.mark.parametrize("i", range(_N_MINBY_CASES))
+def test_random_minby_matches_oracle(spark, duck, i):
+    case = _MINBY_CASES[i]
+    ev = load_tables(spark, SF_DIR)["events"]
+    oracle_views(duck, SF_DIR)
+    g, o, tgt, fn = case["group"], case["ord"], case["target"], case["fn"]
+    # target always emitted as exact cents (integers) so parity is bit-exact
+    tgt_expr = F.round(F.col(tgt).cast("double") * 100).cast("long")
+    ord_struct = F.struct(F.col(o), F.col("event_id"))
+    agg = F.min_by(tgt_expr, ord_struct) if fn == "min_by" else F.max_by(
+        tgt_expr, ord_struct
+    )
+    sdf = (
+        ev.withColumn("g", F.expr(g))
+        .groupBy("g")
+        .agg(agg.cast("long").alias("picked"), F.count(F.lit(1)).alias("n"))
+    )
+    direction = "" if fn == "min_by" else "DESC"
+    sql = f"""
+    SELECT g, CAST(MIN(CASE WHEN rn = 1 THEN t END) AS BIGINT) AS picked,
+           COUNT(*) AS n
+    FROM (
+      SELECT {g} AS g,
+             CAST(ROUND(CAST({tgt} AS DOUBLE) * 100) AS BIGINT) AS t,
+             ROW_NUMBER() OVER (PARTITION BY {g}
+                                ORDER BY {o} {direction}, event_id {direction}) AS rn
+      FROM events
+    ) x GROUP BY g
+    """
+    compare_to_oracle(sdf, duck, sql, name=f"randminby[{i}]{case}")
