@@ -208,3 +208,68 @@ def test_streaming_append_mode_emits_only_closed_windows(spark):
     assert len(appended) > 0
     assert len(appended) < len(batch), "append mode must withhold tail windows"
     assert key(appended) == key(closed)
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Checkpointed restart is exactly-once: a stream stopped after consuming
+    part of its input and restarted with the SAME checkpoint directory must
+    (a) skip the already-committed files — the restarted run's input-row
+    count covers only the new files — and (b) converge to the same counts a
+    batch query computes over everything. This is the durability contract a
+    100 TB ingest pipeline leans on when an executor or driver dies
+    mid-backfill."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "ckpt")
+    sink: dict[int, list] = {}
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    half_a = events.filter(F.col("event_id") % 2 == 0)
+    half_b = events.filter(F.col("event_id") % 2 == 1)
+    half_a.coalesce(1).write.mode("overwrite").parquet(src)
+
+    schema = events.schema
+
+    def run_available(tag: str) -> int:
+        """Run the counting stream over whatever files exist now; return the
+        total input rows this RUN consumed (from progress, not the sink)."""
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+        consumed = 0
+
+        def write_batch(batch_df, batch_id):
+            sink[batch_id] = batch_df.collect()
+
+        q = (
+            agg.writeStream.foreachBatch(write_batch)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        for p in q.recentProgress:
+            consumed += p["numInputRows"]
+        return consumed
+
+    n_a = half_a.count()
+    n_b = half_b.count()
+    consumed_first = run_available("first")
+    assert consumed_first == n_a
+
+    # second half arrives while the stream is DOWN; restart from checkpoint
+    half_b.coalesce(1).write.mode("append").parquet(src)
+    consumed_second = run_available("restart")
+    # exactly-once: the restarted run reads ONLY the new file's rows
+    assert consumed_second == n_b
+
+    final = {r.event_type: r.n for r in sink[max(sink)]}
+    expected = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == expected
