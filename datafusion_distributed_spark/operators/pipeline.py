@@ -140,3 +140,67 @@ def incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_order",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pretraining-corpus pipeline v2: the ROUND-4 composition proof, running the
+# corpus-wide block dedup INSIDE a chain —
+#
+#   block-level dedup + reassembly (dedup.block_dedup_frames)
+#     → structural-quality filter (>= half the doc's blocks survived the
+#       corpus-wide dedup AND the rebuilt text is still >= 100 chars: drops
+#       boilerplate-heavy docs, a ratio + per-doc absolute, so the predicate
+#       is stable under corpus growth)
+#       → source attribution join (doc_id-keyed; the only columns that move
+#         are (doc_id, source) — never text)
+#         → deterministic 25% hash sample audited per source
+#
+# Scale: block dedup's three shuffles + one doc_id-keyed join + one final
+# aggregate; the filter and sample are narrow predicates between them.
+# ---------------------------------------------------------------------------
+
+_PIPE2_SALT = "pipe2:"
+_PIPE2_SPAN = 1 << 30  # u32 < 2^30: exactly a 25% deterministic sample
+
+
+def _pipe2_oracle() -> str:
+    from .dedup import _block_dedup_oracle
+
+    return f"""
+WITH bd AS (
+  SELECT * FROM ({_block_dedup_oracle().strip()}) x
+),
+kept AS (
+  SELECT bd.doc_id, bd.dedup_len, d.source
+  FROM bd JOIN documents d ON d.doc_id = bd.doc_id
+  WHERE bd.n_kept * 2 >= bd.n_blocks AND bd.dedup_len >= 100
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(dedup_len) AS BIGINT) AS kept_chars,
+       CAST(SUM(CASE WHEN {_u32_sql("'" + _PIPE2_SALT + "' || CAST(doc_id AS VARCHAR)")}
+                     < {_PIPE2_SPAN} THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs
+FROM kept GROUP BY source
+"""
+
+
+@query(
+    "pipe_pretrain_corpus",
+    oracle=_pipe2_oracle(),
+    tags=("pipeline", "dedup", "block", "sampling"),
+)
+def pipe_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import block_dedup_frames
+
+    docs = t(spark, sf_dir)["documents"]
+    bd = block_dedup_frames(docs)
+    kept = bd.filter(
+        (F.col("n_kept") * 2 >= F.col("n_blocks")) & (F.col("dedup_len") >= 100)
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    u32 = _u32_spark(F.concat(F.lit(_PIPE2_SALT), F.col("doc_id").cast("string")))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dedup_len").cast("bigint").alias("kept_chars"),
+        F.sum(F.when(u32 < F.lit(_PIPE2_SPAN), 1).otherwise(0))
+        .cast("bigint")
+        .alias("sampled_docs"),
+    )
