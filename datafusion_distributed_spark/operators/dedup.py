@@ -799,7 +799,10 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregates those rows map-side, so the skewed key arrives at the reducer
 # as near-singleton partials, and AQE skew-join handles the join side.
 # First-occurrence = min (doc_id, block_idx) lexicographically, encoded as
-# one integer key doc_id*1e6+idx so both engines order identically.
+# one integer key doc_id*1e6+idx so both engines order identically. The
+# encoding caps a single document at 1e6 blocks (8M words, ~40 MB of text)
+# before idx bleeds into the doc_id digits — beyond any sane pretraining
+# document; widen the multiplier (DECIMAL in both engines) to lift it.
 # ---------------------------------------------------------------------------
 
 _BLOCK_W = 8  # words per block
