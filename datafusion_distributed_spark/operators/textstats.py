@@ -956,6 +956,11 @@ def source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     moved" scalar next to the "how much moved" TV distance."""
     docs = t(spark, sf_dir)["documents"]
     dec = "decimal(38,0)"
+    # st feeds FOUR branches (tok/src/terms/cov); without the persist each
+    # branch re-derives the corpus-sized explode+groupBy from the scan
+    # (audited: 8 parquet scans in the executed plan). The persisted frame
+    # is the AGGREGATED vocab x sources table — tiny relative to the corpus
+    # — so this pins the one corpus pass and every branch reads the digest.
     st = (
         docs.select(
             "source",
@@ -963,6 +968,7 @@ def source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).cast(dec).alias("c_st"))
+        .persist()
     )
     tok = st.groupBy("token").agg(F.sum("c_st").cast(dec).alias("c_t"))
     src = st.groupBy("source").agg(
@@ -970,12 +976,15 @@ def source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("vocab_size"),
     )
     tot = tok.agg(F.sum("c_t").cast(dec).alias("t_all"))
+    # ONE st-x-tok join feeds both the gap terms AND the present-token
+    # corpus coverage (c_s) — a single per-source aggregate, no second join.
     terms = (
         st.join(tok, "token")
         .join(F.broadcast(src), "source")
         .crossJoin(F.broadcast(tot))
         .select(
             "source",
+            "c_t",
             F.abs(
                 F.col("c_st") * F.col("t_all") - F.col("c_t") * F.col("t_s")
             ).alias("gap_num"),
@@ -984,17 +993,9 @@ def source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     present = terms.groupBy("source").agg(
         F.sum("gap_num").alias("present_num"),
         F.max("gap_num").alias("top_gap_num"),
+        F.sum("c_t").cast(dec).alias("c_s"),
     )
-    cov = (
-        st.join(tok, "token")
-        .groupBy("source")
-        .agg(F.sum("c_t").cast(dec).alias("c_s"))
-    )
-    out = (
-        src.join(present, "source")
-        .join(cov, "source")
-        .crossJoin(F.broadcast(tot))
-    )
+    out = src.join(present, "source").crossJoin(F.broadcast(tot))
     num = F.col("present_num") + F.col("t_s") * (F.col("t_all") - F.col("c_s"))
     return out.select(
         "source",
