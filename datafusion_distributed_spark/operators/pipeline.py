@@ -9,10 +9,11 @@ each verify in isolation; this module proves they COMPOSE — the way a real
       → deterministic 50% hash sample
         → per-(lang, source) corpus statistics
 
-Catalyst fuses the filter/sample predicates into the post-window projection,
-so the whole pipeline is: one scan → one hash-partition window (the dedup) →
-narrow predicates → one partial/final aggregate. Two shuffles total at any
-scale; the filters and the sample never shuffle anything.
+Catalyst fuses the filter/sample predicates into the post-dedup projection,
+so the whole pipeline is: one scan → the content-hash keeper aggregate +
+join (the dedup — groupBy+join, never a content-hash window: exact-dup
+groups are unbounded at corpus scale) → narrow predicates → one
+partial/final aggregate. The filters and the sample never shuffle anything.
 
 Conventions shared with the component operators (oracle-proven there):
 token split `split(trim(lower(text)), ' +')` == DuckDB
@@ -62,12 +63,19 @@ FROM sampled GROUP BY lang, source
 @query("pipe_corpus_clean", oracle=_PIPE_ORACLE, tags=("pipeline", "dedup", "sampling"))
 def pipe_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir)["documents"]
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # Keeper via groupBy+join, NOT a Window over md5(text): an exact-dup
+    # group can be enormous at corpus scale (boilerplate pages duplicated
+    # 10^8 times), and a content-hash window puts the whole group on one
+    # task. The aggregate partial-combines map-side; the join back keys on
+    # (ch, doc_id) — same discipline as dd_block_dedup's keeper table.
+    hashed = docs.select("doc_id", "lang", "source", "n_chars", "text").withColumn(
+        "ch", F.md5("text")
+    )
+    keepers = hashed.groupBy("ch").agg(F.min("doc_id").alias("keep_id"))
     deduped = (
-        docs.select("doc_id", "lang", "source", "n_chars", "text")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        hashed.join(keepers, "ch")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .drop("ch", "keep_id")
     )
     n_tokens = F.size(F.split(F.trim(F.lower(F.col("text"))), " +"))
     quality = deduped.select(

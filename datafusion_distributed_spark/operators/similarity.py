@@ -8,8 +8,15 @@ BASELINE.json extensions (SURVEY.md §7 Phase 3):
 Scale design: queries are broadcast (small side), the corpus streams — the
 cross join is a BroadcastNestedLoopJoin over Q rows per corpus partition, all
 JVM-side arithmetic via zip_with/aggregate (no Python in the hot path). At
-1000 executors this is embarrassingly parallel; the only shuffle is the final
-per-query top-k (TakeOrderedAndProject after a partial per-partition top-k).
+1000 executors the scoring is embarrassingly parallel; the only shuffle is
+the final per-query top-k, a row_number window partitioned by q_id — i.e.
+the rank runs in Q tasks of |candidates(q)| rows each. That envelope is the
+deliberate fit for this surface's registered shape (a small probe set
+against a huge corpus; for the LSH/IVF variants |candidates(q)| is already
+bucket-sized, not corpus-sized). A LARGE query set changes the design, not
+the constant: co-partition both sides by bucket/cell (the hint-free join
+the ann_lsh_topk docstring describes) so ranking keys become
+(q_id, bucket) — millions of bounded partitions, never Q corpus-wide ones.
 
 Cosine values are rounded to 6 decimals in BOTH engines before ranking so the
 (engine-specific ulp-level) double summation order cannot flip the top-k set;
