@@ -368,8 +368,17 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # power-of-two token-length buckets, then numbered into fixed-size batches
 # within each bucket by deterministic hash order. The batching primitive
 # under LLM inference/training dataloaders — padding waste is bounded by the
-# bucket width, and the assignment is reproducible. One window shuffle on
-# the bucket key; batch ids derive from row_number, so the output is exact.
+# bucket width, and the assignment is reproducible.
+#
+# Scale shape — the same two-pass prefix split as ds_token_budget_sample:
+# there are only ~15 length buckets, so a row_number window partitioned by
+# bucket alone would scan |corpus|/15 rows in ONE task. Instead the md5
+# sort key is range-split on its first two hex chars (256 ordered
+# sub-ranges): per-(bucket, sub) counts are metadata-scale, a prefix sum
+# over them yields each sub-range's global offset, and the row_number
+# window runs per (bucket, sub) — max task input |bucket|/256, and the
+# resulting rn is IDENTICAL to the single-window numbering because
+# lexicographic order on the full md5 string refines its prefix order.
 # ---------------------------------------------------------------------------
 
 _BATCH_SIZE = 16
@@ -421,20 +430,35 @@ def length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
     )
+    h = F.md5(F.concat(F.lit("batch:"), F.col("doc_id").cast("string")))
     toks = docs.select(
-        "doc_id", n_tokens.alias("n_tokens"), bucket.alias("bucket")
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        bucket.alias("bucket"),
+        h.alias("h"),
+        F.substring(h, 1, 2).alias("sub"),
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("bucket").orderBy(
-        F.md5(F.concat(F.lit("batch:"), F.col("doc_id").cast("string"))),
-        "doc_id",
+    # Pass 1: per-(bucket, sub) counts -> each sub-range's starting offset
+    # within its bucket (a prefix-sum window over <= 15 x 256 metadata rows).
+    counts = toks.groupBy("bucket", "sub").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.partitionBy("bucket")
+        .orderBy("sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    numbered = toks.select(
+    offs = counts.withColumn(
+        "offset_before", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("bucket", "sub", "offset_before")
+
+    # Pass 2: number rows inside each (bucket, sub) range only.
+    w_in = Window.partitionBy("bucket", "sub").orderBy("h", "doc_id")
+    numbered = toks.join(F.broadcast(offs), ["bucket", "sub"]).select(
         "bucket",
         "doc_id",
         "n_tokens",
-        (F.row_number().over(w) - 1).alias("rn"),
+        (F.col("offset_before") + F.row_number().over(w_in) - 1).alias("rn"),
     )
     return (
         numbered.groupBy(
