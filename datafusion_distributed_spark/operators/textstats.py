@@ -1007,3 +1007,91 @@ def source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("t_s") * F.col("t_all")).cast("double")
         ).alias("top_token_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source IQR length-outlier filter — the robust-statistics cleaning step
+# (drop truncated fragments and concatenation blobs whose token count falls
+# outside [q1 - 1.5*IQR, q3 + 1.5*IQR] of ITS OWN source, not a global
+# constant: a code source and a chat source have wildly different length
+# regimes, so per-group quantile thresholds are the portable spelling).
+#
+# Exactness: Spark percentile() and DuckDB quantile_cont() both use linear
+# interpolation; quartiles of integer token counts land on dyadic fractions
+# (k/4), and 1.5*IQR keeps everything dyadic — the bound comparison is
+# bit-identical in both engines, no rounding fence needed.
+#
+# Scale shape: exact percentile state is per-DISTINCT-value counts (token
+# lengths, a bounded domain), not per-row buffers, so the per-source
+# aggregate is safe however large the source; thresholds broadcast back and
+# the outlier test is a narrow per-row predicate. Two shuffles total (the
+# quantile agg + the final audit agg).
+# ---------------------------------------------------------------------------
+
+_OUTLIER_ORACLE = f"""
+WITH toks AS (
+  SELECT source, CAST(len({_TOK_SQL}) AS BIGINT) AS n_tokens FROM documents
+),
+thr AS (
+  SELECT source,
+         quantile_cont(n_tokens, 0.25) AS q1,
+         quantile_cont(n_tokens, 0.75) AS q3
+  FROM toks GROUP BY source
+),
+flagged AS (
+  SELECT t.source, t.n_tokens,
+         CASE WHEN t.n_tokens < thr.q1 - 1.5 * (thr.q3 - thr.q1) THEN 1 ELSE 0 END AS is_short,
+         CASE WHEN t.n_tokens > thr.q3 + 1.5 * (thr.q3 - thr.q1) THEN 1 ELSE 0 END AS is_long
+  FROM toks t JOIN thr ON t.source = thr.source
+)
+SELECT f.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(is_short) AS BIGINT) AS n_short_outliers,
+       CAST(SUM(is_long) AS BIGINT) AS n_long_outliers,
+       CAST(SUM(CASE WHEN is_short = 0 AND is_long = 0 THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS kept_tokens,
+       CAST(MAX(t2.q1) AS DOUBLE) AS q1,
+       CAST(MAX(t2.q3) AS DOUBLE) AS q3
+FROM flagged f JOIN thr t2 ON f.source = t2.source
+GROUP BY f.source
+"""
+
+
+@query(
+    "text_length_outliers",
+    oracle=_OUTLIER_ORACLE,
+    tags=("text", "quality", "quantile"),
+)
+def length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "source",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), " +"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    thr = toks.groupBy("source").agg(
+        F.percentile("n_tokens", F.lit(0.25)).alias("q1"),
+        F.percentile("n_tokens", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    flagged = toks.join(F.broadcast(thr), "source").select(
+        "source",
+        "n_tokens",
+        "q1",
+        "q3",
+        F.when(F.col("n_tokens") < F.col("q1") - 1.5 * iqr, 1).otherwise(0).alias("is_short"),
+        F.when(F.col("n_tokens") > F.col("q3") + 1.5 * iqr, 1).otherwise(0).alias("is_long"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_short").cast("long").alias("n_short_outliers"),
+        F.sum("is_long").cast("long").alias("n_long_outliers"),
+        F.sum(
+            F.when((F.col("is_short") == 0) & (F.col("is_long") == 0), F.col("n_tokens")).otherwise(0)
+        )
+        .cast("long")
+        .alias("kept_tokens"),
+        F.max("q1").cast("double").alias("q1"),
+        F.max("q3").cast("double").alias("q3"),
+    )
