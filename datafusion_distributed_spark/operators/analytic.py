@@ -616,3 +616,52 @@ def win_ignore_nulls_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("last_f_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM): the join surface
+# where NULL keys MATCH each other instead of vanishing — DataFusion plans
+# it as a hash join with null-safe key comparison, and so does Spark
+# (EqualNullSafe is a hash-joinable predicate, NOT a nested-loop fallback;
+# the plan-lint gate enforces that here). The nullable key is synthesized
+# deterministically (NULLIF(user_id % 5, 0) — a fifth of the groups carry a
+# NULL key), the two sides are disjoint halves of events, and the NULL row
+# in the output proves the null-bucket actually joined.
+# ---------------------------------------------------------------------------
+
+_NULLSAFE_ORACLE = """
+WITH a AS (
+  SELECT NULLIF(user_id % 5, 0) AS k, COUNT(*) AS a_events,
+         COUNT(DISTINCT user_id) AS a_users
+  FROM events WHERE event_id % 2 = 0 GROUP BY NULLIF(user_id % 5, 0)
+),
+b AS (
+  SELECT NULLIF(user_id % 5, 0) AS k, COUNT(*) AS b_events,
+         COUNT(DISTINCT user_id) AS b_users
+  FROM events WHERE event_id % 2 = 1 GROUP BY NULLIF(user_id % 5, 0)
+)
+SELECT a.k, a.a_events, a.a_users, b.b_events, b.b_users
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+"""
+
+
+@query("join_null_safe_eq", oracle=_NULLSAFE_ORACLE, tags=("join", "null-safe"))
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir)["events"]
+    k = F.nullif(F.col("user_id") % 5, F.lit(0)).alias("k")
+
+    def side(parity: int, prefix: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_id") % 2 == parity)
+            .select(k, "user_id")
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias(f"{prefix}_events"),
+                F.count_distinct("user_id").alias(f"{prefix}_users"),
+            )
+        )
+
+    a, b = side(0, "a"), side(1, "b")
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("k"), "a_events", "a_users", "b_events", "b_users"
+    )
