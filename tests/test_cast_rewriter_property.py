@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis) for the oracle DOUBLE-cast rewriter.
+
+``registry._portable_double_casts`` runs over EVERY oracle SQL string at
+registration time; a rewrite bug would silently skew all 193 differential
+comparisons, so its invariants get generated coverage, not just examples:
+
+  1. idempotent — rewriting a rewritten string changes nothing;
+  2. complete — no bare ``CAST(x AS DOUBLE)`` survives (every one gains the
+     ``AS VARCHAR`` inner hop), at any nesting depth;
+  3. conservative — strings without a DOUBLE cast pass through unchanged,
+     and non-DOUBLE casts are never touched;
+  4. structure-preserving — stripping both cast wrappers recovers the
+     original inner expressions (nothing is lost or duplicated).
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from datafusion_distributed_spark.operators.registry import _portable_double_casts
+
+# -- expression generator: SQL-ish fragments with nested casts ---------------
+
+_atom = st.sampled_from(
+    ["x", "t.col", "1.5", "SUM(v)", "a + b", "len(w)", "f(g(y), 2)"]
+)
+
+_types = st.sampled_from(["DOUBLE", "BIGINT", "INTEGER", "VARCHAR", "DECIMAL(14,2)"])
+
+
+def _exprs(children):
+    wrap = st.sampled_from(["CAST({e} AS {t})", "({e})", "h({e}, {e2})", "{e} / {e2}"])
+
+    def build(w, e, e2, t):
+        return w.format(e=e, e2=e2, t=t)
+
+    return st.builds(build, wrap, children, children, _types)
+
+
+sql_exprs = st.recursive(_atom, _exprs, max_leaves=8)
+
+
+def _bare_double_casts(s: str) -> list[str]:
+    """Find CAST( ... AS DOUBLE) whose inner expr does NOT end in AS VARCHAR)."""
+    found = []
+    upper = s.upper()
+    i = 0
+    while True:
+        i = upper.find("CAST(", i)
+        if i < 0:
+            return found
+        depth, k = 0, i + 4
+        while k < len(s):
+            if s[k] == "(":
+                depth += 1
+            elif s[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        inner = s[i + 5 : k]
+        m = re.match(r"(?is)^(.*\S)\s+AS\s+DOUBLE\s*$", inner)
+        if m and not re.search(r"(?is)AS\s+VARCHAR\s*\)\s*$", m.group(1)):
+            found.append(inner)
+        i += 5
+
+
+@settings(max_examples=300, deadline=None)
+@given(sql_exprs)
+def test_rewrite_is_idempotent(expr):
+    once = _portable_double_casts(expr)
+    assert _portable_double_casts(once) == once
+
+
+@settings(max_examples=300, deadline=None)
+@given(sql_exprs)
+def test_no_bare_double_cast_survives(expr):
+    assert _bare_double_casts(_portable_double_casts(expr)) == []
+
+
+@settings(max_examples=300, deadline=None)
+@given(sql_exprs)
+def test_strings_without_double_casts_unchanged(expr):
+    if not _bare_double_casts(expr):
+        assert _portable_double_casts(expr) == expr
+
+
+@settings(max_examples=300, deadline=None)
+@given(sql_exprs)
+def test_varchar_hop_is_reversible(expr):
+    """Collapsing every inserted VARCHAR hop recovers the original string —
+    the rewrite adds exactly one wrapper and nothing else."""
+    rewritten = _portable_double_casts(expr)
+    collapsed = rewritten
+    pat = re.compile(
+        r"(?is)CAST\(CAST\((?P<inner>.*?) AS VARCHAR\) AS DOUBLE\)"
+    )
+    # repeatedly collapse innermost-first (non-greedy match is innermost-safe
+    # here because inner contains balanced parens only when nested rewrites
+    # already collapsed)
+    while True:
+        new = pat.sub(lambda m: f"CAST({m.group('inner')} AS DOUBLE)", collapsed)
+        if new == collapsed:
+            break
+        collapsed = new
+    assert collapsed == expr
+
+
+def test_known_examples():
+    f = _portable_double_casts
+    assert f("CAST(x AS DOUBLE)") == "CAST(CAST(x AS VARCHAR) AS DOUBLE)"
+    assert f("CAST(x AS BIGINT)") == "CAST(x AS BIGINT)"
+    assert (
+        f("CAST(SUM(CAST(v AS DECIMAL(14,2))) AS DOUBLE)")
+        == "CAST(CAST(SUM(CAST(v AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE)"
+    )
+    # already-portable casts are left alone
+    assert f("CAST(CAST(x AS VARCHAR) AS DOUBLE)") == "CAST(CAST(x AS VARCHAR) AS DOUBLE)"
