@@ -95,3 +95,142 @@ class WorkUnitFeedDataSource(DataSource):
 def register_work_unit_feed(spark) -> None:
     """Idempotently register the source on a session."""
     spark.dataSource.register(WorkUnitFeedDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Filter-pruned work-unit feed (Spark 4.1 Python DataSource pushdown).
+#
+# Reference analogue: the coordinator prunes work units against query
+# predicates BEFORE streaming them to workers, so a selective query never
+# schedules scan work that cannot match. Here `pushFilters` records the
+# AND-ed comparison filters and `partitions()` drops every row-group unit
+# whose parquet column statistics (min/max/null_count) PROVE it empty for
+# the conjunction. Pruning is deliberately partial pushdown: every filter
+# is returned to Spark for exact post-scan evaluation (the contract's
+# "partially pushed" mode), so stats-based pruning can stay conservative —
+# a unit is skipped only when provably non-matching, and correctness never
+# depends on the statistics. Enable with
+# spark.sql.python.filterPushdown.enabled=true (off by default in 4.1).
+# ---------------------------------------------------------------------------
+
+
+class FilteredWorkUnitFeedReader(WorkUnitFeedReader):
+    def __init__(self, options):
+        super().__init__(options)
+        self._pruning_filters = []
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        usable = (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+            IsNull,
+            IsNotNull,
+        )
+        for f in filters:
+            if isinstance(f, usable) and len(f.attribute) == 1:
+                value = getattr(f, "value", None)
+                if value is None or isinstance(value, (int, float, str, bool)):
+                    self._pruning_filters.append(f)
+        # Partial pushdown: Spark re-applies EVERY filter exactly; the
+        # recorded ones additionally prune units below.
+        return filters
+
+    def _unit_may_match(self, stats_by_col) -> bool:
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in self._pruning_filters:
+            col = f.attribute[0]
+            st = stats_by_col.get(col)
+            if st is None:
+                continue  # no stats for this column: cannot prune on it
+            lo, hi, nulls, n_rows = st
+            v = getattr(f, "value", None)
+            if isinstance(f, IsNull):
+                if nulls is not None and nulls == 0:
+                    return False
+                continue
+            if isinstance(f, IsNotNull):
+                if nulls is not None and n_rows is not None and nulls == n_rows:
+                    return False
+                continue
+            if lo is None or hi is None:
+                continue
+            try:
+                if isinstance(f, EqualTo) and (v < lo or v > hi):
+                    return False
+                if isinstance(f, GreaterThan) and hi <= v:
+                    return False
+                if isinstance(f, GreaterThanOrEqual) and hi < v:
+                    return False
+                if isinstance(f, LessThan) and lo >= v:
+                    return False
+                if isinstance(f, LessThanOrEqual) and lo > v:
+                    return False
+            except TypeError:
+                continue  # incomparable literal/stat types: never prune
+        return True
+
+    def partitions(self):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        units = super().partitions()
+        if not self._pruning_filters:
+            return units
+
+        kept: list[WorkUnit] = []
+        stats_cache: dict[tuple[str, int], dict] = {}
+        for u in units:
+            key = (u.path, u.row_group)
+            if key not in stats_cache:
+                meta = pq.ParquetFile(u.path).metadata
+                rg = meta.row_group(u.row_group)
+                by_col = {}
+                for i in range(rg.num_columns):
+                    c = rg.column(i)
+                    s = c.statistics
+                    by_col[c.path_in_schema] = (
+                        s.min if s is not None and s.has_min_max else None,
+                        s.max if s is not None and s.has_min_max else None,
+                        s.null_count if s is not None else None,
+                        rg.num_rows,
+                    )
+                stats_cache[key] = by_col
+            if self._unit_may_match(stats_cache[key]):
+                kept.append(u)
+        return kept
+
+
+class FilteredWorkUnitFeedDataSource(WorkUnitFeedDataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "work_unit_feed_filtered"
+
+    def reader(self, schema) -> FilteredWorkUnitFeedReader:
+        return FilteredWorkUnitFeedReader(self.options)
+
+
+def register_filtered_work_unit_feed(spark) -> None:
+    spark.dataSource.register(FilteredWorkUnitFeedDataSource)
