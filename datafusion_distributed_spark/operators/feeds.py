@@ -40,3 +40,49 @@ def wuf_documents_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+_WUF_FILTERED_ORACLE = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc_id
+FROM documents
+WHERE doc_id >= 100 AND doc_id < 400
+GROUP BY lang
+"""
+
+
+@query(
+    "wuf_filtered_stats",
+    oracle=_WUF_FILTERED_ORACLE,
+    tags=("source", "work-unit-feed", "pushdown"),
+)
+def wuf_filtered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective aggregate through the FILTER-PRUNED work-unit feed: the
+    doc_id band predicate reaches the source's pushFilters hook (requires
+    spark.sql.python.filterPushdown.enabled, set here at runtime), prunes
+    row-group units whose footer stats prove them empty, and Spark
+    re-applies the band exactly post-scan (partial-pushdown contract) —
+    so the oracle comparison also proves the pruning never drops a
+    matching unit. The single-row-group driver file prunes nothing at test
+    scale; tests/test_wuf_pushdown.py pins the pruning arithmetic on a
+    multi-row-group fixture."""
+    from ..sources import register_filtered_work_unit_feed
+
+    register_filtered_work_unit_feed(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    docs = (
+        spark.read.format("work_unit_feed_filtered")
+        .option("path", f"{sf_dir.rstrip('/')}/documents.parquet")
+        .option("rows_per_unit", "128")
+        .load()
+    )
+    return (
+        docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 400))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
