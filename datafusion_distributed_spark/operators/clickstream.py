@@ -1035,3 +1035,70 @@ def ts_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         dbl(F.max_by("v", F.col("o"))).alias("close_value"),
         dbl(F.sum("v")).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured extraction (Spark 4 parse_json / try_variant_get —
+# the open-format "shredded JSON" answer to ClickBench's JSON columns; a
+# DIFFERENT physical surface from cb_json_props' GetJsonObject string path:
+# VARIANT decodes once into a binary columnar encoding and every path
+# extraction is a typed columnar read, which is the 100 TB semi-structured
+# design). The driver's props payload is flat, so a nested document is
+# BUILT deterministically from row columns, round-tripped through
+# parse_json, and extracted back typed — proving construct/parse/extract
+# agree with the oracle's JSON-path arithmetic bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(j->>'$.nested.v_cents' AS BIGINT)) AS BIGINT) AS cents_sum,
+       CAST(SUM(CASE WHEN CAST(j->>'$.nested.flags[1]' AS BIGINT) = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS flag1_count,
+       CAST(MAX(CAST(j->>'$.k' AS BIGINT)) AS BIGINT) AS k_max
+FROM (
+  SELECT event_type,
+         CAST('{"k": ' || CAST(CAST(props->>'$.k' AS BIGINT) AS VARCHAR)
+              || ', "nested": {"v_cents": '
+              || CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR)
+              || ', "flags": [' || CAST(user_id % 2 AS VARCHAR) || ', '
+              || CAST(CAST(props->>'$.k' AS BIGINT) % 3 AS VARCHAR) || ']}}'
+              AS JSON) AS j
+  FROM (SELECT event_type, CAST(props AS JSON) AS props, value, user_id
+        FROM events) e
+) v
+GROUP BY event_type
+"""
+
+
+@query("fn_variant_shred", oracle=_VARIANT_ORACLE, tags=("variant", "json", "functions"))
+def fn_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir)["events"]
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    cents_col = F.round(F.col("value") * 100).cast("bigint")
+    doc = F.concat(
+        F.lit('{"k": '),
+        k.cast("string"),
+        F.lit(', "nested": {"v_cents": '),
+        cents_col.cast("string"),
+        F.lit(', "flags": ['),
+        (F.col("user_id") % 2).cast("string"),
+        F.lit(", "),
+        (k % 3).cast("string"),
+        F.lit("]}}"),
+    )
+    v = F.parse_json(doc)
+    shredded = ev.select(
+        "event_type",
+        F.try_variant_get(v, "$.nested.v_cents", "bigint").alias("v_cents"),
+        F.try_variant_get(v, "$.nested.flags[1]", "bigint").alias("flag1"),
+        F.try_variant_get(v, "$.k", "bigint").alias("k"),
+    )
+    return shredded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_cents").cast("bigint").alias("cents_sum"),
+        F.sum(F.when(F.col("flag1") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("flag1_count"),
+        F.max("k").cast("bigint").alias("k_max"),
+    )
