@@ -104,3 +104,59 @@ def write_range_clustered(
         .parquet(out_path)
     )
     return n_files
+
+
+def write_zorder_clustered(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    cluster_by: list[str],
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    bits_per_dim: int = 16,
+) -> int:
+    """Rewrite a dataset Z-ORDER-CLUSTERED on two-or-more numeric columns:
+    each column is scaled to a ``bits_per_dim``-bit rank between its global
+    min/max, the ranks are bit-interleaved into one Morton (Z) value, and
+    the data is range-partitioned + sorted on that value.
+
+    Why this exists next to write_range_clustered: linear clustering makes
+    footer stats tight in ONE dimension — a predicate on any other column
+    prunes nothing. The Z-curve keeps files spatially local in EVERY
+    cluster dimension at once, so a selective predicate on ANY of them
+    shrinks the candidate file set (the Delta/Iceberg OPTIMIZE ZORDER
+    layout, applied with plain open-source Spark primitives). The min/max
+    fetch is a 1-row aggregate (metadata-scale, like the IVF centroid
+    fetch); the interleave is pure integer bit arithmetic in codegen; the
+    only data-scale cost is the same single range shuffle the linear
+    cluster pays. Returns the planned file count.
+    """
+    df: DataFrame = spark.read.parquet(in_path)
+    n_files = plan_compaction(in_path, target_file_bytes)
+
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cluster_by],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cluster_by],
+    ).collect()[0]
+
+    top = (1 << bits_per_dim) - 1
+    n_dims = len(cluster_by)
+    z = F.lit(0).cast("long")
+    for d, c in enumerate(cluster_by):
+        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        rank = F.floor(
+            (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top
+        ).cast("long")
+        rank = F.greatest(F.lit(0), F.least(F.lit(top), rank))
+        for i in range(bits_per_dim):
+            bit = F.shiftright(rank, i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * n_dims + d)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    return n_files

@@ -182,3 +182,63 @@ def test_range_clustered_write_produces_disjoint_file_ranges(spark, tmp_path):
     assert back.count() == orig.count()
     assert back.exceptAll(orig).count() == 0
     assert orig.exceptAll(back).count() == 0
+
+
+def test_zorder_beats_linear_on_the_other_dimension(spark, tmp_path):
+    """The point of the Z-layout: a predicate on the SECOND cluster
+    dimension must shrink the candidate file set, where linear clustering
+    on the first dimension prunes nothing. Candidates = files whose footer
+    [min, max] for the predicate column overlaps the query box."""
+    import pyarrow.parquet as pq
+
+    from datafusion_distributed_spark.sinks import (
+        write_range_clustered,
+        write_zorder_clustered,
+    )
+
+    from .conftest import SF_DIR_MED
+
+    src = f"{SF_DIR_MED}/orders.parquet"
+    lin, zor = str(tmp_path / "linear"), str(tmp_path / "zorder")
+    # force many files so candidate-set sizes are meaningful
+    write_range_clustered(spark, src, lin, ["o_custkey"], target_file_bytes=32 * 1024)
+    write_zorder_clustered(
+        spark, src, zor, ["o_custkey", "o_totalprice"], target_file_bytes=32 * 1024
+    )
+
+    def candidates(out_dir: str, col: str, lo: float, hi: float) -> tuple[int, int]:
+        total, cand = 0, 0
+        for f in sorted((tmp_path / out_dir).glob("*.parquet")):
+            md = pq.read_metadata(str(f))
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                for i in range(md.num_columns):
+                    c = md.row_group(rg).column(i)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        mins.append(c.statistics.min)
+                        maxs.append(c.statistics.max)
+            total += 1
+            if mins and not (max(maxs) < lo or min(mins) > hi):
+                cand += 1
+        return cand, total
+
+    # narrow o_totalprice band — selective in the dimension the linear
+    # layout does NOT cluster on
+    prices = [
+        r.o_totalprice
+        for r in spark.read.parquet(src).select("o_totalprice").collect()
+    ]
+    prices.sort()
+    lo, hi = prices[len(prices) // 2], prices[len(prices) // 2 + len(prices) // 20]
+
+    lin_cand, lin_total = candidates("linear", "o_totalprice", lo, hi)
+    z_cand, z_total = candidates("zorder", "o_totalprice", lo, hi)
+    assert lin_total >= 4 and z_total >= 4, "need multiple files for the claim"
+    # linear-by-custkey files all span the full price range
+    assert lin_cand == lin_total
+    assert z_cand < z_total, "z-order must prune some files on dimension 2"
+
+    # and the rewrite is lossless
+    a = sorted(map(tuple, spark.read.parquet(src).collect()))
+    b = sorted(map(tuple, spark.read.parquet(zor).collect()))
+    assert a == b
