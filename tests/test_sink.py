@@ -242,3 +242,31 @@ def test_zorder_beats_linear_on_the_other_dimension(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(src).collect()))
     b = sorted(map(tuple, spark.read.parquet(zor).collect()))
     assert a == b
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    """MERGE-by-key: matched keys take delta values, unmatched delta rows
+    insert, unmatched base rows survive; duplicate delta keys fail loudly."""
+    import pytest as _pytest
+
+    from datafusion_distributed_spark.sinks import merge_upsert
+
+    base_p, delta_p, out_p = (str(tmp_path / n) for n in ("base", "delta", "out"))
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, name string, v int"
+    ).write.parquet(base_p)
+    spark.createDataFrame(
+        [(2, "B2", 200), (4, "d", 40)], "k int, name string, v int"
+    ).write.parquet(delta_p)
+
+    stats = merge_upsert(spark, base_p, delta_p, out_p, key=["k"])
+    assert stats == {"updated": 1, "inserted": 1, "kept": 2}
+    got = sorted(map(tuple, spark.read.parquet(out_p).collect()))
+    assert got == [(1, "a", 10), (2, "B2", 200), (3, "c", 30), (4, "d", 40)]
+
+    dup_p = str(tmp_path / "dup")
+    spark.createDataFrame(
+        [(5, "x", 1), (5, "y", 2)], "k int, name string, v int"
+    ).write.parquet(dup_p)
+    with _pytest.raises(ValueError, match="duplicate key"):
+        merge_upsert(spark, base_p, dup_p, str(tmp_path / "out2"), key=["k"])
