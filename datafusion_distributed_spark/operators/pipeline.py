@@ -212,3 +212,81 @@ def pipe_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sampled_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC between two pipeline runs): key-wise full-outer
+# comparison of two dataset versions, classifying every key as
+# added / removed / changed / unchanged and counting per source — the
+# regression gate a production corpus pipeline runs after every rebuild
+# ("did this release drop 4% of source X?"). Change detection is per-column
+# IS DISTINCT FROM (the complement surface of join_null_safe_eq). The two
+# "snapshots" are derived deterministically from the documents table
+# (disjoint modulus deletions + a text rewrite on a third modulus), so the
+# oracle reproduces them exactly.
+#
+# Scale shape: one doc_id-hash full-outer join of the two snapshots (AQE
+# skew-splits a hot key), then a tiny per-source aggregate; the text
+# comparison happens inside the join projection — no second pass.
+# ---------------------------------------------------------------------------
+
+_DIFF_ORACLE = """
+WITH prev AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 13 = 0 THEN reverse(text) ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 0
+),
+curr AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 19 <> 0
+),
+j AS (
+  SELECT COALESCE(c.source, p.source) AS source,
+         CASE
+           WHEN p.doc_id IS NULL THEN 'added'
+           WHEN c.doc_id IS NULL THEN 'removed'
+           WHEN c.text IS DISTINCT FROM p.text THEN 'changed'
+           ELSE 'unchanged'
+         END AS status
+  FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id
+)
+SELECT source,
+       CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+FROM j GROUP BY source
+"""
+
+
+@query("pipe_snapshot_diff", oracle=_DIFF_ORACLE, tags=("pipeline", "cdc", "diff"))
+def pipe_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    prev = docs.filter(F.col("doc_id") % 17 != 0).select(
+        F.col("doc_id").alias("p_id"),
+        F.col("source").alias("p_source"),
+        F.when(F.col("doc_id") % 13 == 0, F.reverse("text"))
+        .otherwise(F.col("text"))
+        .alias("p_text"),
+    )
+    curr = docs.filter(F.col("doc_id") % 19 != 0).select(
+        F.col("doc_id").alias("c_id"),
+        F.col("source").alias("c_source"),
+        F.col("text").alias("c_text"),
+    )
+    j = prev.join(curr, prev["p_id"] == curr["c_id"], "full_outer")
+    status = (
+        F.when(F.col("p_id").isNull(), "added")
+        .when(F.col("c_id").isNull(), "removed")
+        .when(~F.col("c_text").eqNullSafe(F.col("p_text")), "changed")
+        .otherwise("unchanged")
+    )
+    flagged = j.select(
+        F.coalesce("c_source", "p_source").alias("source"), status.alias("status")
+    )
+    as_cnt = lambda s: F.sum(F.when(F.col("status") == s, 1).otherwise(0)).cast("long")  # noqa: E731
+    return flagged.groupBy("source").agg(
+        as_cnt("added").alias("n_added"),
+        as_cnt("removed").alias("n_removed"),
+        as_cnt("changed").alias("n_changed"),
+        as_cnt("unchanged").alias("n_unchanged"),
+    )
