@@ -290,3 +290,121 @@ def pipe_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_cnt("changed").alias("n_changed"),
         as_cnt("unchanged").alias("n_unchanged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality constraint report (the Deequ/dbt-test class): a
+# fixed suite of table constraints — key uniqueness, completeness (null
+# rate), accepted values, value ranges, and referential integrity — each
+# evaluated to (violations, checked) in one pass per table plus one
+# FK anti-join. The gate a pipeline runs BEFORE publishing a snapshot.
+#
+# Scale shape: per-table checks fold into a single aggregate over that
+# table (conditional sums — one scan each, no shuffle beyond the 1-row
+# agg); the FK check is a key-hash anti join (AQE-broadcast when the
+# referenced key set is small). Output is one row per constraint.
+# ---------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+SELECT * FROM (
+  SELECT 'orders_pk_unique' AS check_name,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS violations,
+         CAST(COUNT(*) AS BIGINT) AS checked
+  FROM orders
+  UNION ALL
+  SELECT 'orders_status_accepted',
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders_totalprice_positive',
+         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem_qty_range',
+         CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_discount_range',
+         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'documents_text_complete',
+         CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'lineitem_fk_orders',
+         CAST((SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+) checks
+ORDER BY check_name
+"""
+
+
+@query(
+    "dq_constraint_report",
+    oracle=_DQ_ORACLE,
+    tags=("pipeline", "data-quality"),
+    order_by="check_name",
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tt = t(spark, sf_dir)
+    orders, lineitem, docs = tt["orders"], tt["lineitem"], tt["documents"]
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+
+    def one(name: str, df: DataFrame, violations, checked=None) -> DataFrame:
+        agg = df.agg(
+            violations.alias("violations"),
+            (checked if checked is not None else F.count(F.lit(1)).cast("long")).alias(
+                "checked"
+            ),
+        )
+        return agg.select(F.lit(name).alias("check_name"), "violations", "checked")
+
+    checks = [
+        one(
+            "orders_pk_unique",
+            orders,
+            (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).cast("long"),
+        ),
+        one(
+            "orders_status_accepted",
+            orders,
+            cnt(~F.col("o_orderstatus").isin("F", "O", "P")),
+        ),
+        one("orders_totalprice_positive", orders, cnt(F.col("o_totalprice") <= 0)),
+        one(
+            "lineitem_qty_range",
+            lineitem,
+            cnt((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+        ),
+        one(
+            "lineitem_discount_range",
+            lineitem,
+            cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)),
+        ),
+        one(
+            "documents_text_complete",
+            docs,
+            cnt(F.col("text").isNull() | (F.length("text") == 0)),
+        ),
+    ]
+    fk_viol = (
+        lineitem.select("l_orderkey")
+        .join(orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+    )
+    fk = fk_viol.crossJoin(
+        lineitem.agg(F.count(F.lit(1)).cast("long").alias("checked"))
+    ).select(F.lit("lineitem_fk_orders").alias("check_name"), "violations", "checked")
+
+    out = checks[0]
+    for c in checks[1:] + [fk]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")

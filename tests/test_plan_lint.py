@@ -42,6 +42,7 @@ _CROSS_OK = {
     "sql_bucket_profile",  # q28 shape: cross join of four 1-row band aggregates
     "text_source_drift",  # 1-row corpus-total scalar crossed onto vocab frame
     "sim_ann_recall",  # composes sim_cosine_topk (broadcast queries × corpus)
+    "dq_constraint_report",  # cross join of two 1-row audit aggregates
 }
 
 _ALL = sorted(REGISTRY)
