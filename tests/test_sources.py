@@ -111,3 +111,29 @@ def test_file_metadata_columns(spark):
     assert rows[0]["file_size"] > 0
     total = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     assert rows[0]["count"] == total
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema-evolution tolerance: a dataset whose later files ADD a column
+    must read as the unified schema with NULLs for the old files
+    (mergeSchema) — the ingest reality of any long-lived 100 TB store,
+    where a upstream producer adds fields mid-stream."""
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string").write.parquet(
+        d + "/part=old"
+    )
+    spark.createDataFrame(
+        [(3, "c", 0.5), (4, "d", 0.9)], "id int, name string, score double"
+    ).write.parquet(d + "/part=new")
+
+    df = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(df.columns) >= {"id", "name", "score"}
+    rows = {r.id: (r.name, r.score) for r in df.collect()}
+    assert rows[1] == ("a", None) and rows[3] == ("c", 0.5)
+    # aggregates treat the missing column as NULL (ignored by sum/count)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"), F.count("score").alias("n_scored")
+    ).collect()[0]
+    assert (agg.n, agg.n_scored) == (4, 2)
