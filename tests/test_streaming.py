@@ -273,3 +273,49 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
         .collect()
     }
     assert final == expected
+
+
+def test_rocksdb_state_store_matches_batch(spark):
+    """Large-state streaming path: the same watermark aggregation under the
+    RocksDB state store provider (state spills to local disk instead of
+    living in executor heap — the provider a 100 TB stateful stream needs)
+    must produce exactly the in-memory provider's results."""
+    import pyspark.sql.functions as F
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        raw_schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(SF_DIR)
+        )
+        agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("rocksdb_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {r.event_type: r.n for r in spark.table("rocksdb_counts").collect()}
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+
+    expected = {
+        r.event_type: r.n
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
