@@ -34,6 +34,12 @@ _STRESS_QUERIES = [
     "sql_mark_join",
     "dd_dedup_exact",
     "cb_hourly_histogram",
+    # round-4 scale-safe rank/prefix-sum designs: their whole point is that
+    # the numbering is INVARIANT to how the corpus is split into tasks, so
+    # they belong in every partitioning stress cross-section
+    "ds_token_budget_sample",
+    "ds_length_batching",
+    "dd_block_dedup",
 ]
 
 _TINY_SPLIT = 64 * 1024
