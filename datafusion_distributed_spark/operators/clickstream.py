@@ -1102,3 +1102,91 @@ def fn_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("flag1_count"),
         F.max("k").cast("bigint").alias("k_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral-profile anomaly scoring (the time-series-similarity class of
+# the retrieved corpus — EDBT'19 streaming TS similarity / REPOSE top-k
+# trajectory search, re-expressed relationally): every user's activity is
+# collapsed to a fixed 24-dim hour-of-day count profile, scored by cosine
+# against the GLOBAL profile, and the 20 least-typical users surface
+# (lowest similarity = most anomalous daily rhythm). The profile build is
+# 24 conditional integer sums in ONE hash aggregate — never a pivot
+# collect or per-user array shuffle; the global profile is a 1-row
+# broadcast. All products are exact ints (< 2^53) summed in a FIXED hour
+# order on both engines, one sqrt+division at the end rounded to 6dp, so
+# the ranking is bit-portable.
+# ---------------------------------------------------------------------------
+
+_N_HOURS = 24
+
+
+def _profile_anomaly_oracle() -> str:
+    u = " + ".join(f"u{h}*g{h}" for h in range(_N_HOURS))
+    uu = " + ".join(f"u{h}*u{h}" for h in range(_N_HOURS))
+    gg = " + ".join(f"g{h}*g{h}" for h in range(_N_HOURS))
+    ucols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN h = {h} THEN 1 ELSE 0 END) AS BIGINT) AS u{h}"
+        for h in range(_N_HOURS)
+    )
+    gcols = ",\n         ".join(
+        f"CAST(SUM(u{h}) AS BIGINT) AS g{h}" for h in range(_N_HOURS)
+    )
+    return f"""
+WITH hours AS (
+  SELECT user_id, EXTRACT(hour FROM ts) AS h FROM events
+),
+profiles AS (
+  SELECT user_id,
+         {ucols}
+  FROM hours GROUP BY user_id
+),
+global AS (
+  SELECT {gcols} FROM profiles
+)
+SELECT user_id,
+       CAST(({u}) AS BIGINT) AS dot_ug,
+       ROUND(CAST(({u}) AS DOUBLE) / (SQRT(CAST(({uu}) AS DOUBLE)) * SQRT(CAST(({gg}) AS DOUBLE))), 6) AS cos_global
+FROM profiles CROSS JOIN global
+ORDER BY cos_global, user_id
+LIMIT 20
+"""
+
+
+@query(
+    "ts_profile_anomaly",
+    oracle=_profile_anomaly_oracle(),
+    tags=("timeseries", "similarity", "anomaly"),
+    order_by="cos_global, user_id",
+)
+def ts_profile_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir)["events"]
+    hours = ev.select("user_id", F.hour("ts").alias("h"))
+    profiles = hours.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("h") == h, 1).otherwise(0))
+            .cast("long")
+            .alias(f"u{h}")
+            for h in range(_N_HOURS)
+        ]
+    )
+    global_profile = profiles.agg(
+        *[F.sum(f"u{h}").cast("long").alias(f"g{h}") for h in range(_N_HOURS)]
+    )
+    j = profiles.crossJoin(F.broadcast(global_profile))
+    dot = sum(F.col(f"u{h}") * F.col(f"g{h}") for h in range(_N_HOURS))
+    uu = sum(F.col(f"u{h}") * F.col(f"u{h}") for h in range(_N_HOURS))
+    gg = sum(F.col(f"g{h}") * F.col(f"g{h}") for h in range(_N_HOURS))
+    cos = F.round(
+        dot.cast("double") / (F.sqrt(uu.cast("double")) * F.sqrt(gg.cast("double"))),
+        6,
+    )
+    return (
+        j.select(
+            "user_id",
+            dot.cast("long").alias("dot_ug"),
+            cos.alias("cos_global"),
+        )
+        .orderBy(F.asc("cos_global"), F.asc("user_id"))
+        .limit(20)
+    )

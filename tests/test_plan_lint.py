@@ -43,6 +43,7 @@ _CROSS_OK = {
     "text_source_drift",  # 1-row corpus-total scalar crossed onto vocab frame
     "sim_ann_recall",  # composes sim_cosine_topk (broadcast queries × corpus)
     "dq_constraint_report",  # cross join of two 1-row audit aggregates
+    "ts_profile_anomaly",  # 1-row global-profile broadcast crossed onto users
 }
 
 _ALL = sorted(REGISTRY)
