@@ -132,6 +132,11 @@ def write_zorder_clustered(
     """
     df: DataFrame = spark.read.parquet(in_path)
     n_files = plan_compaction(in_path, target_file_bytes)
+    if len(cluster_by) * bits_per_dim > 62:
+        raise ValueError(
+            f"z-value needs {len(cluster_by) * bits_per_dim} bits, max 62 "
+            f"(signed long); lower bits_per_dim for {len(cluster_by)} dims"
+        )
 
     bounds = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cluster_by],
