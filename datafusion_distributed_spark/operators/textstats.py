@@ -909,10 +909,11 @@ def rare_token_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row_number over a vocab-sized single-source partition).
 # ---------------------------------------------------------------------------
 
-_DRIFT_ORACLE = f"""
+def _drift_oracle(where: str = "") -> str:
+    return f"""
 WITH st AS (
   SELECT source, t AS token, CAST(COUNT(*) AS DECIMAL(38,0)) AS c_st
-  FROM (SELECT source, unnest({_TOK_SQL}) AS t FROM documents) x
+  FROM (SELECT source, unnest({_TOK_SQL}) AS t FROM documents {where}) x
   GROUP BY source, t
 ),
 tok AS (
@@ -948,13 +949,9 @@ FROM src s JOIN present p USING (source) JOIN cov c USING (source) CROSS JOIN to
 """
 
 
-@query("text_source_drift", oracle=_DRIFT_ORACLE, tags=("text", "drift", "monitoring"))
-def source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source token-distribution drift vs the full corpus (exact total-
-    variation distance, integer-exact numerators, one final double division).
-    top_token_gap is the largest single-token |p_s(t) - q(t)| — the "what
-    moved" scalar next to the "how much moved" TV distance."""
-    docs = t(spark, sf_dir)["documents"]
+def source_drift_frames(docs: DataFrame) -> DataFrame:
+    """Parameterized core of text_source_drift (corpus subsets vary in the
+    randomized differential family #14)."""
     dec = "decimal(38,0)"
     # st feeds FOUR branches (tok/src/terms/cov); without the persist each
     # branch re-derives the corpus-sized explode+groupBy from the scan
@@ -1007,6 +1004,15 @@ def source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("t_s") * F.col("t_all")).cast("double")
         ).alias("top_token_gap"),
     )
+
+
+@query("text_source_drift", oracle=_drift_oracle(), tags=("text", "drift", "monitoring"))
+def source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift vs the full corpus (exact total-
+    variation distance, integer-exact numerators, one final double division).
+    top_token_gap is the largest single-token |p_s(t) - q(t)| — the "what
+    moved" scalar next to the "how much moved" TV distance."""
+    return source_drift_frames(t(spark, sf_dir)["documents"])
 
 
 # ---------------------------------------------------------------------------

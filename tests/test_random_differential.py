@@ -931,3 +931,43 @@ def test_random_minby_matches_oracle(spark, duck, i):
     ) x GROUP BY g
     """
     compare_to_oracle(sdf, duck, sql, name=f"randminby[{i}]{case}")
+
+
+# ---------------------------------------------------------------------------
+# Randomized drift family: text_source_drift's exact total-variation math
+# re-run over generated corpus subsets. Subsetting changes every term of
+# the formula at once — per-source totals, corpus totals, vocabularies and
+# the closed-form absent-token contribution — so parity across subsets is
+# strong evidence the integer-numerator algebra is right, not tuned to one
+# corpus composition.
+# ---------------------------------------------------------------------------
+
+_N_DRIFT_CASES = 5
+
+
+def _gen_drift_case(rng: random.Random):
+    return {"mod": rng.choice([2, 3, 5, 7]), "rem": rng.randint(0, 1)}
+
+
+_DRIFT_CASES = [_gen_drift_case(random.Random(14000 + i)) for i in range(_N_DRIFT_CASES)]
+
+
+@pytest.mark.parametrize("i", range(_N_DRIFT_CASES))
+def test_random_drift_matches_oracle(spark, duck, i):
+    from datafusion_distributed_spark.operators.textstats import (
+        _drift_oracle,
+        source_drift_frames,
+    )
+
+    case = _DRIFT_CASES[i]
+    m, r = case["mod"], case["rem"]
+    docs = load_tables(spark, SF_DIR)["documents"].filter(
+        F.col("doc_id") % m == r
+    )
+    oracle_views(duck, SF_DIR)
+    compare_to_oracle(
+        source_drift_frames(docs),
+        duck,
+        _drift_oracle(f"WHERE doc_id % {m} = {r}"),
+        name=f"randdrift[{i}]{case}",
+    )
