@@ -26,12 +26,19 @@ GROUP BY source
 def wuf_documents_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate the documents table read through runtime-discovered work
     units (row-range descriptors enumerated driver-side from parquet footers,
-    sub-split to 128-row units so one file fans out to many tasks)."""
+    sub-split to 1000-row units so one file fans out to several tasks).
+
+    Unit size is deliberately near row-group scale: columnar decode cannot
+    skip rows before a unit's start, so U units per row group cost ~(U+1)/2
+    full-group decodes. 128-row units over a 5000-row group (the old
+    setting) meant 40 Python tasks × ~20× decode amplification — the exact
+    shape that dies at 100 TB. tests/test_sources.py keeps the fine-grained
+    fan-out proof on a tiny file where amplification is irrelevant."""
     register_work_unit_feed(spark)
     docs = (
         spark.read.format("work_unit_feed")
         .option("path", f"{sf_dir.rstrip('/')}/documents.parquet")
-        .option("rows_per_unit", "128")
+        .option("rows_per_unit", "1000")
         .load()
     )
     return docs.groupBy("source").agg(
@@ -74,7 +81,7 @@ def wuf_filtered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         spark.read.format("work_unit_feed_filtered")
         .option("path", f"{sf_dir.rstrip('/')}/documents.parquet")
-        .option("rows_per_unit", "128")
+        .option("rows_per_unit", "1000")
         .load()
     )
     return (

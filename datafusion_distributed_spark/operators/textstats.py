@@ -1101,3 +1101,104 @@ def length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("q1").cast("double").alias("q1"),
         F.max("q3").cast("double").alias("q3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval: score every document against a fixed query-term
+# set with the Okapi BM25 formula and return the top-k. The retrieval
+# backbone of corpus search / RAG candidate generation.
+#
+# Scale design (100 TB): the term filter (tok IN Q) applies BEFORE the only
+# data-scale shuffle, so the (doc_id, tok) tf aggregate sees just the
+# matching postings. Document frequency is a |Q|-row aggregate OF that tf
+# table (broadcast back), and the corpus stats (N, total doc length) are a
+# 1-row aggregate broadcast via cross join — a second narrow pass over the
+# text column only (the q14/q15 scalar-denominator shape), no driver-side
+# collect. Per-term scores are rounded to integer micro-units
+# BEFORE the per-doc sum, so the final aggregate is exact integer math —
+# immune to float summation order across partitions (the same discipline as
+# the cents columns; see _util.cents).
+#
+# Reference parity: the reference has no IR surface; this extends the
+# text-analysis family (SURVEY.md §2 "training-data pipeline" rows) next to
+# text_docfreq_score / the inverted index.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "window", "hash", "join", "vector")
+_BM25_TOPK = 20
+# k1 = 1.2, b = 0.75; (k1+1) = 2.2, (1-b) = 0.25 written as literals so the
+# oracle SQL evaluates the byte-identical double expression.
+
+_BM25_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {_TOK_SQL} AS ws FROM documents
+),
+tok AS (
+  SELECT doc_id, len(ws) AS dl, unnest(ws) AS tok FROM w
+),
+tf AS (
+  SELECT doc_id, dl, tok, COUNT(*) AS tf FROM tok
+  WHERE tok IN {_BM25_TERMS!r}
+  GROUP BY doc_id, dl, tok
+),
+df AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(len(ws)) AS BIGINT) AS total_dl FROM w
+),
+term AS (
+  SELECT t.doc_id,
+         CAST(ROUND(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 *
+               (CAST(t.dl AS DOUBLE) / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))))
+           * 1000000.0, 0) AS BIGINT) AS sm
+  FROM tf t JOIN df d USING (tok) CROSS JOIN stats s
+)
+SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(sm) AS BIGINT) AS score_micro
+FROM term GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+@query(
+    "text_bm25_topk",
+    oracle=_BM25_ORACLE,
+    tags=("text", "retrieval"),
+    order_by="score_micro DESC, doc_id",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    words = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), " +").alias("ws")
+    )
+    toks = words.select(
+        "doc_id", F.size("ws").alias("dl"), F.explode("ws").alias("tok")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    stats = words.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("ws")).cast("long").alias("total_dl"),
+    )
+    joined = tf.join(F.broadcast(df_tbl), "tok").crossJoin(F.broadcast(stats))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    tfp = (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl").cast("double") / avgdl))
+    )
+    scored = joined.select(
+        "doc_id", F.round(idf * tfp * 1000000.0, 0).cast("long").alias("sm")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("sm").cast("long").alias("score_micro"))
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(_BM25_TOPK)
+    )

@@ -65,11 +65,29 @@ class WorkUnitFeedReader(DataSourceReader):
         return units
 
     def read(self, partition: WorkUnit):
-        """Executor-side: materialize exactly one work unit as Arrow batches."""
+        """Executor-side: materialize exactly one work unit as Arrow batches.
+
+        Decoding is STREAMING with early stop: ``iter_batches`` decodes the
+        row group incrementally and iteration halts at the unit's end, so a
+        unit covering rows [start, start+count) decodes at most ``start +
+        count`` rows, never the whole group. (Columnar decode cannot *skip*
+        rows before ``start`` — that is inherent to sub-row-group splits, and
+        why ``rows_per_unit`` should stay near row-group size at scale; the
+        amplification bound for U units over one group is (U+1)/2, not U.)
+        """
         import pyarrow.parquet as pq
 
-        table = pq.ParquetFile(partition.path).read_row_group(partition.row_group)
-        yield from table.slice(partition.row_start, partition.row_count).to_batches()
+        end = partition.row_start + partition.row_count
+        pf = pq.ParquetFile(partition.path)
+        pos = 0
+        for batch in pf.iter_batches(batch_size=8192, row_groups=[partition.row_group]):
+            if pos >= end:
+                break
+            lo = max(partition.row_start - pos, 0)
+            hi = min(end - pos, batch.num_rows)
+            if hi > lo:
+                yield batch.slice(lo, hi - lo)
+            pos += batch.num_rows
 
 
 class WorkUnitFeedDataSource(DataSource):

@@ -44,6 +44,7 @@ _CROSS_OK = {
     "sim_ann_recall",  # composes sim_cosine_topk (broadcast queries × corpus)
     "dq_constraint_report",  # cross join of two 1-row audit aggregates
     "ts_profile_anomaly",  # 1-row global-profile broadcast crossed onto users
+    "text_bm25_topk",  # 1-row corpus stats (N, total_dl) crossed onto postings
 }
 
 _ALL = sorted(REGISTRY)
