@@ -1190,3 +1190,124 @@ def ts_profile_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("cos_global"), F.asc("user_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear gap interpolation (hypertable time_bucket_gapfill + interpolate()):
+# per-user DAILY purchase series on a generated calendar spine, with missing
+# days filled by LINEAR interpolation between the neighboring observed
+# points (cb_calendar_gapfill is the zero-fill/locf sibling; this is the
+# interpolate() surface).
+#
+# Scale: the per-user window runs over the user's calendar span (bounded by
+# the time range, ~rows = users × days — NOT corpus-scale: the raw events
+# are reduced to one row per (user, day) by the exact-cents aggregate
+# first). The spine explode is |users| rows wide before the explode. The
+# interpolation arithmetic stays on exact cents until one double
+# mul-div, rounded to integer micro-cents before output, so partition
+# summation order can never perturb the hash.
+# ---------------------------------------------------------------------------
+
+_INTERP_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, CAST(ts AS DATE)
+),
+bounds AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY user_id),
+spine AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+),
+joined AS (
+  SELECT s.user_id, s.d, dd.cents,
+         CASE WHEN dd.d IS NULL THEN 1 ELSE 0 END AS filled
+  FROM spine s LEFT JOIN daily dd ON dd.user_id = s.user_id AND dd.d = s.d
+),
+neigh AS (
+  SELECT user_id, d, cents, filled,
+         LAST_VALUE(cents IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_c,
+         LAST_VALUE(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+         FIRST_VALUE(cents IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY d
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c,
+         FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY d
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+  FROM joined
+)
+SELECT user_id, CAST(d AS STRING) AS day, filled,
+       CAST(ROUND(
+         (CASE WHEN filled = 0 THEN CAST(cents AS DOUBLE)
+               ELSE prev_c + (next_c - prev_c)
+                    * (CAST(d - prev_d AS DOUBLE) / (next_d - prev_d))
+          END) * 10000.0, 0) AS BIGINT) AS val_microcents
+FROM neigh
+"""
+
+
+@query(
+    "ts_linear_interpolate",
+    oracle=_INTERP_ORACLE,
+    tags=("timeseries", "gapfill", "window"),
+    order_by="user_id, day",
+)
+def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir)["events"]
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.col("ts").cast("timestamp").cast("date").alias("d")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("d"))
+    )
+    dd = daily.select("user_id", F.col("d").alias("dd_d"), "cents")
+    joined = spine.join(
+        dd, (spine["user_id"] == dd["user_id"]) & (spine["d"] == dd["dd_d"]), "left"
+    ).select(
+        spine["user_id"],
+        spine["d"],
+        "cents",
+        F.when(F.col("dd_d").isNull(), 1).otherwise(0).alias("filled"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("cents").isNotNull(), F.col("d"))
+    neigh = joined.select(
+        "user_id",
+        "d",
+        "cents",
+        "filled",
+        F.last("cents", ignorenulls=True).over(w_prev).alias("prev_c"),
+        F.last(obs_d, ignorenulls=True).over(w_prev).alias("prev_d"),
+        F.first("cents", ignorenulls=True).over(w_next).alias("next_c"),
+        F.first(obs_d, ignorenulls=True).over(w_next).alias("next_d"),
+    )
+    interp = F.col("prev_c") + (F.col("next_c") - F.col("prev_c")) * (
+        F.datediff(F.col("d"), F.col("prev_d")).cast("double")
+        / F.datediff(F.col("next_d"), F.col("prev_d"))
+    )
+    val = F.when(F.col("filled") == 0, F.col("cents").cast("double")).otherwise(interp)
+    return neigh.select(
+        "user_id",
+        F.col("d").cast("string").alias("day"),
+        "filled",
+        F.round(val * 10000.0, 0).cast("long").alias("val_microcents"),
+    )
