@@ -230,3 +230,66 @@ def date_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_days_since_95"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Case-insensitive collation surface (Spark 4 COLLATE): group-by and filter
+# under UTF8_LCASE so 'SRC1'/'Src1'/'src1' collapse into one group — the
+# string-collation physical surface next to the binary-collation queries.
+# The mixed-case input is synthesized deterministically from doc_id (the
+# corpus is all-lowercase), so the query proves collation is doing the
+# merging, not the data. Oracle parity: over ASCII, UTF8_LCASE grouping ==
+# grouping by lower(); the emitted group key is min(lower(source)) — equal
+# within a collated group by definition — never a collation-chosen
+# representative (which member of an equal class MIN returns is
+# unspecified).
+#
+# Scale: one hash aggregate; the collated key hashes on the collation key
+# (lowercased form) exactly like any group-by — no new shuffle hazard.
+# ---------------------------------------------------------------------------
+
+_COLLATED_MIX_SQL = """
+CASE WHEN doc_id % 3 = 0 THEN upper(source)
+     WHEN doc_id % 3 = 1 THEN concat(upper(substr(source, 1, 1)), substr(source, 2))
+     ELSE source END
+"""
+
+_COLLATED_ORACLE = f"""
+WITH mixed AS (
+  SELECT doc_id, n_chars, lang, {_COLLATED_MIX_SQL} AS msrc FROM documents
+)
+SELECT min(lower(msrc)) AS source_key,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT msrc) AS n_case_variants,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM mixed
+WHERE lower(msrc) <> 'src0'
+GROUP BY lower(msrc)
+ORDER BY source_key
+"""
+
+
+@query(
+    "fn_collated_groupby",
+    oracle=_COLLATED_ORACLE,
+    tags=("functions", "collation"),
+    order_by="source_key",
+)
+def fn_collated_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    mixed = docs.select(
+        "n_chars",
+        F.expr(_COLLATED_MIX_SQL).alias("msrc"),
+    ).withColumn("csrc", F.collate(F.col("msrc"), "UTF8_LCASE"))
+    return (
+        mixed.filter(F.col("csrc") != F.lit("src0"))
+        .groupBy("csrc")
+        .agg(
+            F.min(F.lower("msrc")).alias("source_key"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("msrc").alias("n_case_variants"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select("source_key", "n_docs", "n_case_variants", "total_chars")
+        .orderBy("source_key")
+    )

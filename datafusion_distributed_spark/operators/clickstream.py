@@ -1311,3 +1311,89 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "filled",
         F.round(val * 10000.0, 0).cast("long").alias("val_microcents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-sampled quantiles — the quantile member of the sketch
+# family (distinct = cb_kmv_distinct_sketch, frequency =
+# cb_countmin_heavy_hitters): a fixed-rate Bernoulli sample selected by a
+# salted u32 hash of event_id estimates per-type p50/p95, reported next to
+# the exact quantiles with the absolute error in micro-cents. The hash
+# sample is the mergeable sketch — the union of two partitions' samples IS
+# the sample of their union (same fixed rate, same salt), the property that
+# makes it distributable; determinism (vs rand()) is what lets the DuckDB
+# oracle reproduce it bit-exactly.
+#
+# Exactness: percentile()/quantile_cont() linear interpolation on exact
+# integer cents (parity proven in text_length_outliers); error columns
+# rounded to integer micro-cents. Scale: two FILTER-clause aggregate sets
+# in ONE hash aggregate — a single pass, no window, no second scan; at
+# 100 TB only the exact side carries per-distinct-value aggregation state,
+# and the sampled side's state is ~10% of that.
+# ---------------------------------------------------------------------------
+
+_QSK_SALT = "qsketch:"
+_QSK_PCT = 10  # keep h % 100 < 10 — a 10% deterministic sample
+
+
+def _qsk_oracle() -> str:
+    h = "CAST(('0x' || substring(md5('" + _QSK_SALT + "' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    return f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         ({h} % 100 < {_QSK_PCT}) AS in_sample
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       COUNT(*) FILTER (WHERE in_sample) AS n_sampled,
+       quantile_cont(cents, 0.5) AS exact_p50,
+       quantile_cont(cents, 0.95) AS exact_p95,
+       quantile_cont(cents, 0.5) FILTER (WHERE in_sample) AS sample_p50,
+       quantile_cont(cents, 0.95) FILTER (WHERE in_sample) AS sample_p95,
+       CAST(ROUND(abs(quantile_cont(cents, 0.5) FILTER (WHERE in_sample)
+                      - quantile_cont(cents, 0.5)) * 10000.0, 0) AS BIGINT)
+         AS p50_err_micro
+FROM base
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "cb_sampled_quantiles",
+    oracle=_qsk_oracle(),
+    tags=("sketch", "quantile", "clickbench"),
+    order_by="event_type",
+)
+def cb_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir)["events"]
+    from .sampling import _u32_spark
+
+    h = _u32_spark(F.concat(F.lit(_QSK_SALT), F.col("event_id").cast("string")))
+    base = events.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        (h % 100 < _QSK_PCT).alias("in_sample"),
+    )
+    agg = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("COUNT(*) FILTER (WHERE in_sample)").alias("n_sampled"),
+        F.percentile("cents", F.lit(0.5)).alias("exact_p50"),
+        F.percentile("cents", F.lit(0.95)).alias("exact_p95"),
+        F.expr("percentile(cents, 0.5) FILTER (WHERE in_sample)").alias("sample_p50"),
+        F.expr("percentile(cents, 0.95) FILTER (WHERE in_sample)").alias("sample_p95"),
+    )
+    return agg.select(
+        "event_type",
+        "n_rows",
+        "n_sampled",
+        "exact_p50",
+        "exact_p95",
+        "sample_p50",
+        "sample_p95",
+        F.round(F.abs(F.col("sample_p50") - F.col("exact_p50")) * 10000.0, 0)
+        .cast("long")
+        .alias("p50_err_micro"),
+    ).orderBy("event_type")

@@ -51,3 +51,37 @@ def test_percentile_approx_rank_bound(spark):
     below = df.filter(F.col("c") <= approx).count()
     rank_err = abs(below - n / 2)
     assert rank_err <= n / _ACCURACY + 1
+
+
+def test_sampled_quantile_sketch_merge_property(spark):
+    """The hash sample behind cb_sampled_quantiles is a MERGEABLE sketch:
+    sampling a union == union of per-partition samples, because membership
+    depends only on (salt, event_id). Split the events by an unrelated
+    predicate, sample each half independently, and assert the union of the
+    halves' sample keys equals the whole-table sample keys."""
+    from datafusion_distributed_spark.operators.clickstream import (
+        _QSK_PCT,
+        _QSK_SALT,
+    )
+    from datafusion_distributed_spark.operators.sampling import _u32_spark
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    h = _u32_spark(F.concat(F.lit(_QSK_SALT), F.col("event_id").cast("string")))
+    sampled = ev.select("event_id", "user_id", (h % 100 < _QSK_PCT).alias("s"))
+    whole = {r.event_id for r in sampled.filter("s").collect()}
+    left = {
+        r.event_id
+        for r in sampled.filter("s AND user_id % 2 = 0").collect()
+    }
+    right = {
+        r.event_id
+        for r in sampled.filter("s AND user_id % 2 != 0").collect()
+    }
+    assert left | right == whole
+    assert left.isdisjoint(right)
+    # and the rate is what the sketch claims, within 3 sigma
+    n = sampled.count()
+    import math
+
+    p = _QSK_PCT / 100.0
+    assert abs(len(whole) - n * p) <= 3 * math.sqrt(n * p * (1 - p))
