@@ -1208,11 +1208,12 @@ def ts_profile_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # summation order can never perturb the hash.
 # ---------------------------------------------------------------------------
 
-_INTERP_ORACLE = """
+def _interp_oracle(where_sql: str = "WHERE event_type = 'purchase'") -> str:
+    return f"""
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS d,
          SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
-  FROM events WHERE event_type = 'purchase' GROUP BY user_id, CAST(ts AS DATE)
+  FROM events {where_sql} GROUP BY user_id, CAST(ts AS DATE)
 ),
 bounds AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY user_id),
 spine AS (
@@ -1250,16 +1251,12 @@ FROM neigh
 """
 
 
-@query(
-    "ts_linear_interpolate",
-    oracle=_INTERP_ORACLE,
-    tags=("timeseries", "gapfill", "window"),
-    order_by="user_id, day",
-)
-def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = t(spark, sf_dir)["events"]
+def interpolate_frames(filtered_events: DataFrame) -> DataFrame:
+    """Interpolation subplan over an arbitrary pre-filtered events frame
+    (also driven by the randomized differential family over generated
+    subsets, tests/test_random_differential.py)."""
     daily = (
-        events.filter(F.col("event_type") == "purchase")
+        filtered_events
         .groupBy(
             "user_id", F.col("ts").cast("timestamp").cast("date").alias("d")
         )
@@ -1311,6 +1308,17 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "filled",
         F.round(val * 10000.0, 0).cast("long").alias("val_microcents"),
     )
+
+
+@query(
+    "ts_linear_interpolate",
+    oracle=_interp_oracle(),
+    tags=("timeseries", "gapfill", "window"),
+    order_by="user_id, day",
+)
+def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir)["events"]
+    return interpolate_frames(events.filter(F.col("event_type") == "purchase"))
 
 
 # ---------------------------------------------------------------------------

@@ -289,3 +289,19 @@ def test_explain_analyze_renders_network_streams(spark):
     out = explain_analyze(tpch_q3(spark, SF_DIR))
     assert "Network streams (consumer ← producer):" in out
     assert "bytes," in out
+
+
+def test_rank_topn_uses_window_group_limit(spark):
+    """rank() <= k filters must plan with WindowGroupLimit (Spark's
+    group-limit pushdown): each map task keeps only the per-group top-k
+    BEFORE the window shuffle, so the shuffled volume is k×groups, not the
+    corpus — the property that makes per-group top-k survive 100 TB. Both
+    the Partial (pre-shuffle) and Final (post-shuffle) group-limit nodes
+    must be present."""
+    from datafusion_distributed_spark.operators.analytic import win_rank
+
+    df = win_rank(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "Partial" in plan.split("WindowGroupLimit")[1][:200] or \
+        "Partial" in plan

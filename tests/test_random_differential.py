@@ -971,3 +971,50 @@ def test_random_drift_matches_oracle(spark, duck, i):
         _drift_oracle(f"WHERE doc_id % {m} = {r}"),
         name=f"randdrift[{i}]{case}",
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomized interpolation family: ts_linear_interpolate's window-pair
+# (IGNORE NULLS last/first) + spine-join math re-run over generated event
+# subsets. Varying the event type and a user-modulus subset reshapes every
+# gap in the series — different spine widths, gap lengths, and boundary
+# rows — so parity across cases pins the interpolation algebra (prev/next
+# selection, day-fraction arithmetic, observed-row passthrough) rather
+# than one gap layout.
+# ---------------------------------------------------------------------------
+
+_N_INTERP_CASES = 6
+
+
+def _gen_interp_case(rng: random.Random):
+    return {
+        "etype": rng.choice(["purchase", "view", "click", "error", "signup"]),
+        "mod": rng.choice([2, 3, 5]),
+        "rem": rng.randint(0, 1),
+    }
+
+
+_INTERP_CASES = [
+    _gen_interp_case(random.Random(15000 + i)) for i in range(_N_INTERP_CASES)
+]
+
+
+@pytest.mark.parametrize("i", range(_N_INTERP_CASES))
+def test_random_interpolation_matches_oracle(spark, duck, i):
+    from datafusion_distributed_spark.operators.clickstream import (
+        _interp_oracle,
+        interpolate_frames,
+    )
+
+    case = _INTERP_CASES[i]
+    et, m, r = case["etype"], case["mod"], case["rem"]
+    ev = load_tables(spark, SF_DIR)["events"].filter(
+        (F.col("event_type") == et) & (F.col("user_id") % m == r)
+    )
+    oracle_views(duck, SF_DIR)
+    compare_to_oracle(
+        interpolate_frames(ev),
+        duck,
+        _interp_oracle(f"WHERE event_type = '{et}' AND user_id % {m} = {r}"),
+        name=f"randinterp[{i}]{case}",
+    )
