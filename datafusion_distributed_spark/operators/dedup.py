@@ -759,6 +759,16 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = connected_components(pairs)
     pairs.unpersist(blocking=False)
     members = docs.select("doc_id", "n_chars").join(clusters, "doc_id")
+    # Cluster size via a map-combinable groupBy, NOT count().over(cluster):
+    # a non-rank window function sharing the rank's partition spec would
+    # block Spark's WindowGroupLimit rewrite, forcing EVERY member of a
+    # cluster through one window task. Split out, the rk == 1 filter plans
+    # as Partial+Final WindowGroupLimit — each map task forwards one row
+    # per cluster, so a 10^8-member duplicate cluster shuffles
+    # #map-partitions rows, not 10^8 (pinned in tests/test_explain.py).
+    sizes = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
     )
@@ -767,9 +777,8 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars",
         F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).alias("n_members"),
     )
-    return ranked.where(F.col("rk") == 1).select(
+    return ranked.where(F.col("rk") == 1).join(sizes, "cluster_id").select(
         "cluster_id",
         F.col("doc_id").alias("rep_doc_id"),
         "n_members",

@@ -299,9 +299,17 @@ def test_rank_topn_uses_window_group_limit(spark):
     the Partial (pre-shuffle) and Final (post-shuffle) group-limit nodes
     must be present."""
     from datafusion_distributed_spark.operators.analytic import win_rank
+    from datafusion_distributed_spark.operators.clickstream import (
+        kmv_distinct_sketch,
+        kmv_sketch_merge,
+    )
+    from datafusion_distributed_spark.operators.dedup import (
+        cluster_representatives,
+    )
 
-    df = win_rank(spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("WindowGroupLimit") >= 2, plan
-    assert "Partial" in plan.split("WindowGroupLimit")[1][:200] or \
-        "Partial" in plan
+    for fn in (win_rank, kmv_distinct_sketch, kmv_sketch_merge,
+               cluster_representatives):
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        # Partial (map-side) + Final (reduce-side) pair per rank filter.
+        assert plan.count("WindowGroupLimit") >= 2, f"{fn.__name__}: {plan}"
+        assert "Partial" in plan
