@@ -860,18 +860,21 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cos, 6).alias("cos_sim"),
         (F.col("bucket") == F.col("qbucket")).alias("in_bucket"),
     )
+    # ONE window spec carries both rankings: the bucket-subset rank of an
+    # in-bucket row equals the RUNNING COUNT of in-bucket rows up to it in
+    # the global (cos_sim, neighbor_id) order — the subset order is the
+    # global order restricted to the subset. One q_id shuffle + one window
+    # pass instead of two corpus×Q shuffles (the old (q_id, in_bucket)
+    # second spec re-shuffled every scored row a second time).
     w_exact = Window.partitionBy("q_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
-    w_bucket = Window.partitionBy("q_id", "in_bucket").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
+    w_run = w_exact.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucket_rank = F.sum(F.when(F.col("in_bucket"), 1).otherwise(0)).over(w_run)
     flagged = scored.select(
         "q_id",
         (F.row_number().over(w_exact) <= _TOP_K).alias("is_exact"),
-        (F.col("in_bucket") & (F.row_number().over(w_bucket) <= _TOP_K)).alias(
-            "is_approx"
-        ),
+        (F.col("in_bucket") & (bucket_rank <= _TOP_K)).alias("is_approx"),
     ).where(F.col("is_exact"))
     n_matched = F.sum(F.when(F.col("is_approx"), 1).otherwise(0))
     return flagged.groupBy("q_id").agg(
