@@ -293,3 +293,81 @@ def fn_collated_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source_key", "n_docs", "n_case_variants", "total_chars")
         .orderBy("source_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANSI error-safe arithmetic surface (try_divide / try_multiply / try_cast):
+# the session runs ANSI mode (spark.sql.ansi.enabled=true, where 1/0 and
+# bigint overflow RAISE — proven by tests/test_error_propagation.py); the
+# try_* family is the per-expression opt-out that converts those errors to
+# NULL. Each lane is data-dependent — zero denominators from l_linenumber,
+# malformed cast inputs from an orderkey-gated string, bigint overflow from
+# (l_suppkey + 1) * 2^62 — and the oracle reproduces the NULL sets with
+# explicit CASE guards (DuckDB's own x/0 or overflow would error too).
+#
+# Scale: pure scan → narrow projections → one tiny hash aggregate.
+# ---------------------------------------------------------------------------
+
+_TRY_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+       CAST(SUM(COALESCE(CAST(ROUND(d * 1000000.0, 0) AS BIGINT), 0)) AS BIGINT)
+         AS sum_div_micro,
+       CAST(SUM(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_null,
+       CAST(SUM(COALESCE(c, 0)) AS BIGINT) AS sum_cast,
+       CAST(SUM(CASE WHEN m IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_mul_null
+FROM (
+  SELECT l_returnflag,
+         CASE WHEN (l_linenumber - 3) = 0 THEN NULL
+              ELSE CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   / CAST(l_linenumber - 3 AS DOUBLE) END AS d,
+         TRY_CAST(CASE WHEN l_orderkey % 5 = 0 THEN 'oops'
+                       ELSE CAST(l_suppkey AS VARCHAR) END AS BIGINT) AS c,
+         CASE WHEN (l_suppkey + 1) >= 2 THEN NULL
+              ELSE (l_suppkey + 1) * 4611686018427387904 END AS m
+  FROM lineitem
+) x
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query(
+    "fn_try_arithmetic",
+    oracle=_TRY_ORACLE,
+    tags=("functions", "ansi", "error-safe"),
+    order_by="l_returnflag",
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir)["lineitem"]
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    d = F.try_divide(cents, (F.col("l_linenumber") - 3).cast("double"))
+    c = F.expr(
+        "try_cast(CASE WHEN l_orderkey % 5 = 0 THEN 'oops'"
+        " ELSE CAST(l_suppkey AS STRING) END AS BIGINT)"
+    )
+    m = F.try_multiply(F.col("l_suppkey") + 1, F.lit(4611686018427387904))
+    x = li.select("l_returnflag", d.alias("d"), c.alias("c"), m.alias("m"))
+    return (
+        x.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("d").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_div_null"),
+            F.sum(
+                F.coalesce(F.round(F.col("d") * 1000000.0, 0).cast("long"), F.lit(0))
+            )
+            .cast("long")
+            .alias("sum_div_micro"),
+            F.sum(F.when(F.col("c").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_cast_null"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("sum_cast"),
+            F.sum(F.when(F.col("m").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_mul_null"),
+        )
+        .orderBy("l_returnflag")
+    )

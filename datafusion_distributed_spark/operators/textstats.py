@@ -1202,3 +1202,117 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_micro"), "doc_id")
         .limit(_BM25_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal scoring (the CCNet/perplexity-bucket quality filter
+# shape): fit a unigram model ON the corpus (token counts), score every
+# document by its mean token surprisal -log2 P(tok), and report per-source
+# quality buckets. The model-scoring sibling of text_bm25_topk's
+# query-scoring — same broadcast-vocabulary backbone, different statistic.
+#
+# Exactness discipline: per-token surprisal is rounded to integer
+# MICRO-BITS once per vocabulary entry (a |vocab|-row computation), then
+# every downstream step is exact integer math — tf-weighted doc totals,
+# FLOOR-division doc means, per-source sums — with a single final double
+# division. Float summation order can never perturb the result.
+#
+# Scale: explode → one (doc, tok) hash aggregate (map-combinable), vocab
+# aggregate OF that table (tiny, broadcast back), per-doc and per-source
+# aggregates. No windows, no second corpus scan (total tokens = sum of
+# vocab counts — derived from the vocabulary, not re-scanned).
+# ---------------------------------------------------------------------------
+
+_SURPRISAL_HI_MICRO = 5_500_000  # docs with mean surprisal above ~5.5 bits
+
+
+_SURPRISAL_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, source, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, source, unnest({_TOK_SQL}) AS tok FROM documents)
+  GROUP BY doc_id, source, tok
+),
+vocab AS (
+  SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY tok
+),
+tot AS (
+  SELECT SUM(cnt) AS n_total FROM vocab
+),
+scored AS (
+  SELECT tok, CAST(ROUND(-log2(CAST(cnt AS DOUBLE) / n_total) * 1000000.0, 0)
+              AS BIGINT) AS sbits_micro
+  FROM vocab CROSS JOIN tot
+),
+per_doc AS (
+  SELECT t.doc_id, t.source,
+         CAST(SUM(t.tf * s.sbits_micro) AS BIGINT) // CAST(SUM(t.tf) AS BIGINT)
+           AS mean_micro
+  FROM tf t JOIN scored s ON s.tok = t.tok
+  GROUP BY t.doc_id, t.source
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(mean_micro) AS BIGINT) AS sum_mean_micro,
+       CAST(MAX(mean_micro) AS BIGINT) AS max_mean_micro,
+       CAST(SUM(CASE WHEN mean_micro > {_SURPRISAL_HI_MICRO} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_high_surprisal,
+       CAST(SUM(mean_micro) AS DOUBLE) / COUNT(*) AS avg_mean_micro
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query(
+    "text_unigram_surprisal",
+    oracle=_SURPRISAL_ORACLE,
+    tags=("text", "quality", "language-model"),
+    order_by="source",
+)
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    tf = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("tok"),
+        )
+        .groupBy("doc_id", "source", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("n_total"))
+    scored = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(-F.log2(F.col("cnt").cast("double") / F.col("n_total")) * 1000000.0, 0)
+        .cast("long")
+        .alias("sbits_micro"),
+    )
+    per_doc = (
+        tf.join(F.broadcast(scored), "tok")
+        .groupBy("doc_id", "source")
+        .agg(
+            (
+                F.sum(F.col("tf") * F.col("sbits_micro")).cast("long")
+                / F.sum("tf").cast("long")
+            )
+            .cast("long")
+            .alias("mean_micro")
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("mean_micro").cast("long").alias("sum_mean_micro"),
+            F.max("mean_micro").cast("long").alias("max_mean_micro"),
+            F.sum(
+                F.when(F.col("mean_micro") > _SURPRISAL_HI_MICRO, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_high_surprisal"),
+            (F.sum("mean_micro").cast("double") / F.count(F.lit(1))).alias(
+                "avg_mean_micro"
+            ),
+        )
+        .orderBy("source")
+    )

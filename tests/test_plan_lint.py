@@ -45,6 +45,7 @@ _CROSS_OK = {
     "dq_constraint_report",  # cross join of two 1-row audit aggregates
     "ts_profile_anomaly",  # 1-row global-profile broadcast crossed onto users
     "text_bm25_topk",  # 1-row corpus stats (N, total_dl) crossed onto postings
+    "text_unigram_surprisal",  # 1-row token total crossed onto ~50-row vocab
 }
 
 _ALL = sorted(REGISTRY)
