@@ -1314,7 +1314,6 @@ def interpolate_frames(filtered_events: DataFrame) -> DataFrame:
     "ts_linear_interpolate",
     oracle=_interp_oracle(),
     tags=("timeseries", "gapfill", "window"),
-    order_by="user_id, day",
 )
 def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = t(spark, sf_dir)["events"]

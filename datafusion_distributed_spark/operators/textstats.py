@@ -1129,7 +1129,8 @@ _BM25_TOPK = 20
 # k1 = 1.2, b = 0.75; (k1+1) = 2.2, (1-b) = 0.25 written as literals so the
 # oracle SQL evaluates the byte-identical double expression.
 
-_BM25_ORACLE = f"""
+def _bm25_oracle(terms=_BM25_TERMS, topk=_BM25_TOPK) -> str:
+    return f"""
 WITH w AS (
   SELECT doc_id, {_TOK_SQL} AS ws FROM documents
 ),
@@ -1138,7 +1139,7 @@ tok AS (
 ),
 tf AS (
   SELECT doc_id, dl, tok, COUNT(*) AS tf FROM tok
-  WHERE tok IN {_BM25_TERMS!r}
+  WHERE tok IN {tuple(terms)!r}
   GROUP BY doc_id, dl, tok
 ),
 df AS (
@@ -1159,18 +1160,13 @@ term AS (
 SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(sm) AS BIGINT) AS score_micro
 FROM term GROUP BY doc_id
 ORDER BY score_micro DESC, doc_id
-LIMIT {_BM25_TOPK}
+LIMIT {topk}
 """
 
 
-@query(
-    "text_bm25_topk",
-    oracle=_BM25_ORACLE,
-    tags=("text", "retrieval"),
-    order_by="score_micro DESC, doc_id",
-)
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir)["documents"]
+def bm25_frames(docs: DataFrame, terms=_BM25_TERMS, topk=_BM25_TOPK) -> DataFrame:
+    """BM25 subplan over an arbitrary documents frame (also driven by the
+    randomized differential family over generated term sets)."""
     words = docs.select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), " +").alias("ws")
     )
@@ -1178,7 +1174,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size("ws").alias("dl"), F.explode("ws").alias("tok")
     )
     tf = (
-        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        toks.filter(F.col("tok").isin(*terms))
         .groupBy("doc_id", "dl", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -1200,8 +1196,18 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("sm").cast("long").alias("score_micro"))
         .orderBy(F.desc("score_micro"), "doc_id")
-        .limit(_BM25_TOPK)
+        .limit(topk)
     )
+
+
+@query(
+    "text_bm25_topk",
+    oracle=_bm25_oracle(),
+    tags=("text", "retrieval"),
+    order_by="score_micro DESC, doc_id",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_frames(t(spark, sf_dir)["documents"])
 
 
 # ---------------------------------------------------------------------------

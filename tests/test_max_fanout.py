@@ -131,3 +131,44 @@ def test_query_matches_oracle_under_odd_shuffle_count(odd_shuffle_spark, duck, n
     compare_to_oracle(
         df, duck, qd.oracle, name=f"shuffle97:{name}", order_by=qd.order_by
     )
+
+
+def test_concurrent_sibling_sessions_isolated(spark):
+    """Two sibling sessions driving DIFFERENT sf_dirs from concurrent
+    threads: each thread's counts must come from its own session's views on
+    every iteration (the session-scoped view cache must hold under
+    interleaving, not just sequential alternation)."""
+    import threading
+
+    from .conftest import SF_DIR
+
+    n_small = load_tables(spark, SF_DIR)["customer"].count()
+    n_med = None
+    errors: list[str] = []
+
+    def worker(sess, sf, expected_holder, iters=4):
+        try:
+            for _ in range(iters):
+                tb = load_tables(sess, sf)
+                got = sess.sql("SELECT COUNT(*) FROM customer").collect()[0][0]
+                expected_holder.append(got)
+                assert tb["customer"].count() == got
+        except Exception as ex:  # surface into the main thread
+            errors.append(f"{sf}: {ex}")
+
+    s1, s2 = spark.newSession(), spark.newSession()
+    got1: list[int] = []
+    got2: list[int] = []
+    t1 = threading.Thread(target=worker, args=(s1, SF_DIR, got1))
+    t2 = threading.Thread(target=worker, args=(s2, SF_DIR_MED, got2))
+    try:
+        t1.start(); t2.start(); t1.join(120); t2.join(120)
+        assert not errors, errors
+        n_med = got2[0]
+        assert set(got1) == {n_small}, got1
+        assert set(got2) == {n_med}, got2
+        assert n_small != n_med
+        # the parent session's views were never clobbered
+        assert spark.sql("SELECT COUNT(*) FROM customer").collect()[0][0] == n_small
+    finally:
+        load_tables(spark, SF_DIR)

@@ -1018,3 +1018,49 @@ def test_random_interpolation_matches_oracle(spark, duck, i):
         _interp_oracle(f"WHERE event_type = '{et}' AND user_id % {m} = {r}"),
         name=f"randinterp[{i}]{case}",
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomized BM25 family: the retrieval scoring algebra re-run over
+# generated query-term sets and top-k depths. Different term sets shift
+# every df/idf input and which documents reach the top-k boundary;
+# different k values move the tie frontier — so parity across cases pins
+# the idf/tf-normalization arithmetic and the (score, doc_id) ordering
+# contract, not one fixed query.
+# ---------------------------------------------------------------------------
+
+_N_BM25_CASES = 6
+
+_BM25_VOCAB = [
+    "spark", "window", "hash", "join", "vector", "query", "table", "scan",
+    "merge", "batch", "filter", "sort", "group", "stream", "column",
+]
+
+
+def _gen_bm25_case(rng: random.Random):
+    n_terms = rng.randint(2, 6)
+    return {
+        "terms": tuple(sorted(rng.sample(_BM25_VOCAB, n_terms))),
+        "topk": rng.choice([5, 10, 25, 50]),
+    }
+
+
+_BM25_CASES = [_gen_bm25_case(random.Random(16000 + i)) for i in range(_N_BM25_CASES)]
+
+
+@pytest.mark.parametrize("i", range(_N_BM25_CASES))
+def test_random_bm25_matches_oracle(spark, duck, i):
+    from datafusion_distributed_spark.operators.textstats import (
+        _bm25_oracle,
+        bm25_frames,
+    )
+
+    case = _BM25_CASES[i]
+    docs = load_tables(spark, SF_DIR)["documents"]
+    oracle_views(duck, SF_DIR)
+    compare_to_oracle(
+        bm25_frames(docs, terms=case["terms"], topk=case["topk"]),
+        duck,
+        _bm25_oracle(terms=case["terms"], topk=case["topk"]),
+        name=f"randbm25[{i}]{case}",
+    )
