@@ -2633,3 +2633,34 @@ _COHORT_SPEND_ORACLE = _cohort_spend_sql("//")
 def cohort_spend_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir)
     return spark.sql(_COHORT_SPEND_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Degenerate-schema stages: a query whose intermediate stages carry ZERO
+# data columns — grouping only drives row multiplicity, every output value
+# is an uncorrelated scalar subquery. The reference reproduces an Arrow-IPC
+# crash on exactly this shape ("must either specify a row count or at least
+# one column", /root/reference/tests/empty_columns_between_workers.rs:12-31:
+# literal-only projections make zero-column record batches between
+# workers); Spark's UnsafeRow shuffle must carry the same empty-schema rows
+# through the group-by exchange without dropping row counts. The scalar
+# subquery executes ONCE (broadcast as a literal into every task), never
+# per row.
+# ---------------------------------------------------------------------------
+
+_EMPTY_COLS_SQL = """
+SELECT (SELECT COUNT(*) FROM orders) AS total_orders,
+       COUNT(*) AS n_in_group
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "sql_empty_column_stage",
+    oracle=_EMPTY_COLS_SQL,
+    tags=("sql-entry", "edge-case", "scalar-subquery"),
+)
+def empty_column_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_EMPTY_COLS_SQL)
