@@ -2664,3 +2664,40 @@ GROUP BY o_orderstatus
 def empty_column_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir)
     return spark.sql(_EMPTY_COLS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Non-equi correlated EXISTS — the build-side-emitting NestedLoopJoin semi
+# shape (/root/reference/tests/multi_task_collect_join_repros.rs:110-115:
+# the predicate `x > k - 1 AND x < k + 1` IS integer equality, but spelled
+# as inequalities no hash join can use, forcing a nested-loop LeftSemi —
+# the reference's distributed repro for build-side-emitting NLJ types).
+# The inner side is the 25-row nation dim restricted by a pattern, so the
+# BNLJ broadcasts a constant-size build at any corpus scale.
+# ---------------------------------------------------------------------------
+
+_NONEQUI_EXISTS_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM nation n
+  WHERE c.c_nationkey > n.n_nationkey - 1
+    AND c.c_nationkey < n.n_nationkey + 1
+    AND n.n_name LIKE '%A%'
+)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query(
+    "join_nonequi_exists",
+    oracle=_NONEQUI_EXISTS_SQL,
+    tags=("join", "semi", "non-equi", "edge-case"),
+    order_by="c_mktsegment",
+)
+def join_nonequi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_NONEQUI_EXISTS_SQL)
