@@ -84,3 +84,20 @@ REVENUE_SCALE = 10_000
 # Kept for operators that genuinely need decimal types (none hot-path today).
 def dec(col: str | Column, p: int = 12, s: int = 4) -> Column:
     return _c(col).cast(f"decimal({p},{s})")
+
+
+def release_local_checkpoint(df) -> None:
+    """Explicitly free the block store behind a localCheckpoint'ed frame.
+
+    GC-based reclamation is NOT dependable for checkpoint blocks (measured:
+    superseded iteration frames survive repeated driver+JVM GC for the
+    session's lifetime), and at 100 TB each iteration's frame is real
+    executor memory/disk — an iterative operator must release iteration N-1
+    the moment N is materialized, like any stateful worker cleans up after
+    its query (/root/reference/tests/stateful_data_cleanup.rs:28-66).
+    Best-effort by design: if the plan shape ever stops being LogicalRDD,
+    leaking to GC is the correct fallback, not failing the query."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # not a LogicalRDD-backed frame — nothing explicit to free

@@ -23,7 +23,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ._util import t
+from ._util import release_local_checkpoint, t
 from .registry import query
 
 # MinHash parameters: 8 bands x 2 rows = 16 hash functions.
@@ -494,6 +494,9 @@ def connected_components(edges: DataFrame) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        # new_labels is materialized (eager checkpoint + the sum action):
+        # iteration N-1's blocks are dead state from here — free them now.
+        release_local_checkpoint(labels)
         labels = new_labels
         if cur_sum == prev_sum:
             break
@@ -507,6 +510,10 @@ def connected_components(edges: DataFrame) -> DataFrame:
             f"within {_CC_MAX_ITERS} iterations (pair graph diameter exceeds "
             f"the cap); raise _CC_MAX_ITERS for this graph"
         )
+    # The symmetric edge list is loop-only state; the returned frame depends
+    # solely on the final labels checkpoint (which stays cached as the
+    # result's backing store — the one block this function's caller owns).
+    release_local_checkpoint(sym)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )

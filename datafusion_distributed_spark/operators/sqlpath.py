@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ._util import t
+from ._util import release_local_checkpoint, t
 from .registry import query
 
 # Year-over-year revenue doublers: a CTE materialized once, self-joined
@@ -1393,10 +1393,17 @@ def df_tree_depth_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=False)  # materialized by count(): one job/level
             )
             n = nxt.count()
+            # nxt is materialized by count(): the previous frontier's
+            # checkpoint blocks are dead state — free them now (GC will not,
+            # see release_local_checkpoint).
+            release_local_checkpoint(frontier)
             if n == 0:
+                release_local_checkpoint(nxt)
                 break
             counts.append((depth, n))
             frontier = nxt
+        release_local_checkpoint(frontier)
+        # Output is driver-side counts only — no checkpoint outlives the walk.
         return spark.createDataFrame(counts, schema="depth int, n_nodes bigint")
     finally:
         cust.unpersist()
@@ -1832,6 +1839,7 @@ def df_tree_depth_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=True)  # cut the doubling lineage
             )
             st.unpersist()
+            release_local_checkpoint(st)  # the superseded round's blocks
             st = nxt.persist()
         else:
             raise RuntimeError("pointer doubling did not converge in 64 rounds")
