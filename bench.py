@@ -35,16 +35,37 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
+    from datafusion_distributed_spark.plans.cost_lint import (
+        budget_seconds,
+        input_rows,
+        is_narrow,
+        table_row_counts,
+    )
+
+    row_counts = table_row_counts(spark, SF_DIR)
     per_query: dict[str, float] = {}
+    cost_flags: list[str] = []
     for name, qd in sorted(REGISTRY.items()):
         times = []
         try:
-            qd.fn(spark, SF_DIR).collect()  # warm-up (also JIT/codegen cache)
+            warm = qd.fn(spark, SF_DIR)
+            warm.collect()  # warm-up (also JIT/codegen cache)
+            # Per-row cost lint (round-4 verdict: a clean narrow plan can
+            # hide a 2,000× per-row constant — e.g. a per-row JVM exception
+            # path). Classified off the warm-up frame: zero extra builds.
+            narrow_rows = input_rows(warm, row_counts) if is_narrow(warm) else None
             for _ in range(N_RUNS):
                 t0 = time.perf_counter()
                 qd.fn(spark, SF_DIR).collect()
                 times.append(time.perf_counter() - t0)
             per_query[name] = round(statistics.median(times), 4)
+            if narrow_rows is not None and per_query[name] > budget_seconds(
+                narrow_rows
+            ):
+                cost_flags.append(
+                    f"{name}: {per_query[name]:.2f}s / {narrow_rows} rows "
+                    f"(budget {budget_seconds(narrow_rows):.2f}s)"
+                )
         except Exception as exc:  # keep the harness alive; surface on stderr
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             per_query[name] = -1.0
@@ -69,6 +90,10 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(per_query),
                 "runs_per_query": N_RUNS,
+                # Narrow-only queries whose p50 exceeds the per-row cost
+                # budget (plans/cost_lint.py) — empty means no hidden
+                # per-row scale-killers this round.
+                "cost_flags": cost_flags,
                 # Session configs BASELINE.md §B says to record per run.
                 "configs": {
                     k: spark.conf.get(k, None)

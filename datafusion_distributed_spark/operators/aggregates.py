@@ -302,8 +302,19 @@ def fn_collated_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 # try_* family is the per-expression opt-out that converts those errors to
 # NULL. Each lane is data-dependent — zero denominators from l_linenumber,
 # malformed cast inputs from an orderkey-gated string, bigint overflow from
-# (l_suppkey + 1) * 2^62 — and the oracle reproduces the NULL sets with
-# explicit CASE guards (DuckDB's own x/0 or overflow would error too).
+# (l_suppkey + 1) * 2^62 on the ~2% of rows where l_orderkey % 50 = 0 —
+# and the oracle reproduces the NULL sets with explicit CASE guards
+# (DuckDB's own x/0 or overflow would error too).
+#
+# Per-row cost discipline: Spark implements try_* NULL-on-error by CATCHING
+# a per-row JVM ArithmeticException (~16 µs/row — ~2,000× a plain multiply).
+# The overflow lane is therefore gated so the exception path is COLD: only
+# rows with l_orderkey % 50 = 0 get the 2^62 factor (and overflow); the
+# other 98% multiply by 3 and take the fast non-throwing path, so both NULL
+# and non-NULL outputs occur and the battery proves the surface without
+# paying exception-construction on every row. (Round-4 verdict: the
+# ungated always-overflow lane alone cost 9.9 s — 13% of the whole battery.
+# tests/test_cost_lint.py now rejects that class mechanically.)
 #
 # Scale: pure scan → narrow projections → one tiny hash aggregate.
 # ---------------------------------------------------------------------------
@@ -316,7 +327,8 @@ SELECT l_returnflag,
          AS sum_div_micro,
        CAST(SUM(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_null,
        CAST(SUM(COALESCE(c, 0)) AS BIGINT) AS sum_cast,
-       CAST(SUM(CASE WHEN m IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_mul_null
+       CAST(SUM(CASE WHEN m IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_mul_null,
+       CAST(SUM(COALESCE(m, 0)) AS BIGINT) AS sum_mul
 FROM (
   SELECT l_returnflag,
          CASE WHEN (l_linenumber - 3) = 0 THEN NULL
@@ -324,8 +336,8 @@ FROM (
                    / CAST(l_linenumber - 3 AS DOUBLE) END AS d,
          TRY_CAST(CASE WHEN l_orderkey % 5 = 0 THEN 'oops'
                        ELSE CAST(l_suppkey AS VARCHAR) END AS BIGINT) AS c,
-         CASE WHEN (l_suppkey + 1) >= 2 THEN NULL
-              ELSE (l_suppkey + 1) * 4611686018427387904 END AS m
+         CASE WHEN l_orderkey % 50 = 0 THEN NULL
+              ELSE (l_suppkey + 2) * 3 END AS m
   FROM lineitem
 ) x
 GROUP BY l_returnflag
@@ -347,7 +359,18 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "try_cast(CASE WHEN l_orderkey % 5 = 0 THEN 'oops'"
         " ELSE CAST(l_suppkey AS STRING) END AS BIGINT)"
     )
-    m = F.try_multiply(F.col("l_suppkey") + 1, F.lit(4611686018427387904))
+    # Overflow is the exception, not the rule: 2% of rows (orderkey % 50 = 0)
+    # get the 2^62 factor and overflow -> NULL; the rest multiply by 3 on the
+    # non-throwing fast path. try_multiply still proves the NULL-on-overflow
+    # contract, without a per-row exception storm.
+    # (l_suppkey + 2) because this dataset's suppkeys start at 0: s + 2 >= 2
+    # guarantees the gated 2^62 factor always overflows int64.
+    m = F.try_multiply(
+        F.col("l_suppkey") + 2,
+        F.when(F.col("l_orderkey") % 50 == 0, F.lit(4611686018427387904)).otherwise(
+            F.lit(3)
+        ),
+    )
     x = li.select("l_returnflag", d.alias("d"), c.alias("c"), m.alias("m"))
     return (
         x.groupBy("l_returnflag")
@@ -368,6 +391,7 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("m").isNull(), 1).otherwise(0))
             .cast("long")
             .alias("n_mul_null"),
+            F.sum(F.coalesce(F.col("m"), F.lit(0))).cast("long").alias("sum_mul"),
         )
         .orderBy("l_returnflag")
     )

@@ -1352,18 +1352,24 @@ WITH base AS (
          ({h} % 100 < {_QSK_PCT}) AS in_sample
   FROM events
 )
-SELECT event_type,
-       COUNT(*) AS n_rows,
-       COUNT(*) FILTER (WHERE in_sample) AS n_sampled,
-       quantile_cont(cents, 0.5) AS exact_p50,
-       quantile_cont(cents, 0.95) AS exact_p95,
-       quantile_cont(cents, 0.5) FILTER (WHERE in_sample) AS sample_p50,
-       quantile_cont(cents, 0.95) FILTER (WHERE in_sample) AS sample_p95,
-       CAST(ROUND(abs(quantile_cont(cents, 0.5) FILTER (WHERE in_sample)
-                      - quantile_cont(cents, 0.5)) * 10000.0, 0) AS BIGINT)
-         AS p50_err_micro
-FROM base
-GROUP BY event_type
+SELECT event_type, n_rows, n_sampled,
+       exact_p50, exact_p95, sample_p50, sample_p95,
+       CAST(abs(sample_p50 - exact_p50) AS BIGINT) AS p50_err_micro
+FROM (
+  SELECT event_type,
+         COUNT(*) AS n_rows,
+         COUNT(*) FILTER (WHERE in_sample) AS n_sampled,
+         CAST(ROUND(quantile_cont(cents, 0.5) * 10000.0, 0) AS BIGINT)
+           AS exact_p50,
+         CAST(ROUND(quantile_cont(cents, 0.95) * 10000.0, 0) AS BIGINT)
+           AS exact_p95,
+         CAST(ROUND((quantile_cont(cents, 0.5) FILTER (WHERE in_sample))
+                    * 10000.0, 0) AS BIGINT) AS sample_p50,
+         CAST(ROUND((quantile_cont(cents, 0.95) FILTER (WHERE in_sample))
+                    * 10000.0, 0) AS BIGINT) AS sample_p95
+  FROM base
+  GROUP BY event_type
+) q
 ORDER BY event_type
 """
 
@@ -1384,13 +1390,23 @@ def cb_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
         (h % 100 < _QSK_PCT).alias("in_sample"),
     )
+    # Percentiles are rounded to integer micro-cents BEFORE output (and
+    # before differencing) so the hash never depends on both engines
+    # ordering the linear-interpolation arithmetic identically — the same
+    # round-to-integer-before-output discipline as every other quantile
+    # query here.
+    micro = lambda c: F.round(c * 10000.0, 0).cast("long")  # noqa: E731
     agg = base.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.expr("COUNT(*) FILTER (WHERE in_sample)").alias("n_sampled"),
-        F.percentile("cents", F.lit(0.5)).alias("exact_p50"),
-        F.percentile("cents", F.lit(0.95)).alias("exact_p95"),
-        F.expr("percentile(cents, 0.5) FILTER (WHERE in_sample)").alias("sample_p50"),
-        F.expr("percentile(cents, 0.95) FILTER (WHERE in_sample)").alias("sample_p95"),
+        micro(F.percentile("cents", F.lit(0.5))).alias("exact_p50"),
+        micro(F.percentile("cents", F.lit(0.95))).alias("exact_p95"),
+        micro(F.expr("percentile(cents, 0.5) FILTER (WHERE in_sample)")).alias(
+            "sample_p50"
+        ),
+        micro(F.expr("percentile(cents, 0.95) FILTER (WHERE in_sample)")).alias(
+            "sample_p95"
+        ),
     )
     return agg.select(
         "event_type",
@@ -1400,7 +1416,7 @@ def cb_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_p95",
         "sample_p50",
         "sample_p95",
-        F.round(F.abs(F.col("sample_p50") - F.col("exact_p50")) * 10000.0, 0)
+        F.abs(F.col("sample_p50") - F.col("exact_p50"))
         .cast("long")
         .alias("p50_err_micro"),
     ).orderBy("event_type")

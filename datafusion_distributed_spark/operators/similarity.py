@@ -13,7 +13,12 @@ the final per-query top-k, a row_number window partitioned by q_id — i.e.
 the rank runs in Q tasks of |candidates(q)| rows each. That envelope is the
 deliberate fit for this surface's registered shape (a small probe set
 against a huge corpus; for the LSH/IVF variants |candidates(q)| is already
-bucket-sized, not corpus-sized). A LARGE query set changes the design, not
+bucket-sized, not corpus-sized; and every rank window here is RANK-ONLY so
+Spark's WindowGroupLimit prunes each map partition to k rows per q_id
+before the shuffle — the per-task envelope is k×partitions rows, never the
+corpus. ann_recall's running-sum window runs AFTER that top-k filter, on a
+frame already bounded to k rows per q_id). A LARGE query set changes the
+design, not
 the constant: co-partition both sides by bucket/cell (the hint-free join
 the ann_lsh_topk docstring describes) so ranking keys become
 (q_id, bucket) — millions of bounded partitions, never Q corpus-wide ones.
@@ -803,11 +808,12 @@ def filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (query, corpus) pair, and the LSH candidate set is a subset of exactly
 # those pairs (same bucket), so the evaluation fuses both rankings into ONE
 # scored pass: corpus x broadcast-queries, cosine computed once per pair, an
-# in_bucket flag, and two row_number ranks — overall, and within the
-# in_bucket subset. matched = (exact rank <= k) AND (in-bucket rank <= k) is
-# a per-row conjunction, so no k-row self-join is ever built. Measured 3.8 s
-# -> composition-free single pass at sf0.1; at scale this halves the
-# dominant cost (the pairwise cosine arithmetic). Sparse buckets (< k
+# in_bucket flag, then a rank-only top-k filter followed by the in-bucket
+# running count on the surviving <= k rows per query. matched = (exact rank
+# <= k) AND (in-bucket rank <= k) is a per-row conjunction, so no k-row
+# self-join is ever built, and because the first window is rank-only Spark
+# prunes it map-side (WindowGroupLimit) — the shuffle carries k rows per
+# (q_id, map partition), never the scored corpus. Sparse buckets (< k
 # candidates) are handled by construction: missing pairs simply never set
 # the approx flag.
 # ---------------------------------------------------------------------------
@@ -860,22 +866,34 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cos, 6).alias("cos_sim"),
         (F.col("bucket") == F.col("qbucket")).alias("in_bucket"),
     )
-    # ONE window spec carries both rankings: the bucket-subset rank of an
-    # in-bucket row equals the RUNNING COUNT of in-bucket rows up to it in
-    # the global (cos_sim, neighbor_id) order — the subset order is the
-    # global order restricted to the subset. One q_id shuffle + one window
-    # pass instead of two corpus×Q shuffles (the old (q_id, in_bucket)
-    # second spec re-shuffled every scored row a second time).
+    # Two-step fusion that stays WindowGroupLimit-prunable:
+    #
+    # Step 1 — a RANK-ONLY window (row_number over the global (cos_sim,
+    # neighbor_id) order) filtered to <= k. Because the window computes
+    # nothing but a rank, Spark's InferWindowGroupLimit inserts a partial
+    # group-limit on the MAP side of the q_id shuffle: each input partition
+    # ships at most k rows per q_id instead of the whole scored corpus.
+    # (A mixed rank+aggregate window would block this — round-4 verdict.)
+    #
+    # Step 2 — the in-bucket running count, over the SAME (q_id) partition
+    # and order, on the filtered frame. This is still exact: the bucket
+    # subset is ordered by the same global (cos_sim, neighbor_id) key, so
+    # every in-bucket row ranked above a global-top-k row in bucket order
+    # is also above it globally — i.e. also inside the global top-k. The
+    # running-sum window therefore sees at most k rows per q_id, and no
+    # reshuffle happens (hash(q_id) clustering + sort order carry over).
     w_exact = Window.partitionBy("q_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
+    topk = scored.withColumn("rn", F.row_number().over(w_exact)).where(
+        F.col("rn") <= _TOP_K
+    )
     w_run = w_exact.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bucket_rank = F.sum(F.when(F.col("in_bucket"), 1).otherwise(0)).over(w_run)
-    flagged = scored.select(
+    flagged = topk.select(
         "q_id",
-        (F.row_number().over(w_exact) <= _TOP_K).alias("is_exact"),
         (F.col("in_bucket") & (bucket_rank <= _TOP_K)).alias("is_approx"),
-    ).where(F.col("is_exact"))
+    )
     n_matched = F.sum(F.when(F.col("is_approx"), 1).otherwise(0))
     return flagged.groupBy("q_id").agg(
         F.count(F.lit(1)).alias("n_exact"),

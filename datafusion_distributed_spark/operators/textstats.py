@@ -1297,12 +1297,11 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(F.broadcast(scored), "tok")
         .groupBy("doc_id", "source")
         .agg(
-            (
-                F.sum(F.col("tf") * F.col("sbits_micro")).cast("long")
-                / F.sum("tf").cast("long")
-            )
-            .cast("long")
-            .alias("mean_micro")
+            # `div` = exact integer floor division on longs, matching the
+            # oracle's `//` bit-for-bit (Spark `/` would be double true
+            # division + truncation — double rounding that can flip across
+            # an integer boundary once per-doc sums approach 2^31).
+            F.expr("sum(tf * sbits_micro) div sum(tf)").alias("mean_micro")
         )
     )
     return (

@@ -1,0 +1,99 @@
+"""Per-row cost lint: catches scale-killers the plan-shape lint can't see.
+
+The plan lint (tests/test_plan_lint.py) rejects structural anti-patterns —
+Python row UDFs, unlisted cartesians, stray shuffles. It is blind to PER-ROW
+CONSTANTS: a query whose plan is a perfectly clean narrow scan→agg can still
+burn 2,000× a normal expression per row (round-4 verdict: an always-overflow
+``try_multiply`` lane implemented NULL-on-error by catching a per-row JVM
+ArithmeticException — 11 s, 13% of the whole battery, invisible to every
+structural check). The reference prices expressions per-row in its cost model
+(/root/reference/src/distributed_planner/statistics/complexity_cpu.rs:211-223);
+this module is the runtime analogue: measured seconds divided by scanned rows
+must stay under a budget.
+
+Scope: NARROW-ONLY plans (no join / window / generate / expand / union) —
+exactly the class where "rows scanned" is an honest denominator, and exactly
+the class where the plan lint has no signal at all. Row-amplifying plans are
+covered by the structural lint instead.
+
+Used by tests/test_cost_lint.py (the gate) and bench.py (per-round report).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Physical-plan node markers whose presence disqualifies a plan from the
+# narrow-only class (any of these can amplify or reduce rows between the
+# scan and the observed wall time, invalidating the per-row denominator).
+_NON_NARROW_MARKERS = (
+    "Join",  # all join flavors incl. BroadcastNestedLoop / Cartesian
+    "Window",  # window exec + WindowGroupLimit
+    "Generate",  # explode & friends
+    "Expand",  # grouping sets / multi-distinct
+    "Union",
+    "CartesianProduct",
+    "InMemoryTableScan",  # cached/iterative intermediates — rows unknowable
+    "Subquery",
+)
+
+# Per-row budget: a JVM-side narrow expression pipeline (whole-stage codegen)
+# runs at well under 1 µs/row; 5 µs/row is ~5× headroom for regex/JSON-heavy
+# projections while an exception-storm lane (~16 µs/row) still trips it.
+RATE_SEC_PER_ROW = 5e-6
+# Fixed allowance: job scheduling + codegen-cached task dispatch on a warm
+# session. Generous so tiny-input queries (dimension tables) never flap.
+FIXED_SEC = 0.8
+
+
+def is_narrow(df: DataFrame) -> bool:
+    """True if the executed plan is scan→filter/project→agg/sort/limit only."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return not any(tok in plan for tok in _NON_NARROW_MARKERS)
+
+
+def table_row_counts(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    """Row count per testdata table (metadata-only: parquet footer counts)."""
+    from ..tables import TABLE_NAMES
+
+    counts = {}
+    for name in TABLE_NAMES:
+        counts[name] = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet").count()
+    return counts
+
+
+def input_rows(df: DataFrame, counts: dict[str, int]) -> int:
+    """Rows scanned by ``df``: sum of the row counts of its backing tables.
+
+    ``inputFiles()`` lists every parquet file the plan reads; for the
+    narrow-only class each table is scanned at most once, so summing distinct
+    table counts is exact.
+    """
+    tables = set()
+    for path in df.inputFiles():
+        tail = path.rstrip("/").rsplit("/", 1)[-1]
+        for name in counts:
+            if tail.startswith(f"{name}.parquet"):
+                tables.add(name)
+        # parquet leaf files live INSIDE <table>.parquet/ directories
+        for name in counts:
+            if f"/{name}.parquet/" in path or path.endswith(f"/{name}.parquet"):
+                tables.add(name)
+    return sum(counts[t] for t in tables)
+
+
+def budget_seconds(rows: int) -> float:
+    return FIXED_SEC + RATE_SEC_PER_ROW * rows
+
+
+def measure(df_builder, spark: SparkSession, sf_dir: str) -> float:
+    """Median of 3 timed runs after one warm-up (codegen/JIT cache)."""
+    df_builder(spark, sf_dir).collect()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        df_builder(spark, sf_dir).collect()
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[1]

@@ -83,7 +83,12 @@ def test_aborted_query_drains_to_zero_tasks(spark):
     to zero active jobs — the reference's no_pending_tasks_if_query_aborts."""
     sc = spark.sparkContext
     # A genuinely long pure-JVM aggregate (minutes if left alone).
-    slow = spark.range(1 << 36).selectExpr("sum(id * id) AS s")
+    # Overflow-free on purpose: under ANSI mode (session default) id * id
+    # would raise ARITHMETIC_OVERFLOW for id > ~3.03e9, killing the job in
+    # ~2 s on its own and making this test pass vacuously without ever
+    # exercising the abort path. sum(id % 1000) stays within int64 over the
+    # full 2^36 range (max sum ~ 6.9e13).
+    slow = spark.range(1 << 36).selectExpr("sum(id % 1000) AS s")
     errors: list[BaseException] = []
     done = threading.Event()
 
@@ -104,4 +109,10 @@ def test_aborted_query_drains_to_zero_tasks(spark):
     th.join(30)
     assert done.is_set()
     assert errors, "cancelled collect() returned instead of raising"
+    # The caught error must be the CANCELLATION, not some unrelated runtime
+    # failure (an overflow-killed job would also raise, vacuously passing).
+    msg = str(errors[0]).lower()
+    assert "cancel" in msg or "killed" in msg, (
+        f"expected a cancellation error, got: {errors[0]!r}"
+    )
     assert _poll(lambda: _n_active_jobs(spark) == 0)

@@ -307,9 +307,33 @@ def test_rank_topn_uses_window_group_limit(spark):
         cluster_representatives,
     )
 
+    from datafusion_distributed_spark.operators.similarity import ann_recall
+
     for fn in (win_rank, kmv_distinct_sketch, kmv_sketch_merge,
-               cluster_representatives):
+               cluster_representatives, ann_recall):
         plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         # Partial (map-side) + Final (reduce-side) pair per rank filter.
         assert plan.count("WindowGroupLimit") >= 2, f"{fn.__name__}: {plan}"
         assert "Partial" in plan
+
+
+def test_ann_recall_running_sum_window_is_bounded(spark):
+    """ann_recall's running-sum (bucket-rank) window must run AFTER the
+    rank-only top-k filter — i.e. above the WindowGroupLimit in the plan —
+    so its input is k rows per q_id, not the scored corpus (round-4
+    verdict item #2: a running sum in the same window as the rank filter
+    blocks WindowGroupLimit entirely)."""
+    from datafusion_distributed_spark.operators.similarity import ann_recall
+
+    plan = ann_recall(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    # The group-limit must exist at all...
+    i_limit = plan.find("WindowGroupLimit")
+    assert i_limit >= 0, plan
+    # ...and the running-sum Window node (the only `sum(...) windowspec`
+    # here) must appear ABOVE it (earlier in the top-down plan text), with
+    # no Exchange between them (the q_id clustering carries over).
+    i_sum = plan.find("windowspecdefinition")
+    assert 0 <= i_sum < i_limit, plan
+    assert "Exchange" not in plan[i_sum:i_limit], (
+        "reshuffle between top-k filter and running-sum window:\n" + plan
+    )
