@@ -2709,3 +2709,184 @@ ORDER BY c_mktsegment
 def join_nonequi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir)
     return spark.sql(_NONEQUI_EXISTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Cross-channel year-over-year growth-ratio report (TPC-DS q4/q74 shape,
+# /root/reference/testdata/tpcds/queries/q4.sql:1-30, q74.sql): per-customer
+# per-year revenue totals per channel (store/catalog/web, mapped onto
+# l_returnflag A/R/N like the q75 class above), self-joined across
+# (year, year+1) × channels, keeping customers whose CATALOG growth ratio
+# and WEB growth ratio both beat the STORE growth ratio. The distinguishing
+# semantics vs sql_channel_decline_yoy: the predicate compares RATIOS OF
+# RATIOS per entity, with explicit zero-denominator care — q4 wraps each
+# ratio in CASE WHEN firstyear_total > 0, and its WHERE requires the three
+# first-year totals positive; an inner 6-way self-join drops customers
+# missing any (channel, year) cell.
+#
+# Physical design (Spark side): q4's literal 6-way self-join of the
+# year_total CTE would scan/aggregate the fact 6 times (or lean on exchange
+# reuse). The Spark plan instead pivots channels with conditional sums —
+# (cust, year, channel) totals -> (cust, year) rows with 3 channel columns,
+# ONE aggregate — then a single (cust, year)=(cust, year+1) equi-self-join.
+# Two shuffles + one join at any scale; the oracle keeps q4's 6-alias join
+# form, so the differential gate also proves the two formulations
+# equivalent. Ratio comparisons cross-multiply in DECIMAL(38,0) (totals can
+# reach ~1e10 scaled units; products ~1e20 exceed int64, stay exact in
+# decimal); output ratios are one IEEE division of identical exact longs.
+# ---------------------------------------------------------------------------
+
+_GROWTH_ORACLE = """
+WITH year_total AS (
+  SELECT o_custkey AS cust,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS y,
+         l_returnflag AS ch,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS total
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2, 3
+)
+SELECT s1.cust AS custkey, s1.y AS year,
+       s1.total AS store_y1, s2.total AS store_y2,
+       c1.total AS catalog_y1, c2.total AS catalog_y2,
+       w1.total AS web_y1, w2.total AS web_y2,
+       CAST(s2.total AS DOUBLE) / CAST(s1.total AS DOUBLE) AS store_ratio,
+       CAST(w2.total AS DOUBLE) / CAST(w1.total AS DOUBLE) AS web_ratio
+FROM year_total s1
+JOIN year_total s2 ON s2.cust = s1.cust AND s2.y = s1.y + 1 AND s2.ch = 'A'
+JOIN year_total c1 ON c1.cust = s1.cust AND c1.y = s1.y     AND c1.ch = 'R'
+JOIN year_total c2 ON c2.cust = s1.cust AND c2.y = s1.y + 1 AND c2.ch = 'R'
+JOIN year_total w1 ON w1.cust = s1.cust AND w1.y = s1.y     AND w1.ch = 'N'
+JOIN year_total w2 ON w2.cust = s1.cust AND w2.y = s1.y + 1 AND w2.ch = 'N'
+WHERE s1.ch = 'A'
+  AND s1.total > 0 AND c1.total > 0 AND w1.total > 0
+  AND CAST(c2.total AS DECIMAL(38,0)) * CAST(s1.total AS DECIMAL(38,0))
+      > CAST(s2.total AS DECIMAL(38,0)) * CAST(c1.total AS DECIMAL(38,0))
+  AND CAST(w2.total AS DECIMAL(38,0)) * CAST(s1.total AS DECIMAL(38,0))
+      > CAST(s2.total AS DECIMAL(38,0)) * CAST(w1.total AS DECIMAL(38,0))
+ORDER BY custkey, year
+"""
+
+
+@query(
+    "sql_channel_growth_ratio",
+    oracle=_GROWTH_ORACLE,
+    tags=("sql-entry", "tpcds", "growth-ratio", "self-join"),
+    order_by="custkey, year",
+)
+def channel_growth_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir)["lineitem"]
+    orders = t(spark, sf_dir)["orders"]
+    r = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100, 0).cast("long")
+    )
+    detail = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("cust"),
+        F.year("l_shipdate").alias("y"),
+        F.col("l_returnflag").alias("ch"),
+        r.alias("r"),
+    )
+    # ONE aggregate pivots the channels: (cust, y) grain with a conditional
+    # sum per channel. A channel with no rows yields NULL — the exact
+    # analogue of the inner join dropping the missing (channel, year) cell.
+    chsum = lambda flag: F.sum(F.when(F.col("ch") == flag, F.col("r"))).cast(  # noqa: E731
+        "long"
+    )
+    per_year = detail.groupBy("cust", "y").agg(
+        chsum("A").alias("store"),
+        chsum("R").alias("catalog"),
+        chsum("N").alias("web"),
+    )
+    y1, y2 = per_year.alias("y1"), per_year.alias("y2")
+    j = y1.join(
+        y2,
+        (F.col("y1.cust") == F.col("y2.cust"))
+        & (F.col("y2.y") == F.col("y1.y") + 1),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    kept = j.where(
+        F.col("y1.store").isNotNull()
+        & F.col("y1.catalog").isNotNull()
+        & F.col("y1.web").isNotNull()
+        & F.col("y2.store").isNotNull()
+        & F.col("y2.catalog").isNotNull()
+        & F.col("y2.web").isNotNull()
+        & (F.col("y1.store") > 0)
+        & (F.col("y1.catalog") > 0)
+        & (F.col("y1.web") > 0)
+        & (dec("y2.catalog") * dec("y1.store") > dec("y2.store") * dec("y1.catalog"))
+        & (dec("y2.web") * dec("y1.store") > dec("y2.store") * dec("y1.web"))
+    )
+    return kept.select(
+        F.col("y1.cust").alias("custkey"),
+        F.col("y1.y").alias("year"),
+        F.col("y1.store").alias("store_y1"),
+        F.col("y2.store").alias("store_y2"),
+        F.col("y1.catalog").alias("catalog_y1"),
+        F.col("y2.catalog").alias("catalog_y2"),
+        F.col("y1.web").alias("web_y1"),
+        F.col("y2.web").alias("web_y2"),
+        (F.col("y2.store").cast("double") / F.col("y1.store").cast("double")).alias(
+            "store_ratio"
+        ),
+        (F.col("y2.web").cast("double") / F.col("y1.web").cast("double")).alias(
+            "web_ratio"
+        ),
+    ).orderBy("custkey", "year")
+
+
+# ---------------------------------------------------------------------------
+# Scalar-subquery CASE selector (TPC-DS q9 shape,
+# /root/reference/testdata/tpcds/queries/q9.sql:1-12): a single-row SELECT
+# whose CASE arms are themselves scalar subqueries over the fact table,
+# chosen by a count-threshold subquery per quantity band — the pattern that
+# exercises Catalyst's scalar-subquery machinery end-to-end:
+# MergeScalarSubqueries folds each band's three subqueries (COUNT selector
+# + both AVG arms) into ONE shared aggregate (a mergedValue struct), and
+# ReuseSubquery dedups the physical subquery, so each band costs exactly
+# one fact scan instead of three — asserted in tests/test_explain.py.
+# The averages are written as CAST(SUM(exact cents) AS DOUBLE)/COUNT(*) in
+# BOTH engines (not avg()) so the output is one IEEE division of identical
+# exact integers.
+# ---------------------------------------------------------------------------
+
+_Q9_BANDS = (
+    (1, 10, 10000),
+    (11, 20, 13000),
+    (21, 30, 11000),
+    (31, 40, 200000),
+    (41, 50, 500),
+)
+
+
+def _q9_sql() -> str:
+    arms = []
+    for i, (lo, hi, thr) in enumerate(_Q9_BANDS, start=1):
+        band = f"FROM lineitem WHERE l_quantity BETWEEN {lo} AND {hi}"
+        arms.append(
+            f"""  CASE WHEN (SELECT count(*) {band}) > {thr}
+       THEN (SELECT CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE)
+                    / COUNT(*) {band})
+       ELSE (SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                    / COUNT(*) {band})
+  END AS bucket{i}"""
+        )
+    return (
+        "SELECT\n"
+        + ",\n".join(arms)
+        + "\nFROM region WHERE r_regionkey = 0"
+    )
+
+
+_Q9_SQL = _q9_sql()
+
+
+@query(
+    "sql_case_scalar_subqueries",
+    oracle=_Q9_SQL,
+    tags=("sql-entry", "tpcds", "scalar-subquery"),
+)
+def case_scalar_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_Q9_SQL)

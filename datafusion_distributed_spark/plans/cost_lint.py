@@ -49,7 +49,15 @@ FIXED_SEC = 0.8
 
 
 def is_narrow(df: DataFrame) -> bool:
-    """True if the executed plan is scan→filter/project→agg/sort/limit only."""
+    """True if the executed plan is scan→filter/project→agg/sort/limit only.
+
+    Frames with NO file inputs are excluded: an iterative operator that
+    returns driver-computed counts (LocalTableScan) has no per-row
+    denominator — its cost lives in the build-time fixpoint, which the
+    structural lint and the scale probe cover instead.
+    """
+    if not df.inputFiles():
+        return False
     plan = df._jdf.queryExecution().executedPlan().toString()
     return not any(tok in plan for tok in _NON_NARROW_MARKERS)
 

@@ -337,3 +337,21 @@ def test_ann_recall_running_sum_window_is_bounded(spark):
     assert "Exchange" not in plan[i_sum:i_limit], (
         "reshuffle between top-k filter and running-sum window:\n" + plan
     )
+
+
+def test_case_scalar_subqueries_merge_and_reuse(spark):
+    """TPC-DS q9 class: each band's three scalar subqueries (COUNT selector
+    + both arms) must collapse into ONE shared aggregate —
+    MergeScalarSubqueries emits a mergedValue struct in the optimized plan
+    and ReuseSubquery dedups the physical subquery, so a band costs one
+    fact scan, not three."""
+    from datafusion_distributed_spark.operators.sqlpath import (
+        case_scalar_subqueries,
+    )
+
+    df = case_scalar_subqueries(spark, SF_DIR)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "mergedValue" in optimized, optimized[:2000]
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedSubquery" in executed, executed[:2000]

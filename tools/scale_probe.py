@@ -1,0 +1,142 @@
+"""10× scale probe for the LLM-pipeline operator families (round-4 verdict
+item #6): generate a one-off sf1-equivalent ``documents`` table locally (NOT
+committed — lives under .scale_probe/, gitignored), run the dd_*/text_*/ds_*
+families at sf0.1 and at 10×, and record the wall-time ratios. The two-pass
+prefix-sum / bucketed-LSH designs claim ~linear scaling; this probe proves
+the constants with a measured 10× datapoint (recorded in SURVEY.md §2.9).
+
+Replication design — distribution-preserving, dup-structure-preserving:
+each replica r in 1..9 remaps doc_ids into a disjoint range and suffixes
+EVERY whitespace token with ``_r{r}`` (one regexp at write time). So:
+- per-doc token counts, length distribution, source/lang mix: unchanged;
+- exact/near-duplicate clusters WITHIN a replica: preserved exactly
+  (suffixing is injective per replica);
+- ACROSS replicas nothing collides (every shingle differs), so the dup RATE
+  is scale-invariant — a 10× corpus with 10× the clusters, not one giant
+  cross-replica near-dup blob that would quadratically inflate LSH candidate
+  pairs and make the ratio unreadable.
+Other tables are symlinked from sf0.1 (events/embeddings families are not in
+scope for this probe; their queries still resolve if touched).
+
+Usage: python tools/scale_probe.py [--families dd_,text_,ds_] [--runs 2]
+Writes tools/scale_probe_results.json (committed as evidence).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF = "/root/testdata/sf0.1"
+PROBE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scale_probe",
+    "sf1eq",
+)
+N_REPLICAS = 10
+
+
+def build_probe_dir(spark) -> None:
+    from datafusion_distributed_spark.tables import TABLE_NAMES
+
+    import pyspark.sql.functions as F
+
+    os.makedirs(PROBE_DIR, exist_ok=True)
+    for name in TABLE_NAMES:
+        dst = os.path.join(PROBE_DIR, f"{name}.parquet")
+        if os.path.exists(dst):
+            continue
+        src = os.path.join(BASE_SF, f"{name}.parquet")
+        if name != "documents":
+            os.symlink(src, dst)
+            continue
+        docs = spark.read.parquet(src)
+        parts = []
+        for rep in range(N_REPLICAS):
+            if rep == 0:
+                parts.append(docs)
+                continue
+            parts.append(
+                docs.select(
+                    (F.col("doc_id") + rep * 100_000_000).alias("doc_id"),
+                    F.regexp_replace("text", r"(\S+)", rf"$1_r{rep}").alias("text"),
+                    "lang",
+                    "source",
+                    F.lit(None).cast("long").alias("n_chars"),  # fixed below
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out = out.withColumn("n_chars", F.length("text").cast("long"))
+        out.repartition(32).write.mode("overwrite").parquet(dst)
+    print(f"probe dir ready: {PROBE_DIR}", file=sys.stderr)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--families", default="dd_,text_,ds_")
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+    prefixes = tuple(p for p in args.families.split(",") if p)
+
+    from datafusion_distributed_spark.engine import build_session
+    from datafusion_distributed_spark.operators.registry import (
+        REGISTRY,
+        _ensure_loaded,
+    )
+
+    _ensure_loaded()
+    spark = build_session(app_name="scale-probe")
+    build_probe_dir(spark)
+
+    names = sorted(n for n in REGISTRY if n.startswith(prefixes))
+    results: dict[str, dict] = {}
+    for i, name in enumerate(names):
+        fn = REGISTRY[name].fn
+        row: dict = {}
+        for key, sf_dir in (("t_sf01", BASE_SF), ("t_10x", PROBE_DIR)):
+            try:
+                fn(spark, sf_dir).collect()  # warm-up
+                times = []
+                for _ in range(args.runs):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).collect()
+                    times.append(time.perf_counter() - t0)
+                row[key] = round(min(times), 3)
+            except Exception as exc:
+                row[key] = None
+                row.setdefault("errors", []).append(f"{key}: {exc}")
+            spark.catalog.clearCache()
+        if row.get("t_sf01") and row.get("t_10x"):
+            row["ratio"] = round(row["t_10x"] / row["t_sf01"], 2)
+        results[name] = row
+        print(
+            f"[{i + 1}/{len(names)}] {name}: {row.get('t_sf01')}s -> "
+            f"{row.get('t_10x')}s (x{row.get('ratio', '?')})",
+            file=sys.stderr,
+        )
+
+    ratios = [r["ratio"] for r in results.values() if r.get("ratio")]
+    summary = {
+        "n_queries": len(results),
+        "replication": N_REPLICAS,
+        "median_ratio": round(sorted(ratios)[len(ratios) // 2], 2) if ratios else None,
+        "max_ratio": max(ratios) if ratios else None,
+        "results": results,
+    }
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scale_probe_results.json")
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps({k: v for k, v in summary.items() if k != "results"}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
