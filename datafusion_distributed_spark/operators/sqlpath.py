@@ -2736,7 +2736,13 @@ def join_nonequi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decimal); output ratios are one IEEE division of identical exact longs.
 # ---------------------------------------------------------------------------
 
-_GROWTH_ORACLE = """
+def _growth_oracle(
+    store: str = "A", catalog: str = "R", web: str = "N", gap: int = 1
+) -> str:
+    """q4's literal 6-alias year_total self-join form, parameterized over
+    the channel→returnflag assignment and the year gap (the randomized
+    differential family sweeps these)."""
+    return f"""
 WITH year_total AS (
   SELECT o_custkey AS cust,
          CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS y,
@@ -2754,12 +2760,12 @@ SELECT s1.cust AS custkey, s1.y AS year,
        CAST(s2.total AS DOUBLE) / CAST(s1.total AS DOUBLE) AS store_ratio,
        CAST(w2.total AS DOUBLE) / CAST(w1.total AS DOUBLE) AS web_ratio
 FROM year_total s1
-JOIN year_total s2 ON s2.cust = s1.cust AND s2.y = s1.y + 1 AND s2.ch = 'A'
-JOIN year_total c1 ON c1.cust = s1.cust AND c1.y = s1.y     AND c1.ch = 'R'
-JOIN year_total c2 ON c2.cust = s1.cust AND c2.y = s1.y + 1 AND c2.ch = 'R'
-JOIN year_total w1 ON w1.cust = s1.cust AND w1.y = s1.y     AND w1.ch = 'N'
-JOIN year_total w2 ON w2.cust = s1.cust AND w2.y = s1.y + 1 AND w2.ch = 'N'
-WHERE s1.ch = 'A'
+JOIN year_total s2 ON s2.cust = s1.cust AND s2.y = s1.y + {gap} AND s2.ch = '{store}'
+JOIN year_total c1 ON c1.cust = s1.cust AND c1.y = s1.y         AND c1.ch = '{catalog}'
+JOIN year_total c2 ON c2.cust = s1.cust AND c2.y = s1.y + {gap} AND c2.ch = '{catalog}'
+JOIN year_total w1 ON w1.cust = s1.cust AND w1.y = s1.y         AND w1.ch = '{web}'
+JOIN year_total w2 ON w2.cust = s1.cust AND w2.y = s1.y + {gap} AND w2.ch = '{web}'
+WHERE s1.ch = '{store}'
   AND s1.total > 0 AND c1.total > 0 AND w1.total > 0
   AND CAST(c2.total AS DECIMAL(38,0)) * CAST(s1.total AS DECIMAL(38,0))
       > CAST(s2.total AS DECIMAL(38,0)) * CAST(c1.total AS DECIMAL(38,0))
@@ -2769,6 +2775,9 @@ ORDER BY custkey, year
 """
 
 
+_GROWTH_ORACLE = _growth_oracle()
+
+
 @query(
     "sql_channel_growth_ratio",
     oracle=_GROWTH_ORACLE,
@@ -2776,6 +2785,17 @@ ORDER BY custkey, year
     order_by="custkey, year",
 )
 def channel_growth_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _growth_frames(spark, sf_dir)
+
+
+def _growth_frames(
+    spark: SparkSession,
+    sf_dir: str,
+    store: str = "A",
+    catalog: str = "R",
+    web: str = "N",
+    gap: int = 1,
+) -> DataFrame:
     li = t(spark, sf_dir)["lineitem"]
     orders = t(spark, sf_dir)["orders"]
     r = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
@@ -2794,15 +2814,15 @@ def channel_growth_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "long"
     )
     per_year = detail.groupBy("cust", "y").agg(
-        chsum("A").alias("store"),
-        chsum("R").alias("catalog"),
-        chsum("N").alias("web"),
+        chsum(store).alias("store"),
+        chsum(catalog).alias("catalog"),
+        chsum(web).alias("web"),
     )
     y1, y2 = per_year.alias("y1"), per_year.alias("y2")
     j = y1.join(
         y2,
         (F.col("y1.cust") == F.col("y2.cust"))
-        & (F.col("y2.y") == F.col("y1.y") + 1),
+        & (F.col("y2.y") == F.col("y1.y") + gap),
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     kept = j.where(

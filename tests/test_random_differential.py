@@ -1064,3 +1064,45 @@ def test_random_bm25_matches_oracle(spark, duck, i):
         _bm25_oracle(terms=case["terms"], topk=case["topk"]),
         name=f"randbm25[{i}]{case}",
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomized cross-channel growth-ratio family: the sql_channel_growth_ratio
+# operator's Spark side is a conditional-sum channel PIVOT + one year
+# self-join, while its oracle is TPC-DS q4's literal 6-alias year_total
+# self-join. This family sweeps the channel→returnflag assignment (all
+# permutations) and the year gap, proving the two formulations equivalent
+# across the parameter space — including the zero-denominator and
+# missing-(channel,year)-cell edge semantics.
+# ---------------------------------------------------------------------------
+
+_N_GROWTH_CASES = 6
+
+
+def _gen_growth_case(rng: random.Random):
+    flags = ["A", "N", "R"]
+    rng.shuffle(flags)
+    return {"store": flags[0], "catalog": flags[1], "web": flags[2],
+            "gap": rng.choice([1, 2])}
+
+
+_GROWTH_CASES = [
+    _gen_growth_case(random.Random(17000 + i)) for i in range(_N_GROWTH_CASES)
+]
+
+
+@pytest.mark.parametrize("i", range(_N_GROWTH_CASES))
+def test_random_growth_ratio_matches_oracle(spark, duck, i):
+    from datafusion_distributed_spark.operators.sqlpath import (
+        _growth_frames,
+        _growth_oracle,
+    )
+
+    case = _GROWTH_CASES[i]
+    oracle_views(duck, SF_DIR)
+    compare_to_oracle(
+        _growth_frames(spark, SF_DIR, **case),
+        duck,
+        _growth_oracle(**case),
+        name=f"randgrowth[{i}]{case}",
+    )
