@@ -2880,9 +2880,9 @@ _Q9_BANDS = (
 )
 
 
-def _q9_sql() -> str:
+def _q9_sql(bands=_Q9_BANDS) -> str:
     arms = []
-    for i, (lo, hi, thr) in enumerate(_Q9_BANDS, start=1):
+    for i, (lo, hi, thr) in enumerate(bands, start=1):
         band = f"FROM lineitem WHERE l_quantity BETWEEN {lo} AND {hi}"
         arms.append(
             f"""  CASE WHEN (SELECT count(*) {band}) > {thr}

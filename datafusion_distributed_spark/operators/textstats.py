@@ -1321,3 +1321,132 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram conditional surprisal: fit a bigram LM on the corpus and score
+# every document by its mean conditional surprisal -log2 P(w2 | w1). The
+# hierarchical sibling of text_unigram_surprisal: the vocabulary aggregate
+# feeds TWO statistics — the pair count AND the first-token marginal
+# (SUM of pair counts grouped by first token, so the model is exactly
+# normalized: sum_w2 P(w2|w1) = 1) — joined back into one scored table.
+#
+# Exactness discipline (same as unigram): per-bigram surprisal rounded to
+# integer MICRO-BITS once per vocabulary entry; every downstream step is
+# exact integer math (tf-weighted doc totals, floor-division doc means,
+# per-source sums) with one final double division. Docs with fewer than 2
+# tokens have no bigrams and drop out of the per-doc table by construction
+# on both engines.
+#
+# Scale: one (doc, bigram) hash aggregate (map-combinable) from an
+# array-level zip (no positional self-join); bigram vocab + its first-token
+# marginal are vocab-sized aggregates broadcast back; no windows, no second
+# corpus scan.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_HI_MICRO = 2_500_000  # docs with mean conditional surprisal > ~2.5 bits
+
+_BIGRAM_SQL_DUCK = (
+    f"list_transform(range(1, len({_TOK_SQL})), "
+    f"i -> {_TOK_SQL}[i] || ' ' || {_TOK_SQL}[i + 1])"
+)
+
+_BIGRAM_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, source, bg, COUNT(*) AS tf
+  FROM (SELECT doc_id, source, unnest({_BIGRAM_SQL_DUCK}) AS bg FROM documents)
+  GROUP BY doc_id, source, bg
+),
+vocab AS (
+  SELECT bg, SUM(tf) AS cnt FROM tf GROUP BY bg
+),
+firsts AS (
+  SELECT split_part(bg, ' ', 1) AS w1, SUM(cnt) AS first_cnt
+  FROM vocab GROUP BY 1
+),
+scored AS (
+  SELECT v.bg,
+         CAST(ROUND(-log2(CAST(v.cnt AS DOUBLE) / f.first_cnt) * 1000000.0, 0)
+              AS BIGINT) AS sbits_micro
+  FROM vocab v JOIN firsts f ON f.w1 = split_part(v.bg, ' ', 1)
+),
+per_doc AS (
+  SELECT t.doc_id, t.source,
+         CAST(SUM(t.tf * s.sbits_micro) AS BIGINT) // CAST(SUM(t.tf) AS BIGINT)
+           AS mean_micro
+  FROM tf t JOIN scored s ON s.bg = t.bg
+  GROUP BY t.doc_id, t.source
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(mean_micro) AS BIGINT) AS sum_mean_micro,
+       CAST(MAX(mean_micro) AS BIGINT) AS max_mean_micro,
+       CAST(SUM(CASE WHEN mean_micro > {_BIGRAM_HI_MICRO} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_predictable_low,
+       CAST(SUM(mean_micro) AS DOUBLE) / COUNT(*) AS avg_mean_micro
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query(
+    "text_bigram_surprisal",
+    oracle=_BIGRAM_ORACLE,
+    tags=("text", "quality", "language-model"),
+    order_by="source",
+)
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    # Array-level bigram derivation: zip the token list against itself
+    # shifted by one — no posexplode self-join; slice length is clamped so
+    # 0/1-token docs yield an empty list (and thus no rows after explode).
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.expr(
+            "slice(split(trim(lower(text)), ' +'), 2,"
+            " greatest(size(split(trim(lower(text)), ' +')) - 1, 0))"
+        ),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    tf = (
+        docs.select("doc_id", "source", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "source", "bg")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tf.groupBy("bg").agg(F.sum("tf").alias("cnt"))
+    firsts = vocab.groupBy(
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1")
+    ).agg(F.sum("cnt").alias("first_cnt"))
+    scored = vocab.join(
+        F.broadcast(firsts),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) == F.col("w1"),
+    ).select(
+        "bg",
+        F.round(
+            -F.log2(F.col("cnt").cast("double") / F.col("first_cnt")) * 1000000.0,
+            0,
+        )
+        .cast("long")
+        .alias("sbits_micro"),
+    )
+    per_doc = (
+        tf.join(F.broadcast(scored), "bg")
+        .groupBy("doc_id", "source")
+        .agg(F.expr("sum(tf * sbits_micro) div sum(tf)").alias("mean_micro"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("mean_micro").cast("long").alias("sum_mean_micro"),
+            F.max("mean_micro").cast("long").alias("max_mean_micro"),
+            F.sum(F.when(F.col("mean_micro") > _BIGRAM_HI_MICRO, 1).otherwise(0))
+            .cast("long")
+            .alias("n_predictable_low"),
+            (F.sum("mean_micro").cast("double") / F.count(F.lit(1))).alias(
+                "avg_mean_micro"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1106,3 +1106,40 @@ def test_random_growth_ratio_matches_oracle(spark, duck, i):
         _growth_oracle(**case),
         name=f"randgrowth[{i}]{case}",
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomized scalar-subquery CASE family (TPC-DS q9 construct): random
+# quantity bands and count thresholds, identical SQL text on both engines.
+# Sweeps the selector across both CASE arms and band overlap/edge cases —
+# the merged-subquery plan (MergeScalarSubqueries + ReuseSubquery) must
+# stay value-identical to DuckDB's straightforward evaluation.
+# ---------------------------------------------------------------------------
+
+_N_Q9_CASES = 6
+
+
+def _gen_q9_case(rng: random.Random):
+    bands = []
+    for _ in range(rng.choice([2, 3])):
+        lo = rng.randint(1, 40)
+        hi = lo + rng.randint(0, 15)
+        thr = rng.choice([0, 50, 500, 5000, 10**6])
+        bands.append((lo, hi, thr))
+    return tuple(bands)
+
+
+_Q9_CASES = [_gen_q9_case(random.Random(18000 + i)) for i in range(_N_Q9_CASES)]
+
+
+@pytest.mark.parametrize("i", range(_N_Q9_CASES))
+def test_random_scalar_subquery_case_matches_oracle(spark, duck, i):
+    from datafusion_distributed_spark.operators.sqlpath import _q9_sql
+    from datafusion_distributed_spark.tables import load_tables
+
+    sql = _q9_sql(_Q9_CASES[i])
+    load_tables(spark, SF_DIR)
+    oracle_views(duck, SF_DIR)
+    compare_to_oracle(
+        spark.sql(sql), duck, sql, name=f"randq9[{i}]{_Q9_CASES[i]}"
+    )

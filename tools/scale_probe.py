@@ -52,29 +52,59 @@ def build_probe_dir(spark) -> None:
         if os.path.exists(dst):
             continue
         src = os.path.join(BASE_SF, f"{name}.parquet")
-        if name != "documents":
-            os.symlink(src, dst)
-            continue
-        docs = spark.read.parquet(src)
-        parts = []
-        for rep in range(N_REPLICAS):
-            if rep == 0:
-                parts.append(docs)
-                continue
-            parts.append(
-                docs.select(
-                    (F.col("doc_id") + rep * 100_000_000).alias("doc_id"),
-                    F.regexp_replace("text", r"(\S+)", rf"$1_r{rep}").alias("text"),
-                    "lang",
-                    "source",
-                    F.lit(None).cast("long").alias("n_chars"),  # fixed below
+        if name == "documents":
+            docs = spark.read.parquet(src)
+            parts = []
+            for rep in range(N_REPLICAS):
+                if rep == 0:
+                    parts.append(docs)
+                    continue
+                parts.append(
+                    docs.select(
+                        (F.col("doc_id") + rep * 100_000_000).alias("doc_id"),
+                        F.regexp_replace("text", r"(\S+)", rf"$1_r{rep}").alias(
+                            "text"
+                        ),
+                        "lang",
+                        "source",
+                        F.lit(None).cast("long").alias("n_chars"),  # fixed below
+                    )
                 )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        out = out.withColumn("n_chars", F.length("text").cast("long"))
-        out.repartition(32).write.mode("overwrite").parquet(dst)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out = out.withColumn("n_chars", F.length("text").cast("long"))
+            out.repartition(32).write.mode("overwrite").parquet(dst)
+        elif name == "events":
+            # Replicas shift event_id and user_id into disjoint ranges but
+            # keep ts/type/value/props — per-user event counts, session
+            # gaps, and value distributions are preserved exactly; the 10×
+            # corpus has 10× the users, not 10×-longer user histories
+            # (which would quadratically inflate per-user windows).
+            from datafusion_distributed_spark.tables import _normalize
+
+            ev = _normalize("events", spark.read.parquet(src))
+            parts = []
+            for rep in range(N_REPLICAS):
+                if rep == 0:
+                    parts.append(ev)
+                    continue
+                parts.append(
+                    ev.select(
+                        (F.col("event_id") + rep * 1_000_000_000).alias("event_id"),
+                        "ts",
+                        (F.col("user_id") + rep * 100_000_000).alias("user_id"),
+                        "event_type",
+                        "value",
+                        "props",
+                    )
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out.repartition(32).write.mode("overwrite").parquet(dst)
+        else:
+            os.symlink(src, dst)
     print(f"probe dir ready: {PROBE_DIR}", file=sys.stderr)
 
 
@@ -122,6 +152,14 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scale_probe_results.json")
+    # Merge over prior runs (e.g. a cb_/ts_ sweep after the dd_/text_/ds_
+    # one) so the results file accumulates the full family picture.
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f).get("results", {})
+        prior.update(results)
+        results = prior
     ratios = [r["ratio"] for r in results.values() if r.get("ratio")]
     summary = {
         "n_queries": len(results),
@@ -130,7 +168,6 @@ def main() -> None:
         "max_ratio": max(ratios) if ratios else None,
         "results": results,
     }
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scale_probe_results.json")
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True)
         f.write("\n")
