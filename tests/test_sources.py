@@ -137,3 +137,44 @@ def test_schema_evolution_merge_read(spark, tmp_path):
         F.count(F.lit(1)).alias("n"), F.count("score").alias("n_scored")
     ).collect()[0]
     assert (agg.n, agg.n_scored) == (4, 2)
+
+
+def test_avro_python_source_roundtrip(spark):
+    """The engine's OWN Avro source (sources/avro.py — pure-Python object
+    container codec over a distributed binaryFile scan; the reference ships
+    Avro as an optional source, Cargo.toml:71). Three container files so
+    the read genuinely fans out one decode task per file; exact row-set
+    equality against the parquet original, nullable column included."""
+    import pyspark.sql.functions as F_  # noqa: N812
+
+    from datafusion_distributed_spark.sources.avro import read_avro, write_avro
+
+    src = _customer(spark).withColumn(
+        # exercise the ["null", long] union branch
+        "maybe_bal",
+        F_.when(F_.col("c_custkey") % 3 == 0, F_.col("bal_cents")),
+    )
+    path = f"{_SCRATCH}/avro_py"
+    shutil.rmtree(path, ignore_errors=True)
+    import os
+
+    os.makedirs(path)
+    rows = [tuple(r) for r in src.collect()]
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        write_avro(
+            rows[i * third : (i + 1) * third],
+            src.schema,
+            f"{path}/part-{i}.avro",
+            codec="null" if i % 2 == 0 else "deflate",
+        )
+    back = read_avro(spark, path)
+    assert back.schema.fieldNames() == src.schema.fieldNames()
+    assert back.rdd.getNumPartitions() >= 1
+    assert _rows(back) == _rows(src)
+    # schema discovery matches the written types
+    from datafusion_distributed_spark.sources.avro import avro_schema_of
+
+    disc = avro_schema_of(spark, path)
+    assert [f.dataType for f in disc.fields] == [f.dataType for f in src.schema.fields]
+    shutil.rmtree(path, ignore_errors=True)
