@@ -178,3 +178,53 @@ def test_avro_python_source_roundtrip(spark):
     disc = avro_schema_of(spark, path)
     assert [f.dataType for f in disc.fields] == [f.dataType for f in src.schema.fields]
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_avro_codec_property_roundtrip():
+    """Hypothesis property: random rows over the full supported type matrix
+    (nullable + non-null branches, deflate + null codecs, multi-block
+    files) survive the pure-Python Avro codec bit-exactly. Driver-side
+    only — no Spark session needed, so the property can afford many
+    examples."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import types as T
+
+    from datafusion_distributed_spark.sources.avro import (
+        decode_container,
+        write_avro,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("flag", T.BooleanType(), True),
+            T.StructField("score", T.DoubleType(), True),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("blob", T.BinaryType(), True),
+        ]
+    )
+    row_st = st.tuples(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.none() | st.booleans(),
+        st.none() | st.floats(allow_nan=False, allow_infinity=True),
+        st.none() | st.text(max_size=40),
+        st.none() | st.binary(max_size=40),
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        rows=st.lists(row_st, max_size=50),
+        codec=st.sampled_from(["null", "deflate"]),
+    )
+    def roundtrip(rows, codec):
+        import os
+
+        tmp = "/root/repo/.scratch/avro_prop.avro"
+        os.makedirs(os.path.dirname(tmp), exist_ok=True)
+        write_avro(rows, schema, tmp, codec=codec, block_rows=7)
+        with open(tmp, "rb") as f:
+            _schema, back = decode_container(f.read())
+        assert back == rows
+
+    roundtrip()

@@ -103,6 +103,31 @@ def build_probe_dir(spark) -> None:
             for p in parts[1:]:
                 out = out.unionByName(p)
             out.repartition(32).write.mode("overwrite").parquet(dst)
+        elif name == "embeddings":
+            # Replicas rotate the embedding vector by r positions (norm- and
+            # distribution-preserving, but decorrelated from the original —
+            # no artificial near-duplicate inflation) and shift vec_id into
+            # a disjoint range. The probe/query set (vec_id < N_QUERIES)
+            # stays replica-0 only, so Q is fixed while the corpus grows
+            # 10× — exactly the registered operators' scaling story.
+            emb = spark.read.parquet(src)
+            dim = len(emb.select("embedding").first()[0])
+            parts = [emb]
+            for rep in range(1, N_REPLICAS):
+                parts.append(
+                    emb.select(
+                        (F.col("vec_id") + rep * 100_000_000).alias("vec_id"),
+                        F.concat(
+                            F.slice(F.col("embedding"), rep + 1, dim - rep),
+                            F.slice(F.col("embedding"), 1, rep),
+                        ).alias("embedding"),
+                        "label",
+                    )
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out.repartition(8).write.mode("overwrite").parquet(dst)
         else:
             os.symlink(src, dst)
     print(f"probe dir ready: {PROBE_DIR}", file=sys.stderr)
