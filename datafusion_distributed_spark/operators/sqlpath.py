@@ -2910,3 +2910,364 @@ _Q9_SQL = _q9_sql()
 def case_scalar_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir)
     return spark.sql(_Q9_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Cumulative cross-channel dominance (TPC-DS q51 shape,
+# /root/reference/testdata/tpcds/queries/q51.sql:1-55): per-item monthly
+# sales per channel, each channel's RUNNING cumulative total, the two
+# cumulative streams stitched together over the union of months, and the
+# rows where the web cumulative has overtaken the store cumulative. q51's
+# literal plan is two grouped CTEs (each with its own cumulative-sum
+# window), a FULL OUTER JOIN on (item, date), then TWO running-MAX windows
+# over the joined stream to forward-fill each channel's last cumulative
+# value across the other channel's months.
+#
+# Physical design (Spark side): the full-outer-join + forward-fill-max
+# dance collapses into ONE aggregate + ONE window node. Group once at
+# (item, month) grain with a conditional sum per channel (a month appears
+# iff either channel sold — exactly the full-outer union), then compute
+# both channels' cumulative sums in the SAME window spec (Spark evaluates
+# them in a single WindowExec pass, one shuffle on item_sk). A conditional
+# running SUM ignores the NULL months, so at a store-only month it holds
+# the web channel's last cumulative — precisely what q51's running MAX of
+# the joined cume_sales column computes (sales cents are >= 0, so the
+# cumulative stream is non-decreasing and running-max == latest value).
+# The masked web_sales/store_sales outputs (NULL when that channel had no
+# sales that month) reproduce the join's NULL pattern. Two shuffles total
+# vs the reference plan's four; the oracle keeps q51's literal
+# CTE + FULL OUTER JOIN + running-MAX form, so the differential gate
+# proves the collapse is semantics-preserving.
+# ---------------------------------------------------------------------------
+
+_Q51_SPARK_SQL = """
+WITH grain AS (
+  SELECT l_partkey AS item_sk,
+         date_format(date_trunc('month', l_shipdate), 'yyyy-MM-dd') AS d_date,
+         SUM(CASE WHEN l_returnflag = 'N'
+                  THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) END)
+           AS web_m,
+         SUM(CASE WHEN l_returnflag = 'A'
+                  THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) END)
+           AS store_m
+  FROM lineitem
+  WHERE l_returnflag IN ('A', 'N')
+  GROUP BY 1, 2
+),
+cume AS (
+  SELECT item_sk, d_date, web_m, store_m,
+         SUM(web_m) OVER (PARTITION BY item_sk ORDER BY d_date
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS web_cumulative,
+         SUM(store_m) OVER (PARTITION BY item_sk ORDER BY d_date
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS store_cumulative
+  FROM grain
+)
+SELECT item_sk, d_date,
+       CASE WHEN web_m   IS NOT NULL THEN web_cumulative   END AS web_sales,
+       CASE WHEN store_m IS NOT NULL THEN store_cumulative END AS store_sales,
+       web_cumulative, store_cumulative
+FROM cume
+WHERE web_cumulative > store_cumulative
+ORDER BY item_sk, d_date
+LIMIT 100
+"""
+
+_Q51_ORACLE = """
+WITH detail AS (
+  SELECT l_partkey AS item_sk,
+         strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS d_date,
+         l_returnflag AS ch,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS cents
+  FROM lineitem
+  WHERE l_returnflag IN ('A', 'N')
+),
+web_v1 AS (
+  SELECT item_sk, d_date,
+         CAST(SUM(SUM(cents)) OVER (PARTITION BY item_sk ORDER BY d_date
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cume_sales
+  FROM detail WHERE ch = 'N' GROUP BY item_sk, d_date
+),
+store_v1 AS (
+  SELECT item_sk, d_date,
+         CAST(SUM(SUM(cents)) OVER (PARTITION BY item_sk ORDER BY d_date
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cume_sales
+  FROM detail WHERE ch = 'A' GROUP BY item_sk, d_date
+),
+x AS (
+  SELECT COALESCE(web.item_sk, store.item_sk) AS item_sk,
+         COALESCE(web.d_date, store.d_date) AS d_date,
+         web.cume_sales AS web_sales,
+         store.cume_sales AS store_sales
+  FROM web_v1 web
+  FULL OUTER JOIN store_v1 store
+    ON web.item_sk = store.item_sk AND web.d_date = store.d_date
+),
+y AS (
+  SELECT item_sk, d_date, web_sales, store_sales,
+         MAX(web_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS web_cumulative,
+         MAX(store_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS store_cumulative
+  FROM x
+)
+SELECT item_sk, d_date, web_sales, store_sales, web_cumulative, store_cumulative
+FROM y
+WHERE web_cumulative > store_cumulative
+ORDER BY item_sk, d_date
+LIMIT 100
+"""
+
+
+@query(
+    "sql_cumulative_dominance",
+    oracle=_Q51_ORACLE,
+    tags=("sql-entry", "tpcds", "window", "full-outer"),
+    order_by="item_sk, d_date",
+)
+def cumulative_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_Q51_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Best/worst performer rank join (TPC-DS q44 shape,
+# /root/reference/testdata/tpcds/queries/q44.sql:1-45): rank items by a
+# per-item average metric both ASCENDING and DESCENDING over the same
+# filtered aggregate, keep the top 10 of each ranking, join them on rank
+# position, and resolve both item names through two independent dim-join
+# aliases — a report pairing the best and worst performer at each rank.
+# q44's HAVING gates items against 0.9x a scalar-subquery baseline average
+# (a degenerate single-group aggregate over a sibling slice of the fact).
+#
+# Exactness: the rank column is the floored per-item average in scaled
+# cents (SUM div COUNT — both engines floor non-negative BIGINTs
+# identically: Spark `div` truncates toward zero, DuckDB `//` floors, equal
+# on the non-negative cents); the 0.9x threshold compares 10*avg > 9*base
+# in integers. Rank order carries an item_sk tiebreaker (ASC for the
+# ascending ranking, DESC for the descending one — a symmetric reversal) so
+# ranks are a total order and the rnk-equijoin pairs deterministically.
+# Scale: ranking input is ITEM grain (bounded by |part|, not |lineitem|);
+# the `rnk < 11` filter sits directly above each rank window, Spark's
+# WindowGroupLimit prunes each side to ~10 rows per map partition before
+# the final sort, and both part-name joins broadcast.
+# ---------------------------------------------------------------------------
+
+def _q44_v1_sql(div_op: str, store_slice: int = 4) -> str:
+    """The shared filtered-item-average CTE (q44's V1), incl. the
+    scalar-subquery HAVING gate, in either dialect's integer-division
+    spelling."""
+    return f"""
+WITH detail AS (
+  SELECT l_partkey AS item_sk, l_linenumber,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS cents
+  FROM lineitem
+  WHERE l_suppkey % 7 = {store_slice}
+)
+SELECT item_sk, SUM(cents) {div_op} COUNT(*) AS rank_col
+FROM detail
+GROUP BY item_sk
+HAVING (SUM(cents) {div_op} COUNT(*)) * 10 >
+       (SELECT (SUM(cents) {div_op} COUNT(*)) * 9
+        FROM detail WHERE l_linenumber = 1)"""
+
+
+def _q44_oracle(store_slice: int = 4) -> str:
+    return f"""
+WITH v1 AS ({_q44_v1_sql("//", store_slice)}
+),
+asceding AS (
+  SELECT * FROM (
+    SELECT item_sk, RANK() OVER (ORDER BY rank_col ASC, item_sk ASC) AS rnk
+    FROM v1
+  ) v11 WHERE rnk < 11
+),
+descending AS (
+  SELECT * FROM (
+    SELECT item_sk, RANK() OVER (ORDER BY rank_col DESC, item_sk DESC) AS rnk
+    FROM v1
+  ) v21 WHERE rnk < 11
+)
+SELECT asceding.rnk AS rnk,
+       i1.p_name AS best_performing,
+       i2.p_name AS worst_performing
+FROM asceding
+JOIN descending ON asceding.rnk = descending.rnk
+JOIN part i1 ON i1.p_partkey = asceding.item_sk
+JOIN part i2 ON i2.p_partkey = descending.item_sk
+ORDER BY rnk, best_performing, worst_performing
+LIMIT 100
+"""
+
+
+@query(
+    "sql_best_worst_rank_join",
+    oracle=_q44_oracle(),
+    tags=("sql-entry", "tpcds", "window", "scalar-subquery"),
+    order_by="rnk, best_performing, worst_performing",
+)
+def best_worst_rank_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t(spark, sf_dir)
+    # Materialize-once discipline (the sql_wide_chain_yoy pattern): a plain
+    # CTE referenced by both rankings is inlined twice by Catalyst — two
+    # fact scans + two item-grain aggregates. V1 (item grain, bounded by
+    # |part|) is materialized once; both rank windows and the rnk-equijoin
+    # read it. The rnk < 11 filters sit directly above each rank window, so
+    # WindowGroupLimit prunes to ~10 rows per map partition before the
+    # single-partition final rank.
+    v1 = spark.sql(_q44_v1_sql("DIV")).localCheckpoint(eager=True)
+    wa = Window.orderBy(F.asc("rank_col"), F.asc("item_sk"))
+    wd = Window.orderBy(F.desc("rank_col"), F.desc("item_sk"))
+    asc_r = v1.withColumn("rnk", F.rank().over(wa)).where(F.col("rnk") < 11)
+    desc_r = v1.withColumn("rnk", F.rank().over(wd)).where(F.col("rnk") < 11)
+    part = t(spark, sf_dir)["part"]
+    return (
+        asc_r.alias("a")
+        .join(desc_r.alias("d"), "rnk")
+        .join(
+            F.broadcast(part.alias("i1")),
+            F.col("i1.p_partkey") == F.col("a.item_sk"),
+        )
+        .join(
+            F.broadcast(part.alias("i2")),
+            F.col("i2.p_partkey") == F.col("d.item_sk"),
+        )
+        .select(
+            "rnk",
+            F.col("i1.p_name").alias("best_performing"),
+            F.col("i2.p_name").alias("worst_performing"),
+        )
+        .orderBy("rnk", "best_performing", "worst_performing")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Moving-average deviation screen (TPC-DS q47/q57 shape,
+# /root/reference/testdata/tpcds/queries/q47.sql:1-75): per-(brand, channel)
+# monthly sales with a RUNNING yearly average (q47's DataFusion-modified
+# `avg(...) OVER (PARTITION BY ..., d_year ORDER BY d_moy)`), the previous
+# and next month's sales alongside each row, and a filter keeping months
+# that deviate from the running average by more than 10%. q47's literal
+# plan materializes the neighbor columns by TRIPLE-self-joining the CTE on
+# a rank-adjacency predicate (v1.rn = v1_lag.rn + 1 AND
+# v1.rn = v1_lead.rn - 1, inner joins dropping boundary months).
+#
+# Physical design (Spark side): LAG/LEAD in the SAME window spec replace
+# the triple self-join — one shuffle on (brand, channel) and a single
+# WindowExec evaluating running sum/count + lag + lead together, vs three
+# scans + two joins; the IS NOT NULL filters reproduce the inner joins'
+# boundary-dropping exactly. The oracle keeps q47's literal
+# rank + triple-self-join form, so the differential gate proves the
+# window rewrite equivalent.
+#
+# Exactness: monthly sales stay in BIGINT cents; the running average is
+# carried as the exact pair (run_sum, run_cnt); the 10%-deviation filter
+# cross-multiplies (10*|sum*cnt - run_sum| > run_sum — integers only; at a
+# 1000x scale factor sum*cnt tops out ~1e16, well inside int64); the two
+# output ratios are each ONE IEEE division of identical exact integers.
+# ---------------------------------------------------------------------------
+
+def _q47_grain(dialect: str) -> str:
+    yr = "year(l_shipdate)" if dialect == "spark" else "EXTRACT(YEAR FROM l_shipdate)"
+    mo = "month(l_shipdate)" if dialect == "spark" else "EXTRACT(MONTH FROM l_shipdate)"
+    return f"""
+  SELECT p_brand, l_returnflag AS channel,
+         CAST({yr} AS INTEGER) AS d_year,
+         CAST({mo} AS INTEGER) AS d_moy,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS sum_sales
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE ({yr} = 1997)
+     OR ({yr} = 1996 AND {mo} = 12)
+     OR ({yr} = 1998 AND {mo} = 1)
+  GROUP BY 1, 2, 3, 4"""
+
+
+def _q47_select(boundary_filter: str = "") -> str:
+    """Shared final SELECT; the Spark side passes the IS NOT NULL pair that
+    reproduces the oracle's inner rank-adjacency joins dropping boundary
+    months."""
+    return f"""
+SELECT p_brand, channel, d_year, d_moy, sum_sales, psum, nsum,
+       CAST(run_sum AS DOUBLE) / CAST(run_cnt AS DOUBLE) AS avg_monthly_sales,
+       CAST(sum_sales * run_cnt - run_sum AS DOUBLE) / CAST(run_cnt AS DOUBLE)
+         AS deviation
+FROM v2
+WHERE d_year = 1997
+  {boundary_filter}AND run_sum > 0
+  AND 10 * ABS(sum_sales * run_cnt - run_sum) > run_sum
+ORDER BY deviation, p_brand, channel, d_moy
+LIMIT 100
+"""
+
+_Q47_SPARK_SQL = f"""
+WITH grain AS ({_q47_grain("spark")}
+),
+v2 AS (
+  SELECT p_brand, channel, d_year, d_moy, sum_sales,
+         SUM(sum_sales) OVER (PARTITION BY p_brand, channel, d_year
+              ORDER BY d_moy
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum,
+         COUNT(*) OVER (PARTITION BY p_brand, channel, d_year
+              ORDER BY d_moy
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cnt,
+         LAG(sum_sales) OVER (PARTITION BY p_brand, channel
+              ORDER BY d_year, d_moy) AS psum,
+         LEAD(sum_sales) OVER (PARTITION BY p_brand, channel
+              ORDER BY d_year, d_moy) AS nsum
+  FROM grain
+)
+{_q47_select("AND psum IS NOT NULL AND nsum IS NOT NULL ")}
+"""
+
+_Q47_ORACLE = f"""
+WITH grain AS ({_q47_grain("duckdb")}
+),
+v1 AS (
+  SELECT p_brand, channel, d_year, d_moy, sum_sales,
+         CAST(SUM(sum_sales) OVER (PARTITION BY p_brand, channel, d_year
+              ORDER BY d_moy
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS run_sum,
+         CAST(COUNT(*) OVER (PARTITION BY p_brand, channel, d_year
+              ORDER BY d_moy
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS run_cnt,
+         RANK() OVER (PARTITION BY p_brand, channel
+              ORDER BY d_year, d_moy) AS rn
+  FROM grain
+),
+v2 AS (
+  SELECT v1.p_brand, v1.channel, v1.d_year, v1.d_moy, v1.sum_sales,
+         v1.run_sum, v1.run_cnt,
+         v1_lag.sum_sales AS psum, v1_lead.sum_sales AS nsum
+  FROM v1, v1 AS v1_lag, v1 AS v1_lead
+  WHERE v1.p_brand = v1_lag.p_brand  AND v1.p_brand = v1_lead.p_brand
+    AND v1.channel = v1_lag.channel  AND v1.channel = v1_lead.channel
+    AND v1.rn = v1_lag.rn + 1        AND v1.rn = v1_lead.rn - 1
+)
+{_q47_select()}
+"""
+
+
+@query(
+    "sql_moving_avg_deviation",
+    oracle=_Q47_ORACLE,
+    tags=("sql-entry", "tpcds", "window", "lag-lead"),
+    order_by="deviation, p_brand, channel, d_moy",
+)
+def moving_avg_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_Q47_SPARK_SQL)

@@ -87,13 +87,47 @@ def test_strings_without_double_casts_unchanged(expr):
         assert _portable_double_casts(expr) == expr
 
 
+def _matching_paren(s: str, open_idx: int) -> int:
+    """Index of the ')' closing the '(' at open_idx, or -1."""
+    depth = 0
+    for k in range(open_idx, len(s)):
+        if s[k] == "(":
+            depth += 1
+        elif s[k] == ")":
+            depth -= 1
+            if depth == 0:
+                return k
+    return -1
+
+
 def _collapse_hops(s: str) -> str:
-    pat = re.compile(r"(?is)CAST\(CAST\((?P<inner>.*?) AS VARCHAR\) AS DOUBLE\)")
+    """Rewrite every CAST(CAST(e AS VARCHAR) AS DOUBLE) -> CAST(e AS DOUBLE),
+    innermost-first, with real paren balancing (a regex .*? here can span
+    across sibling arguments — hypothesis found exactly that)."""
     while True:
-        new = pat.sub(lambda m: f"CAST({m.group('inner')} AS DOUBLE)", s)
-        if new == s:
+        upper = s.upper()
+        changed = False
+        i = 0
+        while True:
+            i = upper.find("CAST(CAST(", i)
+            if i < 0:
+                break
+            inner_open = i + 9  # the second '('
+            inner_close = _matching_paren(s, inner_open)
+            outer_close = _matching_paren(s, i + 4)
+            if inner_close < 0 or outer_close < 0:
+                i += 1
+                continue
+            inner_body = s[inner_open + 1 : inner_close]
+            between = s[inner_close + 1 : outer_close]
+            m = re.match(r"(?is)^(.*\S)\s+AS\s+VARCHAR\s*$", inner_body)
+            if m and re.match(r"(?is)^\s*AS\s+DOUBLE\s*$", between):
+                s = s[:i] + f"CAST({m.group(1)} AS DOUBLE)" + s[outer_close + 1 :]
+                changed = True
+                break
+            i += 1
+        if not changed:
             return s
-        s = new
 
 
 @settings(max_examples=300, deadline=None)
