@@ -2940,20 +2940,21 @@ def case_scalar_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
 # proves the collapse is semantics-preserving.
 # ---------------------------------------------------------------------------
 
-_Q51_SPARK_SQL = """
+def _q51_spark_sql(web: str = "N", store: str = "A", limit: int = 100) -> str:
+    return f"""
 WITH grain AS (
   SELECT l_partkey AS item_sk,
          date_format(date_trunc('month', l_shipdate), 'yyyy-MM-dd') AS d_date,
-         SUM(CASE WHEN l_returnflag = 'N'
+         SUM(CASE WHEN l_returnflag = '{web}'
                   THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) END)
            AS web_m,
-         SUM(CASE WHEN l_returnflag = 'A'
+         SUM(CASE WHEN l_returnflag = '{store}'
                   THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) END)
            AS store_m
   FROM lineitem
-  WHERE l_returnflag IN ('A', 'N')
+  WHERE l_returnflag IN ('{store}', '{web}')
   GROUP BY 1, 2
 ),
 cume AS (
@@ -2973,10 +2974,12 @@ SELECT item_sk, d_date,
 FROM cume
 WHERE web_cumulative > store_cumulative
 ORDER BY item_sk, d_date
-LIMIT 100
+LIMIT {limit}
 """
 
-_Q51_ORACLE = """
+
+def _q51_oracle(web: str = "N", store: str = "A", limit: int = 100) -> str:
+    return f"""
 WITH detail AS (
   SELECT l_partkey AS item_sk,
          strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS d_date,
@@ -2984,21 +2987,21 @@ WITH detail AS (
          CAST(ROUND(l_extendedprice * 100) AS BIGINT)
            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS cents
   FROM lineitem
-  WHERE l_returnflag IN ('A', 'N')
+  WHERE l_returnflag IN ('{store}', '{web}')
 ),
 web_v1 AS (
   SELECT item_sk, d_date,
          CAST(SUM(SUM(cents)) OVER (PARTITION BY item_sk ORDER BY d_date
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
            AS cume_sales
-  FROM detail WHERE ch = 'N' GROUP BY item_sk, d_date
+  FROM detail WHERE ch = '{web}' GROUP BY item_sk, d_date
 ),
 store_v1 AS (
   SELECT item_sk, d_date,
          CAST(SUM(SUM(cents)) OVER (PARTITION BY item_sk ORDER BY d_date
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
            AS cume_sales
-  FROM detail WHERE ch = 'A' GROUP BY item_sk, d_date
+  FROM detail WHERE ch = '{store}' GROUP BY item_sk, d_date
 ),
 x AS (
   SELECT COALESCE(web.item_sk, store.item_sk) AS item_sk,
@@ -3023,19 +3026,19 @@ SELECT item_sk, d_date, web_sales, store_sales, web_cumulative, store_cumulative
 FROM y
 WHERE web_cumulative > store_cumulative
 ORDER BY item_sk, d_date
-LIMIT 100
+LIMIT {limit}
 """
 
 
 @query(
     "sql_cumulative_dominance",
-    oracle=_Q51_ORACLE,
+    oracle=_q51_oracle(),
     tags=("sql-entry", "tpcds", "window", "full-outer"),
     order_by="item_sk, d_date",
 )
 def cumulative_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir)
-    return spark.sql(_Q51_SPARK_SQL)
+    return spark.sql(_q51_spark_sql())
 
 
 # ---------------------------------------------------------------------------
@@ -3116,6 +3119,10 @@ LIMIT 100
     order_by="rnk, best_performing, worst_performing",
 )
 def best_worst_rank_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q44_frames(spark, sf_dir)
+
+
+def _q44_frames(spark: SparkSession, sf_dir: str, store_slice: int = 4) -> DataFrame:
     from pyspark.sql import Window
 
     t(spark, sf_dir)
@@ -3126,7 +3133,7 @@ def best_worst_rank_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read it. The rnk < 11 filters sit directly above each rank window, so
     # WindowGroupLimit prunes to ~10 rows per map partition before the
     # single-partition final rank.
-    v1 = spark.sql(_q44_v1_sql("DIV")).localCheckpoint(eager=True)
+    v1 = spark.sql(_q44_v1_sql("DIV", store_slice)).localCheckpoint(eager=True)
     wa = Window.orderBy(F.asc("rank_col"), F.asc("item_sk"))
     wd = Window.orderBy(F.desc("rank_col"), F.desc("item_sk"))
     asc_r = v1.withColumn("rnk", F.rank().over(wa)).where(F.col("rnk") < 11)
@@ -3179,7 +3186,7 @@ def best_worst_rank_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # output ratios are each ONE IEEE division of identical exact integers.
 # ---------------------------------------------------------------------------
 
-def _q47_grain(dialect: str) -> str:
+def _q47_grain(dialect: str, year: int = 1997) -> str:
     yr = "year(l_shipdate)" if dialect == "spark" else "EXTRACT(YEAR FROM l_shipdate)"
     mo = "month(l_shipdate)" if dialect == "spark" else "EXTRACT(MONTH FROM l_shipdate)"
     return f"""
@@ -3189,31 +3196,34 @@ def _q47_grain(dialect: str) -> str:
          SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
              * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS sum_sales
   FROM lineitem JOIN part ON p_partkey = l_partkey
-  WHERE ({yr} = 1997)
-     OR ({yr} = 1996 AND {mo} = 12)
-     OR ({yr} = 1998 AND {mo} = 1)
+  WHERE ({yr} = {year})
+     OR ({yr} = {year - 1} AND {mo} = 12)
+     OR ({yr} = {year + 1} AND {mo} = 1)
   GROUP BY 1, 2, 3, 4"""
 
 
-def _q47_select(boundary_filter: str = "") -> str:
+def _q47_select(boundary_filter: str = "", year: int = 1997, pct: int = 10) -> str:
     """Shared final SELECT; the Spark side passes the IS NOT NULL pair that
     reproduces the oracle's inner rank-adjacency joins dropping boundary
-    months."""
+    months. ``pct`` is the deviation threshold as a multiplier (10 = 10%%:
+    pct * |dev| > run_sum)."""
     return f"""
 SELECT p_brand, channel, d_year, d_moy, sum_sales, psum, nsum,
        CAST(run_sum AS DOUBLE) / CAST(run_cnt AS DOUBLE) AS avg_monthly_sales,
        CAST(sum_sales * run_cnt - run_sum AS DOUBLE) / CAST(run_cnt AS DOUBLE)
          AS deviation
 FROM v2
-WHERE d_year = 1997
+WHERE d_year = {year}
   {boundary_filter}AND run_sum > 0
-  AND 10 * ABS(sum_sales * run_cnt - run_sum) > run_sum
+  AND {pct} * ABS(sum_sales * run_cnt - run_sum) > run_sum
 ORDER BY deviation, p_brand, channel, d_moy
 LIMIT 100
 """
 
-_Q47_SPARK_SQL = f"""
-WITH grain AS ({_q47_grain("spark")}
+
+def _q47_spark_sql(year: int = 1997, pct: int = 10) -> str:
+    return f"""
+WITH grain AS ({_q47_grain("spark", year)}
 ),
 v2 AS (
   SELECT p_brand, channel, d_year, d_moy, sum_sales,
@@ -3229,11 +3239,13 @@ v2 AS (
               ORDER BY d_year, d_moy) AS nsum
   FROM grain
 )
-{_q47_select("AND psum IS NOT NULL AND nsum IS NOT NULL ")}
+{_q47_select("AND psum IS NOT NULL AND nsum IS NOT NULL ", year, pct)}
 """
 
-_Q47_ORACLE = f"""
-WITH grain AS ({_q47_grain("duckdb")}
+
+def _q47_oracle(year: int = 1997, pct: int = 10) -> str:
+    return f"""
+WITH grain AS ({_q47_grain("duckdb", year)}
 ),
 v1 AS (
   SELECT p_brand, channel, d_year, d_moy, sum_sales,
@@ -3258,16 +3270,16 @@ v2 AS (
     AND v1.channel = v1_lag.channel  AND v1.channel = v1_lead.channel
     AND v1.rn = v1_lag.rn + 1        AND v1.rn = v1_lead.rn - 1
 )
-{_q47_select()}
+{_q47_select("", year, pct)}
 """
 
 
 @query(
     "sql_moving_avg_deviation",
-    oracle=_Q47_ORACLE,
+    oracle=_q47_oracle(),
     tags=("sql-entry", "tpcds", "window", "lag-lead"),
     order_by="deviation, p_brand, channel, d_moy",
 )
 def moving_avg_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir)
-    return spark.sql(_Q47_SPARK_SQL)
+    return spark.sql(_q47_spark_sql())

@@ -1143,3 +1143,106 @@ def test_random_scalar_subquery_case_matches_oracle(spark, duck, i):
     compare_to_oracle(
         spark.sql(sql), duck, sql, name=f"randq9[{i}]{_Q9_CASES[i]}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomized cumulative-dominance family (TPC-DS q51 construct): sweeps the
+# (web, store) channel->returnflag assignment over all ordered pairs and the
+# LIMIT depth. The Spark side's collapsed one-aggregate + one-window plan
+# must stay value-identical to the oracle's literal CTE + FULL OUTER JOIN +
+# running-MAX formulation for every assignment — including pairs where one
+# channel dominates early or never.
+# ---------------------------------------------------------------------------
+
+_Q51_FLAGS = ["A", "N", "R"]
+_Q51_CASES = [
+    {"web": w, "store": st, "limit": lim}
+    for w in _Q51_FLAGS
+    for st in _Q51_FLAGS
+    if w != st
+    for lim in ([100] if (w, st) != ("N", "A") else [50, 1000])
+]
+
+
+@pytest.mark.parametrize("i", range(len(_Q51_CASES)))
+def test_random_cumulative_dominance_matches_oracle(spark, duck, i):
+    from datafusion_distributed_spark.operators.sqlpath import (
+        _q51_oracle,
+        _q51_spark_sql,
+    )
+
+    case = _Q51_CASES[i]
+    load_tables(spark, SF_DIR)
+    oracle_views(duck, SF_DIR)
+    compare_to_oracle(
+        spark.sql(_q51_spark_sql(**case)),
+        duck,
+        _q51_oracle(**case),
+        name=f"randq51[{i}]{case}",
+        order_by="item_sk, d_date",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Randomized best/worst rank-join family (TPC-DS q44 construct): sweeps the
+# store-slice predicate (which items survive the scalar-subquery HAVING gate
+# shifts with the slice). The materialized-once v1 + dual WindowGroupLimit
+# rankings must pair best/worst identically to the oracle's inline-CTE form.
+# ---------------------------------------------------------------------------
+
+_Q44_SLICES = [0, 1, 2, 3, 5, 6]
+
+
+@pytest.mark.parametrize("i", range(len(_Q44_SLICES)))
+def test_random_best_worst_rank_matches_oracle(spark, duck, i):
+    from datafusion_distributed_spark.operators.sqlpath import (
+        _q44_frames,
+        _q44_oracle,
+    )
+
+    sl = _Q44_SLICES[i]
+    oracle_views(duck, SF_DIR)
+    compare_to_oracle(
+        _q44_frames(spark, SF_DIR, store_slice=sl),
+        duck,
+        _q44_oracle(store_slice=sl),
+        name=f"randq44[{i}]slice={sl}",
+        order_by="rnk, best_performing, worst_performing",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Randomized moving-average-deviation family (TPC-DS q47/q57 construct):
+# sweeps the target year across the data's span (1995 has NO prior-December
+# fringe — every January is a boundary month the inner rank-adjacency joins
+# must drop) and the deviation threshold. The Spark LAG/LEAD single-window
+# rewrite must match the oracle's triple self-join for every combination.
+# ---------------------------------------------------------------------------
+
+_Q47_CASES = [
+    {"year": 1995, "pct": 10},
+    {"year": 1996, "pct": 5},
+    {"year": 1998, "pct": 25},
+    {"year": 1999, "pct": 100},
+    {"year": 2000, "pct": 10},
+    {"year": 2001, "pct": 10},  # truncated final year: no next-January fringe
+]
+
+
+@pytest.mark.parametrize("i", range(len(_Q47_CASES)))
+def test_random_moving_avg_deviation_matches_oracle(spark, duck, i):
+    from datafusion_distributed_spark.operators.sqlpath import (
+        _q47_oracle,
+        _q47_spark_sql,
+    )
+
+    case = _Q47_CASES[i]
+    load_tables(spark, SF_DIR)
+    oracle_views(duck, SF_DIR)
+    compare_to_oracle(
+        spark.sql(_q47_spark_sql(**case)),
+        duck,
+        _q47_oracle(**case),
+        name=f"randq47[{i}]{case}",
+        order_by="deviation, p_brand, channel, d_moy",
+    )
