@@ -900,3 +900,155 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_matched.cast("long").alias("n_matched"),
         (n_matched.cast("double") / F.count(F.lit(1))).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup; Abbas et al. 2023, arXiv:2303.09540 —
+# public): cluster the corpus by nearest centroid, then within each cluster
+# drop every vector that is near-identical (cosine >= tau) to a
+# higher-priority member. Priority follows the paper's keep-rule — the
+# exemplar kept is the member LEAST similar to its cluster centroid (most
+# atypical), ties broken on vec_id — so the kept set is deterministic.
+# "Duplicate" is the one-pass dominance rule (dominated by ANY
+# higher-priority member, kept or not): order-free, SQL-expressible, and
+# stable under partitioning — no sequential greedy scan.
+#
+# 100 TB shape: centroid assignment is the same narrow broadcast-argmin as
+# sim_ivf_topk (zero shuffles); the candidate pairs come from ONE
+# within-cell self-join, so the pair count is sum(|cell|^2), bounded by the
+# cluster granularity — in a real fit K scales with the corpus
+# (K ~ N/target_cell_size, SemDeDup used 50k clusters for LAION) keeping
+# cells constant-sized; K=8 here only because the deterministic stand-in
+# centroids are 8 fixed rows. The final per-duplicate aggregate is
+# map-side combinable.
+#
+# Reference parity: the reference has no ANN/dedup operators — this extends
+# the engine the direction its users (LLM-corpus pipelines) need; same
+# differential-oracle discipline as every other row (cosines rounded to 6
+# decimals before compare/threshold in BOTH engines, counts exact ints).
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.40  # inside the synthetic corpus' cosine range (max ~0.49)
+
+
+def _semdedup_oracle(tau: float = _SEMDEDUP_TAU) -> str:
+    k0, k1 = _IVF_FIRST_CENTROID, _IVF_FIRST_CENTROID + _IVF_K - 1
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (SELECT vec_id - {k0} + 1 AS k, e AS ce FROM emb WHERE vec_id BETWEEN {k0} AND {k1}),
+dflat AS (
+  SELECT m.vec_id, c.k, unnest(m.e) AS mv, unnest(c.ce) AS cv
+  FROM emb m CROSS JOIN cent c
+),
+dotsq AS (
+  SELECT vec_id, k, ROUND(SUM((mv - cv) * (mv - cv)), 6) AS d,
+         SUM(mv * cv) AS dot, SUM(mv * mv) AS mm, SUM(cv * cv) AS cc
+  FROM dflat GROUP BY vec_id, k
+),
+members AS (
+  SELECT vec_id, k AS cell,
+         ROUND(dot / (SQRT(mm) * SQRT(cc)), 6) AS ccos
+  FROM (
+    SELECT vec_id, k, dot, mm, cc,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+    FROM dotsq
+  ) WHERE rn = 1
+),
+pflat AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, b.cell,
+         unnest(ea.e) AS av, unnest(eb.e) AS bv
+  FROM members a
+  JOIN members b ON a.cell = b.cell
+    AND (a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+  JOIN emb ea ON ea.vec_id = a.vec_id
+  JOIN emb eb ON eb.vec_id = b.vec_id
+),
+pair_cos AS (
+  SELECT a_id, b_id, cell,
+         ROUND(SUM(av * bv) / (SQRT(SUM(av * av)) * SQRT(SUM(bv * bv))), 6)
+           AS cos_ab
+  FROM pflat GROUP BY a_id, b_id, cell
+)
+SELECT b_id AS vec_id, cell,
+       CAST(COUNT(*) AS BIGINT) AS n_dominators,
+       MAX(cos_ab) AS best_dup_cos
+FROM pair_cos
+WHERE cos_ab >= {tau}
+GROUP BY b_id, cell
+ORDER BY vec_id
+"""
+
+
+@query(
+    "sim_semantic_dedup",
+    oracle=_semdedup_oracle(),
+    tags=("similarity", "dedup", "semdedup"),
+    order_by="vec_id",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _semdedup_frames(spark, sf_dir)
+
+
+def _semdedup_frames(
+    spark: SparkSession, sf_dir: str, tau: float = _SEMDEDUP_TAU
+) -> DataFrame:
+    emb = t(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    centroids = _centroids(spark, emb, sf_dir)
+    cell = _ivf_cell_expr(centroids)
+    # cosine to the OWN cell's centroid: index the broadcast centroid matrix
+    # by the assigned cell — per-row array algebra, no join.
+    cent_mat = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    ce = F.element_at(cent_mat, F.col("cell").cast("int"))
+    ccos_num = F.aggregate(
+        F.zip_with(F.col("e"), ce, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ce_norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(ce, ce, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    members = (
+        emb.select("vec_id", "e", cell.alias("cell"))
+        .select(
+            "vec_id",
+            "e",
+            "cell",
+            F.round(ccos_num / (F.sqrt(_dot("e", "e")) * ce_norm), 6).alias("ccos"),
+        )
+    )
+    a = members.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("e").alias("ae"),
+        F.col("cell").alias("cell"),
+        F.col("ccos").alias("a_ccos"),
+    )
+    b = members.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("e").alias("be"),
+        F.col("cell").alias("cell"),
+        F.col("ccos").alias("b_ccos"),
+    )
+    dominance = (F.col("a_ccos") < F.col("b_ccos")) | (
+        (F.col("a_ccos") == F.col("b_ccos")) & (F.col("a_id") < F.col("b_id"))
+    )
+    pairs = a.join(b, "cell").where(dominance)
+    cos_ab = F.round(
+        _dot("ae", "be") / (F.sqrt(_dot("ae", "ae")) * F.sqrt(_dot("be", "be"))), 6
+    )
+    dups = pairs.select("b_id", "cell", cos_ab.alias("cos_ab")).where(
+        F.col("cos_ab") >= tau
+    )
+    return (
+        dups.groupBy(F.col("b_id").alias("vec_id"), "cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dominators"),
+            F.max("cos_ab").alias("best_dup_cos"),
+        )
+        .orderBy("vec_id")
+    )

@@ -1246,3 +1246,33 @@ def test_random_moving_avg_deviation_matches_oracle(spark, duck, i):
         name=f"randq47[{i}]{case}",
         order_by="deviation, p_brand, channel, d_moy",
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomized semantic-dedup family (SemDeDup construct): sweeps the cosine
+# dup threshold through the synthetic corpus' distribution (max pairwise
+# cosine ~0.49 — taus above it must yield the empty set, taus below sweep
+# the dup-set size). The broadcast-argmin cell assignment + within-cell
+# dominance join must match the oracle's unnest-based formulation exactly
+# at every threshold, including the boundary where round(cos,6) == tau.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAUS = [0.33, 0.36, 0.38, 0.42, 0.45, 0.5]
+
+
+@pytest.mark.parametrize("i", range(len(_SEMDEDUP_TAUS)))
+def test_random_semdedup_matches_oracle(spark, duck, i):
+    from datafusion_distributed_spark.operators.similarity import (
+        _semdedup_frames,
+        _semdedup_oracle,
+    )
+
+    tau = _SEMDEDUP_TAUS[i]
+    oracle_views(duck, SF_DIR)
+    compare_to_oracle(
+        _semdedup_frames(spark, SF_DIR, tau=tau),
+        duck,
+        _semdedup_oracle(tau=tau),
+        name=f"randsemdedup[{i}]tau={tau}",
+        order_by="vec_id",
+    )
