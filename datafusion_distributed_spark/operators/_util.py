@@ -101,3 +101,29 @@ def release_local_checkpoint(df) -> None:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
         pass  # not a LogicalRDD-backed frame — nothing explicit to free
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread rows across all cores before CPU-heavy per-row transforms —
+    but ONLY when the scan is actually under-split.
+
+    The hash work downstream (16 salted md5s per shingle) is compute-bound,
+    not byte-bound: a corpus small in bytes arrives as ONE scan split and
+    would run the ~millions of md5 calls on a single core.  In that case an
+    explicit repartition costs one tiny shuffle of (doc_id, text) and buys
+    full parallelism (AQE never coalesces an explicit numPartitions
+    repartition).
+
+    At scale the condition flips: a 100 TB corpus scan already yields
+    thousands of splits, and an unconditional repartition would move the
+    ENTIRE corpus through one pointless shuffle — the exact anti-pattern the
+    module header forbids.  So the repartition is conditional: if the input
+    already has >= defaultParallelism partitions we pass it through
+    untouched, keeping the dedup family's only real shuffle the tiny
+    band-bucket self-join.  (Reference discipline: fan-out comes from scan
+    splits, not shuffles — /root/reference/src/events/defaults/
+    file_scan_config.rs:36-86 sizes splits at the source.)"""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism)

@@ -23,7 +23,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ._util import release_local_checkpoint, t
+from ._util import _fan_out, release_local_checkpoint, t
 from .registry import query
 
 # MinHash parameters: 8 bands x 2 rows = 16 hash functions.
@@ -114,32 +114,6 @@ def _shingle_arrays(docs: DataFrame) -> DataFrame:
         " i -> concat_ws(' ', slice(w, i, 3))))"
     )
     return words.filter(F.size("w") >= 3).select("doc_id", sh_arr.alias("sh_arr"))
-
-
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Spread rows across all cores before CPU-heavy per-row transforms —
-    but ONLY when the scan is actually under-split.
-
-    The hash work downstream (16 salted md5s per shingle) is compute-bound,
-    not byte-bound: a corpus small in bytes arrives as ONE scan split and
-    would run the ~millions of md5 calls on a single core.  In that case an
-    explicit repartition costs one tiny shuffle of (doc_id, text) and buys
-    full parallelism (AQE never coalesces an explicit numPartitions
-    repartition).
-
-    At scale the condition flips: a 100 TB corpus scan already yields
-    thousands of splits, and an unconditional repartition would move the
-    ENTIRE corpus through one pointless shuffle — the exact anti-pattern the
-    module header forbids.  So the repartition is conditional: if the input
-    already has >= defaultParallelism partitions we pass it through
-    untouched, keeping the dedup family's only real shuffle the tiny
-    band-bucket self-join.  (Reference discipline: fan-out comes from scan
-    splits, not shuffles — /root/reference/src/events/defaults/
-    file_scan_config.rs:36-86 sizes splits at the source.)"""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= parallelism:
-        return df
-    return df.repartition(parallelism)
 
 
 # 16 hash functions from only 4 md5 evaluations per shingle: each salted md5
@@ -923,3 +897,97 @@ def block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 + length of the rebuilt text (proves the reassembly byte-exactly
     without shipping full texts through the comparator)."""
     return block_dedup_frames(t(spark, sf_dir)["documents"], _BLOCK_W)
+
+
+# ---------------------------------------------------------------------------
+# Cross-modality ensemble verification: MinHash-LSH text candidates scored
+# in EMBEDDING space. Production dedup pipelines (e.g. the FineWeb /
+# SemDeDup-style stacks) run cheap text LSH for recall, then confirm
+# candidates with a semantic signal before dropping documents — the two
+# modalities fail differently (LSH catches token-level templates, the
+# embedding catches paraphrase). The corpus' doc_id aligns with the
+# embedding table's vec_id, so the composition is: band-bucket self-join
+# (tiny band rows) -> candidate pairs -> TWO row-lookup joins into the
+# embeddings table -> per-pair cosine, all without ever shuffling document
+# text or more than |cand| embedding rows. At 100 TB the candidate set is
+# LSH-bounded (see capped_band_pairs), so the embedding joins stay
+# pair-proportional.
+# ---------------------------------------------------------------------------
+
+_ENSEMBLE_TAU = 0.2
+
+
+def _ensemble_oracle(tau: float = _ENSEMBLE_TAU) -> str:
+    base = _minhash_oracle()
+    head, _, _tail = base.rpartition("SELECT DISTINCT")
+    return f"""{head}, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+eflat AS (
+  SELECT c.doc_a, c.doc_b, unnest(ea.e) AS av, unnest(eb.e) AS bv
+  FROM cand c
+  JOIN emb ea ON ea.vec_id = c.doc_a
+  JOIN emb eb ON eb.vec_id = c.doc_b
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         ROUND(SUM(av * bv) / (SQRT(SUM(av * av)) * SQRT(SUM(bv * bv))), 6)
+           AS cos_sim
+  FROM eflat GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, cos_sim,
+       cos_sim >= {tau} AS semantic_confirmed
+FROM scored
+ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "dd_ensemble_semantic_verify",
+    oracle=_ensemble_oracle(),
+    tags=("dedup", "minhash", "similarity", "ensemble"),
+    order_by="doc_a, doc_b",
+)
+def ensemble_semantic_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ensemble_frames(spark, sf_dir)
+
+
+def _ensemble_frames(
+    spark: SparkSession, sf_dir: str, tau: float = _ENSEMBLE_TAU
+) -> DataFrame:
+    from .similarity import _dot
+
+    docs = t(spark, sf_dir)["documents"]
+    emb = t(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cand = _band_pairs(lsh_bands(minhash_signatures(docs)))
+    # Per-vector norm computed once at embedding grain (same fold, same
+    # order -> bit-identical float to the oracle's per-pair spelling), so
+    # pair scoring runs ONE interpreted HOF fold instead of three.
+    norm = emb.select("vec_id", "e", F.sqrt(_dot("e", "e")).alias("nrm"))
+    a = norm.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("e").alias("ae"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = norm.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("e").alias("be"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    j = cand.join(a, "doc_a").join(b, "doc_b")
+    cos = F.round(_dot("ae", "be") / (F.col("a_nrm") * F.col("b_nrm")), 6)
+    return (
+        j.select(
+            "doc_a",
+            "doc_b",
+            cos.alias("cos_sim"),
+            (cos >= tau).alias("semantic_confirmed"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
