@@ -989,9 +989,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _semdedup_frames(spark, sf_dir)
 
 
-def _semdedup_frames(
-    spark: SparkSession, sf_dir: str, tau: float = _SEMDEDUP_TAU
-) -> DataFrame:
+def _semdedup_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, e, cell, nrm, ccos): every vector with its assigned cell,
+    vector norm, and rounded cosine-to-own-centroid — the shared input of
+    both semantic-dedup variants."""
     emb = t(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -1015,21 +1016,24 @@ def _semdedup_frames(
     )
     # Per-MEMBER norm, computed once: sqrt(dot(e,e)) folded over the same
     # array in the same order yields the bit-identical float the per-pair
-    # spelling would — so dot/(a_nrm*b_nrm) below is value-identical to the
-    # oracle's per-pair SQRT(SUM(av*av))*SQRT(SUM(bv*bv)), while the
-    # dominance join evaluates ONE 64-element fold per pair instead of
-    # three (higher-order-function folds are interpreted, not codegen'd:
-    # measured 6.5 s -> ~2 s at sf0.1).
-    members = (
-        emb.select("vec_id", "e", cell.alias("cell"))
-        .select(
-            "vec_id",
-            "e",
-            "cell",
-            F.sqrt(_dot("e", "e")).alias("nrm"),
-            F.round(ccos_num / (F.sqrt(_dot("e", "e")) * ce_norm), 6).alias("ccos"),
-        )
+    # spelling would — so dot/(a_nrm*b_nrm) in the pair joins is
+    # value-identical to the oracle's per-pair
+    # SQRT(SUM(av*av))*SQRT(SUM(bv*bv)), while the dominance join evaluates
+    # ONE 64-element fold per pair instead of three (higher-order-function
+    # folds are interpreted, not codegen'd: measured 6.5 s -> ~2 s at sf0.1).
+    return emb.select("vec_id", "e", cell.alias("cell")).select(
+        "vec_id",
+        "e",
+        "cell",
+        F.sqrt(_dot("e", "e")).alias("nrm"),
+        F.round(ccos_num / (F.sqrt(_dot("e", "e")) * ce_norm), 6).alias("ccos"),
     )
+
+
+def _semdedup_frames(
+    spark: SparkSession, sf_dir: str, tau: float = _SEMDEDUP_TAU
+) -> DataFrame:
+    members = _semdedup_members(spark, sf_dir)
     a = members.select(
         F.col("vec_id").alias("a_id"),
         F.col("e").alias("ae"),
@@ -1058,6 +1062,102 @@ def _semdedup_frames(
     cos_ab = F.round(
         _dot("ae", "be") / (F.col("a_nrm") * F.col("b_nrm")), 6
     )
+    dups = pairs.select("b_id", "cell", cos_ab.alias("cos_ab")).where(
+        F.col("cos_ab") >= tau
+    )
+    return (
+        dups.groupBy(F.col("b_id").alias("vec_id"), "cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dominators"),
+            F.max("cos_ab").alias("best_dup_cos"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capped-dominator semantic dedup: the scale-bounded variant. With K fixed,
+# the within-cell pair count grows O(N^2/K) — fine when K tracks the corpus
+# (SemDeDup fits K ~ N/target_cell_size), but a degenerate/fixed clustering
+# must not quadratically explode (the exact hazard capped_band_pairs bounds
+# for LSH buckets). Here only each cell's _SEMDEDUP_CAP highest-priority
+# members (the most-atypical exemplars the keep-rule would retain first)
+# act as DOMINATORS; every member is still checked, so pair count is
+# <= cap * N — linear in the corpus at ANY K. The cap window is rank-only,
+# so WindowGroupLimit prunes each map partition to cap rows per cell before
+# the shuffle. Missed dups (dominated only by a sub-cap-priority member)
+# are the documented approximation — the same recall trade the LSH cap
+# makes for degenerate buckets.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_CAP = 32
+
+
+def _semdedup_capped_oracle(
+    tau: float = _SEMDEDUP_TAU, cap: int = _SEMDEDUP_CAP
+) -> str:
+    base = _semdedup_oracle(tau)
+    head, _, tail = base.partition("pflat AS (")
+    return f"""{head}dominators AS (
+  SELECT vec_id, cell, ccos FROM (
+    SELECT vec_id, cell, ccos,
+           ROW_NUMBER() OVER (PARTITION BY cell ORDER BY ccos, vec_id) AS rn
+    FROM members
+  ) WHERE rn <= {cap}
+),
+pflat AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, b.cell,
+         unnest(ea.e) AS av, unnest(eb.e) AS bv
+  FROM dominators a
+  JOIN members b ON a.cell = b.cell
+    AND (a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+  JOIN emb ea ON ea.vec_id = a.vec_id
+  JOIN emb eb ON eb.vec_id = b.vec_id
+),
+{tail.partition("),")[2].lstrip()}"""
+
+
+@query(
+    "sim_semantic_dedup_capped",
+    oracle=_semdedup_capped_oracle(),
+    tags=("similarity", "dedup", "semdedup", "scale"),
+    order_by="vec_id",
+)
+def semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _semdedup_capped_frames(spark, sf_dir)
+
+
+def _semdedup_capped_frames(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = _SEMDEDUP_TAU,
+    cap: int = _SEMDEDUP_CAP,
+) -> DataFrame:
+    members = _semdedup_members(spark, sf_dir)
+    w = Window.partitionBy("cell").orderBy(F.asc("ccos"), F.asc("vec_id"))
+    dominators = (
+        members.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= cap)
+        .select(
+            F.col("vec_id").alias("a_id"),
+            F.col("e").alias("ae"),
+            F.col("nrm").alias("a_nrm"),
+            "cell",
+            F.col("ccos").alias("a_ccos"),
+        )
+    )
+    b = members.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("e").alias("be"),
+        F.col("nrm").alias("b_nrm"),
+        "cell",
+        F.col("ccos").alias("b_ccos"),
+    )
+    dominance = (F.col("a_ccos") < F.col("b_ccos")) | (
+        (F.col("a_ccos") == F.col("b_ccos")) & (F.col("a_id") < F.col("b_id"))
+    )
+    pairs = _fan_out(b).join(dominators, "cell").where(dominance)
+    cos_ab = F.round(_dot("ae", "be") / (F.col("a_nrm") * F.col("b_nrm")), 6)
     dups = pairs.select("b_id", "cell", cos_ab.alias("cos_ab")).where(
         F.col("cos_ab") >= tau
     )
