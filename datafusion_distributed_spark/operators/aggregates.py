@@ -395,3 +395,115 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Array higher-order-function surface (transform / filter / exists /
+# aggregate-reduce / sort / slice / sequence): DataFusion ships the array_*
+# function family (datafusion/functions-nested — public API the reference
+# inherits); Spark's lambda HOFs are the same surface. Portability: every
+# array is built from EXACT integers (cents / integral quantity), reduce is
+# an integer sum (order-independent), the sorted-slice join is over integer
+# strings — so DuckDB's list_* spellings must hash-match bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_ARRAY_HOF_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(list_sum(list_transform(arr, x -> x * 2 + 1))) AS BIGINT)
+         AS sum_transform,
+       CAST(SUM(len(list_filter(arr, x -> x % 3 = 0))) AS BIGINT)
+         AS n_div3,
+       CAST(SUM(CASE WHEN len(list_filter(arr, x -> x > 100000)) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_exists_big,
+       CAST(SUM(CASE WHEN len(list_filter(arr, x -> x >= 0)) = len(arr)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_forall_nonneg,
+       MIN(array_to_string(list_sort(arr)[1:2], ',')) AS min_sorted_head,
+       CAST(SUM(list_sum(generate_series(1, CAST(qty AS BIGINT) % 5 + 1)))
+            AS BIGINT) AS sum_seq
+FROM (
+  SELECT l_returnflag, l_quantity AS qty,
+         [CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+          CAST(ROUND(l_discount * 100) AS BIGINT),
+          CAST(ROUND(l_tax * 100) AS BIGINT),
+          CAST(l_quantity AS BIGINT)] AS arr
+  FROM lineitem
+) x
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+_ARRAY_HOF_SPARK_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(aggregate(transform(arr, x -> x * 2 + 1), 0L, (a, x) -> a + x))
+            AS BIGINT) AS sum_transform,
+       CAST(SUM(size(filter(arr, x -> x % 3 = 0))) AS BIGINT) AS n_div3,
+       CAST(SUM(CASE WHEN exists(arr, x -> x > 100000) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exists_big,
+       CAST(SUM(CASE WHEN forall(arr, x -> x >= 0) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_forall_nonneg,
+       MIN(array_join(slice(array_sort(arr), 1, 2), ',')) AS min_sorted_head,
+       CAST(SUM(aggregate(sequence(1L, CAST(qty AS BIGINT) % 5 + 1), 0L,
+                          (a, x) -> a + x)) AS BIGINT) AS sum_seq
+FROM (
+  SELECT l_returnflag, l_quantity AS qty,
+         array(CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+               CAST(ROUND(l_discount * 100) AS BIGINT),
+               CAST(ROUND(l_tax * 100) AS BIGINT),
+               CAST(l_quantity AS BIGINT)) AS arr
+  FROM lineitem
+) x
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query(
+    "fn_array_hof_surface",
+    oracle=_ARRAY_HOF_ORACLE,
+    tags=("functions", "array", "hof"),
+    order_by="l_returnflag",
+)
+def fn_array_hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_ARRAY_HOF_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# String-function surface (levenshtein / translate / split_part / lpad /
+# repeat / reverse / printf / instr): the scalar string family DataFusion
+# ships in datafusion/functions (public API). Identical spellings exist in
+# DuckDB except the printf-vs-format_string name; all outputs are strings
+# or exact integers, aggregated with MIN/MAX/SUM so multiset compare is
+# order-free.
+# ---------------------------------------------------------------------------
+
+def _string_surface_sql(fmt_fn: str, strtype: str) -> str:
+    return f"""
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(levenshtein(p_name, reverse(p_name))) AS BIGINT) AS sum_lev,
+       MIN(split_part(p_name, ' ', 2)) AS min_word2,
+       MAX(translate(p_name, 'aeiou', 'AEIOU')) AS max_translated,
+       MIN({fmt_fn}('%s-%03d', substr(p_name, 1, 3), CAST(p_size AS INT)))
+         AS min_fmt,
+       CAST(SUM(instr(p_name, 'e')) AS BIGINT) AS sum_instr_e,
+       MAX(lpad(CAST(p_size AS {strtype}), 4, '0')) AS max_lpad,
+       MIN(repeat(substr(p_brand, 7, 1), CAST(p_size AS BIGINT) % 3 + 1))
+         AS min_repeat
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@query(
+    "fn_string_surface",
+    oracle=_string_surface_sql("printf", "VARCHAR"),
+    tags=("functions", "string"),
+    order_by="p_brand",
+)
+def fn_string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_string_surface_sql("format_string", "STRING"))
