@@ -507,3 +507,62 @@ ORDER BY p_brand
 def fn_string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir)
     return spark.sql(_string_surface_sql("format_string", "STRING"))
+
+
+# ---------------------------------------------------------------------------
+# Map-type surface (map construction / element_at / map_keys / map_values /
+# cardinality): the MAP collection type both engines support (DataFusion:
+# functions-nested map_* — public API). Portability notes: DuckDB's
+# map_extract/element_at return a single-element LIST (unwrapped with [1]),
+# Spark returns the scalar; DuckDB spells map construction
+# map([keys],[values]), Spark map(k1, v1, k2, v2). Values stay exact
+# BIGINTs so every aggregate is order-free integer math.
+# ---------------------------------------------------------------------------
+
+_MAP_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(element_at(m, 'qty')[1]) AS BIGINT) AS sum_qty_via_map,
+       CAST(SUM(cardinality(m)) AS BIGINT) AS sum_card,
+       MIN(array_to_string(map_keys(m), ',')) AS keys_csv,
+       CAST(SUM(list_sum(map_values(m))) AS BIGINT) AS sum_vals
+FROM (
+  SELECT l_returnflag,
+         map(['qty', 'line', 'cents'],
+             [CAST(l_quantity AS BIGINT), CAST(l_linenumber AS BIGINT),
+              CAST(ROUND(l_extendedprice * 100) AS BIGINT)]) AS m
+  FROM lineitem
+) x
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+_MAP_SPARK_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(element_at(m, 'qty')) AS BIGINT) AS sum_qty_via_map,
+       CAST(SUM(cardinality(m)) AS BIGINT) AS sum_card,
+       MIN(array_join(map_keys(m), ',')) AS keys_csv,
+       CAST(SUM(aggregate(map_values(m), 0L, (a, x) -> a + x)) AS BIGINT)
+         AS sum_vals
+FROM (
+  SELECT l_returnflag,
+         map('qty', CAST(l_quantity AS BIGINT),
+             'line', CAST(l_linenumber AS BIGINT),
+             'cents', CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS m
+  FROM lineitem
+) x
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query(
+    "fn_map_surface",
+    oracle=_MAP_ORACLE,
+    tags=("functions", "map"),
+    order_by="l_returnflag",
+)
+def fn_map_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_MAP_SPARK_SQL)

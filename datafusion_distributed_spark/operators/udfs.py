@@ -171,3 +171,73 @@ def udf_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir)
     spark.udf.register("acct_bucket_sql", acct_bucket)
     return spark.sql(_UDF_SQL_ENTRY)
+
+
+# ---------------------------------------------------------------------------
+# Co-grouped custom merge (FlatMapCoGroupsInPandas): the per-key TWO-SIDED
+# escape hatch — when a merge's semantics exceed the relational operators,
+# Spark co-shuffles both inputs by key and hands each key's pair of Arrow
+# batches to one Python function. Here the function re-implements the
+# as-of view→purchase carry (pandas merge_asof per user), and the oracle is
+# the SAME ASOF LEFT JOIN SQL that checks the window-based
+# cb_asof_view_purchase — so the Python path is proven bit-identical to
+# both the JVM window formulation and DuckDB. Scale: ONE co-shuffle on
+# user_id, Arrow-batched groups, per-group memory bounded by a user's
+# events (same envelope as any per-user window).
+# ---------------------------------------------------------------------------
+
+_COGROUP_ASOF_SCHEMA = (
+    "event_id long, user_id long, purchase_ts string, last_view_ts string"
+)
+
+
+def _asof_merge_per_user(views: pd.DataFrame, purchases: pd.DataFrame) -> pd.DataFrame:
+    if purchases.empty:
+        return pd.DataFrame(
+            columns=["event_id", "user_id", "purchase_ts", "last_view_ts"]
+        )
+    p = purchases.sort_values("ts").reset_index(drop=True)
+    v = views.sort_values("ts").reset_index(drop=True)
+    if v.empty:
+        last_view = pd.Series([pd.NaT] * len(p))
+    else:
+        merged = pd.merge_asof(
+            p[["ts"]], v[["ts"]].rename(columns={"ts": "vts"}),
+            left_on="ts", right_on="vts",
+            direction="backward", allow_exact_matches=True,
+        )
+        last_view = merged["vts"]
+    out = pd.DataFrame(
+        {
+            "event_id": p["event_id"],
+            "user_id": p["user_id"],
+            "purchase_ts": p["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+            "last_view_ts": last_view.dt.strftime("%Y-%m-%d %H:%M:%S"),
+        }
+    )
+    return out
+
+
+@query(
+    "udf_cogroup_asof",
+    oracle="""
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS last_view_ts
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+    tags=("udf", "cogroup", "asof-join"),
+)
+def udf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir)["events"]
+    views = events.filter(F.col("event_type") == "view").select("user_id", "ts")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        views.groupby("user_id")
+        .cogroup(purchases.groupby("user_id"))
+        .applyInPandas(_asof_merge_per_user, schema=_COGROUP_ASOF_SCHEMA)
+    )
