@@ -33,6 +33,21 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE_SF = "/root/testdata/sf0.1"
+
+# Key-column shifts for the TPC star-schema replicas (disjoint per replica;
+# FK columns shift by the SAME step as the referenced PK so intra-replica
+# joins survive). nation/region are fixed dims — not replicated.
+_STAR_SHIFTS: dict[str, dict[str, int]] = {
+    "orders": {"o_orderkey": 1_000_000_000, "o_custkey": 10_000_000},
+    "lineitem": {
+        "l_orderkey": 1_000_000_000,
+        "l_partkey": 10_000_000,
+        "l_suppkey": 1_000_000,
+    },
+    "customer": {"c_custkey": 10_000_000},
+    "part": {"p_partkey": 10_000_000},
+    "supplier": {"s_suppkey": 1_000_000},
+}
 PROBE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".scale_probe",
@@ -128,6 +143,28 @@ def build_probe_dir(spark) -> None:
             for p in parts[1:]:
                 out = out.unionByName(p)
             out.repartition(8).write.mode("overwrite").parquet(dst)
+        elif name in _STAR_SHIFTS:
+            # TPC star-schema replicas: every key column shifts into a
+            # disjoint per-replica range, so intra-replica join structure is
+            # preserved exactly and cross-replica keys never match — a 10×
+            # corpus with 10× the orders/parts/customers, same dims
+            # (nation/region stay fixed), same per-group row distributions.
+            # Group-by grains keyed on entities grow 10× in groups; grains
+            # keyed on flags/brands/dates keep their groups and grow 10× in
+            # rows per group — both realistic scale-up shapes.
+            df = spark.read.parquet(src)
+            shifts = _STAR_SHIFTS[name]
+            parts = [df]
+            for rep in range(1, N_REPLICAS):
+                cols = [
+                    (F.col(c) + rep * shifts[c]).alias(c) if c in shifts else F.col(c)
+                    for c in df.columns
+                ]
+                parts.append(df.select(*cols))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out.repartition(32).write.mode("overwrite").parquet(dst)
         else:
             os.symlink(src, dst)
     print(f"probe dir ready: {PROBE_DIR}", file=sys.stderr)
