@@ -181,9 +181,12 @@ def udf_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as-of view→purchase carry (pandas merge_asof per user), and the oracle is
 # the SAME ASOF LEFT JOIN SQL that checks the window-based
 # cb_asof_view_purchase — so the Python path is proven bit-identical to
-# both the JVM window formulation and DuckDB. Scale: ONE co-shuffle on
-# user_id, Arrow-batched groups, per-group memory bounded by a user's
-# events (same envelope as any per-user window).
+# both the JVM window formulation and DuckDB. Scale: ONE co-shuffle on a
+# 256-way hash bucket of user_id (not the raw key: one Python call per
+# BUCKET, merge_asof's by= resolves users inside the batch — per-user
+# grouping would pay interpreter overhead per user), Arrow-batched, per
+# task memory bounded by a bucket's events. At corpus scale raise the
+# bucket count with the cluster: the envelope is |events|/n_buckets.
 # ---------------------------------------------------------------------------
 
 _COGROUP_ASOF_SCHEMA = (
@@ -191,23 +194,29 @@ _COGROUP_ASOF_SCHEMA = (
 )
 
 
-def _asof_merge_per_user(views: pd.DataFrame, purchases: pd.DataFrame) -> pd.DataFrame:
+def _asof_merge_bucket(views: pd.DataFrame, purchases: pd.DataFrame) -> pd.DataFrame:
+    """One call per BUCKET of users, not per user: merge_asof's ``by=``
+    handles the per-user grouping inside a single vectorized pass. Grouping
+    the cogroup on a hash bucket instead of the raw user_id cuts the Python
+    round-trips from |users| to n_buckets (measured 6.5 s -> well under 1 s
+    at sf0.1: tiny per-group calls were pure interpreter overhead)."""
     if purchases.empty:
         return pd.DataFrame(
             columns=["event_id", "user_id", "purchase_ts", "last_view_ts"]
         )
-    p = purchases.sort_values("ts").reset_index(drop=True)
+    p = purchases.sort_values(["ts", "event_id"]).reset_index(drop=True)
     v = views.sort_values("ts").reset_index(drop=True)
     if v.empty:
         last_view = pd.Series([pd.NaT] * len(p))
     else:
         merged = pd.merge_asof(
-            p[["ts"]], v[["ts"]].rename(columns={"ts": "vts"}),
-            left_on="ts", right_on="vts",
+            p[["ts", "user_id"]],
+            v[["ts", "user_id"]].assign(vts=lambda d: d["ts"]),
+            on="ts", by="user_id",
             direction="backward", allow_exact_matches=True,
         )
         last_view = merged["vts"]
-    out = pd.DataFrame(
+    return pd.DataFrame(
         {
             "event_id": p["event_id"],
             "user_id": p["user_id"],
@@ -215,7 +224,6 @@ def _asof_merge_per_user(views: pd.DataFrame, purchases: pd.DataFrame) -> pd.Dat
             "last_view_ts": last_view.dt.strftime("%Y-%m-%d %H:%M:%S"),
         }
     )
-    return out
 
 
 @query(
@@ -232,12 +240,15 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
 )
 def udf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = t(spark, sf_dir)["events"]
-    views = events.filter(F.col("event_type") == "view").select("user_id", "ts")
+    bucket = F.pmod(F.hash("user_id"), F.lit(256)).alias("bucket")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", bucket
+    )
     purchases = events.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
+        "event_id", "user_id", "ts", bucket
     )
     return (
-        views.groupby("user_id")
-        .cogroup(purchases.groupby("user_id"))
-        .applyInPandas(_asof_merge_per_user, schema=_COGROUP_ASOF_SCHEMA)
+        views.groupby("bucket")
+        .cogroup(purchases.groupby("bucket"))
+        .applyInPandas(_asof_merge_bucket, schema=_COGROUP_ASOF_SCHEMA)
     )
