@@ -37,6 +37,15 @@ _NON_NARROW_MARKERS = (
     "CartesianProduct",
     "InMemoryTableScan",  # cached/iterative intermediates — rows unknowable
     "Subquery",
+    # Grouped / co-grouped / map Pandas passes re-batch and can change
+    # cardinality (their output rows are whatever the Python fn returns),
+    # so "rows scanned" is not an honest denominator — and their per-row
+    # constant is an Arrow+Python cost the JVM budget deliberately doesn't
+    # model. Scalar ArrowEvalPython (1:1 vectorized projection) stays IN
+    # scope: it feeds normal narrow pipelines and fits the budget.
+    "FlatMapCoGroupsInPandas",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
 )
 
 # Per-row budget: a JVM-side narrow expression pipeline (whole-stage codegen)
