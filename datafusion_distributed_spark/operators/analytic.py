@@ -255,6 +255,55 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# INTERSECT ALL / EXCEPT ALL — the MULTISET set operations (SQL:2003;
+# DataFusion plans them distinctly from the distinct-set forms). Semantics:
+# a row appearing l times on the left and r times on the right survives
+# INTERSECT ALL min(l, r) times and EXCEPT ALL max(l - r, 0) times — both
+# engines implement this with a per-row count diff under the hood, so the
+# differential gate proves Spark's intersectAll/exceptAll against DuckDB's
+# literal SQL. Output aggregates the multiset (count per key) so the result
+# is deterministic without exposing row identity.
+# ---------------------------------------------------------------------------
+
+_SETOP_ALL_ORACLE = """
+SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_copies, kind
+FROM (
+  SELECT c_custkey, 'intersect_all' AS kind FROM (
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    INTERSECT ALL
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+  ) ia
+  UNION ALL
+  SELECT c_custkey, 'except_all' AS kind FROM (
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    EXCEPT ALL
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+  ) ea
+) u
+GROUP BY c_custkey, kind
+"""
+
+
+@query("setop_all_multiset", oracle=_SETOP_ALL_ORACLE, tags=("setop", "multiset"))
+def setop_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir)["orders"]
+    left = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    right = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    ia = left.intersectAll(right).withColumn("kind", F.lit("intersect_all"))
+    ea = left.exceptAll(right).withColumn("kind", F.lit("except_all"))
+    return (
+        ia.unionByName(ea)
+        .groupBy("c_custkey", "kind")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_copies"))
+        .select("c_custkey", "n_copies", "kind")
+    )
+
+
+# ---------------------------------------------------------------------------
 # UNION ALL of heterogeneous relations + aggregation on top — the reference
 # runs union branches in isolated task sets (ChildrenIsolatorUnionExec,
 # src/execution_plans/children_isolator_union.rs:23-100); Spark schedules the
