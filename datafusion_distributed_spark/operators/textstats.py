@@ -1268,21 +1268,17 @@ ORDER BY source
 """
 
 
-@query(
-    "text_unigram_surprisal",
-    oracle=_SURPRISAL_ORACLE,
-    tags=("text", "quality", "language-model"),
-    order_by="source",
-)
-def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir)["documents"]
+def _surprisal_doc_frame(docs: DataFrame, group_col: str) -> DataFrame:
+    """(doc_id, <group_col>, mean_micro): per-doc mean unigram surprisal in
+    exact integer micro-bits — the shared front half of the surprisal
+    operators (corpus-fit vocabulary broadcast back, floor-division mean)."""
     tf = (
         docs.select(
             "doc_id",
-            "source",
+            group_col,
             F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("tok"),
         )
-        .groupBy("doc_id", "source", "tok")
+        .groupBy("doc_id", group_col, "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     vocab = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
@@ -1293,9 +1289,9 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sbits_micro"),
     )
-    per_doc = (
+    return (
         tf.join(F.broadcast(scored), "tok")
-        .groupBy("doc_id", "source")
+        .groupBy("doc_id", group_col)
         .agg(
             # `div` = exact integer floor division on longs, matching the
             # oracle's `//` bit-for-bit (Spark `/` would be double true
@@ -1304,6 +1300,16 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(tf * sbits_micro) div sum(tf)").alias("mean_micro")
         )
     )
+
+
+@query(
+    "text_unigram_surprisal",
+    oracle=_SURPRISAL_ORACLE,
+    tags=("text", "quality", "language-model"),
+    order_by="source",
+)
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = _surprisal_doc_frame(t(spark, sf_dir)["documents"], "source")
     return (
         per_doc.groupBy("source")
         .agg(
@@ -1449,4 +1455,102 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perplexity-bucket corpus filter (the CCNet recipe, Wenzek et al. 2020,
+# arXiv:1911.00359 — public): score every document with the corpus-fit LM
+# (here the unigram surprisal above), split each LANGUAGE at its own
+# quality quantiles into head/middle/tail, keep head+middle. Per-language
+# thresholds matter: absolute perplexity is not comparable across
+# languages, so a global cut would drop whole low-resource languages.
+#
+# Exactness: per-doc scores are exact integer micro-bits; the p25/p75
+# thresholds interpolate at g in {0,.25,.5,.75} — exact binary fractions
+# of integer gaps, so Spark's percentile() and DuckDB's quantile_cont()
+# produce bit-identical doubles (the agg_exact_percentiles /
+# text_length_outliers discipline) and the bucket comparisons can never
+# disagree. Scale: thresholds are a |languages|-row aggregate broadcast
+# back; the corpus is never re-shuffled after the per-doc score.
+# ---------------------------------------------------------------------------
+
+_PPL_BUCKETS_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, lang, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, lang, unnest({_TOK_SQL}) AS tok FROM documents)
+  GROUP BY doc_id, lang, tok
+),
+vocab AS (
+  SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY tok
+),
+tot AS (
+  SELECT SUM(cnt) AS n_total FROM vocab
+),
+scored AS (
+  SELECT tok, CAST(ROUND(-log2(CAST(cnt AS DOUBLE) / n_total) * 1000000.0, 0)
+              AS BIGINT) AS sbits_micro
+  FROM vocab CROSS JOIN tot
+),
+per_doc AS (
+  SELECT t.doc_id, t.lang,
+         CAST(SUM(t.tf * s.sbits_micro) AS BIGINT) // CAST(SUM(t.tf) AS BIGINT)
+           AS mean_micro
+  FROM tf t JOIN scored s ON s.tok = t.tok
+  GROUP BY t.doc_id, t.lang
+),
+thr AS (
+  SELECT lang,
+         quantile_cont(CAST(mean_micro AS DOUBLE), 0.25) AS p25,
+         quantile_cont(CAST(mean_micro AS DOUBLE), 0.75) AS p75
+  FROM per_doc GROUP BY lang
+),
+bucketed AS (
+  SELECT d.lang,
+         CASE WHEN d.mean_micro < t.p25 THEN 'head'
+              WHEN d.mean_micro > t.p75 THEN 'tail'
+              ELSE 'middle' END AS bucket,
+         d.mean_micro
+  FROM per_doc d JOIN thr t ON t.lang = d.lang
+)
+SELECT lang, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(mean_micro) AS BIGINT) AS sum_mean_micro,
+       bucket <> 'tail' AS kept
+FROM bucketed
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+
+
+@query(
+    "ds_perplexity_buckets",
+    oracle=_PPL_BUCKETS_ORACLE,
+    tags=("text", "quality", "sampling", "ccnet"),
+    order_by="lang, bucket",
+)
+def ds_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = _surprisal_doc_frame(t(spark, sf_dir)["documents"], "lang")
+    thr = per_doc.groupBy("lang").agg(
+        F.expr("percentile(CAST(mean_micro AS DOUBLE), 0.25)").alias("p25"),
+        F.expr("percentile(CAST(mean_micro AS DOUBLE), 0.75)").alias("p75"),
+    )
+    bucket = (
+        F.when(F.col("mean_micro") < F.col("p25"), "head")
+        .when(F.col("mean_micro") > F.col("p75"), "tail")
+        .otherwise("middle")
+    )
+    return (
+        per_doc.join(F.broadcast(thr), "lang")
+        .select("lang", bucket.alias("bucket"), "mean_micro")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("mean_micro").cast("long").alias("sum_mean_micro"),
+        )
+        .select(
+            "lang", "bucket", "n_docs", "sum_mean_micro",
+            (F.col("bucket") != "tail").alias("kept"),
+        )
+        .orderBy("lang", "bucket")
     )

@@ -46,6 +46,7 @@ _CROSS_OK = {
     "ts_profile_anomaly",  # 1-row global-profile broadcast crossed onto users
     "text_bm25_topk",  # 1-row corpus stats (N, total_dl) crossed onto postings
     "text_unigram_surprisal",  # 1-row token total crossed onto ~50-row vocab
+    "ds_perplexity_buckets",  # same 1-row-total × vocab cross as the surprisal fit
     "join_nonequi_exists",  # deliberate NLJ-semi repro over the 25-row nation dim
 }
 
