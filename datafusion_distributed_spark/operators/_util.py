@@ -19,7 +19,7 @@ DECIMAL(38,0) before summing (exact; DuckDB's SUM(BIGINT)->HUGEINT matches).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, SparkSession
+from pyspark.sql import DataFrame, Column, SparkSession
 
 from ..tables import load_tables
 

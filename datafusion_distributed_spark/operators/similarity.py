@@ -1021,12 +1021,28 @@ def _semdedup_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SQRT(SUM(av*av))*SQRT(SUM(bv*bv)), while the dominance join evaluates
     # ONE 64-element fold per pair instead of three (higher-order-function
     # folds are interpreted, not codegen'd: measured 6.5 s -> ~2 s at sf0.1).
-    return emb.select("vec_id", "e", cell.alias("cell")).select(
-        "vec_id",
-        "e",
-        "cell",
-        F.sqrt(_dot("e", "e")).alias("nrm"),
-        F.round(ccos_num / (F.sqrt(_dot("e", "e")) * ce_norm), 6).alias("ccos"),
+    # Two-step select so the 64-element interpreted fold behind nrm runs
+    # ONCE per row and ccos reuses the column (HOF folds are CodegenFallback;
+    # same dedup-the-fold rationale as the pair scoring below).
+    return (
+        emb.select("vec_id", "e", cell.alias("cell"))
+        .select(
+            "vec_id",
+            "e",
+            "cell",
+            F.sqrt(_dot("e", "e")).alias("nrm"),
+            ccos_num.alias("_ccos_num"),
+            ce_norm.alias("_ce_norm"),
+        )
+        .select(
+            "vec_id",
+            "e",
+            "cell",
+            "nrm",
+            F.round(
+                F.col("_ccos_num") / (F.col("nrm") * F.col("_ce_norm")), 6
+            ).alias("ccos"),
+        )
     )
 
 

@@ -3205,8 +3205,9 @@ def _q47_grain(dialect: str, year: int = 1997) -> str:
 def _q47_select(boundary_filter: str = "", year: int = 1997, pct: int = 10) -> str:
     """Shared final SELECT; the Spark side passes the IS NOT NULL pair that
     reproduces the oracle's inner rank-adjacency joins dropping boundary
-    months. ``pct`` is the deviation threshold as a multiplier (10 = 10%%:
-    pct * |dev| > run_sum)."""
+    months. ``pct`` is an INVERSE sensitivity: the filter keeps months where
+    |sum - running_avg| > running_avg / pct — pct=10 is a 10%% screen,
+    pct=25 a 4%% screen, pct=5 a 20%% screen."""
     return f"""
 SELECT p_brand, channel, d_year, d_moy, sum_sales, psum, nsum,
        CAST(run_sum AS DOUBLE) / CAST(run_cnt AS DOUBLE) AS avg_monthly_sales,

@@ -1215,7 +1215,9 @@ def test_random_best_worst_rank_matches_oracle(spark, duck, i):
 # Randomized moving-average-deviation family (TPC-DS q47/q57 construct):
 # sweeps the target year across the data's span (1995 has NO prior-December
 # fringe — every January is a boundary month the inner rank-adjacency joins
-# must drop) and the deviation threshold. The Spark LAG/LEAD single-window
+# must drop) and the inverse-sensitivity divisor pct (the filter keeps
+# months where |sum - running_avg| > running_avg / pct). The Spark
+# LAG/LEAD single-window
 # rewrite must match the oracle's triple self-join for every combination.
 # ---------------------------------------------------------------------------
 

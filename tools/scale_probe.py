@@ -56,12 +56,36 @@ PROBE_DIR = os.path.join(
 N_REPLICAS = 10
 
 
+# Bump when ANY table's replication scheme changes: a probe dir built under
+# an older layout is DELETED and rebuilt, so stale 1x symlinks (or stale
+# replicas) can never be measured and recorded as 10x evidence. The results
+# file records the layout version each entry was measured under.
+LAYOUT_VERSION = 2  # v2 = star-schema tables replicated (were symlinks in v1)
+
+
 def build_probe_dir(spark) -> None:
     from datafusion_distributed_spark.tables import TABLE_NAMES
 
     import pyspark.sql.functions as F
 
+    stamp = os.path.join(PROBE_DIR, "layout.json")
+    if os.path.isdir(PROBE_DIR):
+        try:
+            with open(stamp) as f:
+                have = json.load(f).get("layout_version")
+        except Exception:
+            have = None
+        if have != LAYOUT_VERSION:
+            import shutil
+
+            print(
+                f"probe dir layout v{have} != v{LAYOUT_VERSION}: rebuilding",
+                file=sys.stderr,
+            )
+            shutil.rmtree(PROBE_DIR)
     os.makedirs(PROBE_DIR, exist_ok=True)
+    with open(stamp, "w") as f:
+        json.dump({"layout_version": LAYOUT_VERSION}, f)
     for name in TABLE_NAMES:
         dst = os.path.join(PROBE_DIR, f"{name}.parquet")
         if os.path.exists(dst):
@@ -207,6 +231,7 @@ def main() -> None:
             spark.catalog.clearCache()
         if row.get("t_sf01") and row.get("t_10x"):
             row["ratio"] = round(row["t_10x"] / row["t_sf01"], 2)
+        row["layout_version"] = LAYOUT_VERSION
         results[name] = row
         print(
             f"[{i + 1}/{len(names)}] {name}: {row.get('t_sf01')}s -> "
@@ -226,6 +251,7 @@ def main() -> None:
     summary = {
         "n_queries": len(results),
         "replication": N_REPLICAS,
+        "layout_version": LAYOUT_VERSION,
         "median_ratio": round(sorted(ratios)[len(ratios) // 2], 2) if ratios else None,
         "max_ratio": max(ratios) if ratios else None,
         "results": results,
