@@ -959,7 +959,7 @@ def ensemble_semantic_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ensemble_frames(
     spark: SparkSession, sf_dir: str, tau: float = _ENSEMBLE_TAU
 ) -> DataFrame:
-    from .similarity import _dot
+    from .similarity import _dot, pair_cos
 
     docs = t(spark, sf_dir)["documents"]
     emb = t(spark, sf_dir)["embeddings"].select(
@@ -981,7 +981,7 @@ def _ensemble_frames(
         F.col("nrm").alias("b_nrm"),
     )
     j = cand.join(a, "doc_a").join(b, "doc_b")
-    cos = F.round(_dot("ae", "be") / (F.col("a_nrm") * F.col("b_nrm")), 6)
+    cos = pair_cos()
     return (
         j.select(
             "doc_a",

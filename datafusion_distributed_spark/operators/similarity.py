@@ -50,6 +50,14 @@ def _dot(a: str, b: str):
     )
 
 
+def pair_cos(ae: str = "ae", be: str = "be", a_nrm: str = "a_nrm", b_nrm: str = "b_nrm"):
+    """round6 cosine of a pair from precomputed per-vector norms: ONE fold
+    per pair; nrm columns are the same float the per-pair sqrt-spelling
+    would produce (same fold, same order), so oracles spelled either way
+    hash-match. Shared by the semantic-dedup and ensemble-verify joins."""
+    return F.round(_dot(ae, be) / (F.col(a_nrm) * F.col(b_nrm)), 6)
+
+
 # ---------------------------------------------------------------------------
 # Brute-force cosine top-k.
 # ---------------------------------------------------------------------------
@@ -1075,9 +1083,7 @@ def _semdedup_frames(
     # broadcast hint, so at corpus scale this degrades to a sort-merge join
     # on cell instead of pinning a corpus-sized broadcast.
     pairs = _fan_out(b).join(_fan_out(a), "cell").where(dominance)
-    cos_ab = F.round(
-        _dot("ae", "be") / (F.col("a_nrm") * F.col("b_nrm")), 6
-    )
+    cos_ab = pair_cos()
     dups = pairs.select("b_id", "cell", cos_ab.alias("cos_ab")).where(
         F.col("cos_ab") >= tau
     )
@@ -1173,7 +1179,7 @@ def _semdedup_capped_frames(
         (F.col("a_ccos") == F.col("b_ccos")) & (F.col("a_id") < F.col("b_id"))
     )
     pairs = _fan_out(b).join(dominators, "cell").where(dominance)
-    cos_ab = F.round(_dot("ae", "be") / (F.col("a_nrm") * F.col("b_nrm")), 6)
+    cos_ab = pair_cos()
     dups = pairs.select("b_id", "cell", cos_ab.alias("cos_ab")).where(
         F.col("cos_ab") >= tau
     )
