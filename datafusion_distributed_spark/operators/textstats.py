@@ -1554,3 +1554,166 @@ def ds_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact sparse TF-IDF cosine all-pairs (the threshold-join family of
+# Bayardo/Ma/Srikant 2007 "Scaling Up All Pairs Similarity Search" — public):
+# the EXACT sibling of MinHash-LSH — candidate pairs come from a posting
+# self-join restricted to DISCRIMINATIVE terms (2 <= df <= maxdf), so the
+# fanout per term is bounded by maxdf^2 and boilerplate terms never join.
+# Terms are word-3-gram SHINGLES, not unigrams: this corpus's unigram
+# vocabulary is ~31 near-uniform-df tokens (no discriminative unigrams —
+# measured: one token under any reasonable df ceiling, making every vector
+# 1-dimensional), while the shingle space has a real df spread (16k+
+# shingles, df 1..7 at sf0.01) — the same reason the MinHash family
+# fingerprints shingles. Cosine is computed over the pruned term space on
+# BOTH engines (consistent semantics): dot products and norms accumulate
+# EXACT integers (micro-scaled idf weights; squares in DECIMAL(38,0) since
+# w^2 can top int64), with one final double division per pair.
+#
+# Scale: explode -> (doc,shingle) aggregate (map-combinable), df/idf is a
+# term-grain broadcast, the postings join only touches rare-term rows (at
+# web scale the df ceiling is the standard inverted-index prune), and the
+# pair aggregate is map-combinable on (doc_a, doc_b).
+# ---------------------------------------------------------------------------
+
+_TFIDF_MAX_DF = 20
+_TFIDF_TAU = 0.5
+
+
+def _tfidf_oracle(maxdf: int = _TFIDF_MAX_DF, tau: float = _TFIDF_TAU) -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS w FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+  FROM words WHERE len(w) >= 3
+),
+tf AS (
+  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS tok, COUNT(*) AS tf
+  FROM idx GROUP BY doc_id, tok
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+df AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+),
+idf AS (
+  SELECT tok,
+         CAST(ROUND(log2(CAST(n_docs AS DOUBLE) / df) * 1000000.0, 0) AS BIGINT)
+           AS idf_micro
+  FROM df CROSS JOIN n
+  WHERE df BETWEEN 2 AND {maxdf}
+),
+w AS (
+  SELECT t.doc_id, t.tok, CAST(t.tf * i.idf_micro AS BIGINT) AS w
+  FROM tf t JOIN idf i ON i.tok = t.tok
+),
+norms AS (
+  SELECT doc_id, SUM(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS n2
+  FROM w GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         SUM(CAST(a.w AS DECIMAL(38,0)) * CAST(b.w AS DECIMAL(38,0))) AS dot,
+         COUNT(*) AS n_shared
+  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT d.doc_a, d.doc_b, d.n_shared,
+         ROUND(CAST(d.dot AS DOUBLE)
+               / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))), 6)
+           AS cos_sim
+  FROM dots d
+  JOIN norms na ON na.doc_id = d.doc_a
+  JOIN norms nb ON nb.doc_id = d.doc_b
+)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared, cos_sim
+FROM scored
+WHERE cos_sim >= {tau}
+ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "text_tfidf_cosine_pairs",
+    oracle=_tfidf_oracle(),
+    tags=("text", "similarity", "all-pairs", "tfidf"),
+    order_by="doc_a, doc_b",
+)
+def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tfidf_pairs_frames(spark, sf_dir)
+
+
+def _tfidf_pairs_frames(
+    spark: SparkSession,
+    sf_dir: str,
+    maxdf: int = _TFIDF_MAX_DF,
+    tau: float = _TFIDF_TAU,
+) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    words = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), " +").alias("w")
+    ).filter(F.size("w") >= 3)
+    shingle = F.expr(
+        "explode(transform(sequence(1, size(w) - 2),"
+        " i -> concat_ws(' ', slice(w, i, 3))))"
+    )
+    tf = (
+        words.select("doc_id", shingle.alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df").between(2, maxdf))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok",
+            F.round(
+                F.log2(F.col("n_docs").cast("double") / F.col("df")) * 1000000.0, 0
+            )
+            .cast("long")
+            .alias("idf_micro"),
+        )
+    )
+    w = tf.join(F.broadcast(idf), "tok").select(
+        "doc_id", "tok", (F.col("tf") * F.col("idf_micro")).alias("w")
+    )
+    wd = F.col("w").cast("decimal(38,0)")
+    norms = w.groupBy("doc_id").agg(F.sum(wd * wd).alias("n2"))
+    a = w.select(
+        F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa")
+    )
+    b = w.select(
+        F.col("doc_id").alias("doc_b"), "tok", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "tok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.col("wa").cast("decimal(38,0)") * F.col("wb").cast("decimal(38,0)")
+            ).alias("dot"),
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    cos = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
+        6,
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "n_shared", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= tau)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -47,6 +47,7 @@ _CROSS_OK = {
     "text_bm25_topk",  # 1-row corpus stats (N, total_dl) crossed onto postings
     "text_unigram_surprisal",  # 1-row token total crossed onto ~50-row vocab
     "ds_perplexity_buckets",  # same 1-row-total × vocab cross as the surprisal fit
+    "text_tfidf_cosine_pairs",  # 1-row doc-count scalar crossed onto the df frame
     "join_nonequi_exists",  # deliberate NLJ-semi repro over the 25-row nation dim
 }
 

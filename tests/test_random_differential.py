@@ -1278,3 +1278,39 @@ def test_random_semdedup_matches_oracle(spark, duck, i):
         name=f"randsemdedup[{i}]tau={tau}",
         order_by="vec_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomized TF-IDF all-pairs family: sweeps the df ceiling (how much of the
+# shingle space joins) and the cosine threshold through the corpus'
+# bimodal score distribution (near-dup clusters ~1.0, background < 0.5) —
+# including a ceiling low enough to empty the term space and a tau above
+# every score (both sides must agree on the empty result).
+# ---------------------------------------------------------------------------
+
+_TFIDF_CASES = [
+    {"maxdf": 20, "tau": 0.9},
+    {"maxdf": 20, "tau": 0.3},
+    {"maxdf": 5, "tau": 0.5},
+    {"maxdf": 50, "tau": 0.5},
+    {"maxdf": 1, "tau": 0.5},   # df>=2 floor empties the term space
+    {"maxdf": 20, "tau": 1.01},  # above max possible cosine
+]
+
+
+@pytest.mark.parametrize("i", range(len(_TFIDF_CASES)))
+def test_random_tfidf_pairs_match_oracle(spark, duck, i):
+    from datafusion_distributed_spark.operators.textstats import (
+        _tfidf_oracle,
+        _tfidf_pairs_frames,
+    )
+
+    case = _TFIDF_CASES[i]
+    oracle_views(duck, SF_DIR)
+    compare_to_oracle(
+        _tfidf_pairs_frames(spark, SF_DIR, **case),
+        duck,
+        _tfidf_oracle(**case),
+        name=f"randtfidf[{i}]{case}",
+        order_by="doc_a, doc_b",
+    )
