@@ -544,3 +544,94 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum("doc_id").alias("doc_id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split: near-duplicate documents must land in
+# the SAME split — hashing raw doc_ids (ds_train_val_test_split above)
+# leaks a training document's near-copy into validation, silently inflating
+# eval scores (the standard contamination failure mode dedup-aware
+# pipelines guard against). The split key is therefore the near-dup
+# CLUSTER id (connected components over the capped MinHash-LSH pair graph;
+# singleton docs are their own cluster), so every cluster moves as a unit.
+#
+# The Spark side reuses the iterative connected_components operator; the
+# oracle reuses the recursive-CTE transitive closure — the pair proves the
+# iterative fixpoint AND the split logic together. Scale: the cluster
+# frame is pair-graph-sized (small relative to the corpus); the split is a
+# per-row hash over the broadcast-joined cluster id.
+# ---------------------------------------------------------------------------
+
+
+def _leakage_safe_oracle() -> str:
+    from .dedup import _cc_oracle
+
+    base = _cc_oracle()
+    head, _, _tail = base.rpartition("SELECT node AS doc_id")
+    u = _u32_sql(f"'{_SPLIT_SALT}' || CAST(group_key AS VARCHAR)")
+    return f"""{head}, clusters AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+),
+keyed AS (
+  SELECT d.source, d.n_chars,
+         COALESCE(c.cluster_id, d.doc_id) AS group_key
+  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+),
+split AS (
+  SELECT source, n_chars, group_key,
+         CASE WHEN u < {_TRAIN_HI} THEN 'train'
+              WHEN u < {_VAL_HI} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT source, n_chars, group_key, {u} AS u FROM keyed) h
+)
+SELECT source, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT group_key) AS BIGINT) AS n_groups,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM split
+GROUP BY source, split
+ORDER BY source, split
+"""
+
+
+@query(
+    "ds_leakage_safe_split",
+    oracle=_leakage_safe_oracle(),
+    tags=("sampling", "split", "dedup", "leakage"),
+    order_by="source, split",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import (
+        capped_band_pairs,
+        connected_components,
+        lsh_bands,
+        minhash_signatures,
+    )
+
+    docs = t(spark, sf_dir)["documents"]
+    pairs = capped_band_pairs(lsh_bands(minhash_signatures(docs))).persist()
+    clusters = connected_components(pairs)
+    pairs.unpersist(blocking=False)
+    keyed = docs.join(
+        F.broadcast(clusters), "doc_id", "left"
+    ).select(
+        "source",
+        "n_chars",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("group_key"),
+    )
+    u = _u32_spark(F.concat(F.lit(_SPLIT_SALT), F.col("group_key").cast("string")))
+    split = (
+        F.when(u < _TRAIN_HI, F.lit("train"))
+        .when(u < _VAL_HI, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        keyed.select("source", "n_chars", "group_key", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("group_key").cast("long").alias("n_groups"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("source", "split")
+    )
