@@ -1314,3 +1314,31 @@ def test_random_tfidf_pairs_match_oracle(spark, duck, i):
         name=f"randtfidf[{i}]{case}",
         order_by="doc_a, doc_b",
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomized ensemble-verify family: sweeps the semantic confirmation
+# threshold through the LSH candidates' embedding-cosine range (measured
+# [-0.17, 0.28] at sf0.01) — both flag polarities must flip identically in
+# both engines, including thresholds outside the range (all-False/True).
+# ---------------------------------------------------------------------------
+
+_ENSEMBLE_TAUS = [-0.5, -0.05, 0.1, 0.2, 0.5]
+
+
+@pytest.mark.parametrize("i", range(len(_ENSEMBLE_TAUS)))
+def test_random_ensemble_verify_matches_oracle(spark, duck, i):
+    from datafusion_distributed_spark.operators.dedup import (
+        _ensemble_frames,
+        _ensemble_oracle,
+    )
+
+    tau = _ENSEMBLE_TAUS[i]
+    oracle_views(duck, SF_DIR)
+    compare_to_oracle(
+        _ensemble_frames(spark, SF_DIR, tau=tau),
+        duck,
+        _ensemble_oracle(tau=tau),
+        name=f"randensemble[{i}]tau={tau}",
+        order_by="doc_a, doc_b",
+    )
