@@ -407,19 +407,20 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # strings — so DuckDB's list_* spellings must hash-match bit-for-bit.
 # ---------------------------------------------------------------------------
 
-_ARRAY_HOF_ORACLE = """
+def _array_hof_oracle(mod: int = 3, big: int = 100000, seq_mod: int = 5) -> str:
+    return f"""
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(list_sum(list_transform(arr, x -> x * 2 + 1))) AS BIGINT)
          AS sum_transform,
-       CAST(SUM(len(list_filter(arr, x -> x % 3 = 0))) AS BIGINT)
+       CAST(SUM(len(list_filter(arr, x -> x % {mod} = 0))) AS BIGINT)
          AS n_div3,
-       CAST(SUM(CASE WHEN len(list_filter(arr, x -> x > 100000)) > 0
+       CAST(SUM(CASE WHEN len(list_filter(arr, x -> x > {big})) > 0
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_exists_big,
        CAST(SUM(CASE WHEN len(list_filter(arr, x -> x >= 0)) = len(arr)
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_forall_nonneg,
        MIN(array_to_string(list_sort(arr)[1:2], ',')) AS min_sorted_head,
-       CAST(SUM(list_sum(generate_series(1, CAST(qty AS BIGINT) % 5 + 1)))
+       CAST(SUM(list_sum(generate_series(1, CAST(qty AS BIGINT) % {seq_mod} + 1)))
             AS BIGINT) AS sum_seq
 FROM (
   SELECT l_returnflag, l_quantity AS qty,
@@ -433,18 +434,20 @@ GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
 
-_ARRAY_HOF_SPARK_SQL = """
+
+def _array_hof_spark_sql(mod: int = 3, big: int = 100000, seq_mod: int = 5) -> str:
+    return f"""
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(aggregate(transform(arr, x -> x * 2 + 1), 0L, (a, x) -> a + x))
             AS BIGINT) AS sum_transform,
-       CAST(SUM(size(filter(arr, x -> x % 3 = 0))) AS BIGINT) AS n_div3,
-       CAST(SUM(CASE WHEN exists(arr, x -> x > 100000) THEN 1 ELSE 0 END)
+       CAST(SUM(size(filter(arr, x -> x % {mod} = 0))) AS BIGINT) AS n_div3,
+       CAST(SUM(CASE WHEN exists(arr, x -> x > {big}) THEN 1 ELSE 0 END)
             AS BIGINT) AS n_exists_big,
        CAST(SUM(CASE WHEN forall(arr, x -> x >= 0) THEN 1 ELSE 0 END)
             AS BIGINT) AS n_forall_nonneg,
        MIN(array_join(slice(array_sort(arr), 1, 2), ',')) AS min_sorted_head,
-       CAST(SUM(aggregate(sequence(1L, CAST(qty AS BIGINT) % 5 + 1), 0L,
+       CAST(SUM(aggregate(sequence(1L, CAST(qty AS BIGINT) % {seq_mod} + 1), 0L,
                           (a, x) -> a + x)) AS BIGINT) AS sum_seq
 FROM (
   SELECT l_returnflag, l_quantity AS qty,
@@ -461,13 +464,13 @@ ORDER BY l_returnflag
 
 @query(
     "fn_array_hof_surface",
-    oracle=_ARRAY_HOF_ORACLE,
+    oracle=_array_hof_oracle(),
     tags=("functions", "array", "hof"),
     order_by="l_returnflag",
 )
 def fn_array_hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir)
-    return spark.sql(_ARRAY_HOF_SPARK_SQL)
+    return spark.sql(_array_hof_spark_sql())
 
 
 # ---------------------------------------------------------------------------

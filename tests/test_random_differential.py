@@ -1342,3 +1342,37 @@ def test_random_ensemble_verify_matches_oracle(spark, duck, i):
         name=f"randensemble[{i}]tau={tau}",
         order_by="doc_a, doc_b",
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomized array-HOF family: sweeps the filter modulus, the exists
+# threshold (incl. below-all and above-all), and the sequence length
+# modulus — the lambda surface must evaluate identically to DuckDB's
+# list_* spellings for every constant combination.
+# ---------------------------------------------------------------------------
+
+_HOF_CASES = [
+    {"mod": 2, "big": 100000, "seq_mod": 5},
+    {"mod": 7, "big": -1, "seq_mod": 3},     # exists always true
+    {"mod": 5, "big": 10**15, "seq_mod": 2},  # exists always false
+    {"mod": 11, "big": 5000, "seq_mod": 7},
+]
+
+
+@pytest.mark.parametrize("i", range(len(_HOF_CASES)))
+def test_random_array_hof_matches_oracle(spark, duck, i):
+    from datafusion_distributed_spark.operators.aggregates import (
+        _array_hof_oracle,
+        _array_hof_spark_sql,
+    )
+
+    case = _HOF_CASES[i]
+    load_tables(spark, SF_DIR)
+    oracle_views(duck, SF_DIR)
+    compare_to_oracle(
+        spark.sql(_array_hof_spark_sql(**case)),
+        duck,
+        _array_hof_oracle(**case),
+        name=f"randhof[{i}]{case}",
+        order_by="l_returnflag",
+    )
