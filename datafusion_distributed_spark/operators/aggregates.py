@@ -482,18 +482,25 @@ def fn_array_hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order-free.
 # ---------------------------------------------------------------------------
 
-def _string_surface_sql(fmt_fn: str, strtype: str) -> str:
+def _string_surface_sql(
+    fmt_fn: str,
+    strtype: str,
+    word_idx: int = 2,
+    pad: int = 4,
+    rep_mod: int = 3,
+    needle: str = "e",
+) -> str:
     return f"""
 SELECT p_brand,
        CAST(COUNT(*) AS BIGINT) AS n_parts,
        CAST(SUM(levenshtein(p_name, reverse(p_name))) AS BIGINT) AS sum_lev,
-       MIN(split_part(p_name, ' ', 2)) AS min_word2,
+       MIN(split_part(p_name, ' ', {word_idx})) AS min_word2,
        MAX(translate(p_name, 'aeiou', 'AEIOU')) AS max_translated,
-       MIN({fmt_fn}('%s-%03d', substr(p_name, 1, 3), CAST(p_size AS INT)))
+       MIN({fmt_fn}('%s-%0{pad - 1}d', substr(p_name, 1, 3), CAST(p_size AS INT)))
          AS min_fmt,
-       CAST(SUM(instr(p_name, 'e')) AS BIGINT) AS sum_instr_e,
-       MAX(lpad(CAST(p_size AS {strtype}), 4, '0')) AS max_lpad,
-       MIN(repeat(substr(p_brand, 7, 1), CAST(p_size AS BIGINT) % 3 + 1))
+       CAST(SUM(instr(p_name, '{needle}')) AS BIGINT) AS sum_instr_e,
+       MAX(lpad(CAST(p_size AS {strtype}), {pad}, '0')) AS max_lpad,
+       MIN(repeat(substr(p_brand, 7, 1), CAST(p_size AS BIGINT) % {rep_mod} + 1))
          AS min_repeat
 FROM part
 GROUP BY p_brand

@@ -1376,3 +1376,35 @@ def test_random_array_hof_matches_oracle(spark, duck, i):
         name=f"randhof[{i}]{case}",
         order_by="l_returnflag",
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomized string-surface family: sweeps the split_part index (incl.
+# past-the-last-word, where both engines must return ''), pad width (which
+# also drives the printf %0Nd spec), repeat modulus, and instr needle
+# (incl. one absent from every name -> position 0 everywhere).
+# ---------------------------------------------------------------------------
+
+_STRFN_CASES = [
+    {"word_idx": 1, "pad": 5, "rep_mod": 2, "needle": "a"},
+    {"word_idx": 3, "pad": 3, "rep_mod": 4, "needle": "z"},  # idx/needle misses
+    {"word_idx": 2, "pad": 6, "rep_mod": 5, "needle": "r"},
+]
+
+
+@pytest.mark.parametrize("i", range(len(_STRFN_CASES)))
+def test_random_string_surface_matches_oracle(spark, duck, i):
+    from datafusion_distributed_spark.operators.aggregates import (
+        _string_surface_sql,
+    )
+
+    case = _STRFN_CASES[i]
+    load_tables(spark, SF_DIR)
+    oracle_views(duck, SF_DIR)
+    compare_to_oracle(
+        spark.sql(_string_surface_sql("format_string", "STRING", **case)),
+        duck,
+        _string_surface_sql("printf", "VARCHAR", **case),
+        name=f"randstrfn[{i}]{case}",
+        order_by="p_brand",
+    )
