@@ -103,6 +103,30 @@ def release_local_checkpoint(df) -> None:
         pass  # not a LogicalRDD-backed frame — nothing explicit to free
 
 
+_CHECKPOINT_SLOTS: dict = {}
+
+
+def slot_local_checkpoint(key: str, df) -> "DataFrame":
+    """Eager localCheckpoint with single-slot ownership per operator.
+
+    A query function that returns a LAZY frame over an eager checkpoint
+    cannot release the block itself (the caller consumes the frame after
+    the function returns), so repeated invocations — bench loops, the
+    randomized sweeps — would accumulate block-manager storage for the
+    session's lifetime. The slot bounds that: creating checkpoint N for
+    `key` first releases checkpoint N-1, so each operator owns at most ONE
+    materialized frame at a time. Contract: a frame returned by a previous
+    invocation of the same operator is invalidated by the next invocation —
+    exactly the consume-then-reinvoke pattern every harness here uses.
+    """
+    prev = _CHECKPOINT_SLOTS.pop(key, None)
+    if prev is not None:
+        release_local_checkpoint(prev)
+    ck = df.localCheckpoint(eager=True)
+    _CHECKPOINT_SLOTS[key] = ck
+    return ck
+
+
 def _fan_out(df: DataFrame) -> DataFrame:
     """Spread rows across all cores before CPU-heavy per-row transforms —
     but ONLY when the scan is actually under-split.

@@ -917,13 +917,19 @@ def block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ENSEMBLE_TAU = 0.2
 
 
-def _ensemble_oracle(tau: float = _ENSEMBLE_TAU) -> str:
+def _ensemble_oracle(tau: float = _ENSEMBLE_TAU, cap: int = _BUCKET_CAP) -> str:
     base = _minhash_oracle()
     head, _, _tail = base.rpartition("SELECT DISTINCT")
-    return f"""{head}, cand AS (
+    return f"""{head}, ranked AS (
+  SELECT doc_id, band_idx, band_hash,
+         ROW_NUMBER() OVER (PARTITION BY band_idx, band_hash ORDER BY doc_id) AS rn
+  FROM bands
+),
+capped AS (SELECT doc_id, band_idx, band_hash FROM ranked WHERE rn <= {cap}),
+cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a
-  JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  FROM capped a
+  JOIN capped b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
               AND a.doc_id < b.doc_id
 ),
 emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -957,7 +963,10 @@ def ensemble_semantic_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ensemble_frames(
-    spark: SparkSession, sf_dir: str, tau: float = _ENSEMBLE_TAU
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = _ENSEMBLE_TAU,
+    cap: int = _BUCKET_CAP,
 ) -> DataFrame:
     from .similarity import _dot, pair_cos
 
@@ -965,7 +974,13 @@ def _ensemble_frames(
     emb = t(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    cand = _band_pairs(lsh_bands(minhash_signatures(docs)))
+    # Capped candidate generation, matching the scale claim in the block
+    # comment above: degenerate band buckets are bounded to cap members, so
+    # pair output — and therefore the two embedding lookup joins — stays
+    # <= cap^2/2 per bucket even on boilerplate-heavy corpora (round-6 fix:
+    # this previously used the uncapped _band_pairs while claiming the
+    # bound).
+    cand = capped_band_pairs(lsh_bands(minhash_signatures(docs)), cap=cap)
     # Per-vector norm computed once at embedding grain (same fold, same
     # order -> bit-identical float to the oracle's per-pair spelling), so
     # pair scoring runs ONE interpreted HOF fold instead of three.

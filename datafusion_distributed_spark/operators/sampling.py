@@ -612,9 +612,13 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = capped_band_pairs(lsh_bands(minhash_signatures(docs))).persist()
     clusters = connected_components(pairs)
     pairs.unpersist(blocking=False)
-    keyed = docs.join(
-        F.broadcast(clusters), "doc_id", "left"
-    ).select(
+    # No broadcast hint on the clusters side: it is one row per document in
+    # the capped LSH pair graph — a corpus-fraction-sized table at 100 TB
+    # (10-50 % of all docs on a real web corpus), the exact anti-pattern
+    # dedup.py's connected_components documents against. AQE picks broadcast
+    # when the build side is genuinely small and falls back to a shuffled
+    # hash/sort-merge join on doc_id when it isn't.
+    keyed = docs.join(clusters, "doc_id", "left").select(
         "source",
         "n_chars",
         F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("group_key"),

@@ -987,16 +987,6 @@ ORDER BY vec_id
 """
 
 
-@query(
-    "sim_semantic_dedup",
-    oracle=_semdedup_oracle(),
-    tags=("similarity", "dedup", "semdedup"),
-    order_by="vec_id",
-)
-def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _semdedup_frames(spark, sf_dir)
-
-
 def _semdedup_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, e, cell, nrm, ccos): every vector with its assigned cell,
     vector norm, and rounded cosine-to-own-centroid — the shared input of
@@ -1140,12 +1130,20 @@ pflat AS (
 
 
 @query(
-    "sim_semantic_dedup_capped",
+    "sim_semantic_dedup",
     oracle=_semdedup_capped_oracle(),
     tags=("similarity", "dedup", "semdedup", "scale"),
     order_by="vec_id",
 )
-def semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered default = the cap-bounded dominance join (pair count
+    <= cap * N, linear at ANY clustering granularity; 10x-replica probe
+    measured 0.88x). The unbounded spelling (_semdedup_frames) is O(N^2/K)
+    when K is fixed — it measured 4.85x at the 10x probe with the synthetic
+    K=8 stand-in centroids — so it is NOT registered; it remains the
+    tau-swept differential-family reference in
+    tests/test_random_differential.py, the same role the uncapped
+    _band_pairs plays for dd_minhash_lsh_pairs_capped."""
     return _semdedup_capped_frames(spark, sf_dir)
 
 

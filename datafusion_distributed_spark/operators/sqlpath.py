@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ._util import release_local_checkpoint, t
+from ._util import release_local_checkpoint, slot_local_checkpoint, t
 from .registry import query
 
 # Year-over-year revenue doublers: a CTE materialized once, self-joined
@@ -1909,7 +1909,10 @@ _WIDE_CHAIN_SQL = f"WITH chain AS (\n{_WIDE_CHAIN_CTE})\n{_WIDE_PAIR_SQL}"
 )
 def wide_chain_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir)
-    chain = spark.sql(_WIDE_CHAIN_CTE).localCheckpoint(eager=True)
+    # Single-slot ownership: the next invocation releases this block (see
+    # slot_local_checkpoint) — repeated bench runs hold one chain frame,
+    # not an accumulating block-manager leak.
+    chain = slot_local_checkpoint("sql_wide_chain_yoy", spark.sql(_WIDE_CHAIN_CTE))
     a, b = chain.alias("a"), chain.alias("b")
     return (
         a.join(b, (F.col("b.pk") == F.col("a.pk")) & (F.col("b.y") == F.col("a.y") + 1))
@@ -3133,7 +3136,11 @@ def _q44_frames(spark: SparkSession, sf_dir: str, store_slice: int = 4) -> DataF
     # read it. The rnk < 11 filters sit directly above each rank window, so
     # WindowGroupLimit prunes to ~10 rows per map partition before the
     # single-partition final rank.
-    v1 = spark.sql(_q44_v1_sql("DIV", store_slice)).localCheckpoint(eager=True)
+    # Single-slot ownership (see slot_local_checkpoint): the returned frame
+    # reads v1 lazily, so this function can't free the block itself; the
+    # next invocation — bench loop or the 6-case randomized sweep — releases
+    # it, bounding storage to one v1 frame.
+    v1 = slot_local_checkpoint("sql_q44_v1", spark.sql(_q44_v1_sql("DIV", store_slice)))
     wa = Window.orderBy(F.asc("rank_col"), F.asc("item_sk"))
     wd = Window.orderBy(F.desc("rank_col"), F.desc("item_sk"))
     asc_r = v1.withColumn("rnk", F.rank().over(wa)).where(F.col("rnk") < 11)

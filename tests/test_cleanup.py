@@ -116,3 +116,24 @@ def test_aborted_query_drains_to_zero_tasks(spark):
         f"expected a cancellation error, got: {errors[0]!r}"
     )
     assert _poll(lambda: _n_active_jobs(spark) == 0)
+
+
+def test_slot_checkpoint_bounds_repeat_invocations(spark):
+    """Operators that return a lazy frame over an eager localCheckpoint
+    (sql_wide_chain_yoy, sql_best_worst_rank_join) can't free the block
+    before the caller consumes the frame — the single-slot ownership in
+    slot_local_checkpoint must instead release invocation N-1's block when
+    invocation N materializes, so bench loops and randomized sweeps hold at
+    most one checkpoint per operator instead of accumulating for the
+    session's lifetime."""
+    from datafusion_distributed_spark.operators.sqlpath import _q44_frames
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    for _ in range(3):
+        _q44_frames(spark, SF_DIR).collect()
+    # At most the LAST invocation's v1 block may remain.
+    assert _poll(lambda: jsc.getPersistentRDDs().size() <= before + 1), (
+        f"slot leaked checkpoints: {jsc.getPersistentRDDs().size()} vs "
+        f"{before} + 1"
+    )

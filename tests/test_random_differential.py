@@ -1280,6 +1280,39 @@ def test_random_semdedup_matches_oracle(spark, duck, i):
     )
 
 
+# Cap sweep for the registered (cap-bounded) default: cap=1 keeps only each
+# cell's single most-atypical exemplar as dominator, a large cap recovers
+# the uncapped result exactly (every member ranks inside the cap), and
+# intermediate caps must agree with the oracle's ROW_NUMBER()<=cap spelling
+# pair-for-pair — including tau boundaries interacting with the cap cut.
+_SEMDEDUP_CAP_CASES = [
+    {"tau": 0.40, "cap": 1},
+    {"tau": 0.40, "cap": 4},
+    {"tau": 0.36, "cap": 16},
+    {"tau": 0.40, "cap": 100000},  # cap beyond corpus == uncapped result
+    {"tau": 0.45, "cap": 2},
+    {"tau": 0.50, "cap": 8},  # tau above max cosine: empty at any cap
+]
+
+
+@pytest.mark.parametrize("i", range(len(_SEMDEDUP_CAP_CASES)))
+def test_random_semdedup_capped_matches_oracle(spark, duck, i):
+    from datafusion_distributed_spark.operators.similarity import (
+        _semdedup_capped_frames,
+        _semdedup_capped_oracle,
+    )
+
+    case = _SEMDEDUP_CAP_CASES[i]
+    oracle_views(duck, SF_DIR)
+    compare_to_oracle(
+        _semdedup_capped_frames(spark, SF_DIR, **case),
+        duck,
+        _semdedup_capped_oracle(**case),
+        name=f"randsemdedupcap[{i}]{case}",
+        order_by="vec_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Randomized TF-IDF all-pairs family: sweeps the df ceiling (how much of the
 # shingle space joins) and the cosine threshold through the corpus'
@@ -1323,23 +1356,35 @@ def test_random_tfidf_pairs_match_oracle(spark, duck, i):
 # both engines, including thresholds outside the range (all-False/True).
 # ---------------------------------------------------------------------------
 
-_ENSEMBLE_TAUS = [-0.5, -0.05, 0.1, 0.2, 0.5]
+_ENSEMBLE_CASES = [
+    {"tau": -0.5},
+    {"tau": -0.05},
+    {"tau": 0.1},
+    {"tau": 0.2},
+    {"tau": 0.5},
+    # cap sweep (round 6: candidates now come from capped_band_pairs):
+    # cap=1 empties every bucket's pair set, cap=2 keeps only the two
+    # lowest doc_ids per bucket, a huge cap recovers the uncapped pairs.
+    {"tau": 0.2, "cap": 1},
+    {"tau": 0.2, "cap": 2},
+    {"tau": 0.2, "cap": 100000},
+]
 
 
-@pytest.mark.parametrize("i", range(len(_ENSEMBLE_TAUS)))
+@pytest.mark.parametrize("i", range(len(_ENSEMBLE_CASES)))
 def test_random_ensemble_verify_matches_oracle(spark, duck, i):
     from datafusion_distributed_spark.operators.dedup import (
         _ensemble_frames,
         _ensemble_oracle,
     )
 
-    tau = _ENSEMBLE_TAUS[i]
+    case = _ENSEMBLE_CASES[i]
     oracle_views(duck, SF_DIR)
     compare_to_oracle(
-        _ensemble_frames(spark, SF_DIR, tau=tau),
+        _ensemble_frames(spark, SF_DIR, **case),
         duck,
-        _ensemble_oracle(tau=tau),
-        name=f"randensemble[{i}]tau={tau}",
+        _ensemble_oracle(**case),
+        name=f"randensemble[{i}]{case}",
         order_by="doc_a, doc_b",
     )
 

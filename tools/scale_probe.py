@@ -84,8 +84,12 @@ def build_probe_dir(spark) -> None:
             )
             shutil.rmtree(PROBE_DIR)
     os.makedirs(PROBE_DIR, exist_ok=True)
-    with open(stamp, "w") as f:
-        json.dump({"layout_version": LAYOUT_VERSION}, f)
+    # The stamp is written LAST (after every table builds): an interrupted
+    # build leaves an unstamped dir that the version guard rebuilds from
+    # scratch on the next run, instead of per-table `exists` skips silently
+    # keeping partial replica parquet under the current layout_version.
+    if os.path.exists(stamp):
+        os.remove(stamp)
     for name in TABLE_NAMES:
         dst = os.path.join(PROBE_DIR, f"{name}.parquet")
         if os.path.exists(dst):
@@ -191,6 +195,8 @@ def build_probe_dir(spark) -> None:
             out.repartition(32).write.mode("overwrite").parquet(dst)
         else:
             os.symlink(src, dst)
+    with open(stamp, "w") as f:
+        json.dump({"layout_version": LAYOUT_VERSION}, f)
     print(f"probe dir ready: {PROBE_DIR}", file=sys.stderr)
 
 
