@@ -63,6 +63,150 @@ N_REPLICAS = 10
 LAYOUT_VERSION = 2  # v2 = star-schema tables replicated (were symlinks in v1)
 
 
+# ---------------------------------------------------------------------------
+# Scale gate (round-6: the probe is a regression GATE, not just a recorded
+# artifact — same flag mechanism as bench.py's cost_flags). Three rules:
+#
+# 1. output-superlinear: result rows growing faster than the data
+#    (> OUTPUT_CEILING_FACTOR * replication) means an unbounded pair
+#    emitter — row counts expose quadratic output long before wall time
+#    does at probe scale, where interpreter/scheduler overhead hides the
+#    compute. No exemptions: every registered pair operator is capped by
+#    design (capped_band_pairs, the semdedup dominator cap, the tfidf df
+#    ceiling), so quadratic OUTPUT is always a defect.
+# 2. wall-superlinear: t_10x/t_sf01 above WALL_CEILING_FACTOR * replication.
+#    An at-most-linear operator cannot exceed ratio == replication on fixed
+#    cores except via output/collect overhead, which the factor absorbs —
+#    this is what "output-linear classes exempted" means: a FULL OUTER JOIN
+#    emitting 10x rows measures ~12.8x and sits inside the 13x ceiling,
+#    while a compute-bound quadratic (100x work for 10x data) cannot.
+# 3. ratio-regression: a query whose ratio grows past
+#    REGRESSION_FACTOR * its committed baseline ratio (+0.5 absolute slack)
+#    — catches "was 2x, now 8x" while both are under the ceiling.
+# Sub-noise-floor timings (t_10x < NOISE_FLOOR_SEC) are exempt from the
+# wall rules: ratios of ~0.1 s measurements are scheduler noise; rule 1
+# still applies (row counts are exact at any speed).
+# ---------------------------------------------------------------------------
+
+WALL_CEILING_FACTOR = 1.3
+OUTPUT_CEILING_FACTOR = 1.5
+REGRESSION_FACTOR = 1.5
+NOISE_FLOOR_SEC = 0.5
+
+
+def scale_flags(
+    results: dict,
+    baseline: dict | None = None,
+    replication: int = N_REPLICAS,
+) -> list[dict]:
+    """Flag superlinear scale behavior in a probe results dict. Pure
+    function of recorded numbers so tests can exercise every rule."""
+    flags = []
+    for name, row in sorted(results.items()):
+        ratio, t10 = row.get("ratio"), row.get("t_10x")
+        rows0, rows1 = row.get("rows_sf01"), row.get("rows_10x")
+        growth = None
+        if rows0 is not None and rows1 is not None:
+            growth = rows1 / max(rows0, 1)
+            if growth > OUTPUT_CEILING_FACTOR * replication:
+                flags.append(
+                    {
+                        "query": name,
+                        "reason": "output-superlinear",
+                        "rows_sf01": rows0,
+                        "rows_10x": rows1,
+                        "allowed_growth": OUTPUT_CEILING_FACTOR * replication,
+                    }
+                )
+                continue
+        if not ratio or not t10 or t10 < NOISE_FLOOR_SEC:
+            continue
+        ceiling = WALL_CEILING_FACTOR * replication
+        if ratio > ceiling:
+            flags.append(
+                {
+                    "query": name,
+                    "reason": "wall-superlinear",
+                    "ratio": ratio,
+                    "allowed": round(ceiling, 2),
+                }
+            )
+            continue
+        base = (baseline or {}).get(name, {})
+        b_ratio, b_t10 = base.get("ratio"), base.get("t_10x")
+        if (
+            b_ratio
+            and b_t10
+            and b_t10 >= NOISE_FLOOR_SEC
+            and ratio > b_ratio * REGRESSION_FACTOR + 0.5
+        ):
+            flags.append(
+                {
+                    "query": name,
+                    "reason": "ratio-regression",
+                    "ratio": ratio,
+                    "baseline_ratio": b_ratio,
+                    "allowed": round(b_ratio * REGRESSION_FACTOR + 0.5, 2),
+                }
+            )
+    return flags
+
+
+def measure_query(spark, fn, base_dir: str, big_dir: str, runs: int = 2) -> dict:
+    """Time one query at both scales and record result-row counts (the
+    gate's output-growth signal). Warm-up run supplies the row counts."""
+    import time as _time
+
+    row: dict = {}
+    for key, rkey, sf_dir in (
+        ("t_sf01", "rows_sf01", base_dir),
+        ("t_10x", "rows_10x", big_dir),
+    ):
+        try:
+            row[rkey] = len(fn(spark, sf_dir).collect())  # warm-up
+            times = []
+            for _ in range(runs):
+                t0 = _time.perf_counter()
+                fn(spark, sf_dir).collect()
+                times.append(_time.perf_counter() - t0)
+            row[key] = round(min(times), 3)
+        except Exception as exc:
+            row[key] = None
+            row.setdefault("errors", []).append(f"{key}: {exc}")
+        spark.catalog.clearCache()
+    if row.get("t_sf01") and row.get("t_10x"):
+        row["ratio"] = round(row["t_10x"] / row["t_sf01"], 2)
+    return row
+
+
+def replicated_documents_frame(spark, src: str, n_replicas: int):
+    """The probe's documents replication transform (distribution- and
+    dup-structure-preserving, see module docstring) as a reusable frame —
+    build_probe_dir writes it at 10x; the gate's tripwire test writes a
+    small-n variant to tmp."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(src)
+    parts = []
+    for rep in range(n_replicas):
+        if rep == 0:
+            parts.append(docs)
+            continue
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + rep * 100_000_000).alias("doc_id"),
+                F.regexp_replace("text", r"(\S+)", rf"$1_r{rep}").alias("text"),
+                "lang",
+                "source",
+                F.lit(None).cast("long").alias("n_chars"),  # fixed below
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("n_chars", F.length("text").cast("long"))
+
+
 def build_probe_dir(spark) -> None:
     from datafusion_distributed_spark.tables import TABLE_NAMES
 
@@ -96,28 +240,9 @@ def build_probe_dir(spark) -> None:
             continue
         src = os.path.join(BASE_SF, f"{name}.parquet")
         if name == "documents":
-            docs = spark.read.parquet(src)
-            parts = []
-            for rep in range(N_REPLICAS):
-                if rep == 0:
-                    parts.append(docs)
-                    continue
-                parts.append(
-                    docs.select(
-                        (F.col("doc_id") + rep * 100_000_000).alias("doc_id"),
-                        F.regexp_replace("text", r"(\S+)", rf"$1_r{rep}").alias(
-                            "text"
-                        ),
-                        "lang",
-                        "source",
-                        F.lit(None).cast("long").alias("n_chars"),  # fixed below
-                    )
-                )
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
-            out = out.withColumn("n_chars", F.length("text").cast("long"))
-            out.repartition(32).write.mode("overwrite").parquet(dst)
+            replicated_documents_frame(spark, src, N_REPLICAS).repartition(
+                32
+            ).write.mode("overwrite").parquet(dst)
         elif name == "events":
             # Replicas shift event_id and user_id into disjoint ranges but
             # keep ts/type/value/props — per-user event counts, session
@@ -218,25 +343,18 @@ def main() -> None:
     build_probe_dir(spark)
 
     names = sorted(n for n in REGISTRY if n.startswith(prefixes))
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scale_probe_results.json"
+    )
+    # The committed file is the regression baseline (read BEFORE overwrite).
+    baseline: dict = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            baseline = json.load(f).get("results", {})
+
     results: dict[str, dict] = {}
     for i, name in enumerate(names):
-        fn = REGISTRY[name].fn
-        row: dict = {}
-        for key, sf_dir in (("t_sf01", BASE_SF), ("t_10x", PROBE_DIR)):
-            try:
-                fn(spark, sf_dir).collect()  # warm-up
-                times = []
-                for _ in range(args.runs):
-                    t0 = time.perf_counter()
-                    fn(spark, sf_dir).collect()
-                    times.append(time.perf_counter() - t0)
-                row[key] = round(min(times), 3)
-            except Exception as exc:
-                row[key] = None
-                row.setdefault("errors", []).append(f"{key}: {exc}")
-            spark.catalog.clearCache()
-        if row.get("t_sf01") and row.get("t_10x"):
-            row["ratio"] = round(row["t_10x"] / row["t_sf01"], 2)
+        row = measure_query(spark, REGISTRY[name].fn, BASE_SF, PROBE_DIR, args.runs)
         row["layout_version"] = LAYOUT_VERSION
         results[name] = row
         print(
@@ -245,28 +363,29 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scale_probe_results.json")
+    flags = scale_flags(results, baseline=baseline, replication=N_REPLICAS)
+
     # Merge over prior runs (e.g. a cb_/ts_ sweep after the dd_/text_/ds_
     # one) so the results file accumulates the full family picture.
-    if os.path.exists(out_path):
-        with open(out_path) as f:
-            prior = json.load(f).get("results", {})
-        prior.update(results)
-        results = prior
-    ratios = [r["ratio"] for r in results.values() if r.get("ratio")]
+    merged = dict(baseline)
+    merged.update(results)
+    ratios = [r["ratio"] for r in merged.values() if r.get("ratio")]
     summary = {
-        "n_queries": len(results),
+        "n_queries": len(merged),
         "replication": N_REPLICAS,
         "layout_version": LAYOUT_VERSION,
         "median_ratio": round(sorted(ratios)[len(ratios) // 2], 2) if ratios else None,
         "max_ratio": max(ratios) if ratios else None,
-        "results": results,
+        "scale_flags": flags,
+        "results": merged,
     }
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True)
         f.write("\n")
     print(json.dumps({k: v for k, v in summary.items() if k != "results"}))
     spark.stop()
+    if flags:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
