@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ._util import dbl, t
+from ._util import dbl, slot_persist, t
 from .registry import query
 
 # Spark: split(trim(lower(text)), ' +')  <=>  DuckDB: string_split_regex(...)
@@ -953,31 +953,47 @@ def source_drift_frames(docs: DataFrame) -> DataFrame:
     """Parameterized core of text_source_drift (corpus subsets vary in the
     randomized differential family #14)."""
     dec = "decimal(38,0)"
-    # st feeds FOUR branches (tok/src/terms/cov); without the persist each
-    # branch re-derives the corpus-sized explode+groupBy from the scan
-    # (audited: 8 parquet scans in the executed plan). The persisted frame
-    # is the AGGREGATED vocab x sources table — tiny relative to the corpus
-    # — so this pins the one corpus pass and every branch reads the digest.
-    st = (
+    # st feeds FOUR branches (c_t/src/terms/cov); without materializing it
+    # each branch re-derives the corpus-sized explode+groupBy from the scan
+    # (audited: 8 parquet scans in the executed plan). The materialized
+    # frame is the AGGREGATED vocab x sources table — tiny relative to the
+    # corpus — so this pins the one corpus pass; every branch reads the
+    # digest.
+    # Slot-owned persist (round-6): the un-slotted persist never released,
+    # so every bench-loop / sweep invocation left another digest copy in
+    # the block manager — the measured drag behind the driver-tail wobble
+    # (interleaved A/B: p50 0.85 s accumulating vs 0.61 s slot-released,
+    # with the window-c_t below). No _fan_out here: the corpus pass is one
+    # cheap split at this size, and at real scale the scan arrives
+    # well-split on its own.
+    st = slot_persist(
+        "text_source_drift_digest",
         docs.select(
             "source",
             F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("token"),
         )
         .groupBy("source", "token")
-        .agg(F.count(F.lit(1)).cast(dec).alias("c_st"))
-        .persist()
+        .agg(F.count(F.lit(1)).cast(dec).alias("c_st")),
     )
-    tok = st.groupBy("token").agg(F.sum("c_st").cast(dec).alias("c_t"))
+    # Per-token corpus totals as a WINDOW over the digest instead of a
+    # groupBy + equi-join back: one shuffle of the digest by token replaces
+    # two exchanges (the tok aggregate and the st-x-tok join), and the
+    # window partitions are bounded by |sources| rows per token — never a
+    # skew hazard at any vocab size (round-6: the query's cost is AQE stage
+    # latency on a tiny digest, so fewer exchanges is the real lever).
+    from pyspark.sql import Window
+
+    w_tok = Window.partitionBy("token")
+    en = st.withColumn("c_t", F.sum("c_st").over(w_tok).cast(dec))
     src = st.groupBy("source").agg(
         F.sum("c_st").cast(dec).alias("t_s"),
         F.count(F.lit(1)).alias("vocab_size"),
     )
-    tot = tok.agg(F.sum("c_t").cast(dec).alias("t_all"))
-    # ONE st-x-tok join feeds both the gap terms AND the present-token
+    tot = st.agg(F.sum("c_st").cast(dec).alias("t_all"))
+    # ONE windowed frame feeds both the gap terms AND the present-token
     # corpus coverage (c_s) — a single per-source aggregate, no second join.
     terms = (
-        st.join(tok, "token")
-        .join(F.broadcast(src), "source")
+        en.join(F.broadcast(src), "source")
         .crossJoin(F.broadcast(tot))
         .select(
             "source",
