@@ -1,0 +1,278 @@
+"""Literal-SQL parity lane: execute the reference's OWN query texts.
+
+The reference proves itself by running the verbatim ``q1.sql .. q22.sql`` /
+TPC-DS / ClickBench texts (/root/reference/tests/tpch_correctness_test.rs:
+24-120, tests/tpcds_correctness_test.rs, tests/clickbench_correctness_test.rs).
+This repo covers every query *class* with re-derived operators (necessarily —
+the driver schema has no partsupp/hits), but a user porting a workload pastes
+SQL text. This lane closes that gap: it registers SCHEMA-MAPPED views over
+the driver tables and executes the literal reference texts through
+``spark.sql`` — and, in tests, the identical text through DuckDB over
+identically-derived views for a full differential comparison.
+
+Adaptation contract (everything else is the verbatim file text):
+- texts are read from the reference tree at runtime (never copied into this
+  repo); ``--`` comment lines and the trailing ``;`` are stripped;
+- schema gaps are filled by VIEWS, not by editing queries: missing TPC-H
+  columns (l_commitdate, c_phone, p_container, the whole partsupp table, ...)
+  are derived DETERMINISTICALLY from existing columns with integer-arithmetic
+  hashes that evaluate bit-identically in Spark and DuckDB;
+- TPC-DS star tables (store_sales/date_dim/item) and the ClickBench ``hits``
+  table are views over the same driver tables;
+- the optional ``date_shift_years`` run rewrites ``date 'YYYY-MM-DD'``
+  literals forward by N years — the driver's order dates span 1995-2001 while
+  the benchmark texts reference 1993-1998, so the verbatim run proves
+  parse/plan/execute (sometimes on an empty selection) and the shifted run
+  proves the VALUES on a populated selection. The rewrite is applied to the
+  text fed to BOTH engines;
+- ClickBench texts quote identifiers with double quotes; the lane sets
+  ``spark.sql.ansi.doubleQuotedIdentifiers`` for the session (the reference
+  needs a parquet conf for these same files —
+  /root/reference/testdata/clickbench/queries/q0.sql header).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .tables import load_tables
+
+REFERENCE_QUERIES = "/root/reference/testdata"
+
+# Base tables are re-registered under prefixed names so the padded views can
+# take the bare benchmark names without self-reference.
+_BASE_PREFIX = "lit_base_"
+
+
+def _pick(expr: str, values: list[str]) -> str:
+    """CASE (expr) WHEN i THEN values[i] ... — deterministic list pick."""
+    arms = " ".join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(values))
+    return f"CASE ({expr}) % {len(values)} {arms} END"
+
+
+_SHIPMODES = ["MAIL", "SHIP", "AIR", "TRUCK", "RAIL", "REG AIR", "FOB"]
+_SHIPINSTRUCT = ["DELIVER IN PERSON", "COLLECT COD", "NONE", "TAKE BACK RETURN"]
+_CONTAINERS = [
+    "SM CASE", "SM BOX", "SM PACK", "SM PKG",
+    "MED BAG", "MED BOX", "MED PKG", "MED PACK",
+    "LG CASE", "LG BOX", "LG PACK", "LG PKG",
+]
+
+
+def view_definitions(engine: str, base) -> dict[str, str]:
+    """View SELECT texts for one engine.
+
+    ``engine`` is 'spark' or 'duck'; ``base(name)`` renders a reference to
+    the raw driver table. Every derived column uses only constructs whose
+    semantics are identical across the two engines (integer * + %, CASE,
+    ||, substring, EXTRACT); the few spellings that differ (date+days,
+    epoch-day numbering, string cast) are rendered per engine here, so the
+    SAME derivation yields bit-identical values on both sides — that is
+    what lets the literal texts run differentially."""
+    sp = engine == "spark"
+
+    def DA(col: str, days: str) -> str:  # date + N days
+        # Spark's date_add takes an INT day count (BIGINT is rejected under
+        # ANSI); DuckDB adds integer days with plain +.
+        return (
+            f"date_add({col}, CAST({days} AS INT))"
+            if sp
+            else f"({col} + CAST({days} AS INTEGER))"
+        )
+
+    def ED(col: str) -> str:  # days since epoch as the surrogate date key
+        return (
+            f"datediff({col}, DATE '1970-01-01')"
+            if sp
+            else f"CAST({col} - DATE '1970-01-01' AS INTEGER)"
+        )
+
+    def S(x: str) -> str:  # integer -> string
+        return f"CAST({x} AS STRING)" if sp else f"CAST({x} AS VARCHAR)"
+
+    return {
+        # ---- TPC-H: driver tables padded to the full spec column set ----
+        "lineitem": f"""
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+       CAST(l_shipdate AS DATE) AS l_shipdate,
+       {DA("CAST(l_shipdate AS DATE)", "(l_orderkey * 7 + l_linenumber * 3) % 61 - 30")} AS l_commitdate,
+       {DA("CAST(l_shipdate AS DATE)", "(l_orderkey * 11 + l_linenumber * 5) % 30 + 1")} AS l_receiptdate,
+       {_pick("l_orderkey * 13 + l_linenumber", _SHIPMODES)} AS l_shipmode,
+       {_pick("l_orderkey * 17 + l_linenumber", _SHIPINSTRUCT)} AS l_shipinstruct,
+       'line note ' || {S("l_linenumber")} AS l_comment
+FROM {base("lineitem")}""",
+        "orders": f"""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+       CAST(o_orderkey % 3 AS INT) AS o_shippriority,
+       'Clerk#' || {S("1 + o_orderkey % 1000")} AS o_clerk,
+       CASE WHEN (o_orderkey * 2654435761) % 100 < 4
+            THEN 'special requests handling'
+            ELSE 'standard order note ' || {S("o_orderkey % 7")} END AS o_comment
+FROM {base("orders")}""",
+        "customer": f"""
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       {S("10 + c_custkey % 25")} || '-555-' || {S("1000 + c_custkey % 9000")} AS c_phone,
+       'Address ' || {S("c_custkey")} AS c_address,
+       'customer note ' || {S("c_custkey % 11")} AS c_comment
+FROM {base("customer")}""",
+        "supplier": f"""
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+       'Depot ' || {S("s_suppkey")} AS s_address,
+       {S("10 + s_suppkey % 25")} || '-555-' || {S("2000 + s_suppkey % 8000")} AS s_phone,
+       CASE WHEN s_suppkey % 50 = 7 THEN 'noted Customer recurring Complaints'
+            ELSE 'reliable supplier ' || {S("s_suppkey % 13")} END AS s_comment
+FROM {base("supplier")}""",
+        "part": f"""
+SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice,
+       'Manufacturer#' || {S("1 + p_partkey % 5")} AS p_mfgr,
+       {_pick("p_partkey * 19", _CONTAINERS)} AS p_container,
+       'part note ' || {S("p_partkey % 17")} AS p_comment
+FROM {base("part")}""",
+        # Synthesized partsupp: one row per distinct (part, supplier) pair
+        # observed in lineitem; whole-number supplycost keeps the min()
+        # comparisons float-exact across engines.
+        "partsupp": f"""
+SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+       CAST((l_partkey * 37 + l_suppkey * 17) % 9999 + 1 AS INT) AS ps_availqty,
+       CAST(1 + (l_partkey * 31 + l_suppkey * 7) % 1000 AS DOUBLE) AS ps_supplycost,
+       'ps note ' || {S("(l_partkey + l_suppkey) % 23")} AS ps_comment
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM {base("lineitem")}) pairs""",
+        "nation": f"SELECT * FROM {base('nation')}",
+        "region": f"SELECT * FROM {base('region')}",
+        # ---- TPC-DS star tables over the same driver schema ----
+        "date_dim": f"""
+SELECT {ED("d_date")} AS d_date_sk, d_date,
+       EXTRACT(YEAR FROM d_date) AS d_year,
+       EXTRACT(MONTH FROM d_date) AS d_moy,
+       EXTRACT(DAY FROM d_date) AS d_dom
+FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d_date FROM {base("orders")}) d""",
+        "store_sales": f"""
+SELECT {ED("CAST(o.o_orderdate AS DATE)")} AS ss_sold_date_sk,
+       l.l_partkey AS ss_item_sk,
+       o.o_custkey AS ss_customer_sk,
+       l.l_suppkey % 10 + 1 AS ss_store_sk,
+       l.l_quantity AS ss_quantity,
+       l.l_extendedprice AS ss_ext_sales_price,
+       l.l_extendedprice AS ss_sales_price,
+       l.l_extendedprice * (1 + l.l_tax) AS ss_list_price,
+       l.l_extendedprice * l.l_discount AS ss_ext_discount_amt,
+       l.l_extendedprice * (1 - l.l_discount) AS ss_net_paid
+FROM {base("lineitem")} l JOIN {base("orders")} o ON l.l_orderkey = o.o_orderkey""",
+        "item": f"""
+SELECT p_partkey AS i_item_sk,
+       'item_' || {S("p_partkey")} AS i_item_id,
+       p_name AS i_item_desc,
+       p_brand AS i_brand,
+       CAST(p_partkey % 1000 AS INT) AS i_brand_id,
+       p_partkey % 200 AS i_manufact_id,
+       p_partkey % 100 AS i_manager_id,
+       CAST(1 + p_partkey % 10 AS INT) AS i_category_id,
+       'Category#' || {S("1 + p_partkey % 10")} AS i_category,
+       p_retailprice AS i_current_price
+FROM {base("part")}""",
+        # ---- ClickBench hits over events ----
+        # Mixed-case quoted column names: the suite runs with
+        # double-quoted-identifier parsing on (see module docstring).
+        "hits": f"""
+SELECT event_id AS "WatchID",
+       user_id AS "UserID",
+       CASE WHEN (event_id * 2654435761) % 100 < 5
+            THEN CAST(event_id % 17 + 1 AS INT) ELSE 0 END AS "AdvEngineID",
+       CAST(800 + (event_id % 20) * 60 AS INT) AS "ResolutionWidth",
+       CAST((user_id * 2654435761) % 4294967296 % 200 AS INT) AS "RegionID",
+       CASE WHEN (event_id * 31) % 10 < 2
+            THEN 'phrase ' || {S("event_id % 50")} ELSE '' END AS "SearchPhrase",
+       CASE WHEN event_id % 13 = 0
+            THEN 'http://google.com/search?q=' || {S("event_id % 100")}
+            ELSE 'http://example.com/page/' || {S("(event_id * 7) % 1000")}
+            END AS "URL",
+       CAST(event_id % 2 AS INT) AS "IsRefresh",
+       CAST((event_id * 41) % 100 AS INT) AS "CounterID"
+FROM {base("events")}""",
+    }
+
+
+# View subsets registered per suite (bare TPC-H names are only overridden
+# while the lane runs — see register_spark_views).
+SUITE_VIEWS = {
+    "tpch": [
+        "lineitem", "orders", "customer", "supplier", "part", "partsupp",
+        "nation", "region",
+    ],
+    "tpcds": ["date_dim", "store_sales", "item"],
+    "clickbench": ["hits"],
+}
+
+
+def register_spark_views(spark: SparkSession, sf_dir: str, suite: str) -> None:
+    """Register the suite's schema-mapped views over the driver tables.
+
+    Bases are re-registered under ``lit_base_*`` names so padded views can
+    take the bare names. Overriding the bare TPC-H names is safe: every
+    engine-native query path re-registers its views through
+    ``tables.load_tables`` (which this resets the ownership token for)."""
+    tables = load_tables(spark, sf_dir, register=False)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(_BASE_PREFIX + name)
+    defs = view_definitions("spark", lambda n: _BASE_PREFIX + n)
+    spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    try:
+        for name in SUITE_VIEWS[suite]:
+            spark.sql(
+                f'CREATE OR REPLACE TEMPORARY VIEW "{name}" AS {defs[name]}'
+            )
+    finally:
+        spark.conf.unset("spark.sql.ansi.doubleQuotedIdentifiers")
+    # Invalidate tables.load_tables view ownership: the next engine-native
+    # query re-registers the unpadded bare views.
+    setattr(spark, "_dds_active_views", None)
+
+
+def register_duck_views(con, sf_dir: str, suite: str) -> None:
+    base = lambda n: f"read_parquet('{sf_dir.rstrip('/')}/{n}.parquet')"
+    defs = view_definitions("duck", base)
+    for name in SUITE_VIEWS[suite]:
+        con.execute(f'CREATE OR REPLACE VIEW "{name}" AS {defs[name]}')
+
+
+_DATE_RE = re.compile(r"(date\s*')(\d{4})(-\d{2}-\d{2}')", re.IGNORECASE)
+
+
+def load_literal_text(suite: str, name: str, date_shift_years: int = 0) -> str:
+    """Read a reference query text; strip comments and the trailing ';'.
+    ``date_shift_years`` rewrites date literals forward (see module doc)."""
+    path = os.path.join(REFERENCE_QUERIES, suite, "queries", f"{name}.sql")
+    with open(path) as f:
+        lines = [l for l in f.read().splitlines() if not l.lstrip().startswith("--")]
+    text = "\n".join(lines).strip().rstrip(";").strip()
+    if date_shift_years:
+        text = _DATE_RE.sub(
+            lambda m: f"{m.group(1)}{int(m.group(2)) + date_shift_years}{m.group(3)}",
+            text,
+        )
+    return text
+
+
+def run_literal_sql(
+    spark: SparkSession,
+    sf_dir: str,
+    suite: str,
+    name: str,
+    date_shift_years: int = 0,
+) -> DataFrame:
+    """Execute one literal reference query text through spark.sql over the
+    schema-mapped views. Returns the (lazy) result frame."""
+    register_spark_views(spark, sf_dir, suite)
+    text = load_literal_text(suite, name, date_shift_years)
+    if suite == "clickbench":
+        spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+        try:
+            return spark.sql(text)
+        finally:
+            spark.conf.unset("spark.sql.ansi.doubleQuotedIdentifiers")
+    return spark.sql(text)

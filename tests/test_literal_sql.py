@@ -1,0 +1,203 @@
+"""Literal-SQL parity lane (round-6 verdict item #4): the reference proves
+itself by executing the VERBATIM benchmark query texts
+(/root/reference/tests/tpch_correctness_test.rs:24-120,
+tests/tpcds_correctness_test.rs, tests/clickbench_correctness_test.rs); this
+suite executes the same texts through spark.sql over schema-mapped views
+(datafusion_distributed_spark/literal.py) and differentially compares every
+result against DuckDB running the IDENTICAL text over identically-derived
+views.
+
+Two runs per dated query: verbatim (parse/plan/execute fidelity — the
+benchmark dates predate the driver's 1995-2001 order dates, so some verbatim
+selections are legitimately empty) and a +2-year date-shifted run that lands
+inside the data range and checks VALUES on a populated selection. The shift
+is applied to the text fed to both engines.
+
+Float canon: the literal texts mandate double arithmetic (sum over doubles),
+whose intra-partition addition order Spark does not pin — so this lane
+compares numerics at 9 significant digits instead of the engine-native
+battery's bit-exact repr. Relative float-sum noise is ~1e-12; a real defect
+(wrong rows in the aggregate) moves results by whole units.
+
+Plan-shape gate: every literal plan is asserted free of cartesian products,
+and the star-join texts must broadcast their dimension sides — the same
+plan properties the engine-native classes pin in plan_snapshots.json.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+from datafusion_distributed_spark.literal import (
+    REFERENCE_QUERIES,
+    load_literal_text,
+    register_duck_views,
+    run_literal_sql,
+)
+
+from .conftest import SF_DIR
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_QUERIES),
+    reason="reference query texts not available",
+)
+
+# (suite, name, shiftable, star_join, tie_col)
+# star_join=True => the plan must contain a broadcast join (tiny dims).
+# tie_col (0-based select-list position of the ORDER BY measure) marks
+# LIMIT-k texts whose boundary can tie on this data — each engine then
+# legitimately returns a different k-subset of the tied group, so the
+# compare switches to: spark's rows ⊆ duck's UNLIMITED grouped result AND
+# the top-k measure multisets agree.
+_CASES = [
+    ("tpch", "q1", True, False, None),
+    ("tpch", "q2", False, True, None),
+    ("tpch", "q3", True, True, None),
+    ("tpch", "q4", True, False, None),
+    ("tpch", "q5", True, True, None),
+    ("tpch", "q6", True, False, None),
+    ("tpch", "q10", True, True, None),
+    ("tpch", "q11", False, True, None),
+    ("tpch", "q12", True, True, None),
+    ("tpch", "q13", False, False, None),
+    ("tpch", "q14", True, True, None),
+    ("tpch", "q16", False, True, None),
+    ("tpch", "q18", False, False, None),
+    ("tpch", "q19", False, True, None),
+    ("tpch", "q22", False, False, None),
+    ("tpcds", "q3", False, True, None),
+    ("tpcds", "q42", False, True, None),
+    ("tpcds", "q52", False, True, None),
+    ("clickbench", "q0", False, False, None),
+    ("clickbench", "q1", False, False, None),
+    ("clickbench", "q2", False, False, None),
+    ("clickbench", "q3", False, False, None),
+    ("clickbench", "q8", False, False, 1),
+    ("clickbench", "q13", False, False, 1),
+    ("clickbench", "q21", False, False, 2),
+]
+
+_SHIFT_YEARS = 2
+
+
+def _canon(v):
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0:
+            return "0"
+        return f"{v:.9e}"
+    return str(v)
+
+
+def _compare(spark_df, con, text: str, label: str) -> int:
+    """Positional multiset compare: the IDENTICAL text runs on both engines,
+    so the select-list order is shared even when the engines auto-name
+    unaliased aggregates differently (spark 'count(1)' vs duck
+    'count_star()')."""
+    rows = spark_df.collect()
+    n = len(spark_df.columns)
+    oracle = con.sql(text)
+    assert n == len(oracle.columns), (
+        f"{label}: column count spark={spark_df.columns} duck={oracle.columns}"
+    )
+    s_set = sorted(tuple(_canon(r[i]) for i in range(n)) for r in rows)
+    o_set = sorted(tuple(_canon(r[i]) for i in range(n)) for r in oracle.fetchall())
+    assert s_set == o_set, (
+        f"{label}: results differ "
+        f"(spark {len(s_set)} rows, duck {len(o_set)} rows); first diffs: "
+        f"{[p for p in zip(s_set, o_set) if p[0] != p[1]][:3]}"
+    )
+    return len(s_set)
+
+
+_LIMIT_RE = re.compile(r"\bLIMIT\s+\d+\s*$", re.IGNORECASE)
+
+
+def _compare_topk_with_ties(spark_df, con, text: str, tie_col: int, label: str) -> int:
+    rows = [tuple(_canon(v) for v in r) for r in spark_df.collect()]
+    unlimited = _LIMIT_RE.sub("", text)
+    full = {tuple(_canon(v) for v in r) for r in con.sql(unlimited).fetchall()}
+    missing = [r for r in rows if r not in full]
+    assert not missing, (
+        f"{label}: spark top-k rows absent from duck's full grouped result: "
+        f"{missing[:3]}"
+    )
+    duck_top = [tuple(_canon(v) for v in r) for r in con.sql(text).fetchall()]
+    assert len(rows) == len(duck_top), (
+        f"{label}: top-k size spark={len(rows)} duck={len(duck_top)}"
+    )
+    assert sorted(r[tie_col] for r in rows) == sorted(
+        r[tie_col] for r in duck_top
+    ), f"{label}: top-k measure multiset differs"
+    return len(rows)
+
+
+def _assert_plan(df, star_join: bool, label: str) -> None:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{label}: cartesian in literal plan"
+    if star_join:
+        assert "BroadcastHashJoin" in plan, (
+            f"{label}: star-join text did not broadcast its dimension side"
+        )
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "suite,name,shiftable,star,tie_col",
+    _CASES,
+    ids=[f"{s}-{n}" for s, n, _, _, _ in _CASES],
+)
+def test_literal_text_matches_duckdb(
+    spark, duck, suite, name, shiftable, star, tie_col
+):
+    register_duck_views(duck, SF_DIR, suite)
+    shifts = [0] + ([_SHIFT_YEARS] if shiftable else [])
+    populated = 0
+    for shift in shifts:
+        label = f"{suite}/{name}+{shift}y"
+        df = run_literal_sql(spark, SF_DIR, suite, name, date_shift_years=shift)
+        _assert_plan(df, star, label)
+        text = load_literal_text(suite, name, date_shift_years=shift)
+        if tie_col is not None:
+            populated = max(
+                populated, _compare_topk_with_ties(df, duck, text, tie_col, label)
+            )
+        else:
+            populated = max(populated, _compare(df, duck, text, label))
+    # Queries we expect to select real rows at sf0.001 (possibly only under
+    # the shifted dates) — an unexpectedly empty result would make the
+    # differential vacuous.
+    expected_nonempty = {
+        ("tpch", "q1"), ("tpch", "q3"), ("tpch", "q5"), ("tpch", "q6"),
+        # (q11 is NOT here: it filters n_name = 'GERMANY' and the driver's
+        # synthetic nations are NATION_0..24 — the empty verbatim run still
+        # exercises parse/plan/differential.)
+        ("tpch", "q10"), ("tpch", "q12"), ("tpch", "q13"),
+        # (q22 is NOT here: its NOT EXISTS arm needs customers without
+        # orders and every sf0.001 driver customer has at least one order —
+        # the empty run still exercises the anti-join differential.)
+        ("tpch", "q14"), ("tpch", "q16"),
+        ("tpcds", "q3"),
+        ("clickbench", "q0"), ("clickbench", "q1"), ("clickbench", "q2"),
+        ("clickbench", "q3"), ("clickbench", "q8"), ("clickbench", "q13"),
+        ("clickbench", "q21"),
+    }
+    if (suite, name) in expected_nonempty:
+        assert populated > 0, f"{suite}/{name}: expected a populated selection"
