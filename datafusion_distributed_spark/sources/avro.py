@@ -199,6 +199,30 @@ def _field_plan(avro_schema: dict) -> list[tuple[str, str, bool]]:
     return plan
 
 
+_PRIM_SKIP_WIDTH = {"float": 4, "double": 8, "boolean": 1}
+
+
+def _skip_value(buf, prim: str) -> None:
+    """Advance past one encoded value WITHOUT materializing it — the
+    projection-pushdown analogue of the parquet scan's ReadSchema pruning.
+    Fixed-width primitives seek; varint-prefixed ones (string/bytes) read
+    the length and seek past the payload, skipping the UTF-8 decode and the
+    bytes copy that dominate per-row decode cost; int/long must still parse
+    the varint (it is self-delimiting) but allocate nothing."""
+    w = _PRIM_SKIP_WIDTH.get(prim)
+    if w is not None:
+        buf.seek(w, 1)
+        return
+    if prim in ("int", "long"):
+        while buf.read(1)[0] & 0x80:
+            pass
+        return
+    if prim in ("string", "bytes"):
+        buf.seek(_read_long(buf), 1)
+        return
+    raise ValueError(prim)  # pragma: no cover
+
+
 # ---------------------------------------------------------------------------
 # Container writer (fixture tooling — single local file).
 # ---------------------------------------------------------------------------
@@ -275,11 +299,37 @@ def _parse_header(buf) -> tuple[dict, str, bytes]:
     return schema, codec, buf.read(16)
 
 
-def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
-    """Decode one container file -> (avro schema, rows)."""
+def decode_container(
+    data: bytes, columns: list[str] | None = None
+) -> tuple[dict, list[tuple]]:
+    """Decode one container file -> (avro schema, rows).
+
+    ``columns`` is the projection: only those fields are materialized (rows
+    carry them in the requested order); every other field is advanced past
+    with _skip_value — no UTF-8 decode, no bytes copy, no Python object.
+    Avro's row-major encoding means pruning cannot skip I/O the way parquet
+    column chunks can, but it removes the per-value materialization cost,
+    which is where the time goes in a Python decoder."""
     buf = io.BytesIO(data)
     schema, codec, sync = _parse_header(buf)
     plan = _field_plan(schema)
+    if columns is not None:
+        have = {name for name, _, _ in plan}
+        missing = [c for c in columns if c not in have]
+        if missing:
+            raise ValueError(f"projected columns not in avro schema: {missing}")
+        # Decode in record order, emit in requested order.
+        out_pos = {c: i for i, c in enumerate(columns)}
+        plan = [
+            (name, prim, nullable, out_pos.get(name))
+            for name, prim, nullable in plan
+        ]
+    else:
+        plan = [
+            (name, prim, nullable, i)
+            for i, (name, prim, nullable) in enumerate(plan)
+        ]
+    width = len(columns) if columns is not None else len(plan)
     rows: list[tuple] = []
     while True:
         probe = buf.read(1)
@@ -295,12 +345,14 @@ def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
             raise ValueError(f"unsupported avro codec: {codec}")
         body = io.BytesIO(payload)
         for _ in range(n_rows):
-            vals = []
-            for name, prim, nullable in plan:
+            vals = [None] * width
+            for _name, prim, nullable, pos in plan:
                 if nullable and _read_long(body) == 0:
-                    vals.append(None)
-                    continue
-                vals.append(_read_value(body, prim))
+                    continue  # null branch: nothing encoded, slot stays None
+                if pos is None:
+                    _skip_value(body, prim)
+                else:
+                    vals[pos] = _read_value(body, prim)
             rows.append(tuple(vals))
         if buf.read(16) != sync:
             raise ValueError("sync marker mismatch (corrupt avro block)")
@@ -322,17 +374,33 @@ def avro_schema_of(spark: SparkSession, path: str) -> T.StructType:
     return spark_schema_from_avro(schema)
 
 
-def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed Avro scan: one decode task per container file."""
+def read_avro(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> DataFrame:
+    """Distributed Avro scan: one decode task per container file.
+
+    ``columns`` threads the projection into the per-task decoder (the
+    parquet path gets this for free from Catalyst's ReadSchema pruning;
+    mapInPandas sources must be told): non-projected fields are skipped
+    without materialization. A ``.select`` above an unpruned read_avro
+    still decodes everything — pass the projection here instead."""
     import pandas as pd
 
-    out_schema = avro_schema_of(spark, path)
+    full_schema = avro_schema_of(spark, path)
+    if columns is None:
+        out_schema = full_schema
+    else:
+        by_name = {f.name: f for f in full_schema.fields}
+        missing = [c for c in columns if c not in by_name]
+        if missing:
+            raise ValueError(f"projected columns not in avro schema: {missing}")
+        out_schema = T.StructType([by_name[c] for c in columns])
     names = [f.name for f in out_schema.fields]
 
     def decode(batches):
         for pdf in batches:
             for content in pdf["content"]:
-                _schema, rows = decode_container(bytes(content))
+                _schema, rows = decode_container(bytes(content), columns=names if columns is not None else None)
                 yield pd.DataFrame(rows, columns=names)
 
     files = spark.read.format("binaryFile").load(path).select("content")

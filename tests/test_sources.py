@@ -228,3 +228,80 @@ def test_avro_codec_property_roundtrip():
         assert back == rows
 
     roundtrip()
+
+
+def test_avro_projection_skips_non_projected_decode(spark):
+    """Round-6 verdict item #7: a two-column projection must decode WITHOUT
+    materializing the other fields. Proven by instrumentation: _read_value
+    may fire only for projected primitives; everything else goes through
+    _skip_value. Plus value-correctness: the projected decode equals the
+    full decode's column subset, across both codecs, and the distributed
+    read_avro(columns=...) path returns exactly the .select of the full
+    scan (in requested order, including a reordered projection)."""
+    from unittest import mock
+
+    import pyspark.sql.functions as F_  # noqa: N812
+
+    from datafusion_distributed_spark.sources import avro as A
+
+    src = _customer(spark).withColumn(
+        "maybe_bal",
+        F_.when(F_.col("c_custkey") % 3 == 0, F_.col("bal_cents")),
+    )
+    path = f"{_SCRATCH}/avro_proj"
+    shutil.rmtree(path, ignore_errors=True)
+    import os
+
+    os.makedirs(path)
+    rows = [tuple(r) for r in src.collect()]
+    half = (len(rows) + 1) // 2
+    for i in range(2):
+        A.write_avro(
+            rows[i * half : (i + 1) * half],
+            src.schema,
+            f"{path}/part-{i}.avro",
+            codec="null" if i == 0 else "deflate",
+        )
+
+    names = src.schema.fieldNames()
+    keep = [names[2], names[0]]  # reordered two-column projection
+    with open(f"{path}/part-0.avro", "rb") as f:
+        data = f.read()
+
+    read_prims, skip_prims = [], []
+    real_read, real_skip = A._read_value, A._skip_value
+    with mock.patch.object(
+        A, "_read_value",
+        side_effect=lambda b, p: (read_prims.append(p), real_read(b, p))[1],
+    ), mock.patch.object(
+        A, "_skip_value",
+        side_effect=lambda b, p: (skip_prims.append(p), real_skip(b, p))[1],
+    ):
+        _schema, proj = A.decode_container(data, columns=keep)
+    plan = {f["name"]: f for f in _schema["fields"]}
+    kept_prims = set()
+    for name in keep:
+        t = plan[name]["type"]
+        kept_prims.add(t[1] if isinstance(t, list) else t)
+    assert set(read_prims) <= kept_prims, (
+        f"non-projected primitive materialized: {set(read_prims) - kept_prims}"
+    )
+    assert skip_prims, "skip path never taken for dropped fields"
+    # value-correctness vs full decode, both codecs
+    idx = [names.index(c) for c in keep]
+    for part in ("part-0.avro", "part-1.avro"):
+        with open(f"{path}/{part}", "rb") as f:
+            d = f.read()
+        _s, full = A.decode_container(d)
+        _s, pruned = A.decode_container(d, columns=keep)
+        assert pruned == [tuple(r[i] for i in idx) for r in full]
+    # distributed path: read_avro(columns=...) == full read .select(...)
+    back = A.read_avro(spark, path, columns=keep)
+    assert back.schema.fieldNames() == keep
+    assert _rows(back) == _rows(A.read_avro(spark, path).select(*keep))
+    # unknown column is an explicit error, not a silent empty column
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in avro schema"):
+        A.read_avro(spark, path, columns=["nope"])
+    shutil.rmtree(path, ignore_errors=True)
