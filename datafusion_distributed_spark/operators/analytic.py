@@ -157,6 +157,83 @@ def rollup_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Four-level ROLLUP of AVERAGES (TPC-DS q18/q22 template,
+# /root/reference/testdata/tpcds/queries/q18.sql: avg measures over
+# ROLLUP(i_item_id, ca_country, ca_state, ca_county); q22.sql: avg
+# inventory over ROLLUP(i_product_name, i_brand, i_class, i_category)).
+# Re-derived on the driver hierarchy region -> nation -> segment ->
+# priority. The q18/q22 signature beyond the SUM rollup above is AVG at
+# EVERY rollup level: each super-aggregate level re-divides the exact
+# decimal sum by its own row count, so partial aggregation must stay exact
+# through the Expand — recombined here as decimal-sum / count with the
+# division done once per output row in double (identical in both engines).
+# ---------------------------------------------------------------------------
+
+_ROLLUP_AVG_ORACLE = """
+SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+       COALESCE(c_mktsegment, 'ALL') AS segment,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(r_name) + GROUPING(n_name) + GROUPING(c_mktsegment)
+            + GROUPING(o_orderpriority) AS INTEGER) AS lvl,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+         AS avg_order_value,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS max_order_value
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE EXTRACT(YEAR FROM o.o_orderdate) BETWEEN 1996 AND 1998
+GROUP BY ROLLUP(r_name, n_name, c_mktsegment, o_orderpriority)
+"""
+
+
+@query(
+    "gsets_rollup_averages",
+    oracle=_ROLLUP_AVG_ORACLE,
+    tags=("rollup", "tpcds", "average"),
+)
+def rollup_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = t(spark, sf_dir)
+    joined = (
+        tb["orders"]
+        .join(tb["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(tb["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(tb["region"]), F.col("r_regionkey") == F.col("n_regionkey"))
+        .where(F.year("o_orderdate").between(1996, 1998))
+    )
+    return (
+        joined.rollup("r_name", "n_name", "c_mktsegment", "o_orderpriority")
+        .agg(
+            (
+                F.grouping("r_name")
+                + F.grouping("n_name")
+                + F.grouping("c_mktsegment")
+                + F.grouping("o_orderpriority")
+            )
+            .cast("int")
+            .alias("lvl"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (dbl(F.sum(dec("o_totalprice", 12, 2))) / F.count(F.lit(1))).alias(
+                "avg_order_value"
+            ),
+            dbl(F.max(dec("o_totalprice", 12, 2))).alias("max_order_value"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "lvl",
+            "n_orders",
+            "avg_order_value",
+            "max_order_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # CUBE over documents (lang × source).
 # ---------------------------------------------------------------------------
 

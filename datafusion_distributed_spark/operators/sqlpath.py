@@ -2254,6 +2254,58 @@ def brand_month_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Demographic multi-AVG item report (TPC-DS q7/q26 template,
+# /root/reference/testdata/tpcds/queries/q7.sql: store_sales joined to
+# customer_demographics + date_dim + item + promotion, demographic equality
+# filters plus an OR'd promotion-channel predicate, four AVG measures per
+# item, ORDER BY item LIMIT 100). Re-derived on the driver star schema:
+# customer.mktsegment is the demographic filter, the order-priority/status
+# OR-disjunct is the promotion-channel analogue, the order-date year is the
+# date_dim slice, part is the item dim.
+#
+# Physical design: the four AVGs recombine exact integer aggregates
+# (cents x discount-basis-points products stay inside BIGINT), so one hash
+# aggregate emits all four measures map-side-combined and the final doubles
+# divide identically in both engines — no float sums anywhere. Dims
+# broadcast; the only shuffle is the per-item aggregate.
+# ---------------------------------------------------------------------------
+
+_DEMO_ITEM_SQL = """
+SELECT p.p_partkey AS item,
+       CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS DOUBLE) / COUNT(*) AS agg1,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / (100.0 * COUNT(*)) AS agg2,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                * CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS DOUBLE)
+         / (10000.0 * COUNT(*)) AS agg3,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+         / (10000.0 * COUNT(*)) AS agg4
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND (o.o_orderpriority = '1-URGENT' OR o.o_orderstatus = 'O')
+  AND EXTRACT(YEAR FROM o.o_orderdate) = 1997
+GROUP BY p.p_partkey
+ORDER BY item
+LIMIT 100
+"""
+
+
+@query(
+    "sql_demographic_item_report",
+    oracle=_DEMO_ITEM_SQL,
+    tags=("sql-entry", "tpcds", "report"),
+    order_by="item",
+)
+def demographic_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir)
+    return spark.sql(_DEMO_ITEM_SQL)
+
+
+# ---------------------------------------------------------------------------
 # Attribute-band catalog probe with recency EXISTS (TPC-DS q37/q82 class,
 # /root/reference/testdata/tpcds/queries/q82.sql): dimension rows inside a
 # (size, price) band restricted to those with recent fact activity — a
