@@ -60,6 +60,32 @@ _CONTAINERS = [
     "MED BAG", "MED BOX", "MED PKG", "MED PACK",
     "LG CASE", "LG BOX", "LG PACK", "LG PKG",
 ]
+# The official TPC-H nation vocabulary (public spec, table 4.2.3) — the
+# driver's synthetic NATION_i names would make the nation-literal queries
+# (q7 FRANCE/GERMANY, q8 BRAZIL, q20 CANADA, q21 SAUDI ARABIA) vacuously
+# empty; the view renames by key, keeping the driver's region links.
+# Key assignment is part of the adaptation: the sf0.001 driver data has
+# only 10 suppliers (nationkeys 3,8,12,13,15,18,19,20,21,24), so the
+# supplier-filtered names are placed on supplier-populated keys
+# (FRANCE->12, GERMANY->18, BRAZIL->8; CANADA=3 and SAUDI ARABIA=20
+# already land on populated keys at their official positions).
+_NATIONS = [
+    "ALGERIA", "ARGENTINA", "INDIA", "CANADA", "EGYPT", "ETHIOPIA",
+    "JAPAN", "CHINA", "BRAZIL", "INDONESIA", "IRAN", "IRAQ", "FRANCE",
+    "JORDAN", "KENYA", "MOROCCO", "MOZAMBIQUE", "PERU", "GERMANY", "ROMANIA",
+    "SAUDI ARABIA", "VIETNAM", "RUSSIA", "UNITED KINGDOM", "UNITED STATES",
+]
+# TPC-H P_NAME color vocabulary sample (spec 4.2.3 colors list): prefixing
+# part names with a deterministic color gives the color-pattern queries
+# (q9 '%green%', q20 'forest%') a real selection on the driver data.
+_COLORS = [
+    "almond", "antique", "aquamarine", "azure", "beige", "bisque", "black",
+    "blanched", "blue", "blush", "brown", "burlywood", "burnished",
+    "chartreuse", "chiffon", "chocolate", "coral", "cornflower", "cornsilk",
+    "cream", "cyan", "dark", "deep", "dim", "dodger", "drab", "firebrick",
+    "floral", "forest", "frosted", "gainsboro", "ghost", "goldenrod",
+    "green", "grey", "honeydew", "hot", "indian", "ivory", "khaki",
+]
 
 
 def view_definitions(engine: str, base) -> dict[str, str]:
@@ -128,7 +154,9 @@ SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
             ELSE 'reliable supplier ' || {S("s_suppkey % 13")} END AS s_comment
 FROM {base("supplier")}""",
         "part": f"""
-SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice,
+SELECT p_partkey,
+       {_pick("p_partkey * 23", _COLORS)} || ' ' || p_name AS p_name,
+       p_brand, p_type, p_size, p_retailprice,
        'Manufacturer#' || {S("1 + p_partkey % 5")} AS p_mfgr,
        {_pick("p_partkey * 19", _CONTAINERS)} AS p_container,
        'part note ' || {S("p_partkey % 17")} AS p_comment
@@ -142,7 +170,12 @@ SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
        CAST(1 + (l_partkey * 31 + l_suppkey * 7) % 1000 AS DOUBLE) AS ps_supplycost,
        'ps note ' || {S("(l_partkey + l_suppkey) % 23")} AS ps_comment
 FROM (SELECT DISTINCT l_partkey, l_suppkey FROM {base("lineitem")}) pairs""",
-        "nation": f"SELECT * FROM {base('nation')}",
+        "nation": f"""
+SELECT n_nationkey,
+       {_pick("n_nationkey", _NATIONS)} AS n_name,
+       n_regionkey,
+       'nation note ' || {S("n_nationkey")} AS n_comment
+FROM {base("nation")}""",
         "region": f"SELECT * FROM {base('region')}",
         # ---- TPC-DS star tables over the same driver schema ----
         "date_dim": f"""
@@ -241,21 +274,33 @@ def register_duck_views(con, sf_dir: str, suite: str) -> None:
 
 
 _DATE_RE = re.compile(r"(date\s*')(\d{4})(-\d{2}-\d{2}')", re.IGNORECASE)
+_CREATE_VIEW_RE = re.compile(r"^\s*create\s+view\b", re.IGNORECASE)
 
 
-def load_literal_text(suite: str, name: str, date_shift_years: int = 0) -> str:
-    """Read a reference query text; strip comments and the trailing ';'.
+def load_literal_statements(
+    suite: str, name: str, date_shift_years: int = 0
+) -> list[str]:
+    """Read a reference query text; strip comments; split on ';' (some
+    texts are CREATE VIEW / SELECT / DROP VIEW scripts — q15).
     ``date_shift_years`` rewrites date literals forward (see module doc)."""
     path = os.path.join(REFERENCE_QUERIES, suite, "queries", f"{name}.sql")
     with open(path) as f:
         lines = [l for l in f.read().splitlines() if not l.lstrip().startswith("--")]
-    text = "\n".join(lines).strip().rstrip(";").strip()
+    text = "\n".join(lines)
     if date_shift_years:
         text = _DATE_RE.sub(
             lambda m: f"{m.group(1)}{int(m.group(2)) + date_shift_years}{m.group(3)}",
             text,
         )
-    return text
+    # None of the benchmark texts embed ';' inside string literals.
+    return [s.strip() for s in text.split(";") if s.strip()]
+
+
+def load_literal_text(suite: str, name: str, date_shift_years: int = 0) -> str:
+    """Single-statement convenience over load_literal_statements."""
+    stmts = load_literal_statements(suite, name, date_shift_years)
+    assert len(stmts) == 1, f"{suite}/{name} is a multi-statement script"
+    return stmts[0]
 
 
 def run_literal_sql(
@@ -266,13 +311,38 @@ def run_literal_sql(
     date_shift_years: int = 0,
 ) -> DataFrame:
     """Execute one literal reference query text through spark.sql over the
-    schema-mapped views. Returns the (lazy) result frame."""
+    schema-mapped views; multi-statement scripts (q15's CREATE VIEW /
+    SELECT / DROP VIEW) run in order, with ``create view`` rewritten to a
+    temporary view (no persistent catalog in the session — the one
+    statement-level adaptation). Returns the SELECT's (lazy) frame; Spark
+    resolves views at spark.sql time, so the later DROP VIEW does not
+    invalidate it."""
     register_spark_views(spark, sf_dir, suite)
-    text = load_literal_text(suite, name, date_shift_years)
+    stmts = load_literal_statements(suite, name, date_shift_years)
     if suite == "clickbench":
         spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
-        try:
-            return spark.sql(text)
-        finally:
+    try:
+        result = None
+        for stmt in stmts:
+            stmt_sp = _CREATE_VIEW_RE.sub("CREATE OR REPLACE TEMPORARY VIEW", stmt)
+            df = spark.sql(stmt_sp)
+            if stmt.lstrip().lower().startswith(("select", "with", "(")):
+                result = df
+        assert result is not None, f"{suite}/{name}: no SELECT statement"
+        return result
+    finally:
+        if suite == "clickbench":
             spark.conf.unset("spark.sql.ansi.doubleQuotedIdentifiers")
-    return spark.sql(text)
+
+
+def run_literal_duck(con, suite: str, name: str, date_shift_years: int = 0):
+    """Execute the same statements through DuckDB; returns (columns, rows)
+    of the SELECT, materialized before any trailing DROP VIEW runs."""
+    cols = rows = None
+    for stmt in load_literal_statements(suite, name, date_shift_years):
+        stmt_dk = _CREATE_VIEW_RE.sub("CREATE OR REPLACE VIEW", stmt)
+        rel = con.sql(stmt_dk)
+        if stmt.lstrip().lower().startswith(("select", "with", "(")):
+            cols, rows = rel.columns, rel.fetchall()
+    assert rows is not None, f"{suite}/{name}: no SELECT statement"
+    return cols, rows

@@ -38,6 +38,7 @@ from datafusion_distributed_spark.literal import (
     REFERENCE_QUERIES,
     load_literal_text,
     register_duck_views,
+    run_literal_duck,
     run_literal_sql,
 )
 
@@ -62,14 +63,21 @@ _CASES = [
     ("tpch", "q4", True, False, None),
     ("tpch", "q5", True, True, None),
     ("tpch", "q6", True, False, None),
+    ("tpch", "q7", True, True, None),
+    ("tpch", "q8", True, True, None),
+    ("tpch", "q9", False, True, None),
     ("tpch", "q10", True, True, None),
     ("tpch", "q11", False, True, None),
     ("tpch", "q12", True, True, None),
     ("tpch", "q13", False, False, None),
     ("tpch", "q14", True, True, None),
+    ("tpch", "q15", True, False, None),
     ("tpch", "q16", False, True, None),
+    ("tpch", "q17", False, True, None),
     ("tpch", "q18", False, False, None),
     ("tpch", "q19", False, True, None),
+    ("tpch", "q20", True, False, None),
+    ("tpch", "q21", False, True, None),
     ("tpch", "q22", False, False, None),
     ("tpcds", "q3", False, True, None),
     ("tpcds", "q42", False, True, None),
@@ -100,19 +108,18 @@ def _canon(v):
     return str(v)
 
 
-def _compare(spark_df, con, text: str, label: str) -> int:
+def _compare(spark_df, duck_cols, duck_rows, label: str) -> int:
     """Positional multiset compare: the IDENTICAL text runs on both engines,
     so the select-list order is shared even when the engines auto-name
     unaliased aggregates differently (spark 'count(1)' vs duck
     'count_star()')."""
     rows = spark_df.collect()
     n = len(spark_df.columns)
-    oracle = con.sql(text)
-    assert n == len(oracle.columns), (
-        f"{label}: column count spark={spark_df.columns} duck={oracle.columns}"
+    assert n == len(duck_cols), (
+        f"{label}: column count spark={spark_df.columns} duck={duck_cols}"
     )
     s_set = sorted(tuple(_canon(r[i]) for i in range(n)) for r in rows)
-    o_set = sorted(tuple(_canon(r[i]) for i in range(n)) for r in oracle.fetchall())
+    o_set = sorted(tuple(_canon(r[i]) for i in range(n)) for r in duck_rows)
     assert s_set == o_set, (
         f"{label}: results differ "
         f"(spark {len(s_set)} rows, duck {len(o_set)} rows); first diffs: "
@@ -174,13 +181,14 @@ def test_literal_text_matches_duckdb(
         label = f"{suite}/{name}+{shift}y"
         df = run_literal_sql(spark, SF_DIR, suite, name, date_shift_years=shift)
         _assert_plan(df, star, label)
-        text = load_literal_text(suite, name, date_shift_years=shift)
         if tie_col is not None:
+            text = load_literal_text(suite, name, date_shift_years=shift)
             populated = max(
                 populated, _compare_topk_with_ties(df, duck, text, tie_col, label)
             )
         else:
-            populated = max(populated, _compare(df, duck, text, label))
+            cols, rows = run_literal_duck(duck, suite, name, date_shift_years=shift)
+            populated = max(populated, _compare(df, cols, rows, label))
     # Queries we expect to select real rows at sf0.001 (possibly only under
     # the shifted dates) — an unexpectedly empty result would make the
     # differential vacuous.
@@ -192,7 +200,10 @@ def test_literal_text_matches_duckdb(
         ("tpch", "q10"), ("tpch", "q12"), ("tpch", "q13"),
         # (q22 is NOT here: its NOT EXISTS arm needs customers without
         # orders and every sf0.001 driver customer has at least one order —
-        # the empty run still exercises the anti-join differential.)
+        # the empty run still exercises the anti-join differential.
+        # q8/q17/q20/q21 are NOT here: brand/type/container/date conjuncts
+        # thin the sf0.001 selection to possibly-zero rows.)
+        ("tpch", "q7"), ("tpch", "q9"), ("tpch", "q15"),
         ("tpch", "q14"), ("tpch", "q16"),
         ("tpcds", "q3"),
         ("clickbench", "q0"), ("clickbench", "q1"), ("clickbench", "q2"),
