@@ -136,7 +136,7 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
        CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
        CAST(o_orderkey % 3 AS INT) AS o_shippriority,
        'Clerk#' || {S("1 + o_orderkey % 1000")} AS o_clerk,
-       CASE WHEN (o_orderkey * 2654435761) % 100 < 4
+       CASE WHEN ((o_orderkey % 100000) * 2654435761) % 100 < 4
             THEN 'special requests handling'
             ELSE 'standard order note ' || {S("o_orderkey % 7")} END AS o_comment
 FROM {base("orders")}""",
@@ -214,7 +214,7 @@ FROM {base("part")}""",
         "hits": f"""
 SELECT event_id AS "WatchID",
        user_id AS "UserID",
-       CASE WHEN (event_id * 2654435761) % 100 < 5
+       CASE WHEN ((event_id % 100000) * 2654435761) % 100 < 5
             THEN CAST(event_id % 17 + 1 AS INT) ELSE 0 END AS "AdvEngineID",
        CAST(800 + (event_id % 20) * 60 AS INT) AS "ResolutionWidth",
        CAST((user_id * 2654435761) % 4294967296 % 200 AS INT) AS "RegionID",
@@ -225,7 +225,14 @@ SELECT event_id AS "WatchID",
             ELSE 'http://example.com/page/' || {S("(event_id * 7) % 1000")}
             END AS "URL",
        CAST(event_id % 2 AS INT) AS "IsRefresh",
-       CAST((event_id * 41) % 100 AS INT) AS "CounterID"
+       CAST((event_id * 41) % 100 AS INT) AS "CounterID",
+       CAST(ts AS DATE) AS "EventDate",
+       CAST(user_id % 4 AS INT) AS "MobilePhone",
+       CASE WHEN user_id % 5 < 2 THEN 'Model ' || {S("user_id % 7")}
+            ELSE '' END AS "MobilePhoneModel",
+       CAST((event_id * 13) % 6 AS INT) AS "SearchEngineID",
+       CASE WHEN event_id % 11 < 3 THEN 'Google Search ' || {S("event_id % 40")}
+            ELSE 'Page Title ' || {S("event_id % 90")} END AS "Title"
 FROM {base("events")}""",
     }
 
@@ -273,7 +280,10 @@ def register_duck_views(con, sf_dir: str, suite: str) -> None:
         con.execute(f'CREATE OR REPLACE VIEW "{name}" AS {defs[name]}')
 
 
-_DATE_RE = re.compile(r"(date\s*')(\d{4})(-\d{2}-\d{2}')", re.IGNORECASE)
+# Matches every date-shaped quoted literal — q4 spells one bound as a bare
+# string ('1993-07-01') and the other as date '1993-07-01'; both must shift
+# together or the window silently widens.
+_DATE_RE = re.compile(r"(')(\d{4})(-\d{2}-\d{2}')")
 _CREATE_VIEW_RE = re.compile(r"^\s*create\s+view\b", re.IGNORECASE)
 
 
@@ -289,7 +299,7 @@ def load_literal_statements(
     text = "\n".join(lines)
     if date_shift_years:
         text = _DATE_RE.sub(
-            lambda m: f"{m.group(1)}{int(m.group(2)) + date_shift_years}{m.group(3)}",
+            lambda m: f"'{int(m.group(2)) + date_shift_years}{m.group(3)}",
             text,
         )
     # None of the benchmark texts embed ';' inside string literals.

@@ -136,6 +136,7 @@ def _ensure_loaded() -> None:
         clickstream,
         dedup,
         feeds,
+        literal_entries,
         multimodal,
         pipeline,
         relational,

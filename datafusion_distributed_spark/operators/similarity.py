@@ -247,17 +247,38 @@ SELECT q_id, neighbor_id, cos_sim FROM ranked WHERE rn <= {_TOP_K}
 # ---------------------------------------------------------------------------
 
 _NEARDUP_THRESHOLD = 0.35  # synthetic embeddings are random; realistic 0.9+
+# Per-bucket membership cap (round 6): the registered pair emitter must be
+# output-BOUNDED — the same discipline as capped_band_pairs and the
+# semdedup dominator cap. Without it the 10x scale gate measured pair
+# output growing ~112x for 10x vectors: iid-normalized synthetic vectors
+# put tau=0.35 inside the random-cosine tail (sigma = 1/sqrt(64) = 0.125),
+# so uncapped within-bucket pair output is distribution-tail-QUADRATIC for
+# any faithful corpus growth. Cap chosen above every sf0.001/sf0.01 bucket
+# (sizes ~31) so small-scale oracle output is bit-unchanged, while bounding
+# pairs to <= cap^2/2 per bucket at any corpus size.
 
 
-def _neardup_oracle() -> str:
+_NEARDUP_BUCKET_CAP = 128
+
+
+def _neardup_oracle(
+    threshold: float = _NEARDUP_THRESHOLD, cap: int = _NEARDUP_BUCKET_CAP
+) -> str:
     bucket_cte = _lsh_oracle().split("SELECT bucket, COUNT(*)")[0].rstrip().rstrip(",")
     return f"""{bucket_cte},
 emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 withb AS (SELECT b.vec_id, m.e, b.bucket FROM buckets b JOIN emb m ON m.vec_id = b.vec_id),
+wcap AS (
+  SELECT vec_id, e, bucket FROM (
+    SELECT vec_id, e, bucket,
+           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+    FROM withb
+  ) r WHERE rn <= {cap}
+),
 flatp AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          unnest(a.e) AS av, unnest(b.e) AS bv
-  FROM withb a JOIN withb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  FROM wcap a JOIN wcap b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 ),
 pair_dots AS (
   SELECT vec_a, vec_b, SUM(av * bv) AS dot, SUM(av * av) AS aa, SUM(bv * bv) AS bb
@@ -265,22 +286,39 @@ pair_dots AS (
 )
 SELECT vec_a, vec_b, ROUND(dot / (SQRT(aa) * SQRT(bb)), 6) AS cos_sim
 FROM pair_dots
-WHERE ROUND(dot / (SQRT(aa) * SQRT(bb)), 6) >= {_NEARDUP_THRESHOLD}
+WHERE ROUND(dot / (SQRT(aa) * SQRT(bb)), 6) >= {threshold}
 """
 
 
-@query("dd_embedding_neardup", oracle=_neardup_oracle(), tags=("dedup", "similarity", "lsh"))
+@query("dd_embedding_neardup", oracle=_neardup_oracle(), tags=("dedup", "similarity", "lsh", "scale"))
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _neardup_frames(spark, sf_dir)
+
+
+def _neardup_frames(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = _NEARDUP_THRESHOLD,
+    cap: int = _NEARDUP_BUCKET_CAP,
+) -> DataFrame:
     emb = t(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     # Identical self-join sides: Catalyst ReuseExchange collapses their
     # shuffles; Catalyst's size gate picks broadcast here and SMJ at scale.
     bucketed = emb.select("vec_id", "e", _bucket_expr_spark().alias("bucket"))
-    a = bucketed.select(
+    # Rank-only window: WindowGroupLimit prunes each map partition to cap
+    # rows per bucket before the shuffle (same shape as capped_band_pairs).
+    w = Window.partitionBy("bucket").orderBy("vec_id")
+    capped = (
+        bucketed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+    )
+    a = capped.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), "bucket"
     )
-    b = bucketed.select(
+    b = capped.select(
         F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), "bucket"
     )
     joined = a.join(b, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
@@ -289,7 +327,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # isnotnull(<plane-dot expression>) into the scans (see ngram_jaccard).
     return joined.select(
         "vec_a", "vec_b", F.round(cos, 6).alias("cos_sim")
-    ).filter(F.coalesce(F.col("cos_sim"), F.lit(-2.0)) >= _NEARDUP_THRESHOLD)
+    ).filter(F.coalesce(F.col("cos_sim"), F.lit(-2.0)) >= threshold)
 
 
 @query("sim_ann_lsh_topk", oracle=_ann_topk_oracle(), tags=("similarity", "ann", "lsh"))

@@ -36,6 +36,22 @@ class WorkUnit(InputPartition):
     row_count: int
 
 
+def _expand_parquet_paths(pattern: str) -> list[str]:
+    """Glob, then expand any DIRECTORY match (a Spark-written
+    `name.parquet/` with part files) into its contained parquet files —
+    the feed enumerates row groups per physical file."""
+    import glob
+    import os
+
+    out: list[str] = []
+    for p in sorted(glob.glob(pattern)) or [pattern]:
+        if os.path.isdir(p):
+            out.extend(sorted(glob.glob(os.path.join(p, "*.parquet"))))
+        else:
+            out.append(p)
+    return out
+
+
 class WorkUnitFeedReader(DataSourceReader):
     def __init__(self, options):
         self.path = options.get("path")
@@ -49,11 +65,9 @@ class WorkUnitFeedReader(DataSourceReader):
         Enumerates row groups from parquet footers (metadata-only, no data
         read), optionally sub-splitting into fixed row ranges so one file
         still fans out to many tasks."""
-        import glob
-
         import pyarrow.parquet as pq
 
-        files = sorted(glob.glob(self.path)) or [self.path]
+        files = _expand_parquet_paths(self.path)
         units: list[WorkUnit] = []
         for f in files:
             meta = pq.ParquetFile(f).metadata
@@ -96,13 +110,10 @@ class WorkUnitFeedDataSource(DataSource):
         return "work_unit_feed"
 
     def schema(self):
-        import glob
-
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        path = self.options.get("path")
-        files = sorted(glob.glob(path)) or [path]
+        files = _expand_parquet_paths(self.options.get("path"))
         arrow_schema = pq.ParquetFile(files[0]).schema_arrow
         return from_arrow_schema(arrow_schema.remove_metadata())
 
@@ -210,8 +221,6 @@ class FilteredWorkUnitFeedReader(WorkUnitFeedReader):
         return True
 
     def partitions(self):
-        import glob
-
         import pyarrow.parquet as pq
 
         units = super().partitions()

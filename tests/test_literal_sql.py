@@ -86,10 +86,34 @@ _CASES = [
     ("clickbench", "q1", False, False, None),
     ("clickbench", "q2", False, False, None),
     ("clickbench", "q3", False, False, None),
+    ("clickbench", "q4", False, False, None),
+    ("clickbench", "q5", False, False, None),
+    ("clickbench", "q6", False, False, None),
+    ("clickbench", "q7", False, False, None),
     ("clickbench", "q8", False, False, 1),
+    ("clickbench", "q9", False, False, 2),
+    ("clickbench", "q10", False, False, 1),
+    ("clickbench", "q11", False, False, 2),
+    ("clickbench", "q12", False, False, 1),
     ("clickbench", "q13", False, False, 1),
+    ("clickbench", "q14", False, False, 2),
+    ("clickbench", "q15", False, False, 1),
+    ("clickbench", "q16", False, False, 2),
+    # q17 has LIMIT with NO ORDER BY — each engine returns an arbitrary
+    # 10-row subset; the only sound check is subset-of-full + cardinality.
+    ("clickbench", "q17", False, False, "subset"),
+    ("clickbench", "q19", False, False, None),
     ("clickbench", "q21", False, False, 2),
+    ("clickbench", "q22", False, False, 3),
+    # q25 orders by its only output column: the 10 smallest values are a
+    # deterministic multiset even under duplicates.
+    ("clickbench", "q25", False, False, None),
+    ("clickbench", "q27", False, False, None),
 ]
+# Not covered: q18 uses to_timestamp_seconds (DataFusion-dialect, absent
+# from both Spark and DuckDB); q23/q24/q26 LIMIT under an ORDER BY over
+# non-output EventTime whose second-granularity ties make the selected
+# subset engine-dependent.
 
 _SHIFT_YEARS = 2
 
@@ -150,6 +174,24 @@ def _compare_topk_with_ties(spark_df, con, text: str, tie_col: int, label: str) 
     return len(rows)
 
 
+def _compare_subset(spark_df, con, text: str, label: str) -> int:
+    """For LIMIT-without-ORDER-BY texts: any k-row subset of the full
+    result is a correct answer — check membership and cardinality."""
+    rows = [tuple(_canon(v) for v in r) for r in spark_df.collect()]
+    full = [
+        tuple(_canon(v) for v in r)
+        for r in con.sql(_LIMIT_RE.sub("", text)).fetchall()
+    ]
+    full_set = set(full)
+    missing = [r for r in rows if r not in full_set]
+    assert not missing, f"{label}: rows not in full result: {missing[:3]}"
+    k = int(_LIMIT_RE.search(text).group(0).split()[-1])
+    assert len(rows) == min(k, len(full)), (
+        f"{label}: expected {min(k, len(full))} rows, got {len(rows)}"
+    )
+    return len(rows)
+
+
 def _assert_plan(df, star_join: bool, label: str) -> None:
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{label}: cartesian in literal plan"
@@ -181,7 +223,10 @@ def test_literal_text_matches_duckdb(
         label = f"{suite}/{name}+{shift}y"
         df = run_literal_sql(spark, SF_DIR, suite, name, date_shift_years=shift)
         _assert_plan(df, star, label)
-        if tie_col is not None:
+        if tie_col == "subset":
+            text = load_literal_text(suite, name, date_shift_years=shift)
+            populated = max(populated, _compare_subset(df, duck, text, label))
+        elif tie_col is not None:
             text = load_literal_text(suite, name, date_shift_years=shift)
             populated = max(
                 populated, _compare_topk_with_ties(df, duck, text, tie_col, label)
@@ -207,8 +252,12 @@ def test_literal_text_matches_duckdb(
         ("tpch", "q14"), ("tpch", "q16"),
         ("tpcds", "q3"),
         ("clickbench", "q0"), ("clickbench", "q1"), ("clickbench", "q2"),
-        ("clickbench", "q3"), ("clickbench", "q8"), ("clickbench", "q13"),
-        ("clickbench", "q21"),
+        ("clickbench", "q3"), ("clickbench", "q4"), ("clickbench", "q5"),
+        ("clickbench", "q6"), ("clickbench", "q7"), ("clickbench", "q8"),
+        ("clickbench", "q9"), ("clickbench", "q10"), ("clickbench", "q11"),
+        ("clickbench", "q12"), ("clickbench", "q13"), ("clickbench", "q14"),
+        ("clickbench", "q15"), ("clickbench", "q16"), ("clickbench", "q17"),
+        ("clickbench", "q21"), ("clickbench", "q22"), ("clickbench", "q25"),
     }
     if (suite, name) in expected_nonempty:
         assert populated > 0, f"{suite}/{name}: expected a populated selection"

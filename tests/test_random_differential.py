@@ -1314,6 +1314,41 @@ def test_random_semdedup_capped_matches_oracle(spark, duck, i):
 
 
 # ---------------------------------------------------------------------------
+# Randomized capped embedding-neardup family (round 6: the registered pair
+# emitter gained the per-bucket cap after the 10x gate caught tail-quadratic
+# output growth). Sweeps the cosine threshold through the iid-normalized
+# corpus' tail AND the bucket cap from degenerate (1 member -> no pairs)
+# through beyond-bucket-size (== uncapped result at this scale).
+# ---------------------------------------------------------------------------
+
+_NEARDUP_CASES = [
+    {"threshold": 0.35, "cap": 1},      # every bucket trimmed to 1: empty
+    {"threshold": 0.35, "cap": 8},
+    {"threshold": 0.2, "cap": 16},
+    {"threshold": 0.35, "cap": 100000},  # cap beyond corpus == uncapped
+    {"threshold": 0.7, "cap": 100000},   # above max pairwise cosine: empty
+    {"threshold": -1.0, "cap": 8},       # keep every capped pair
+]
+
+
+@pytest.mark.parametrize("i", range(len(_NEARDUP_CASES)))
+def test_random_neardup_capped_matches_oracle(spark, duck, i):
+    from datafusion_distributed_spark.operators.similarity import (
+        _neardup_frames,
+        _neardup_oracle,
+    )
+
+    case = _NEARDUP_CASES[i]
+    oracle_views(duck, SF_DIR)
+    compare_to_oracle(
+        _neardup_frames(spark, SF_DIR, **case),
+        duck,
+        _neardup_oracle(**case),
+        name=f"randneardupcap[{i}]{case}",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Randomized TF-IDF all-pairs family: sweeps the df ceiling (how much of the
 # shingle space joins) and the cosine threshold through the corpus'
 # bimodal score distribution (near-dup clusters ~1.0, background < 0.5) —

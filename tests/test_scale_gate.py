@@ -71,13 +71,26 @@ def test_ratio_regression_trips_against_baseline():
     """The judge's exact scenario: an operator that was 2x regresses to 8x —
     both under the ceiling, so only the baseline comparison can catch it."""
     results = {
-        "op": {"t_sf01": 1.0, "t_10x": 8.0, "ratio": 8.0, "rows_sf01": 5, "rows_10x": 5}
+        "op": {
+            "t_sf01": 1.0, "t_10x": 8.0, "ratio": 8.0,
+            "rows_sf01": 5, "rows_10x": 5,
+            "metric": "noop", "layout_version": 3,
+        }
     }
-    baseline = {"op": {"t_sf01": 1.0, "t_10x": 2.0, "ratio": 2.0}}
+    baseline = {
+        "op": {
+            "t_sf01": 1.0, "t_10x": 2.0, "ratio": 2.0,
+            "metric": "noop", "layout_version": 3,
+        }
+    }
     flags = scale_flags(results, baseline=baseline, replication=10)
     assert [f["reason"] for f in flags] == ["ratio-regression"]
     # ... and the same ratio with no baseline history passes the ceiling.
     assert scale_flags(results, replication=10) == []
+    # A baseline from a different measurement scheme or replica layout is
+    # NOT comparable — no flag.
+    stale = {"op": {**baseline["op"], "metric": "collect"}}
+    assert scale_flags(results, baseline=stale, replication=10) == []
 
 
 def test_output_superlinear_trips_even_under_noise_floor():
