@@ -182,17 +182,21 @@ FROM {base("nation")}""",
 SELECT {ED("d_date")} AS d_date_sk, d_date,
        EXTRACT(YEAR FROM d_date) AS d_year,
        EXTRACT(MONTH FROM d_date) AS d_moy,
+       CAST(FLOOR((EXTRACT(MONTH FROM d_date) + 2) / 3.0) AS INT) AS d_qoy,
        EXTRACT(DAY FROM d_date) AS d_dom
 FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d_date FROM {base("orders")}) d""",
         "store_sales": f"""
 SELECT {ED("CAST(o.o_orderdate AS DATE)")} AS ss_sold_date_sk,
        l.l_partkey AS ss_item_sk,
        o.o_custkey AS ss_customer_sk,
+       o.o_custkey AS ss_cdemo_sk,
+       l.l_orderkey % 30 AS ss_promo_sk,
        l.l_suppkey % 10 + 1 AS ss_store_sk,
        l.l_quantity AS ss_quantity,
        l.l_extendedprice AS ss_ext_sales_price,
        l.l_extendedprice AS ss_sales_price,
        l.l_extendedprice * (1 + l.l_tax) AS ss_list_price,
+       l.l_extendedprice * l.l_discount AS ss_coupon_amt,
        l.l_extendedprice * l.l_discount AS ss_ext_discount_amt,
        l.l_extendedprice * (1 - l.l_discount) AS ss_net_paid
 FROM {base("lineitem")} l JOIN {base("orders")} o ON l.l_orderkey = o.o_orderkey""",
@@ -203,11 +207,67 @@ SELECT p_partkey AS i_item_sk,
        p_brand AS i_brand,
        CAST(p_partkey % 1000 AS INT) AS i_brand_id,
        p_partkey % 200 AS i_manufact_id,
+       'Manufact#' || {S("p_partkey % 200")} AS i_manufact,
        p_partkey % 100 AS i_manager_id,
        CAST(1 + p_partkey % 10 AS INT) AS i_category_id,
        'Category#' || {S("1 + p_partkey % 10")} AS i_category,
        p_retailprice AS i_current_price
 FROM {base("part")}""",
+        # Demographic / promotion dims and the catalog/web channel slices:
+        # the driver schema has one fact lane, so channels are key-space
+        # slices (even/odd orderkeys) — the same modelling the engine-native
+        # TPC-DS classes use for channel queries.
+        "customer_demographics": f"""
+SELECT c_custkey AS cd_demo_sk,
+       CASE WHEN c_custkey % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
+       {_pick("c_custkey", ["S", "M", "D"])} AS cd_marital_status,
+       {_pick("c_custkey * 7", ["College", "4 yr Degree", "Primary", "Secondary"])} AS cd_education_status
+FROM {base("customer")}""",
+        "promotion": f"""
+SELECT p_promo_sk,
+       'promo_' || {S("p_promo_sk")} AS p_promo_id,
+       CASE WHEN p_promo_sk % 2 = 0 THEN 'N' ELSE 'Y' END AS p_channel_email,
+       CASE WHEN p_promo_sk % 3 = 0 THEN 'N' ELSE 'Y' END AS p_channel_event
+FROM (SELECT DISTINCT o_orderkey % 30 AS p_promo_sk FROM {base("orders")}) p""",
+        "catalog_sales": f"""
+SELECT {ED("CAST(o.o_orderdate AS DATE)")} AS cs_sold_date_sk,
+       l.l_partkey AS cs_item_sk,
+       o.o_custkey AS cs_bill_customer_sk,
+       o.o_custkey AS cs_bill_cdemo_sk,
+       l.l_orderkey % 30 AS cs_promo_sk,
+       l.l_quantity AS cs_quantity,
+       l.l_extendedprice * (1 + l.l_tax) AS cs_list_price,
+       l.l_extendedprice * l.l_discount AS cs_coupon_amt,
+       l.l_extendedprice AS cs_sales_price
+FROM {base("lineitem")} l JOIN {base("orders")} o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey % 2 = 1""",
+        "web_sales": f"""
+SELECT {ED("CAST(o.o_orderdate AS DATE)")} AS ws_sold_date_sk,
+       l.l_partkey AS ws_item_sk,
+       o.o_custkey AS ws_bill_customer_sk,
+       l.l_quantity AS ws_quantity,
+       l.l_extendedprice AS ws_sales_price
+FROM {base("lineitem")} l JOIN {base("orders")} o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey % 3 = 2""",
+        "tpcds_customer": f"""
+SELECT c_custkey AS c_customer_sk,
+       'cust_' || {S("c_custkey")} AS c_customer_id,
+       c_custkey AS c_current_addr_sk,
+       c_name AS c_first_name,
+       'Family' || {S("c_custkey % 97")} AS c_last_name
+FROM {base("customer")}""",
+        "customer_address": f"""
+SELECT c_custkey AS ca_address_sk,
+       {S("10000 + (c_custkey * 37) % 89999")} AS ca_zip,
+       'City_' || {S("c_custkey % 50")} AS ca_city,
+       {_pick("c_custkey * 11", ["CA", "NY", "TX", "WA", "IL"])} AS ca_state
+FROM {base("customer")}""",
+        "store": f"""
+SELECT s_store_sk,
+       'store_' || {S("s_store_sk")} AS s_store_id,
+       'Store_' || {S("s_store_sk")} AS s_store_name,
+       {S("10000 + (s_store_sk * 53) % 89999")} AS s_zip
+FROM (SELECT DISTINCT s_suppkey % 10 + 1 AS s_store_sk FROM {base("supplier")}) s""",
         # ---- ClickBench hits over events ----
         # Mixed-case quoted column names: the suite runs with
         # double-quoted-identifier parsing on (see module docstring).
@@ -237,15 +297,31 @@ FROM {base("events")}""",
     }
 
 
-# View subsets registered per suite (bare TPC-H names are only overridden
-# while the lane runs — see register_spark_views).
+# (view_name, definition_key) registered per suite. Bare names are only
+# overridden while the lane runs — see register_spark_views. The TPC-DS
+# suite's `customer` is a DIFFERENT shape (c_customer_sk/c_current_addr_sk)
+# than TPC-H's padded customer, hence the separate definition key.
 SUITE_VIEWS = {
     "tpch": [
-        "lineitem", "orders", "customer", "supplier", "part", "partsupp",
-        "nation", "region",
+        (n, n)
+        for n in (
+            "lineitem", "orders", "customer", "supplier", "part",
+            "partsupp", "nation", "region",
+        )
     ],
-    "tpcds": ["date_dim", "store_sales", "item"],
-    "clickbench": ["hits"],
+    "tpcds": [
+        ("date_dim", "date_dim"),
+        ("store_sales", "store_sales"),
+        ("catalog_sales", "catalog_sales"),
+        ("web_sales", "web_sales"),
+        ("item", "item"),
+        ("customer_demographics", "customer_demographics"),
+        ("promotion", "promotion"),
+        ("customer", "tpcds_customer"),
+        ("customer_address", "customer_address"),
+        ("store", "store"),
+    ],
+    "clickbench": [("hits", "hits")],
 }
 
 
@@ -262,9 +338,9 @@ def register_spark_views(spark: SparkSession, sf_dir: str, suite: str) -> None:
     defs = view_definitions("spark", lambda n: _BASE_PREFIX + n)
     spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
     try:
-        for name in SUITE_VIEWS[suite]:
+        for name, key in SUITE_VIEWS[suite]:
             spark.sql(
-                f'CREATE OR REPLACE TEMPORARY VIEW "{name}" AS {defs[name]}'
+                f'CREATE OR REPLACE TEMPORARY VIEW "{name}" AS {defs[key]}'
             )
     finally:
         spark.conf.unset("spark.sql.ansi.doubleQuotedIdentifiers")
@@ -276,8 +352,8 @@ def register_spark_views(spark: SparkSession, sf_dir: str, suite: str) -> None:
 def register_duck_views(con, sf_dir: str, suite: str) -> None:
     base = lambda n: f"read_parquet('{sf_dir.rstrip('/')}/{n}.parquet')"
     defs = view_definitions("duck", base)
-    for name in SUITE_VIEWS[suite]:
-        con.execute(f'CREATE OR REPLACE VIEW "{name}" AS {defs[name]}')
+    for name, key in SUITE_VIEWS[suite]:
+        con.execute(f'CREATE OR REPLACE VIEW "{name}" AS {defs[key]}')
 
 
 # Matches every date-shaped quoted literal — q4 spells one bound as a bare

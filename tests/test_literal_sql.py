@@ -80,8 +80,13 @@ _CASES = [
     ("tpch", "q21", False, True, None),
     ("tpch", "q22", False, False, None),
     ("tpcds", "q3", False, True, None),
+    ("tpcds", "q7", False, True, None),
+    ("tpcds", "q19", False, True, None),
+    ("tpcds", "q26", False, True, None),
     ("tpcds", "q42", False, True, None),
+    ("tpcds", "q45", False, True, None),
     ("tpcds", "q52", False, True, None),
+    ("tpcds", "q55", False, True, None),
     ("clickbench", "q0", False, False, None),
     ("clickbench", "q1", False, False, None),
     ("clickbench", "q2", False, False, None),
@@ -250,7 +255,8 @@ def test_literal_text_matches_duckdb(
         # thin the sf0.001 selection to possibly-zero rows.)
         ("tpch", "q7"), ("tpch", "q9"), ("tpch", "q15"),
         ("tpch", "q14"), ("tpch", "q16"),
-        ("tpcds", "q3"),
+        ("tpcds", "q3"), ("tpcds", "q7"), ("tpcds", "q26"),
+        ("tpcds", "q45"), ("tpcds", "q55"),
         ("clickbench", "q0"), ("clickbench", "q1"), ("clickbench", "q2"),
         ("clickbench", "q3"), ("clickbench", "q4"), ("clickbench", "q5"),
         ("clickbench", "q6"), ("clickbench", "q7"), ("clickbench", "q8"),

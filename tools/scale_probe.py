@@ -123,6 +123,14 @@ NOISE_FLOOR_SEC = 0.5
 # near-empty sf0.1 selection (e.g. a filter that only matches replica
 # data) is a data artifact, not an operator property.
 MIN_BASE_ROWS = 20
+# ... and a materially large 10x output: a cap-bounded emitter whose
+# candidate set PLATEAUS (dd_embedding_neardup: 16 buckets x C(128,2) =
+# 130k candidates at ANY corpus size) can still show a big growth RATIO in
+# the transition where the cap starts binding, while its absolute output
+# stays thousands of rows. An output explosion worth flagging is one that
+# is both faster-than-data AND big; the injected-quadratic tripwire emits
+# ~200k pairs at 3x replication and clears this floor comfortably.
+MIN_FLAG_ROWS_10X = 100_000
 
 
 def scale_flags(
@@ -139,7 +147,10 @@ def scale_flags(
         growth = None
         if rows0 is not None and rows1 is not None and rows0 >= MIN_BASE_ROWS:
             growth = rows1 / rows0
-            if growth > OUTPUT_CEILING_FACTOR * replication:
+            if (
+                growth > OUTPUT_CEILING_FACTOR * replication
+                and rows1 >= MIN_FLAG_ROWS_10X
+            ):
                 flags.append(
                     {
                         "query": name,
