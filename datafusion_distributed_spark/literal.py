@@ -292,7 +292,19 @@ SELECT event_id AS "WatchID",
             ELSE '' END AS "MobilePhoneModel",
        CAST((event_id * 13) % 6 AS INT) AS "SearchEngineID",
        CASE WHEN event_id % 11 < 3 THEN 'Google Search ' || {S("event_id % 40")}
-            ELSE 'Page Title ' || {S("event_id % 90")} END AS "Title"
+            ELSE 'Page Title ' || {S("event_id % 90")} END AS "Title",
+       CAST((user_id * 48271) % 1000000 AS INT) AS "ClientIP",
+       CASE WHEN event_id % 7 < 3
+            THEN 'http://ref.example.com/' || {S("event_id % 200")}
+            ELSE '' END AS "Referer",
+       CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS "IsLink",
+       CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END AS "IsDownload",
+       CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END AS "DontCountHits",
+       CAST(event_id % 9 - 1 AS INT) AS "TraficSourceID",
+       ((event_id % 100000) * 2654435761) % 4294967296 AS "URLHash",
+       ((event_id % 100000) * 1103515245) % 4294967296 AS "RefererHash",
+       CAST(600 + (user_id % 13) * 50 AS INT) AS "WindowClientWidth",
+       CAST(400 + (user_id % 11) * 40 AS INT) AS "WindowClientHeight"
 FROM {base("events")}""",
     }
 
