@@ -548,8 +548,13 @@ def chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (small) df table back onto each document's distinct tokens and scores the
 # doc by its MEAN TOKEN DOCUMENT-FREQUENCY — a rarity/commonness filter (the
 # IDF-flavored cousin of stopword-ratio quality scoring). The df table is
-# vocabulary-sized, so the scoring join broadcasts at any corpus scale; the
-# score is an exact integer sum divided once in double (oracle-exact).
+# vocabulary-sized — and vocabulary GROWS with the corpus under Heaps' law
+# (URLs, typos, code identifiers push it to billions of types at web scale),
+# so the scoring join deliberately carries NO broadcast hint: it is a plain
+# tok-keyed shuffle join and AQE may still broadcast it when the measured df
+# table is small (as at test scale). Same discipline as dedup.py's CC labels
+# and sampling.py's cluster side. The score is an exact integer sum divided
+# once in double (oracle-exact).
 # ---------------------------------------------------------------------------
 
 _DF_TOPK = 20
@@ -586,7 +591,9 @@ def docfreq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok"),
     )
     df_tbl = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = toks.join(F.broadcast(df_tbl), "tok")
+    # No broadcast hint: df_tbl is vocabulary-scale (grows with the corpus);
+    # AQE decides. See header.
+    scored = toks.join(df_tbl, "tok")
     return (
         scored.groupBy("doc_id")
         .agg(
@@ -1231,7 +1238,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shape): fit a unigram model ON the corpus (token counts), score every
 # document by its mean token surprisal -log2 P(tok), and report per-source
 # quality buckets. The model-scoring sibling of text_bm25_topk's
-# query-scoring — same broadcast-vocabulary backbone, different statistic.
+# query-scoring — same train-then-score backbone, different statistic.
 #
 # Exactness discipline: per-token surprisal is rounded to integer
 # MICRO-BITS once per vocabulary entry (a |vocab|-row computation), then
@@ -1240,9 +1247,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # division. Float summation order can never perturb the result.
 #
 # Scale: explode → one (doc, tok) hash aggregate (map-combinable), vocab
-# aggregate OF that table (tiny, broadcast back), per-doc and per-source
-# aggregates. No windows, no second corpus scan (total tokens = sum of
-# vocab counts — derived from the vocabulary, not re-scanned).
+# aggregate OF that table joined back on tok — vocabulary grows with the
+# corpus (Heaps' law), so the score join carries no broadcast hint (AQE
+# decides; plain shuffle join is the scale-safe shape). Per-doc and
+# per-source aggregates follow. No windows, no second corpus scan (total
+# tokens = sum of vocab counts — derived from the vocabulary, not
+# re-scanned).
 # ---------------------------------------------------------------------------
 
 _SURPRISAL_HI_MICRO = 5_500_000  # docs with mean surprisal above ~5.5 bits
@@ -1287,7 +1297,8 @@ ORDER BY source
 def _surprisal_doc_frame(docs: DataFrame, group_col: str) -> DataFrame:
     """(doc_id, <group_col>, mean_micro): per-doc mean unigram surprisal in
     exact integer micro-bits — the shared front half of the surprisal
-    operators (corpus-fit vocabulary broadcast back, floor-division mean)."""
+    operators (corpus-fit vocabulary joined back on tok — no broadcast
+    hint, vocabulary is corpus-growing — floor-division mean)."""
     tf = (
         docs.select(
             "doc_id",
@@ -1306,7 +1317,9 @@ def _surprisal_doc_frame(docs: DataFrame, group_col: str) -> DataFrame:
         .alias("sbits_micro"),
     )
     return (
-        tf.join(F.broadcast(scored), "tok")
+        # scored is the full unigram vocabulary (corpus-growing); no pinned
+        # broadcast — AQE decides.
+        tf.join(scored, "tok")
         .groupBy("doc_id", group_col)
         .agg(
             # `div` = exact integer floor division on longs, matching the
@@ -1362,8 +1375,9 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale: one (doc, bigram) hash aggregate (map-combinable) from an
 # array-level zip (no positional self-join); bigram vocab + its first-token
-# marginal are vocab-sized aggregates broadcast back; no windows, no second
-# corpus scan.
+# marginal are vocab-sized aggregates joined back WITHOUT broadcast hints
+# (bigram vocabulary grows faster than unigrams; AQE decides); no windows,
+# no second corpus scan.
 # ---------------------------------------------------------------------------
 
 _BIGRAM_HI_MICRO = 2_500_000  # docs with mean conditional surprisal > ~2.5 bits
@@ -1440,8 +1454,10 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     firsts = vocab.groupBy(
         F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1")
     ).agg(F.sum("cnt").alias("first_cnt"))
+    # firsts is the first-word unigram vocabulary (corpus-growing); no
+    # pinned broadcast on either vocabulary join here — AQE decides.
     scored = vocab.join(
-        F.broadcast(firsts),
+        firsts,
         F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) == F.col("w1"),
     ).select(
         "bg",
@@ -1453,7 +1469,7 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sbits_micro"),
     )
     per_doc = (
-        tf.join(F.broadcast(scored), "bg")
+        tf.join(scored, "bg")
         .groupBy("doc_id", "source")
         .agg(F.expr("sum(tf * sbits_micro) div sum(tf)").alias("mean_micro"))
     )
@@ -1697,7 +1713,11 @@ def _tfidf_pairs_frames(
             .alias("idf_micro"),
         )
     )
-    w = tf.join(F.broadcast(idf), "tok").select(
+    # idf covers every shingle with df in [2, maxdf] — the rare TAIL, the
+    # largest vocabulary slice of a real corpus. No pinned broadcast; the
+    # tok-keyed shuffle join is the scale-safe shape and AQE may still
+    # broadcast at small scale.
+    w = tf.join(idf, "tok").select(
         "doc_id", "tok", (F.col("tf") * F.col("idf_micro")).alias("w")
     )
     wd = F.col("w").cast("decimal(38,0)")
