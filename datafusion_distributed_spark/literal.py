@@ -38,6 +38,8 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .literal_tpcds import TPCDS_SUITE_VIEWS
+from .literal_tpcds import view_definitions as _tpcds_view_definitions
 from .tables import load_tables
 
 REFERENCE_QUERIES = "/root/reference/testdata"
@@ -119,6 +121,16 @@ def view_definitions(engine: str, base) -> dict[str, str]:
     def S(x: str) -> str:  # integer -> string
         return f"CAST({x} AS STRING)" if sp else f"CAST({x} AS VARCHAR)"
 
+    # ClickBench "EventTime" is Unix SECONDS; events.ts is TIMESTAMP_NTZ
+    # (micros) on the Spark side and TIMESTAMP in DuckDB — both floor to
+    # seconds with exact integer division (session tz is UTC, so the
+    # NTZ->LTZ cast is an identity on the instant).
+    ET = (
+        "unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000"
+        if sp
+        else "(epoch_us(ts) // 1000000)"
+    )
+
     return {
         # ---- TPC-H: driver tables padded to the full spec column set ----
         "lineitem": f"""
@@ -177,97 +189,6 @@ SELECT n_nationkey,
        'nation note ' || {S("n_nationkey")} AS n_comment
 FROM {base("nation")}""",
         "region": f"SELECT * FROM {base('region')}",
-        # ---- TPC-DS star tables over the same driver schema ----
-        "date_dim": f"""
-SELECT {ED("d_date")} AS d_date_sk, d_date,
-       EXTRACT(YEAR FROM d_date) AS d_year,
-       EXTRACT(MONTH FROM d_date) AS d_moy,
-       CAST(FLOOR((EXTRACT(MONTH FROM d_date) + 2) / 3.0) AS INT) AS d_qoy,
-       EXTRACT(DAY FROM d_date) AS d_dom
-FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d_date FROM {base("orders")}) d""",
-        "store_sales": f"""
-SELECT {ED("CAST(o.o_orderdate AS DATE)")} AS ss_sold_date_sk,
-       l.l_partkey AS ss_item_sk,
-       o.o_custkey AS ss_customer_sk,
-       o.o_custkey AS ss_cdemo_sk,
-       l.l_orderkey % 30 AS ss_promo_sk,
-       l.l_suppkey % 10 + 1 AS ss_store_sk,
-       l.l_quantity AS ss_quantity,
-       l.l_extendedprice AS ss_ext_sales_price,
-       l.l_extendedprice AS ss_sales_price,
-       l.l_extendedprice * (1 + l.l_tax) AS ss_list_price,
-       l.l_extendedprice * l.l_discount AS ss_coupon_amt,
-       l.l_extendedprice * l.l_discount AS ss_ext_discount_amt,
-       l.l_extendedprice * (1 - l.l_discount) AS ss_net_paid
-FROM {base("lineitem")} l JOIN {base("orders")} o ON l.l_orderkey = o.o_orderkey""",
-        "item": f"""
-SELECT p_partkey AS i_item_sk,
-       'item_' || {S("p_partkey")} AS i_item_id,
-       p_name AS i_item_desc,
-       p_brand AS i_brand,
-       CAST(p_partkey % 1000 AS INT) AS i_brand_id,
-       p_partkey % 200 AS i_manufact_id,
-       'Manufact#' || {S("p_partkey % 200")} AS i_manufact,
-       p_partkey % 100 AS i_manager_id,
-       CAST(1 + p_partkey % 10 AS INT) AS i_category_id,
-       'Category#' || {S("1 + p_partkey % 10")} AS i_category,
-       p_retailprice AS i_current_price
-FROM {base("part")}""",
-        # Demographic / promotion dims and the catalog/web channel slices:
-        # the driver schema has one fact lane, so channels are key-space
-        # slices (even/odd orderkeys) — the same modelling the engine-native
-        # TPC-DS classes use for channel queries.
-        "customer_demographics": f"""
-SELECT c_custkey AS cd_demo_sk,
-       CASE WHEN c_custkey % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
-       {_pick("c_custkey", ["S", "M", "D"])} AS cd_marital_status,
-       {_pick("c_custkey * 7", ["College", "4 yr Degree", "Primary", "Secondary"])} AS cd_education_status
-FROM {base("customer")}""",
-        "promotion": f"""
-SELECT p_promo_sk,
-       'promo_' || {S("p_promo_sk")} AS p_promo_id,
-       CASE WHEN p_promo_sk % 2 = 0 THEN 'N' ELSE 'Y' END AS p_channel_email,
-       CASE WHEN p_promo_sk % 3 = 0 THEN 'N' ELSE 'Y' END AS p_channel_event
-FROM (SELECT DISTINCT o_orderkey % 30 AS p_promo_sk FROM {base("orders")}) p""",
-        "catalog_sales": f"""
-SELECT {ED("CAST(o.o_orderdate AS DATE)")} AS cs_sold_date_sk,
-       l.l_partkey AS cs_item_sk,
-       o.o_custkey AS cs_bill_customer_sk,
-       o.o_custkey AS cs_bill_cdemo_sk,
-       l.l_orderkey % 30 AS cs_promo_sk,
-       l.l_quantity AS cs_quantity,
-       l.l_extendedprice * (1 + l.l_tax) AS cs_list_price,
-       l.l_extendedprice * l.l_discount AS cs_coupon_amt,
-       l.l_extendedprice AS cs_sales_price
-FROM {base("lineitem")} l JOIN {base("orders")} o ON l.l_orderkey = o.o_orderkey
-WHERE o.o_orderkey % 2 = 1""",
-        "web_sales": f"""
-SELECT {ED("CAST(o.o_orderdate AS DATE)")} AS ws_sold_date_sk,
-       l.l_partkey AS ws_item_sk,
-       o.o_custkey AS ws_bill_customer_sk,
-       l.l_quantity AS ws_quantity,
-       l.l_extendedprice AS ws_sales_price
-FROM {base("lineitem")} l JOIN {base("orders")} o ON l.l_orderkey = o.o_orderkey
-WHERE o.o_orderkey % 3 = 2""",
-        "tpcds_customer": f"""
-SELECT c_custkey AS c_customer_sk,
-       'cust_' || {S("c_custkey")} AS c_customer_id,
-       c_custkey AS c_current_addr_sk,
-       c_name AS c_first_name,
-       'Family' || {S("c_custkey % 97")} AS c_last_name
-FROM {base("customer")}""",
-        "customer_address": f"""
-SELECT c_custkey AS ca_address_sk,
-       {S("10000 + (c_custkey * 37) % 89999")} AS ca_zip,
-       'City_' || {S("c_custkey % 50")} AS ca_city,
-       {_pick("c_custkey * 11", ["CA", "NY", "TX", "WA", "IL"])} AS ca_state
-FROM {base("customer")}""",
-        "store": f"""
-SELECT s_store_sk,
-       'store_' || {S("s_store_sk")} AS s_store_id,
-       'Store_' || {S("s_store_sk")} AS s_store_name,
-       {S("10000 + (s_store_sk * 53) % 89999")} AS s_zip
-FROM (SELECT DISTINCT s_suppkey % 10 + 1 AS s_store_sk FROM {base("supplier")}) s""",
         # ---- ClickBench hits over events ----
         # Mixed-case quoted column names: the suite runs with
         # double-quoted-identifier parsing on (see module docstring).
@@ -287,6 +208,7 @@ SELECT event_id AS "WatchID",
        CAST(event_id % 2 AS INT) AS "IsRefresh",
        CAST((event_id * 41) % 100 AS INT) AS "CounterID",
        CAST(ts AS DATE) AS "EventDate",
+       {ET} AS "EventTime",
        CAST(user_id % 4 AS INT) AS "MobilePhone",
        CASE WHEN user_id % 5 < 2 THEN 'Model ' || {S("user_id % 7")}
             ELSE '' END AS "MobilePhoneModel",
@@ -306,6 +228,10 @@ SELECT event_id AS "WatchID",
        CAST(600 + (user_id % 13) * 50 AS INT) AS "WindowClientWidth",
        CAST(400 + (user_id % 11) * 40 AS INT) AS "WindowClientHeight"
 FROM {base("events")}""",
+        # ---- TPC-DS: the full 24-table star schema lives in its own
+        # module (round-7 widening) and is merged here so _lit_ctes and the
+        # registries see one flat namespace.
+        **_tpcds_view_definitions(engine, base),
     }
 
 
@@ -321,18 +247,7 @@ SUITE_VIEWS = {
             "partsupp", "nation", "region",
         )
     ],
-    "tpcds": [
-        ("date_dim", "date_dim"),
-        ("store_sales", "store_sales"),
-        ("catalog_sales", "catalog_sales"),
-        ("web_sales", "web_sales"),
-        ("item", "item"),
-        ("customer_demographics", "customer_demographics"),
-        ("promotion", "promotion"),
-        ("customer", "tpcds_customer"),
-        ("customer_address", "customer_address"),
-        ("store", "store"),
-    ],
+    "tpcds": TPCDS_SUITE_VIEWS,
     "clickbench": [("hits", "hits")],
 }
 
@@ -348,6 +263,7 @@ def register_spark_views(spark: SparkSession, sf_dir: str, suite: str) -> None:
     for name, df in tables.items():
         df.createOrReplaceTempView(_BASE_PREFIX + name)
     defs = view_definitions("spark", lambda n: _BASE_PREFIX + n)
+    prior = spark.conf.get("spark.sql.ansi.doubleQuotedIdentifiers", None)
     spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
     try:
         for name, key in SUITE_VIEWS[suite]:
@@ -355,7 +271,12 @@ def register_spark_views(spark: SparkSession, sf_dir: str, suite: str) -> None:
                 f'CREATE OR REPLACE TEMPORARY VIEW "{name}" AS {defs[key]}'
             )
     finally:
-        spark.conf.unset("spark.sql.ansi.doubleQuotedIdentifiers")
+        # Restore the caller's prior value rather than unconditionally
+        # unsetting (which would reset a session-global enable).
+        if prior is None:
+            spark.conf.unset("spark.sql.ansi.doubleQuotedIdentifiers")
+        else:
+            spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", prior)
     # Invalidate tables.load_tables view ownership: the next engine-native
     # query re-registers the unpadded bare views.
     setattr(spark, "_dds_active_views", None)
@@ -366,6 +287,15 @@ def register_duck_views(con, sf_dir: str, suite: str) -> None:
     defs = view_definitions("duck", base)
     for name, key in SUITE_VIEWS[suite]:
         con.execute(f'CREATE OR REPLACE VIEW "{name}" AS {defs[key]}')
+    if suite == "clickbench":
+        # Adaptation (documented, applied to both engines): q18/q42 call the
+        # DataFusion-dialect to_timestamp_seconds(); register the equivalent
+        # in each engine (DuckDB macro here, Spark SQL UDF in
+        # run_literal_sql) rather than editing the query text.
+        con.execute(
+            "CREATE OR REPLACE MACRO to_timestamp_seconds(x) AS "
+            "make_timestamp(CAST(x AS BIGINT) * 1000000)"
+        )
 
 
 # Matches every date-shaped quoted literal — q4 spells one bound as a bare
@@ -417,20 +347,44 @@ def run_literal_sql(
     invalidate it."""
     register_spark_views(spark, sf_dir, suite)
     stmts = load_literal_statements(suite, name, date_shift_years)
-    if suite == "clickbench":
+    # clickbench quotes column identifiers; tpcds quotes aliases (q50/q62's
+    # "30 days" buckets) — both need identifier-style double quotes.
+    quoted = suite in ("clickbench", "tpcds")
+    prior = spark.conf.get("spark.sql.ansi.doubleQuotedIdentifiers", None)
+    if quoted:
         spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
     try:
         result = None
         for stmt in stmts:
             stmt_sp = _CREATE_VIEW_RE.sub("CREATE OR REPLACE TEMPORARY VIEW", stmt)
+            if suite == "clickbench":
+                # Per-engine spellings of two DataFusion tokens (same
+                # adaptation contract as the date shift; DuckDB runs the
+                # verbatim text via its own backreference dialect / macro):
+                # - q28's REGEXP_REPLACE backreference: PG/DataFusion '\1'
+                #   is Java-regex (Spark) '$1';
+                # - q18/q42's to_timestamp_seconds() IS Spark's native
+                #   timestamp_seconds() (a SQL-UDF shim trips a Spark 4
+                #   resolver bug under extract(... FROM udf(...)) + ORDER
+                #   BY COUNT(*), so spell-map the name instead).
+                stmt_sp = stmt_sp.replace("'\\1')", "'$1')")
+                stmt_sp = re.sub(
+                    r"\bto_timestamp_seconds\s*\(",
+                    "timestamp_seconds(",
+                    stmt_sp,
+                    flags=re.IGNORECASE,
+                )
             df = spark.sql(stmt_sp)
             if stmt.lstrip().lower().startswith(("select", "with", "(")):
                 result = df
         assert result is not None, f"{suite}/{name}: no SELECT statement"
         return result
     finally:
-        if suite == "clickbench":
-            spark.conf.unset("spark.sql.ansi.doubleQuotedIdentifiers")
+        if quoted:
+            if prior is None:
+                spark.conf.unset("spark.sql.ansi.doubleQuotedIdentifiers")
+            else:
+                spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", prior)
 
 
 def run_literal_duck(con, suite: str, name: str, date_shift_years: int = 0):

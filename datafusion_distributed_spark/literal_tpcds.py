@@ -1,0 +1,681 @@
+"""Full-spec TPC-DS star-schema views for the literal-SQL parity lane.
+
+Round-7 widening (VERDICT r6 "What's missing #1"): the reference executes all
+99 verbatim TPC-DS texts (/root/reference/tests/tpcds_correctness_test.rs,
+testdata/tpcds/queries/q1..q99.sql); round 6's lane ran only 8 because the
+views covered just the sales-channel core. This module maps the ENTIRE public
+TPC-DS schema (all 24 tables, every spec column) onto the driver tables so a
+user can paste any of the 99 texts:
+
+- the three sales facts are channel slices of lineitem JOIN orders (store =
+  all rows, catalog = odd orderkeys, web = orderkey % 3 == 2 — the same
+  modelling the engine-native TPC-DS classes use);
+- the three returns facts are the ``l_returnflag = 'R'`` slice of their
+  channel, so sales-to-returns joins on (item_sk, ticket/order_number) hit
+  real rows;
+- ``date_dim`` is a CONTINUOUS calendar (1992..2003) generated in both
+  engines, so week-sequence shifts (q2's d_week_seq + 53) and month-sequence
+  literals (1176/1200/1212 = (year-1900)*12 + month-1) resolve;
+- ``time_dim`` (86 400 seconds), ``household_demographics`` (7 200 rows),
+  ``income_band``/``reason``/``ship_mode``/``warehouse``/``call_center``/
+  ``web_site``/``web_page``/``catalog_page`` are generated dimensions;
+- ``inventory`` is part x warehouse x week-grid with a hashed quantity;
+- filter vocabularies are the official public-spec values the query texts
+  actually name (i_category 'Music', s_state 'TN', s_county 'Williamson
+  County', hd_buy_potential '>10000', r_reason_desc 'reason 28', ...), so
+  the verbatim selections are populated, not vacuous.
+
+Every derived column uses only constructs that evaluate bit-identically in
+Spark and DuckDB (integer * + %, CASE, ||, EXTRACT, shared-text double
+arithmetic); the few spellings that differ (date sequences, integer
+division, date + N days) are rendered per engine, exactly like the TPC-H
+views in literal.py.
+"""
+
+from __future__ import annotations
+
+
+def _pick(expr: str, values: list[str]) -> str:
+    arms = " ".join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(values))
+    return f"CASE ({expr}) % {len(values)} {arms} END"
+
+
+# ---------------------------------------------------------------------------
+# Official filter vocabularies (public TPC-DS spec / dsdgen small-SF values);
+# each list contains every literal the 99 query texts filter on for that
+# column, so verbatim selections land on real rows.
+# ---------------------------------------------------------------------------
+_I_CATEGORIES = [
+    "Books", "Children", "Electronics", "Home", "Jewelry",
+    "Men", "Music", "Shoes", "Sports", "Women",
+]
+_I_CLASSES = [
+    "accessories", "classical", "fragrances", "pants", "computers",
+    "stereo", "football", "shirts", "birdal", "dresses", "maternity",
+    "personal", "portable", "reference", "self-help", "romance",
+]
+_I_SIZES = ["N/A", "extra large", "medium", "petite", "small", "large", "economy"]
+_I_UNITS = ["Box", "Bunch", "Bundle", "Carton", "Case", "Cup", "Dozen",
+            "Each", "Gram", "Lb", "N/A", "Ounce"]
+_I_COLORS = [
+    "almond", "antique", "aquamarine", "azure", "beige", "bisque", "black",
+    "blanched", "blue", "blush", "brown", "burlywood", "burnished",
+    "chartreuse", "chiffon", "chocolate", "coral", "cornflower", "cornsilk",
+    "cream", "cyan", "dark", "deep", "dim", "dodger", "drab", "firebrick",
+    "floral", "forest", "frosted", "gainsboro", "ghost", "goldenrod",
+    "green", "grey", "honeydew", "hot", "indian", "ivory", "khaki",
+    "lace", "lavender", "lawn", "lemon", "light", "lime", "linen",
+    "magenta", "maroon", "medium", "metallic", "midnight", "mint", "misty",
+    "moccasin", "navajo", "navy", "olive", "orange", "orchid", "pale",
+    "papaya", "peach", "peru", "pink", "plum", "powder", "puff", "purple",
+    "red", "rose", "rosy", "royal", "saddle", "salmon", "sandy", "seashell",
+    "sienna", "sky", "slate", "smoke", "snow", "spring", "steel", "tan",
+    "thistle", "tomato", "turquoise", "violet", "wheat", "white", "yellow",
+]
+_CA_STATES = ["CA", "GA", "IL", "IN", "KY", "CO", "TN", "TX", "WA", "NY",
+              "OH", "MI", "NM", "VA", "FL", "MO", "AL", "SD", "MN", "NE"]
+_CA_CITIES = ["Edgewood", "Fairview", "Midway", "Oakland", "Springfield",
+              "Centerville", "Pleasant Hill", "Union", "Salem", "Riverside"]
+_CA_COUNTIES = ["Williamson County", "Orange County", "Rush County",
+                "Ziebach County", "Walker County", "Richland County",
+                "Gage County", "Greene County", "Daviess County",
+                "Franklin Parish"]
+_CA_LOCATION_TYPES = ["apartment", "condo", "single family"]
+_S_CITIES = ["Fairview", "Midway"]
+_CD_MARITAL = ["M", "S", "D", "W", "U"]
+_CD_EDUCATION = ["Primary", "Secondary", "College", "2 yr Degree",
+                 "4 yr Degree", "Advanced Degree", "Unknown"]
+_CD_CREDIT = ["Good", "High Risk", "Low Risk", "Unknown"]
+_HD_BUY_POTENTIAL = ["0-500", "501-1000", "1001-5000", "5001-10000",
+                     ">10000", "Unknown"]
+_SM_TYPES = ["EXPRESS", "NEXT DAY", "OVERNIGHT", "REGULAR", "TWO DAY", "LIBRARY"]
+_SM_CARRIERS = ["UPS", "FEDEX", "AIRBORNE", "USPS", "DHL", "TBS", "ZHOU",
+                "LATVIAN", "DIAMOND", "BARIAN", "ORIENTAL", "BOXBUNDLES",
+                "ALLIANCE", "GREAT EASTERN", "HARMSTORF", "PRIVATECARRIER",
+                "GERMA", "RUPEKSA", "MSC", "ZOUROS"]
+_SM_CODES = ["AIR", "SURFACE", "SEA"]
+_C_SALUTATIONS = ["Mr.", "Mrs.", "Ms.", "Miss", "Dr.", "Sir"]
+_C_COUNTRIES = ["UNITED STATES", "CANADA", "MEXICO", "BRAZIL", "GERMANY",
+                "FRANCE", "JAPAN", "CHINA", "INDIA", "AUSTRALIA",
+                "NETHERLANDS", "ITALY", "SPAIN", "PORTUGAL", "IRELAND"]
+_STREET_NAMES = ["Main", "Oak", "Park", "Elm", "College", "Hill", "Sunset",
+                 "Railroad", "Church", "Willow"]
+_STREET_TYPES = ["Street", "Ave", "Blvd", "Road", "Lane", "Drive", "Court",
+                 "Way", "Pkwy", "Cir"]
+_W_NAMES = ["Conventional childr", "Important issues liv", "Doors canno",
+            "Bad cards must make.", "Rooms cook "]
+_CC_NAMES = ["NY Metro", "Mid Atlantic", "Mideast", "North Midwest",
+             "California", "Pacific Northwest"]
+_WEB_COMPANIES = ["pri", "ese", "anti", "cally", "ally"]
+_CP_DEPTS = ["DEPARTMENT"]
+_CP_TYPES = ["bi-annual", "quarterly", "monthly"]
+_WP_TYPES = ["order", "feedback", "general", "welcome", "protected", "dynamic", "ad"]
+_T_SUB_SHIFTS = ["morning", "afternoon", "evening", "night"]
+
+_CAL_START, _CAL_END = "1992-01-01", "2003-12-31"
+
+
+def view_definitions(engine: str, base) -> dict[str, str]:
+    """Render every TPC-DS view's SELECT text for one engine ('spark' or
+    'duck'); ``base(name)`` references a raw driver table. Merged into the
+    literal lane's view set by literal.view_definitions."""
+    sp = engine == "spark"
+
+    def S(x: str) -> str:  # integer -> string
+        return f"CAST({x} AS STRING)" if sp else f"CAST({x} AS VARCHAR)"
+
+    def ED(col: str) -> str:  # days since epoch (the surrogate date key)
+        return (
+            f"datediff({col}, DATE '1970-01-01')"
+            if sp
+            else f"CAST({col} - DATE '1970-01-01' AS INTEGER)"
+        )
+
+    def IDIV(a: str, b: str) -> str:  # exact integer floor division (a >= 0)
+        return f"(({a}) DIV ({b}))" if sp else f"(({a}) // ({b}))"
+
+    def SEQI(lo: int, hi: int, alias: str) -> str:  # integer series subquery
+        return (
+            f"(SELECT explode(sequence({lo}, {hi})) AS {alias})"
+            if sp
+            else f"(SELECT unnest(generate_series({lo}, {hi})) AS {alias})"
+        )
+
+    def SEQD(a: str, b: str, step_days: int, alias: str) -> str:  # date series
+        return (
+            f"(SELECT explode(sequence(DATE '{a}', DATE '{b}', "
+            f"interval {step_days} day)) AS {alias})"
+            if sp
+            else f"(SELECT CAST(unnest(generate_series(DATE '{a}', DATE '{b}', "
+            f"INTERVAL {step_days} DAY)) AS DATE) AS {alias})"
+        )
+
+    INT = "INT" if sp else "INTEGER"
+
+    # --- shared fact-measure fragments (identical text both engines ->
+    # identical double arithmetic). ext = l_extendedprice.
+    def fact_cols(p: str) -> str:
+        """The measure + misc-key column block shared by the three sales
+        facts, prefixed with the channel's column prefix (ss_/cs_/ws_)."""
+        # Every monetary column is floored to an integer-valued DOUBLE:
+        # integer-valued double sums are EXACT regardless of partition /
+        # summation order, so float-threshold texts (q14's HAVING sum >
+        # scalar-avg subquery, q5's channel totals) compare deterministically
+        # across engines instead of straddling a 1-ulp knife edge.
+        ext = "l.l_extendedprice"
+        disc = "l.l_discount"
+        tax = "l.l_tax"
+        return f"""
+       CAST((l.l_orderkey * 7919 + l.l_linenumber * 104729) % 86400 AS {INT}) AS {p}sold_time_sk,
+       CAST((o.o_custkey * 31) % 7200 AS {INT}) AS {p}hdemo_sk,
+       CAST(l.l_quantity AS {INT}) AS {p}quantity,
+       CAST(FLOOR({ext} * 0.6) AS DOUBLE) AS {p}wholesale_cost,
+       CAST(FLOOR({ext} * (1 + {tax})) AS DOUBLE) AS {p}list_price,
+       CAST(FLOOR({ext}) AS DOUBLE) AS {p}sales_price,
+       CAST(FLOOR({ext} * {disc}) AS DOUBLE) AS {p}ext_discount_amt,
+       CAST(FLOOR({ext}) AS DOUBLE) AS {p}ext_sales_price,
+       CAST(FLOOR({ext} * 0.6) AS DOUBLE) AS {p}ext_wholesale_cost,
+       CAST(FLOOR({ext} * (1 + {tax})) AS DOUBLE) AS {p}ext_list_price,
+       CAST(FLOOR({ext} * {tax}) AS DOUBLE) AS {p}ext_tax,
+       CAST(FLOOR({ext} * {disc}) AS DOUBLE) AS {p}coupon_amt,
+       CAST(FLOOR({ext} * (1 - {disc})) AS DOUBLE) AS {p}net_paid,
+       CAST(FLOOR({ext} * (1 - {disc}) * (1 + {tax})) AS DOUBLE) AS {p}net_paid_inc_tax,
+       CAST(FLOOR({ext} * (1 - {disc})) AS DOUBLE) - CAST(FLOOR({ext} * 0.6) AS DOUBLE) AS {p}net_profit"""
+
+    def ship_cols(p: str) -> str:
+        """Shipping-lane keys/measures for the catalog and web channels."""
+        return f"""
+       {ED("CAST(o.o_orderdate AS DATE)")} + (l.l_orderkey * 11 + l.l_linenumber * 5) % 30 + 1 AS {p}ship_date_sk,
+       CAST((l.l_orderkey * 7) % 20 + 1 AS {INT}) AS {p}ship_mode_sk,
+       CAST(l.l_suppkey % 5 + 1 AS {INT}) AS {p}warehouse_sk,
+       CAST(FLOOR(l.l_extendedprice * 0.05) AS DOUBLE) AS {p}ext_ship_cost,
+       CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE) + CAST(FLOOR(l.l_extendedprice * 0.05) AS DOUBLE) AS {p}net_paid_inc_ship,
+       CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * (1 + l.l_tax)) AS DOUBLE) + CAST(FLOOR(l.l_extendedprice * 0.05) AS DOUBLE) AS {p}net_paid_inc_ship_tax"""
+
+    def return_cols(p: str, amt_name: str, credit_name: str) -> str:
+        """Measure block shared by the three returns facts. The returns are
+        the l_returnflag='R' slice of the channel, a full-quantity return."""
+        ext = "l.l_extendedprice"
+        disc = "l.l_discount"
+        tax = "l.l_tax"
+        return f"""
+       CAST((l.l_orderkey * 104729 + l.l_linenumber * 7919) % 86400 AS {INT}) AS {p}returned_time_sk,
+       CAST((l.l_orderkey * 3 + l.l_linenumber) % 35 + 1 AS {INT}) AS {p}reason_sk,
+       CAST(l.l_quantity AS {INT}) AS {p}return_quantity,
+       CAST(FLOOR({ext} * (1 - {disc})) AS DOUBLE) AS {p}{amt_name},
+       CAST(FLOOR({ext} * (1 - {disc}) * {tax}) AS DOUBLE) AS {p}return_tax,
+       CAST(FLOOR({ext} * (1 - {disc}) * (1 + {tax})) AS DOUBLE) AS {p}return_amt_inc_tax,
+       CAST((l.l_orderkey * 7 + l.l_linenumber) % 100 AS DOUBLE) AS {p}fee,
+       CAST(FLOOR({ext} * 0.04) AS DOUBLE) AS {p}return_ship_cost,
+       CAST(FLOOR({ext} * (1 - {disc}) * 0.7) AS DOUBLE) AS {p}refunded_cash,
+       CAST(FLOOR({ext} * (1 - {disc}) * 0.2) AS DOUBLE) AS {p}reversed_charge,
+       CAST(FLOOR({ext} * (1 - {disc}) * 0.1) AS DOUBLE) AS {p}{credit_name},
+       CAST(FLOOR({ext} * (1 - {disc}) * 0.3) AS DOUBLE) + CAST((l.l_orderkey * 7 + l.l_linenumber) % 100 AS DOUBLE) AS {p}net_loss"""
+
+    LO = f"{base('lineitem')} l JOIN {base('orders')} o ON l.l_orderkey = o.o_orderkey"
+    SOLD_SK = ED("CAST(o.o_orderdate AS DATE)")
+
+    # address rows exist for every custkey (customer_address maps c_custkey).
+    addr = "o.o_custkey"
+
+    views: dict[str, str] = {}
+
+    # ------------------------------------------------------------- facts --
+    views["store_sales"] = f"""
+SELECT {SOLD_SK} AS ss_sold_date_sk,
+       l.l_partkey AS ss_item_sk,
+       o.o_custkey AS ss_customer_sk,
+       o.o_custkey AS ss_cdemo_sk,
+       {addr} AS ss_addr_sk,
+       CAST(l.l_suppkey % 10 + 1 AS {INT}) AS ss_store_sk,
+       l.l_orderkey % 30 AS ss_promo_sk,
+       l.l_orderkey AS ss_ticket_number,{fact_cols("ss_")}
+FROM {LO}"""
+
+    views["store_returns"] = f"""
+SELECT {SOLD_SK} + (l.l_orderkey * 3 + l.l_linenumber) % 90 + 1 AS sr_returned_date_sk,
+       l.l_partkey AS sr_item_sk,
+       o.o_custkey AS sr_customer_sk,
+       o.o_custkey AS sr_cdemo_sk,
+       CAST((o.o_custkey * 31) % 7200 AS {INT}) AS sr_hdemo_sk,
+       {addr} AS sr_addr_sk,
+       CAST(l.l_suppkey % 10 + 1 AS {INT}) AS sr_store_sk,
+       l.l_orderkey AS sr_ticket_number,{return_cols("sr_", "return_amt", "store_credit")}
+FROM {LO}
+WHERE l.l_returnflag = 'R'"""
+
+    views["catalog_sales"] = f"""
+SELECT {SOLD_SK} AS cs_sold_date_sk,
+       l.l_partkey AS cs_item_sk,
+       o.o_custkey AS cs_bill_customer_sk,
+       o.o_custkey AS cs_bill_cdemo_sk,
+       CAST((o.o_custkey * 31) % 7200 AS {INT}) AS cs_bill_hdemo_sk,
+       {addr} AS cs_bill_addr_sk,
+       o.o_custkey AS cs_ship_customer_sk,
+       o.o_custkey AS cs_ship_cdemo_sk,
+       CAST((o.o_custkey * 31) % 7200 AS {INT}) AS cs_ship_hdemo_sk,
+       {addr} AS cs_ship_addr_sk,
+       CAST(l.l_suppkey % 6 + 1 AS {INT}) AS cs_call_center_sk,
+       CAST((l.l_partkey * 3) % 300 + 1 AS {INT}) AS cs_catalog_page_sk,
+       l.l_orderkey % 30 AS cs_promo_sk,
+       l.l_orderkey AS cs_order_number,{fact_cols("cs_")},{ship_cols("cs_")}
+FROM {LO}
+WHERE o.o_orderkey % 2 = 1"""
+
+    views["catalog_returns"] = f"""
+SELECT {SOLD_SK} + (l.l_orderkey * 3 + l.l_linenumber) % 90 + 1 AS cr_returned_date_sk,
+       l.l_partkey AS cr_item_sk,
+       o.o_custkey AS cr_refunded_customer_sk,
+       o.o_custkey AS cr_refunded_cdemo_sk,
+       CAST((o.o_custkey * 31) % 7200 AS {INT}) AS cr_refunded_hdemo_sk,
+       {addr} AS cr_refunded_addr_sk,
+       o.o_custkey AS cr_returning_customer_sk,
+       o.o_custkey AS cr_returning_cdemo_sk,
+       CAST((o.o_custkey * 31) % 7200 AS {INT}) AS cr_returning_hdemo_sk,
+       {addr} AS cr_returning_addr_sk,
+       CAST(l.l_suppkey % 6 + 1 AS {INT}) AS cr_call_center_sk,
+       CAST((l.l_partkey * 3) % 300 + 1 AS {INT}) AS cr_catalog_page_sk,
+       CAST((l.l_orderkey * 7) % 20 + 1 AS {INT}) AS cr_ship_mode_sk,
+       CAST(l.l_suppkey % 5 + 1 AS {INT}) AS cr_warehouse_sk,
+       l.l_orderkey AS cr_order_number,{return_cols("cr_", "return_amount", "store_credit")}
+FROM {LO}
+WHERE o.o_orderkey % 2 = 1 AND l.l_returnflag = 'R'"""
+
+    views["web_sales"] = f"""
+SELECT {SOLD_SK} AS ws_sold_date_sk,
+       l.l_partkey AS ws_item_sk,
+       o.o_custkey AS ws_bill_customer_sk,
+       o.o_custkey AS ws_bill_cdemo_sk,
+       CAST((o.o_custkey * 31) % 7200 AS {INT}) AS ws_bill_hdemo_sk,
+       {addr} AS ws_bill_addr_sk,
+       o.o_custkey AS ws_ship_customer_sk,
+       o.o_custkey AS ws_ship_cdemo_sk,
+       CAST((o.o_custkey * 31) % 7200 AS {INT}) AS ws_ship_hdemo_sk,
+       {addr} AS ws_ship_addr_sk,
+       CAST((l.l_orderkey * 13) % 60 + 1 AS {INT}) AS ws_web_page_sk,
+       CAST((l.l_suppkey * 3) % 30 + 1 AS {INT}) AS ws_web_site_sk,
+       l.l_orderkey % 30 AS ws_promo_sk,
+       l.l_orderkey AS ws_order_number,{fact_cols("ws_")},{ship_cols("ws_")}
+FROM {LO}
+WHERE o.o_orderkey % 3 = 2"""
+
+    views["web_returns"] = f"""
+SELECT {SOLD_SK} + (l.l_orderkey * 3 + l.l_linenumber) % 90 + 1 AS wr_returned_date_sk,
+       l.l_partkey AS wr_item_sk,
+       o.o_custkey AS wr_refunded_customer_sk,
+       o.o_custkey AS wr_refunded_cdemo_sk,
+       CAST((o.o_custkey * 31) % 7200 AS {INT}) AS wr_refunded_hdemo_sk,
+       {addr} AS wr_refunded_addr_sk,
+       o.o_custkey AS wr_returning_customer_sk,
+       o.o_custkey AS wr_returning_cdemo_sk,
+       CAST((o.o_custkey * 31) % 7200 AS {INT}) AS wr_returning_hdemo_sk,
+       {addr} AS wr_returning_addr_sk,
+       CAST((l.l_orderkey * 13) % 60 + 1 AS {INT}) AS wr_web_page_sk,
+       l.l_orderkey AS wr_order_number,{return_cols("wr_", "return_amt", "account_credit")}
+FROM {LO}
+WHERE o.o_orderkey % 3 = 2 AND l.l_returnflag = 'R'"""
+
+    views["inventory"] = f"""
+SELECT {ED("w.wk")} AS inv_date_sk,
+       p.p_partkey AS inv_item_sk,
+       wh.w AS inv_warehouse_sk,
+       CAST((p.p_partkey * 7 + wh.w * 13 + {ED("w.wk")} * 3) % 1000 AS {INT}) AS inv_quantity_on_hand
+FROM {base('part')} p
+CROSS JOIN {SEQI(1, 5, "w")} wh
+CROSS JOIN {SEQD("1995-01-01", "2002-12-31", 7, "wk")} w"""
+
+    # -------------------------------------------------------- dimensions --
+    d = "cal.d_date"
+    ed = ED(d)
+    yr = f"EXTRACT(YEAR FROM {d})"
+    mo = f"EXTRACT(MONTH FROM {d})"
+    dom = f"EXTRACT(DAY FROM {d})"
+    qoy = f"CAST(FLOOR((EXTRACT(MONTH FROM {d}) + 2) / 3.0) AS {INT})"
+    dow = f"(({ed} + 4) % 7)"  # 0 = Sunday (1970-01-01 was a Thursday)
+    views["date_dim"] = f"""
+SELECT {ed} AS d_date_sk,
+       'D' || {S(ed)} AS d_date_id,
+       {d} AS d_date,
+       CAST(({yr} - 1900) * 12 + {mo} - 1 AS {INT}) AS d_month_seq,
+       CAST({IDIV(f"{ed} + 4", "7")} AS {INT}) AS d_week_seq,
+       CAST(({yr} - 1900) * 4 + {qoy} - 1 AS {INT}) AS d_quarter_seq,
+       CAST({yr} AS {INT}) AS d_year,
+       CAST({dow} AS {INT}) AS d_dow,
+       CAST({mo} AS {INT}) AS d_moy,
+       CAST({dom} AS {INT}) AS d_dom,
+       {qoy} AS d_qoy,
+       CAST({yr} AS {INT}) AS d_fy_year,
+       CAST(({yr} - 1900) * 4 + {qoy} - 1 AS {INT}) AS d_fy_quarter_seq,
+       CAST({IDIV(f"{ed} + 4", "7")} AS {INT}) AS d_fy_week_seq,
+       CASE {dow} WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday'
+            WHEN 2 THEN 'Tuesday' WHEN 3 THEN 'Wednesday'
+            WHEN 4 THEN 'Thursday' WHEN 5 THEN 'Friday'
+            ELSE 'Saturday' END AS d_day_name,
+       {S(yr)} || 'Q' || {S(qoy)} AS d_quarter_name,
+       'N' AS d_holiday,
+       CASE WHEN {dow} IN (0, 6) THEN 'Y' ELSE 'N' END AS d_weekend,
+       'N' AS d_following_holiday,
+       CAST({ed} - ({dom} - 1) AS {INT}) AS d_first_dom,
+       CAST({ed} - ({dom} - 1) + 27 AS {INT}) AS d_last_dom,
+       CAST({ed} - 365 AS {INT}) AS d_same_day_ly,
+       CAST({ed} - 91 AS {INT}) AS d_same_day_lq,
+       'N' AS d_current_day, 'N' AS d_current_week, 'N' AS d_current_month,
+       'N' AS d_current_quarter, 'N' AS d_current_year
+FROM {SEQD(_CAL_START, _CAL_END, 1, "d_date")} cal"""
+
+    h = "IDIV_H"  # placeholder names below use explicit IDIV calls
+    hour = IDIV("tt.t", "3600")
+    minute = IDIV("tt.t % 3600", "60")
+    views["time_dim"] = f"""
+SELECT tt.t AS t_time_sk,
+       'T' || {S("tt.t")} AS t_time_id,
+       tt.t AS t_time,
+       CAST({hour} AS {INT}) AS t_hour,
+       CAST({minute} AS {INT}) AS t_minute,
+       CAST(tt.t % 60 AS {INT}) AS t_second,
+       CASE WHEN {hour} < 12 THEN 'AM' ELSE 'PM' END AS t_am_pm,
+       CASE WHEN {hour} < 8 THEN 'third'
+            WHEN {hour} < 16 THEN 'first' ELSE 'second' END AS t_shift,
+       {_pick(f"CAST({hour} AS {INT})", _T_SUB_SHIFTS)} AS t_sub_shift,
+       CASE WHEN {hour} BETWEEN 6 AND 8 THEN 'breakfast'
+            WHEN {hour} BETWEEN 11 AND 13 THEN 'lunch'
+            WHEN {hour} BETWEEN 17 AND 19 THEN 'dinner'
+            ELSE NULL END AS t_meal_time
+FROM {SEQI(0, 86399, "t")} tt"""
+
+    views["item"] = f"""
+SELECT p_partkey AS i_item_sk,
+       'item_' || {S("p_partkey")} AS i_item_id,
+       CAST('1997-10-27' AS DATE) AS i_rec_start_date,
+       CAST(NULL AS DATE) AS i_rec_end_date,
+       p_name AS i_item_desc,
+       CAST((p_partkey * 83) % 9900 + 10 AS DOUBLE) / 100 AS i_current_price,
+       CAST((p_partkey * 83) % 9900 + 10 AS DOUBLE) / 100 * 0.6 AS i_wholesale_cost,
+       CAST(p_partkey % 1000 AS {INT}) AS i_brand_id,
+       p_brand AS i_brand,
+       CAST(1 + p_partkey % 16 AS {INT}) AS i_class_id,
+       {_pick("p_partkey * 13", _I_CLASSES)} AS i_class,
+       CAST(1 + p_partkey % 10 AS {INT}) AS i_category_id,
+       {_pick("p_partkey", _I_CATEGORIES)} AS i_category,
+       CAST(p_partkey % 1000 AS {INT}) AS i_manufact_id,
+       'Manufact#' || {S("p_partkey % 1000")} AS i_manufact,
+       {_pick("p_partkey * 29", _I_SIZES)} AS i_size,
+       'formulation ' || {S("p_partkey % 37")} AS i_formulation,
+       {_pick("p_partkey * 23", _I_COLORS)} AS i_color,
+       {_pick("p_partkey * 41", _I_UNITS)} AS i_units,
+       p_type AS i_container,
+       CAST(p_partkey % 100 AS {INT}) AS i_manager_id,
+       'product_' || {S("p_partkey")} AS i_product_name
+FROM {base('part')}"""
+
+    views["tpcds_customer"] = f"""
+SELECT c_custkey AS c_customer_sk,
+       'cust_' || {S("c_custkey")} AS c_customer_id,
+       c_custkey AS c_current_cdemo_sk,
+       CAST((c_custkey * 31) % 7200 AS {INT}) AS c_current_hdemo_sk,
+       c_custkey AS c_current_addr_sk,
+       CAST(9000 + (c_custkey * 17) % 1500 AS {INT}) AS c_first_shipto_date_sk,
+       CAST(9000 + (c_custkey * 13) % 1500 AS {INT}) AS c_first_sales_date_sk,
+       {_pick("c_custkey * 7", _C_SALUTATIONS)} AS c_salutation,
+       c_name AS c_first_name,
+       'Family' || {S("c_custkey % 97")} AS c_last_name,
+       CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag,
+       CAST(1 + c_custkey % 28 AS {INT}) AS c_birth_day,
+       CAST(1 + c_custkey % 12 AS {INT}) AS c_birth_month,
+       CAST(1924 + c_custkey % 69 AS {INT}) AS c_birth_year,
+       {_pick("c_custkey * 19", _C_COUNTRIES)} AS c_birth_country,
+       '' AS c_login,
+       'cust_' || {S("c_custkey")} || '@example.com' AS c_email_address,
+       CAST(11000 + (c_custkey * 7) % 400 AS {INT}) AS c_last_review_date_sk
+FROM {base('customer')}"""
+
+    views["customer_address"] = f"""
+SELECT c_custkey AS ca_address_sk,
+       'addr_' || {S("c_custkey")} AS ca_address_id,
+       {S("1 + c_custkey % 999")} AS ca_street_number,
+       {_pick("c_custkey * 3", _STREET_NAMES)} AS ca_street_name,
+       {_pick("c_custkey * 5", _STREET_TYPES)} AS ca_street_type,
+       'Suite ' || {S("c_custkey % 50")} AS ca_suite_number,
+       {_pick("c_custkey * 13", _CA_CITIES)} AS ca_city,
+       {_pick("c_custkey * 17", _CA_COUNTIES)} AS ca_county,
+       {_pick("c_custkey * 11", _CA_STATES)} AS ca_state,
+       {S("10000 + (c_custkey * 37) % 89999")} AS ca_zip,
+       'United States' AS ca_country,
+       CAST(0 - (5 + c_custkey % 3) AS {INT}) AS ca_gmt_offset,
+       {_pick("c_custkey * 23", _CA_LOCATION_TYPES)} AS ca_location_type
+FROM {base('customer')}"""
+
+    views["customer_demographics"] = f"""
+SELECT c_custkey AS cd_demo_sk,
+       CASE WHEN c_custkey % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
+       {_pick("c_custkey", _CD_MARITAL)} AS cd_marital_status,
+       {_pick("c_custkey * 3", _CD_EDUCATION)} AS cd_education_status,
+       CAST(500 + (c_custkey % 20) * 500 AS {INT}) AS cd_purchase_estimate,
+       {_pick("c_custkey * 3", _CD_CREDIT)} AS cd_credit_rating,
+       CAST(c_custkey % 7 AS {INT}) AS cd_dep_count,
+       CAST((c_custkey * 3) % 7 AS {INT}) AS cd_dep_employed_count,
+       CAST((c_custkey * 5) % 7 AS {INT}) AS cd_dep_college_count
+FROM {base('customer')}"""
+
+    views["household_demographics"] = f"""
+SELECT hh.hd AS hd_demo_sk,
+       CAST(hh.hd % 20 + 1 AS {INT}) AS hd_income_band_sk,
+       {_pick("hh.hd", _HD_BUY_POTENTIAL)} AS hd_buy_potential,
+       CAST(hh.hd % 10 AS {INT}) AS hd_dep_count,
+       CAST(hh.hd % 6 - 1 AS {INT}) AS hd_vehicle_count
+FROM {SEQI(0, 7199, "hd")} hh"""
+
+    views["income_band"] = f"""
+SELECT ib.b AS ib_income_band_sk,
+       CAST((ib.b - 1) * 10000 + CASE WHEN ib.b = 1 THEN 0 ELSE 1 END AS {INT}) AS ib_lower_bound,
+       CAST(ib.b * 10000 AS {INT}) AS ib_upper_bound
+FROM {SEQI(1, 20, "b")} ib"""
+
+    views["reason"] = f"""
+SELECT rr.r AS r_reason_sk,
+       'reason_' || {S("rr.r")} AS r_reason_id,
+       'reason ' || {S("rr.r")} AS r_reason_desc
+FROM {SEQI(1, 35, "r")} rr"""
+
+    views["ship_mode"] = f"""
+SELECT sm.m AS sm_ship_mode_sk,
+       'mode_' || {S("sm.m")} AS sm_ship_mode_id,
+       {_pick("sm.m", _SM_TYPES)} AS sm_type,
+       {_pick("sm.m * 7", _SM_CODES)} AS sm_code,
+       {_pick("sm.m", _SM_CARRIERS)} AS sm_carrier,
+       'contract_' || {S("sm.m")} AS sm_contract
+FROM {SEQI(1, 20, "m")} sm"""
+
+    views["promotion"] = f"""
+SELECT p_promo_sk,
+       'promo_' || {S("p_promo_sk")} AS p_promo_id,
+       CAST(9100 + p_promo_sk * 7 AS {INT}) AS p_start_date_sk,
+       CAST(9500 + p_promo_sk * 11 AS {INT}) AS p_end_date_sk,
+       CAST(1 + p_promo_sk * 13 AS {INT}) AS p_item_sk,
+       CAST(1000 AS DOUBLE) AS p_cost,
+       CAST(p_promo_sk % 3 AS {INT}) AS p_response_target,
+       'promoname_' || {S("p_promo_sk")} AS p_promo_name,
+       CASE WHEN p_promo_sk % 5 = 0 THEN 'Y' ELSE 'N' END AS p_channel_dmail,
+       CASE WHEN p_promo_sk % 2 = 0 THEN 'N' ELSE 'Y' END AS p_channel_email,
+       CASE WHEN p_promo_sk % 7 = 0 THEN 'Y' ELSE 'N' END AS p_channel_catalog,
+       CASE WHEN p_promo_sk % 4 = 0 THEN 'Y' ELSE 'N' END AS p_channel_tv,
+       CASE WHEN p_promo_sk % 6 = 0 THEN 'Y' ELSE 'N' END AS p_channel_radio,
+       CASE WHEN p_promo_sk % 8 = 0 THEN 'Y' ELSE 'N' END AS p_channel_press,
+       CASE WHEN p_promo_sk % 3 = 0 THEN 'N' ELSE 'Y' END AS p_channel_event,
+       CASE WHEN p_promo_sk % 9 = 0 THEN 'Y' ELSE 'N' END AS p_channel_demo,
+       'channel details ' || {S("p_promo_sk")} AS p_channel_details,
+       'purpose_' || {S("p_promo_sk % 4")} AS p_purpose,
+       CASE WHEN p_promo_sk % 2 = 0 THEN 'Y' ELSE 'N' END AS p_discount_active
+FROM (SELECT DISTINCT o_orderkey % 30 AS p_promo_sk FROM {base('orders')}) p"""
+
+    views["store"] = f"""
+SELECT s_store_sk,
+       'store_' || {S("s_store_sk")} AS s_store_id,
+       CAST('1997-03-13' AS DATE) AS s_rec_start_date,
+       CAST(NULL AS DATE) AS s_rec_end_date,
+       CAST(NULL AS {INT}) AS s_closed_date_sk,
+       'Store_' || {S("s_store_sk")} AS s_store_name,
+       CAST(200 + s_store_sk * 9 AS {INT}) AS s_number_employees,
+       CAST(5000000 + s_store_sk * 123457 AS {INT}) AS s_floor_space,
+       '8AM-' || CASE WHEN s_store_sk % 2 = 0 THEN '8PM' ELSE '4PM' END AS s_hours,
+       'Manager_' || {S("s_store_sk")} AS s_manager,
+       CAST(1 + s_store_sk % 10 AS {INT}) AS s_market_id,
+       'Unknown' AS s_geography_class,
+       'market description ' || {S("s_store_sk")} AS s_market_desc,
+       'MktManager_' || {S("s_store_sk")} AS s_market_manager,
+       CAST(1 AS {INT}) AS s_division_id,
+       'Unknown' AS s_division_name,
+       CAST(1 AS {INT}) AS s_company_id,
+       'Unknown' AS s_company_name,
+       {S("s_store_sk * 100")} AS s_street_number,
+       {_pick("s_store_sk * 3", _STREET_NAMES)} AS s_street_name,
+       {_pick("s_store_sk * 5", _STREET_TYPES)} AS s_street_type,
+       'Suite ' || {S("s_store_sk")} AS s_suite_number,
+       {_pick("s_store_sk", _S_CITIES)} AS s_city,
+       'Williamson County' AS s_county,
+       'TN' AS s_state,
+       {S("10000 + (s_store_sk * 53) % 89999")} AS s_zip,
+       'United States' AS s_country,
+       CAST(-5 AS {INT}) AS s_gmt_offset,
+       CAST(s_store_sk % 12 AS DOUBLE) / 100 AS s_tax_precentage
+FROM (SELECT DISTINCT s_suppkey % 10 + 1 AS s_store_sk FROM {base('supplier')}) s"""
+
+    views["warehouse"] = f"""
+SELECT ww.w AS w_warehouse_sk,
+       'wh_' || {S("ww.w")} AS w_warehouse_id,
+       {_pick("ww.w", _W_NAMES)} AS w_warehouse_name,
+       CAST(100000 + ww.w * 73771 AS {INT}) AS w_warehouse_sq_ft,
+       {S("ww.w * 100")} AS w_street_number,
+       {_pick("ww.w * 3", _STREET_NAMES)} AS w_street_name,
+       {_pick("ww.w * 5", _STREET_TYPES)} AS w_street_type,
+       'Suite ' || {S("ww.w")} AS w_suite_number,
+       {_pick("ww.w", _S_CITIES)} AS w_city,
+       'Williamson County' AS w_county,
+       'TN' AS w_state,
+       {S("10000 + (ww.w * 53) % 89999")} AS w_zip,
+       'United States' AS w_country,
+       CAST(-5 AS {INT}) AS w_gmt_offset
+FROM {SEQI(1, 5, "w")} ww"""
+
+    views["call_center"] = f"""
+SELECT c.c AS cc_call_center_sk,
+       'cc_' || {S("c.c")} AS cc_call_center_id,
+       CAST('1998-01-01' AS DATE) AS cc_rec_start_date,
+       CAST(NULL AS DATE) AS cc_rec_end_date,
+       CAST(NULL AS {INT}) AS cc_closed_date_sk,
+       CAST(10000 + c.c AS {INT}) AS cc_open_date_sk,
+       {_pick("c.c", _CC_NAMES)} AS cc_name,
+       'large' AS cc_class,
+       CAST(100 + c.c * 37 AS {INT}) AS cc_employees,
+       CAST(15000 + c.c * 1234 AS {INT}) AS cc_sq_ft,
+       '8AM-4PM' AS cc_hours,
+       'Manager_' || {S("c.c")} AS cc_manager,
+       CAST(1 + c.c % 6 AS {INT}) AS cc_mkt_id,
+       'mkt class ' || {S("c.c")} AS cc_mkt_class,
+       'mkt desc ' || {S("c.c")} AS cc_mkt_desc,
+       'MktManager_' || {S("c.c")} AS cc_market_manager,
+       CAST(1 AS {INT}) AS cc_division,
+       'division_1' AS cc_division_name,
+       CAST(1 AS {INT}) AS cc_company,
+       'company_1' AS cc_company_name,
+       {S("c.c * 100")} AS cc_street_number,
+       {_pick("c.c * 3", _STREET_NAMES)} AS cc_street_name,
+       {_pick("c.c * 5", _STREET_TYPES)} AS cc_street_type,
+       'Suite ' || {S("c.c")} AS cc_suite_number,
+       {_pick("c.c", _S_CITIES)} AS cc_city,
+       'Williamson County' AS cc_county,
+       'TN' AS cc_state,
+       {S("10000 + (c.c * 53) % 89999")} AS cc_zip,
+       'United States' AS cc_country,
+       CAST(-5 AS {INT}) AS cc_gmt_offset,
+       CAST(c.c % 12 AS DOUBLE) / 100 AS cc_tax_percentage
+FROM {SEQI(1, 6, "c")} c"""
+
+    views["web_site"] = f"""
+SELECT s.s AS web_site_sk,
+       'site_' || {S("s.s")} AS web_site_id,
+       CAST('1997-08-16' AS DATE) AS web_rec_start_date,
+       CAST(NULL AS DATE) AS web_rec_end_date,
+       'site_' || {S("s.s")} AS web_name,
+       CAST(10000 + s.s AS {INT}) AS web_open_date_sk,
+       CAST(NULL AS {INT}) AS web_close_date_sk,
+       'Unknown' AS web_class,
+       'Manager_' || {S("s.s")} AS web_manager,
+       CAST(1 + s.s % 6 AS {INT}) AS web_mkt_id,
+       'mkt class ' || {S("s.s")} AS web_mkt_class,
+       'mkt desc ' || {S("s.s")} AS web_mkt_desc,
+       'MktManager_' || {S("s.s")} AS web_market_manager,
+       CAST(1 + s.s % 5 AS {INT}) AS web_company_id,
+       {_pick("s.s", _WEB_COMPANIES)} AS web_company_name,
+       {S("s.s * 100")} AS web_street_number,
+       {_pick("s.s * 3", _STREET_NAMES)} AS web_street_name,
+       {_pick("s.s * 5", _STREET_TYPES)} AS web_street_type,
+       'Suite ' || {S("s.s")} AS web_suite_number,
+       {_pick("s.s", _S_CITIES)} AS web_city,
+       'Williamson County' AS web_county,
+       'TN' AS web_state,
+       {S("10000 + (s.s * 53) % 89999")} AS web_zip,
+       'United States' AS web_country,
+       CAST(-5 AS {INT}) AS web_gmt_offset,
+       CAST(s.s % 12 AS DOUBLE) / 100 AS web_tax_percentage
+FROM {SEQI(1, 30, "s")} s"""
+
+    views["web_page"] = f"""
+SELECT p.p AS wp_web_page_sk,
+       'page_' || {S("p.p")} AS wp_web_page_id,
+       CAST('1997-09-03' AS DATE) AS wp_rec_start_date,
+       CAST(NULL AS DATE) AS wp_rec_end_date,
+       CAST(10000 + p.p AS {INT}) AS wp_creation_date_sk,
+       CAST(10100 + p.p AS {INT}) AS wp_access_date_sk,
+       CASE WHEN p.p % 2 = 0 THEN 'Y' ELSE 'N' END AS wp_autogen_flag,
+       CAST(NULL AS BIGINT) AS wp_customer_sk,
+       'http://www.example.com/page' || {S("p.p")} AS wp_url,
+       {_pick("p.p", _WP_TYPES)} AS wp_type,
+       CAST(4000 + (p.p * 37) % 1600 AS {INT}) AS wp_char_count,
+       CAST(p.p % 25 AS {INT}) AS wp_link_count,
+       CAST(p.p % 7 AS {INT}) AS wp_image_count,
+       CAST(p.p % 4 AS {INT}) AS wp_max_ad_count
+FROM {SEQI(1, 60, "p")} p"""
+
+    views["catalog_page"] = f"""
+SELECT cp.c AS cp_catalog_page_sk,
+       'cpage_' || {S("cp.c")} AS cp_catalog_page_id,
+       CAST(9000 + cp.c AS {INT}) AS cp_start_date_sk,
+       CAST(9100 + cp.c AS {INT}) AS cp_end_date_sk,
+       {_pick("cp.c", _CP_DEPTS)} AS cp_department,
+       CAST(1 + cp.c % 30 AS {INT}) AS cp_catalog_number,
+       CAST(1 + cp.c % 200 AS {INT}) AS cp_catalog_page_number,
+       'page description ' || {S("cp.c % 89")} AS cp_description,
+       {_pick("cp.c", _CP_TYPES)} AS cp_type
+FROM {SEQI(1, 300, "c")} cp"""
+
+    return views
+
+
+# (view_name_in_query_text, definition_key) — merged into literal.SUITE_VIEWS.
+TPCDS_SUITE_VIEWS = [
+    ("date_dim", "date_dim"),
+    ("time_dim", "time_dim"),
+    ("store_sales", "store_sales"),
+    ("store_returns", "store_returns"),
+    ("catalog_sales", "catalog_sales"),
+    ("catalog_returns", "catalog_returns"),
+    ("web_sales", "web_sales"),
+    ("web_returns", "web_returns"),
+    ("inventory", "inventory"),
+    ("item", "item"),
+    ("customer", "tpcds_customer"),
+    ("customer_address", "customer_address"),
+    ("customer_demographics", "customer_demographics"),
+    ("household_demographics", "household_demographics"),
+    ("income_band", "income_band"),
+    ("promotion", "promotion"),
+    ("reason", "reason"),
+    ("ship_mode", "ship_mode"),
+    ("store", "store"),
+    ("warehouse", "warehouse"),
+    ("call_center", "call_center"),
+    ("web_site", "web_site"),
+    ("web_page", "web_page"),
+    ("catalog_page", "catalog_page"),
+]

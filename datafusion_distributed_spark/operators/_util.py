@@ -119,11 +119,15 @@ def slot_local_checkpoint(key: str, df) -> "DataFrame":
     invocation of the same operator is invalidated by the next invocation —
     exactly the consume-then-reinvoke pattern every harness here uses.
     """
-    prev = _CHECKPOINT_SLOTS.pop(key, None)
+    # Slots are keyed per (SparkSession, operator): two sessions in one
+    # process (the differential harnesses) must not release each other's
+    # blocks — localCheckpoint lineage cannot be recomputed (r6 ADVICE).
+    skey = (df.sparkSession, key)
+    prev = _CHECKPOINT_SLOTS.pop(skey, None)
     if prev is not None:
         release_local_checkpoint(prev)
     ck = df.localCheckpoint(eager=True)
-    _CHECKPOINT_SLOTS[key] = ck
+    _CHECKPOINT_SLOTS[skey] = ck
     return ck
 
 
@@ -140,7 +144,8 @@ def slot_persist(key: str, df, eager: bool = False) -> "DataFrame":
     more than it saves (p50 0.61 s lazy vs 0.69 s eager); what actually
     mattered was releasing the PREVIOUS invocation's block, which an
     un-slotted persist never does."""
-    prev = _PERSIST_SLOTS.pop(key, None)
+    skey = (df.sparkSession, key)
+    prev = _PERSIST_SLOTS.pop(skey, None)
     if prev is not None:
         try:
             prev.unpersist(blocking=False)
@@ -149,7 +154,7 @@ def slot_persist(key: str, df, eager: bool = False) -> "DataFrame":
     df = df.persist()
     if eager:
         df.count()
-    _PERSIST_SLOTS[key] = df
+    _PERSIST_SLOTS[skey] = df
     return df
 
 

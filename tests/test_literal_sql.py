@@ -107,14 +107,30 @@ _CASES = [
     # q17 has LIMIT with NO ORDER BY — each engine returns an arbitrary
     # 10-row subset; the only sound check is subset-of-full + cardinality.
     ("clickbench", "q17", False, False, "subset"),
+    # q18 runs via the lane's to_timestamp_seconds -> timestamp_seconds
+    # spell-map (run_literal_sql); its ORDER BY COUNT(*) LIMIT 10 boundary
+    # ties, so the compare is tie-tolerant on the count column.
+    ("clickbench", "q18", False, False, 3),
     ("clickbench", "q19", False, False, None),
     ("clickbench", "q20", False, False, None),
     ("clickbench", "q21", False, False, 2),
     ("clickbench", "q22", False, False, 3),
+    # q23/q24/q26 ORDER BY EventTime LIMIT 10: the derived EventTime
+    # (floor-second of events.ts) is UNIQUE at the sf0.001 fixture (1000
+    # distinct seconds / 1000 rows), so the top-10 is deterministic and the
+    # plain multiset compare is sound. (At sf0.01+ seconds collide — the
+    # suite is pinned at sf0.001.)
+    ("clickbench", "q23", False, False, None),
+    ("clickbench", "q24", False, False, None),
+    ("clickbench", "q26", False, False, None),
     # q25 orders by its only output column: the 10 smallest values are a
     # deterministic multiset even under duplicates.
     ("clickbench", "q25", False, False, None),
     ("clickbench", "q27", False, False, None),
+    # q28 runs via the lane's PG-to-Java replacement-group spell-map; its
+    # HAVING COUNT(*) > 100000 is provably empty at sf0.001 — the run still
+    # proves the regex/group/HAVING text parses, plans, and agrees.
+    ("clickbench", "q28", False, False, None),
     ("clickbench", "q29", False, False, None),
     ("clickbench", "q30", False, False, 2),
     ("clickbench", "q31", False, False, 2),
@@ -131,13 +147,15 @@ _CASES = [
     ("clickbench", "q39", False, False, None),
     ("clickbench", "q40", False, False, None),
     ("clickbench", "q41", False, False, None),
+    # q42 (to_timestamp_seconds spell-map) filters EventDate to July 2013 —
+    # outside the driver's data, provably empty in both engines; the run
+    # proves the DATE_TRUNC/ORDER-BY-alias/OFFSET text parses and agrees.
+    ("clickbench", "q42", False, False, None),
 ]
-# Not covered: q18/q42 use to_timestamp_seconds (DataFusion-dialect,
-# absent from both Spark and DuckDB); q23/q24/q26 LIMIT under an ORDER BY
-# over non-output EventTime whose second-granularity ties make the
-# selected subset engine-dependent; q28's REGEXP_REPLACE uses '\\1'
-# backreference syntax, which Spark's Java-regex replacement spells '$1'
-# — the verbatim text computes a different key per engine.
+# ClickBench literal coverage: 43/43 texts execute (r7; was 37 — q18/q42
+# close via the lane's to_timestamp_seconds -> timestamp_seconds spell-map,
+# q28 via the PG-to-Java replacement-group spell-map, q23/q24/q26 via the
+# sf0.001 EventTime-uniqueness argument above).
 
 _SHIFT_YEARS = 2
 
@@ -282,7 +300,8 @@ def test_literal_text_matches_duckdb(
         ("clickbench", "q9"), ("clickbench", "q10"), ("clickbench", "q11"),
         ("clickbench", "q12"), ("clickbench", "q13"), ("clickbench", "q14"),
         ("clickbench", "q15"), ("clickbench", "q16"), ("clickbench", "q17"),
-        ("clickbench", "q20"),
+        ("clickbench", "q18"), ("clickbench", "q20"),
+        ("clickbench", "q23"), ("clickbench", "q24"), ("clickbench", "q26"),
         ("clickbench", "q21"), ("clickbench", "q22"), ("clickbench", "q25"),
         ("clickbench", "q29"), ("clickbench", "q30"), ("clickbench", "q31"),
         ("clickbench", "q32"), ("clickbench", "q33"), ("clickbench", "q34"),

@@ -448,8 +448,11 @@ def main() -> None:
     flags = scale_flags(results, baseline=baseline, replication=N_REPLICAS)
 
     # Merge over prior runs (e.g. a cb_/ts_ sweep after the dd_/text_/ds_
-    # one) so the results file accumulates the full family picture.
-    merged = dict(baseline)
+    # one) so the results file accumulates the full family picture —
+    # but prune entries whose query names have left the registry, else
+    # deleted queries ride the baseline forever, inflating n_queries with
+    # unit-less rows the gate silently skips (r6 ADVICE).
+    merged = {n: r for n, r in baseline.items() if n in REGISTRY}
     merged.update(results)
     ratios = [r["ratio"] for r in merged.values() if r.get("ratio")]
     summary = {
