@@ -35,9 +35,12 @@ views in literal.py.
 from __future__ import annotations
 
 
-def _pick(expr: str, values: list[str]) -> str:
-    arms = " ".join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(values))
-    return f"CASE ({expr}) % {len(values)} {arms} END"
+# NOTE: picks render as ARRAY-INDEXING, not CASE chains: a 92-arm CASE
+# inlined into the 400-column fact views pushed Spark's generated
+# hashAgg_doAggregateWithKeys past the 64 KB JVM method limit (janino
+# "Code grows beyond 64 KB"), silently demoting those stages to
+# interpreted execution — a real whole-stage-codegen loss at scale. A
+# constant array literal indexed once compiles to a few bytecodes.
 
 
 # ---------------------------------------------------------------------------
@@ -153,6 +156,15 @@ def view_definitions(engine: str, base) -> dict[str, str]:
         )
 
     INT = "INT" if sp else "INTEGER"
+
+    def _pick(expr: str, values: list[str]) -> str:
+        # Array-literal indexing (see module note above): identical value
+        # mapping to a CASE chain — values[(expr) % N] — but O(1) codegen.
+        lit = ", ".join(f"'{v}'" for v in values)
+        n = len(values)
+        if sp:
+            return f"element_at(array({lit}), CAST(({expr}) % {n} AS INT) + 1)"
+        return f"(ARRAY[{lit}])[(({expr}) % {n}) + 1]"
 
     # --- shared fact-measure fragments (identical text both engines ->
     # identical double arithmetic). ext = l_extendedprice.
@@ -403,7 +415,7 @@ SELECT p_partkey AS i_item_sk,
        'Manufact#' || {S("p_partkey % 1000")} AS i_manufact,
        {_pick("p_partkey * 29", _I_SIZES)} AS i_size,
        'formulation ' || {S("p_partkey % 37")} AS i_formulation,
-       {_pick("p_partkey * 23", _I_COLORS)} AS i_color,
+       {_pick("p_partkey * 29", _I_COLORS)} AS i_color,
        {_pick("p_partkey * 41", _I_UNITS)} AS i_units,
        p_type AS i_container,
        CAST(p_partkey % 100 AS {INT}) AS i_manager_id,
@@ -436,7 +448,7 @@ SELECT c_custkey AS ca_address_sk,
        'addr_' || {S("c_custkey")} AS ca_address_id,
        {S("1 + c_custkey % 999")} AS ca_street_number,
        {_pick("c_custkey * 3", _STREET_NAMES)} AS ca_street_name,
-       {_pick("c_custkey * 5", _STREET_TYPES)} AS ca_street_type,
+       {_pick("c_custkey * 7", _STREET_TYPES)} AS ca_street_type,
        'Suite ' || {S("c_custkey % 50")} AS ca_suite_number,
        {_pick("c_custkey * 13", _CA_CITIES)} AS ca_city,
        {_pick("c_custkey * 17", _CA_COUNTIES)} AS ca_county,
@@ -531,7 +543,7 @@ SELECT s_store_sk,
        'Unknown' AS s_company_name,
        {S("s_store_sk * 100")} AS s_street_number,
        {_pick("s_store_sk * 3", _STREET_NAMES)} AS s_street_name,
-       {_pick("s_store_sk * 5", _STREET_TYPES)} AS s_street_type,
+       {_pick("s_store_sk * 7", _STREET_TYPES)} AS s_street_type,
        'Suite ' || {S("s_store_sk")} AS s_suite_number,
        {_pick("s_store_sk", _S_CITIES)} AS s_city,
        'Williamson County' AS s_county,
@@ -549,7 +561,7 @@ SELECT ww.w AS w_warehouse_sk,
        CAST(100000 + ww.w * 73771 AS {INT}) AS w_warehouse_sq_ft,
        {S("ww.w * 100")} AS w_street_number,
        {_pick("ww.w * 3", _STREET_NAMES)} AS w_street_name,
-       {_pick("ww.w * 5", _STREET_TYPES)} AS w_street_type,
+       {_pick("ww.w * 7", _STREET_TYPES)} AS w_street_type,
        'Suite ' || {S("ww.w")} AS w_suite_number,
        {_pick("ww.w", _S_CITIES)} AS w_city,
        'Williamson County' AS w_county,
@@ -582,7 +594,7 @@ SELECT c.c AS cc_call_center_sk,
        'company_1' AS cc_company_name,
        {S("c.c * 100")} AS cc_street_number,
        {_pick("c.c * 3", _STREET_NAMES)} AS cc_street_name,
-       {_pick("c.c * 5", _STREET_TYPES)} AS cc_street_type,
+       {_pick("c.c * 7", _STREET_TYPES)} AS cc_street_type,
        'Suite ' || {S("c.c")} AS cc_suite_number,
        {_pick("c.c", _S_CITIES)} AS cc_city,
        'Williamson County' AS cc_county,
@@ -611,7 +623,7 @@ SELECT s.s AS web_site_sk,
        {_pick("s.s", _WEB_COMPANIES)} AS web_company_name,
        {S("s.s * 100")} AS web_street_number,
        {_pick("s.s * 3", _STREET_NAMES)} AS web_street_name,
-       {_pick("s.s * 5", _STREET_TYPES)} AS web_street_type,
+       {_pick("s.s * 7", _STREET_TYPES)} AS web_street_type,
        'Suite ' || {S("s.s")} AS web_suite_number,
        {_pick("s.s", _S_CITIES)} AS web_city,
        'Williamson County' AS web_county,

@@ -450,3 +450,27 @@ def test_literal_text_matches_duckdb(
     }
     if (suite, name) in expected_nonempty:
         assert populated > 0, f"{suite}/{name}: expected a populated selection"
+
+
+def test_tpcds_pick_multipliers_coprime():
+    """Every _pick('expr * K', LIST) in literal_tpcds must have gcd(K,
+    len(LIST)) == 1 — a shared factor silently collapses the vocabulary
+    (round 7 found (k*7)%7 pinning education to one value and (k*23)%92
+    collapsing 92 colors to 4), which makes spec-literal filters vacuous
+    without failing any differential check."""
+    import math
+    import re as _re
+
+    import datafusion_distributed_spark.literal_tpcds as lt
+
+    src = open(lt.__file__.rstrip("c")).read()
+    lists = {k: len(v) for k, v in vars(lt).items() if isinstance(v, list)}
+    bad = []
+    for m in _re.finditer(r'_pick\("([^"]+)", (\w+)\)', src):
+        expr, lname = m.groups()
+        n = lists.get(lname)
+        mm = _re.search(r"\* (\d+)$", expr.strip())
+        mult = int(mm.group(1)) if mm else 1
+        if n and math.gcd(mult, n) > 1:
+            bad.append(f"{expr} % {n} ({lname})")
+    assert bad == [], f"pick multiplier shares a factor with list length: {bad}"
