@@ -313,15 +313,26 @@ def register_duck_views(con, sf_dir: str, suite: str) -> None:
 # string ('1993-07-01') and the other as date '1993-07-01'; both must shift
 # together or the window silently widens.
 _DATE_RE = re.compile(r"(')(\d{4})(-\d{2}-\d{2}')")
+# Bare 4-digit YEAR literals (TPC-DS filters by integer d_year, often with
+# arithmetic: `d_year = 2001+1`, `d_year IN (2001, 2001+1)`); the year-shift
+# run rewrites every standalone 1990..2029 literal. Quoted zips ('24128'),
+# month-seq literals (1200), and id bands (738+40) are outside the range or
+# not 4-digit-year-shaped, so the blanket rewrite is safe for these texts.
+_YEAR_RE = re.compile(r"\b(19[9]\d|20[0-2]\d)\b")
 _CREATE_VIEW_RE = re.compile(r"^\s*create\s+view\b", re.IGNORECASE)
 
 
 def load_literal_statements(
-    suite: str, name: str, date_shift_years: int = 0
+    suite: str, name: str, date_shift_years: int = 0, year_shift: int = 0
 ) -> list[str]:
     """Read a reference query text; strip comments; split on ';' (some
     texts are CREATE VIEW / SELECT / DROP VIEW scripts — q15).
-    ``date_shift_years`` rewrites date literals forward (see module doc)."""
+    ``date_shift_years`` rewrites date literals forward (see module doc);
+    ``year_shift`` additionally rewrites bare integer year literals — the
+    TPC-DS analogue of the date shift (texts filtering d_year = 2002 are
+    provably empty on the driver's 1995..2001-08 data; shifting by -1
+    proves the VALUES on a populated selection). Both rewrites feed the
+    text given to BOTH engines."""
     path = os.path.join(REFERENCE_QUERIES, suite, "queries", f"{name}.sql")
     with open(path) as f:
         lines = [l for l in f.read().splitlines() if not l.lstrip().startswith("--")]
@@ -331,13 +342,17 @@ def load_literal_statements(
             lambda m: f"'{int(m.group(2)) + date_shift_years}{m.group(3)}",
             text,
         )
+    if year_shift:
+        text = _YEAR_RE.sub(lambda m: str(int(m.group(1)) + year_shift), text)
     # None of the benchmark texts embed ';' inside string literals.
     return [s.strip() for s in text.split(";") if s.strip()]
 
 
-def load_literal_text(suite: str, name: str, date_shift_years: int = 0) -> str:
+def load_literal_text(
+    suite: str, name: str, date_shift_years: int = 0, year_shift: int = 0
+) -> str:
     """Single-statement convenience over load_literal_statements."""
-    stmts = load_literal_statements(suite, name, date_shift_years)
+    stmts = load_literal_statements(suite, name, date_shift_years, year_shift)
     assert len(stmts) == 1, f"{suite}/{name} is a multi-statement script"
     return stmts[0]
 
@@ -348,6 +363,7 @@ def run_literal_sql(
     suite: str,
     name: str,
     date_shift_years: int = 0,
+    year_shift: int = 0,
 ) -> DataFrame:
     """Execute one literal reference query text through spark.sql over the
     schema-mapped views; multi-statement scripts (q15's CREATE VIEW /
@@ -357,7 +373,7 @@ def run_literal_sql(
     resolves views at spark.sql time, so the later DROP VIEW does not
     invalidate it."""
     register_spark_views(spark, sf_dir, suite)
-    stmts = load_literal_statements(suite, name, date_shift_years)
+    stmts = load_literal_statements(suite, name, date_shift_years, year_shift)
     # clickbench quotes column identifiers; tpcds quotes aliases (q50/q62's
     # "30 days" buckets) — both need identifier-style double quotes.
     quoted = suite in ("clickbench", "tpcds")
@@ -398,11 +414,13 @@ def run_literal_sql(
                 spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", prior)
 
 
-def run_literal_duck(con, suite: str, name: str, date_shift_years: int = 0):
+def run_literal_duck(
+    con, suite: str, name: str, date_shift_years: int = 0, year_shift: int = 0
+):
     """Execute the same statements through DuckDB; returns (columns, rows)
     of the SELECT, materialized before any trailing DROP VIEW runs."""
     cols = rows = None
-    for stmt in load_literal_statements(suite, name, date_shift_years):
+    for stmt in load_literal_statements(suite, name, date_shift_years, year_shift):
         stmt_dk = _CREATE_VIEW_RE.sub("CREATE OR REPLACE VIEW", stmt)
         rel = con.sql(stmt_dk)
         if stmt.lstrip().lower().startswith(("select", "with", "(")):

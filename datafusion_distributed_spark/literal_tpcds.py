@@ -84,6 +84,17 @@ _CA_COUNTIES = ["Williamson County", "Orange County", "Rush County",
                 "Gage County", "Greene County", "Daviess County",
                 "Franklin Parish"]
 _CA_LOCATION_TYPES = ["apartment", "condo", "single family"]
+# Zips drawn from q8's own literal list (public query text) so its
+# zip-prefix machinery — IN-list INTERSECT preferred-customer zips, then
+# substr(s_zip,1,2) = substr(ca_zip,1,2) — selects real rows; stores pick
+# from the same list, so 2-digit prefixes meet.
+_ZIPS = ["24128", "76232", "65084", "87816", "83926", "77556", "20548",
+         "26231", "43848", "15126"]
+# Store zips share _ZIPS' 2-digit prefixes (q8's substr(.,1,2) join meets)
+# but never a full 5-digit value (q19 filters substr(.,1,5) INEQUALITY —
+# colliding 5-digit zips would empty its selection).
+_S_ZIPS = ["24135", "76201", "65090", "87801", "83901", "77501", "20501",
+           "26201", "43801", "15101"]
 _S_CITIES = ["Fairview", "Midway"]
 _S_NAMES = ["ese", "ation", "eing", "bar", "ought", "able", "pri", "anti",
             "cally", "ally"]
@@ -453,7 +464,7 @@ SELECT c_custkey AS ca_address_sk,
        {_pick("c_custkey * 13", _CA_CITIES)} AS ca_city,
        {_pick("c_custkey * 17", _CA_COUNTIES)} AS ca_county,
        {_pick("c_custkey * 11", _CA_STATES)} AS ca_state,
-       {S("10000 + (c_custkey * 37) % 89999")} AS ca_zip,
+       {_pick("c_custkey * 7", _ZIPS)} AS ca_zip,
        'United States' AS ca_country,
        CAST(0 - (5 + c_custkey % 3) AS {INT}) AS ca_gmt_offset,
        {_pick("c_custkey * 23", _CA_LOCATION_TYPES)} AS ca_location_type
@@ -548,7 +559,7 @@ SELECT s_store_sk,
        {_pick("s_store_sk", _S_CITIES)} AS s_city,
        'Williamson County' AS s_county,
        'TN' AS s_state,
-       {S("10000 + (s_store_sk * 53) % 89999")} AS s_zip,
+       {_pick("s_store_sk * 3", _S_ZIPS)} AS s_zip,
        'United States' AS s_country,
        CAST(-5 AS {INT}) AS s_gmt_offset,
        CAST(s_store_sk % 12 AS DOUBLE) / 100 AS s_tax_precentage

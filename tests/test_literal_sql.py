@@ -53,6 +53,10 @@ pytestmark = pytest.mark.skipif(
 )
 
 # (suite, name, shiftable, star_join, tie_col)
+# shiftable: True => also run with date literals shifted +2y (TPC-H);
+# "year" => also run with bare integer YEAR literals shifted -1 (TPC-DS
+# filters by d_year = 2002 etc., past the driver's data — the shifted run
+# proves VALUES on a populated selection, same contract as the date shift).
 # star_join=True => the plan must contain a broadcast join (tiny dims).
 # tie_col (0-based select-list position of the ORDER BY measure) marks
 # LIMIT-k texts whose boundary can tie on this data — each engine then
@@ -82,12 +86,13 @@ _CASES = [
     ("tpch", "q20", True, False, None),
     ("tpch", "q21", False, True, None),
     ("tpch", "q22", False, False, None),
-    # --- TPC-DS: 98 of 99 verbatim texts (r7 widening; was 8); all 62
-    # POPULATED texts are star=True — a builder audit showed every one of
-    # their plans broadcasts its dimension side, so the gate pins it. The
-    # full
-    # 24-table spec schema is view-mapped (literal_tpcds.py); 36 texts
-    # are legitimately empty at sf0.001 (year
+    # --- TPC-DS: 98 of 99 verbatim texts (r7 widening; was 8); 70 select
+    # real rows at sf0.001 (62 verbatim + q8 via the q8-literal zip
+    # vocabulary + 7 under the year-shift run); the 62 verbatim-populated
+    # are star=True — a builder audit showed every one of their plans
+    # broadcasts its dimension side, so the gate pins it. The full
+    # 24-table spec schema is view-mapped (literal_tpcds.py); the rest are
+    # legitimately empty at sf0.001 (year
     # literals past the driver's 1995..2001-08 data, HAVING floors over
     # thin months, zip/color selectivity) and still prove parse/plan/agree.
     # q14 is the ONE skip: its selection is provably empty (no 2001-11
@@ -97,7 +102,7 @@ _CASES = [
     # tools/tpcds_sweep.py). Not an operator gap: the engine-native
     # gsets_* classes prove rollup on populated inputs.
     ("tpcds", "q1", False, True, None),
-    ("tpcds", "q2", False, False, None),
+    ("tpcds", "q2", "year", False, None),
     ("tpcds", "q3", False, True, None),
     ("tpcds", "q4", False, False, None),
     ("tpcds", "q5", False, True, None),
@@ -105,8 +110,8 @@ _CASES = [
     ("tpcds", "q7", False, True, None),
     ("tpcds", "q8", False, False, None),
     ("tpcds", "q9", False, True, None),
-    ("tpcds", "q10", False, False, None),
-    ("tpcds", "q11", False, False, None),
+    ("tpcds", "q10", "year", False, None),
+    ("tpcds", "q11", "year", False, None),
     ("tpcds", "q12", False, True, None),
     ("tpcds", "q13", False, True, None),
     ("tpcds", "q15", False, True, None),
@@ -124,12 +129,12 @@ _CASES = [
     ("tpcds", "q27", False, True, None),
     ("tpcds", "q28", False, True, None),
     ("tpcds", "q29", False, True, None),
-    ("tpcds", "q30", False, False, None),
+    ("tpcds", "q30", "year", False, None),
     ("tpcds", "q31", False, True, None),
     ("tpcds", "q32", False, True, None),
     ("tpcds", "q33", False, True, None),
     ("tpcds", "q34", False, False, None),
-    ("tpcds", "q35", False, False, None),
+    ("tpcds", "q35", "year", False, None),
     ("tpcds", "q36", False, True, None),
     ("tpcds", "q37", False, False, None),
     ("tpcds", "q38", False, True, None),
@@ -143,7 +148,7 @@ _CASES = [
     ("tpcds", "q46", False, False, None),
     ("tpcds", "q47", False, True, None),
     ("tpcds", "q48", False, True, None),
-    ("tpcds", "q49", False, False, None),
+    ("tpcds", "q49", "year", False, None),
     ("tpcds", "q50", False, True, None),
     ("tpcds", "q51", False, False, None),
     ("tpcds", "q52", False, True, None),
@@ -168,7 +173,7 @@ _CASES = [
     ("tpcds", "q71", False, False, None),
     ("tpcds", "q72", False, True, None),
     ("tpcds", "q73", False, True, None),
-    ("tpcds", "q74", False, False, None),
+    ("tpcds", "q74", "year", False, None),
     ("tpcds", "q75", False, False, None),
     ("tpcds", "q76", False, False, None),
     ("tpcds", "q77", False, True, None),
@@ -389,22 +394,33 @@ def test_literal_text_matches_duckdb(
     spark, duck, suite, name, shiftable, star, tie_col
 ):
     _ensure_duck_views(duck, suite)
-    shifts = [0] + ([_SHIFT_YEARS] if shiftable else [])
+    # (date_shift, year_shift) per run: verbatim always; plus the case's
+    # shifted variant (see the _CASES comment).
+    runs = [(0, 0)]
+    if shiftable == "year":
+        runs.append((0, -1))
+    elif shiftable:
+        runs.append((_SHIFT_YEARS, 0))
     populated = 0
-    for shift in shifts:
-        label = f"{suite}/{name}+{shift}y"
-        df = run_literal_sql(spark, SF_DIR, suite, name, date_shift_years=shift)
+    for dshift, yshift in runs:
+        label = f"{suite}/{name}+{dshift}y{yshift}Y"
+        df = run_literal_sql(
+            spark, SF_DIR, suite, name,
+            date_shift_years=dshift, year_shift=yshift,
+        )
         _assert_plan(df, star, label)
         if tie_col == "subset":
-            text = load_literal_text(suite, name, date_shift_years=shift)
+            text = load_literal_text(suite, name, dshift, yshift)
             populated = max(populated, _compare_subset(df, duck, text, label))
         elif tie_col is not None:
-            text = load_literal_text(suite, name, date_shift_years=shift)
+            text = load_literal_text(suite, name, dshift, yshift)
             populated = max(
                 populated, _compare_topk_with_ties(df, duck, text, tie_col, label)
             )
         else:
-            cols, rows = run_literal_duck(duck, suite, name, date_shift_years=shift)
+            cols, rows = run_literal_duck(
+                duck, suite, name, date_shift_years=dshift, year_shift=yshift
+            )
             populated = max(populated, _compare(df, cols, rows, label))
     # Queries we expect to select real rows at sf0.001 (possibly only under
     # the shifted dates) — an unexpectedly empty result would make the
@@ -422,7 +438,9 @@ def test_literal_text_matches_duckdb(
         # thin the sf0.001 selection to possibly-zero rows.)
         ("tpch", "q7"), ("tpch", "q9"), ("tpch", "q15"),
         ("tpch", "q14"), ("tpch", "q16"),
-        ("tpcds", "q1"), ("tpcds", "q3"), ("tpcds", "q5"), ("tpcds", "q7"),
+        ("tpcds", "q1"), ("tpcds", "q2"), ("tpcds", "q3"), ("tpcds", "q5"),
+        ("tpcds", "q7"), ("tpcds", "q8"), ("tpcds", "q10"), ("tpcds", "q11"),
+        ("tpcds", "q30"), ("tpcds", "q35"), ("tpcds", "q49"), ("tpcds", "q74"),
         ("tpcds", "q9"), ("tpcds", "q12"), ("tpcds", "q13"), ("tpcds", "q15"),
         ("tpcds", "q16"), ("tpcds", "q17"), ("tpcds", "q18"), ("tpcds", "q19"),
         ("tpcds", "q20"), ("tpcds", "q22"), ("tpcds", "q25"), ("tpcds", "q26"),
