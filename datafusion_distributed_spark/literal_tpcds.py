@@ -10,6 +10,9 @@ user can paste any of the 99 texts:
 - the three sales facts are channel slices of lineitem JOIN orders (store =
   all rows, catalog = odd orderkeys, web = orderkey % 3 == 2 — the same
   modelling the engine-native TPC-DS classes use);
+- ``ss_addr_sk`` is NULL on ~5% of store_sales rows (official facts carry
+  ~4% NULL foreign keys; q44's baseline scalar subquery filters
+  ``ss_addr_sk IS NULL`` and is provably empty without a null lane);
 - the three returns facts are the ``l_returnflag = 'R'`` slice of their
   channel, so sales-to-returns joins on (item_sk, ticket/order_number) hit
   real rows;
@@ -251,7 +254,8 @@ SELECT {SOLD_SK} AS ss_sold_date_sk,
        l.l_partkey AS ss_item_sk,
        o.o_custkey AS ss_customer_sk,
        o.o_custkey AS ss_cdemo_sk,
-       {addr} AS ss_addr_sk,
+       CASE WHEN (l.l_orderkey * 7 + l.l_linenumber) % 20 = 0
+            THEN NULL ELSE {addr} END AS ss_addr_sk,
        CAST(l.l_suppkey % 10 + 1 AS {INT}) AS ss_store_sk,
        l.l_orderkey % 30 AS ss_promo_sk,
        l.l_orderkey AS ss_ticket_number,{fact_cols("ss_")}

@@ -87,8 +87,8 @@ _CASES = [
     ("tpch", "q21", False, True, None),
     ("tpch", "q22", False, False, None),
     # --- TPC-DS: 98 of 99 verbatim texts (r7 widening; was 8); 70 select
-    # real rows at sf0.001 (62 verbatim + q8 via the q8-literal zip
-    # vocabulary + 7 under the year-shift run); the 62 verbatim-populated
+    # real rows at sf0.001 (62 verbatim + q8/q44 via the zip/null-FK
+    # lanes + 7 under the year-shift run); the 62 verbatim-populated
     # are star=True — a builder audit showed every one of their plans
     # broadcasts its dimension side, so the gate pins it. The full
     # 24-table spec schema is view-mapped (literal_tpcds.py); the rest are
@@ -143,7 +143,7 @@ _CASES = [
     ("tpcds", "q41", False, False, None),
     ("tpcds", "q42", False, True, None),
     ("tpcds", "q43", False, True, None),
-    ("tpcds", "q44", False, False, None),
+    ("tpcds", "q44", False, False, None),  # populated via the ss_addr_sk null lane
     ("tpcds", "q45", False, True, None),
     ("tpcds", "q46", False, False, None),
     ("tpcds", "q47", False, True, None),
@@ -440,7 +440,8 @@ def test_literal_text_matches_duckdb(
         ("tpch", "q14"), ("tpch", "q16"),
         ("tpcds", "q1"), ("tpcds", "q2"), ("tpcds", "q3"), ("tpcds", "q5"),
         ("tpcds", "q7"), ("tpcds", "q8"), ("tpcds", "q10"), ("tpcds", "q11"),
-        ("tpcds", "q30"), ("tpcds", "q35"), ("tpcds", "q49"), ("tpcds", "q74"),
+        ("tpcds", "q30"), ("tpcds", "q35"), ("tpcds", "q44"),
+        ("tpcds", "q49"), ("tpcds", "q74"),
         ("tpcds", "q9"), ("tpcds", "q12"), ("tpcds", "q13"), ("tpcds", "q15"),
         ("tpcds", "q16"), ("tpcds", "q17"), ("tpcds", "q18"), ("tpcds", "q19"),
         ("tpcds", "q20"), ("tpcds", "q22"), ("tpcds", "q25"), ("tpcds", "q26"),
