@@ -319,6 +319,13 @@ _DATE_RE = re.compile(r"(')(\d{4})(-\d{2}-\d{2}')")
 # month-seq literals (1200), and id bands (738+40) are outside the range or
 # not 4-digit-year-shaped, so the blanket rewrite is safe for these texts.
 _YEAR_RE = re.compile(r"\b(19[9]\d|20[0-2]\d)\b")
+# d_month_seq literals ((year-1900)*12 + month-1: 1176 = 1998-01, 1200 =
+# 2000-01, 1212 = 2001-01); a year shift of N must move these by 12*N or a
+# text mixing d_year and d_month_seq predicates would straddle two
+# different shifted periods. Every bare 1100..1299 literal in the 99 texts
+# is a month_seq (audited; the one lookalike, zip '51200', is digit-
+# adjacent so \b does not match).
+_MONTH_SEQ_RE = re.compile(r"\b(1[12]\d\d)\b")
 _CREATE_VIEW_RE = re.compile(r"^\s*create\s+view\b", re.IGNORECASE)
 
 
@@ -344,6 +351,9 @@ def load_literal_statements(
         )
     if year_shift:
         text = _YEAR_RE.sub(lambda m: str(int(m.group(1)) + year_shift), text)
+        text = _MONTH_SEQ_RE.sub(
+            lambda m: str(int(m.group(1)) + 12 * year_shift), text
+        )
     # None of the benchmark texts embed ';' inside string literals.
     return [s.strip() for s in text.split(";") if s.strip()]
 

@@ -10,9 +10,11 @@ user can paste any of the 99 texts:
 - the three sales facts are channel slices of lineitem JOIN orders (store =
   all rows, catalog = odd orderkeys, web = orderkey % 3 == 2 — the same
   modelling the engine-native TPC-DS classes use);
-- ``ss_addr_sk`` is NULL on ~5% of store_sales rows (official facts carry
-  ~4% NULL foreign keys; q44's baseline scalar subquery filters
-  ``ss_addr_sk IS NULL`` and is provably empty without a null lane);
+- a NULL-FK lane mirrors the official facts' ~4% NULL foreign keys:
+  ``ss_addr_sk``/``ss_store_sk`` (~5%/4%), ``cs_ship_addr_sk``,
+  ``ws_ship_customer_sk`` — q44's baseline subquery needs
+  ``ss_addr_sk IS NULL`` and q76 unions exactly the three channels'
+  lost-key lanes; both are provably empty without NULLs;
 - the three returns facts are the ``l_returnflag = 'R'`` slice of their
   channel, so sales-to-returns joins on (item_sk, ticket/order_number) hit
   real rows;
@@ -22,7 +24,14 @@ user can paste any of the 99 texts:
 - ``time_dim`` (86 400 seconds), ``household_demographics`` (7 200 rows),
   ``income_band``/``reason``/``ship_mode``/``warehouse``/``call_center``/
   ``web_site``/``web_page``/``catalog_page`` are generated dimensions;
-- ``inventory`` is part x warehouse x week-grid with a hashed quantity;
+- ``inventory`` is part x warehouse x week-grid whose hashed quantity is
+  SPIKY (1-in-11 weeks jump ~20x, scrambled by a multiplicative hash
+  THROUGH an intermediate modulus — any affine function of the week
+  number stays periodic mod 11, so (A*c % 100000) % 11 is what makes
+  spikes land aperiodically per item-warehouse): a uniform hash has
+  cov = stdev/mean of about 0.58, structurally below q39's ``cov > 1``
+  filter at any scale — and a strictly periodic 11-week spike never
+  lands in two CONSECUTIVE months, emptying q39's month-pair self-join;
 - filter vocabularies are the official public-spec values the query texts
   actually name (i_category 'Music', s_state 'TN', s_county 'Williamson
   County', hd_buy_potential '>10000', r_reason_desc 'reason 28', ...), so
@@ -59,6 +68,17 @@ _I_CLASSES = [
     "accessories", "classical", "fragrances", "pants", "computers",
     "stereo", "football", "shirts", "birdal", "dresses", "maternity",
     "personal", "portable", "reference", "self-help", "romance",
+]
+# Official dsdgen brand pool style (<manufacturer syllables> + ' #n');
+# includes every literal q53/q63 filter on — the driver's TPC-H 'Brand#xy'
+# names made those filters structurally empty at ANY scale.
+_I_BRANDS = [
+    "scholaramalgamalg #14", "scholaramalgamalg #7", "exportiunivamalg #9",
+    "scholaramalgamalg #9", "amalgimporto #1", "edu packscholar #1",
+    "exportiimporto #1", "importoamalg #1", "exportischolar #2",
+    "importoedu pack #2", "amalgamalg #3", "univmaxi #5",
+    "namelessbrand #8", "edu packexporti #6", "corpnameless #4",
+    "brandunivamalg #10",
 ]
 _I_SIZES = ["N/A", "extra large", "medium", "petite", "small", "large", "economy"]
 _I_UNITS = ["Box", "Bunch", "Bundle", "Carton", "Case", "Cup", "Dozen",
@@ -256,7 +276,8 @@ SELECT {SOLD_SK} AS ss_sold_date_sk,
        o.o_custkey AS ss_cdemo_sk,
        CASE WHEN (l.l_orderkey * 7 + l.l_linenumber) % 20 = 0
             THEN NULL ELSE {addr} END AS ss_addr_sk,
-       CAST(l.l_suppkey % 10 + 1 AS {INT}) AS ss_store_sk,
+       CASE WHEN (l.l_orderkey * 11 + l.l_linenumber) % 25 = 0 THEN NULL
+            ELSE CAST(l.l_suppkey % 10 + 1 AS {INT}) END AS ss_store_sk,
        l.l_orderkey % 30 AS ss_promo_sk,
        l.l_orderkey AS ss_ticket_number,{fact_cols("ss_")}
 FROM {LO}"""
@@ -283,7 +304,8 @@ SELECT {SOLD_SK} AS cs_sold_date_sk,
        o.o_custkey AS cs_ship_customer_sk,
        o.o_custkey AS cs_ship_cdemo_sk,
        CAST((o.o_custkey * 31) % 7200 AS {INT}) AS cs_ship_hdemo_sk,
-       {addr} AS cs_ship_addr_sk,
+       CASE WHEN (l.l_orderkey * 13 + l.l_linenumber) % 25 = 0 THEN NULL
+            ELSE {addr} END AS cs_ship_addr_sk,
        CAST(l.l_suppkey % 6 + 1 AS {INT}) AS cs_call_center_sk,
        CAST((l.l_partkey * 3) % 300 + 1 AS {INT}) AS cs_catalog_page_sk,
        l.l_orderkey % 30 AS cs_promo_sk,
@@ -317,7 +339,8 @@ SELECT {SOLD_SK} AS ws_sold_date_sk,
        o.o_custkey AS ws_bill_cdemo_sk,
        CAST((o.o_custkey * 31) % 7200 AS {INT}) AS ws_bill_hdemo_sk,
        {addr} AS ws_bill_addr_sk,
-       o.o_custkey AS ws_ship_customer_sk,
+       CASE WHEN (l.l_orderkey * 17 + l.l_linenumber) % 25 = 0 THEN NULL
+            ELSE o.o_custkey END AS ws_ship_customer_sk,
        o.o_custkey AS ws_ship_cdemo_sk,
        CAST((o.o_custkey * 31) % 7200 AS {INT}) AS ws_ship_hdemo_sk,
        {addr} AS ws_ship_addr_sk,
@@ -348,7 +371,10 @@ WHERE o.o_orderkey % 3 = 2 AND l.l_returnflag = 'R'"""
 SELECT {ED("w.wk")} AS inv_date_sk,
        p.p_partkey AS inv_item_sk,
        wh.w AS inv_warehouse_sk,
-       CAST((p.p_partkey * 7 + wh.w * 13 + {ED("w.wk")} * 3) % 1000 AS {INT}) AS inv_quantity_on_hand
+       CAST(CASE WHEN ((p.p_partkey * 131 + wh.w * 7 + {ED("w.wk")} * 31) * 2654435761 % 100000) % 11 = 0
+                 THEN 400 + (p.p_partkey * 31 + {ED("w.wk")} * 5) % 600
+                 ELSE (p.p_partkey * 13 + wh.w * 17 + {ED("w.wk")} * 7) % 40
+            END AS {INT}) AS inv_quantity_on_hand
 FROM {base('part')} p
 CROSS JOIN {SEQI(1, 5, "w")} wh
 CROSS JOIN {SEQD("1995-01-01", "2002-12-31", 7, "wk")} w"""
@@ -421,7 +447,7 @@ SELECT p_partkey AS i_item_sk,
        CAST((p_partkey * 83) % 9900 + 10 AS DOUBLE) / 100 AS i_current_price,
        CAST((p_partkey * 83) % 9900 + 10 AS DOUBLE) / 100 * 0.6 AS i_wholesale_cost,
        CAST(p_partkey % 1000 AS {INT}) AS i_brand_id,
-       p_brand AS i_brand,
+       {_pick("p_partkey * 27", _I_BRANDS)} AS i_brand,
        CAST(1 + p_partkey % 16 AS {INT}) AS i_class_id,
        {_pick("p_partkey * 13", _I_CLASSES)} AS i_class,
        CAST(1 + p_partkey % 10 AS {INT}) AS i_category_id,

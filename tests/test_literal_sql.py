@@ -87,9 +87,9 @@ _CASES = [
     ("tpch", "q21", False, True, None),
     ("tpch", "q22", False, False, None),
     # --- TPC-DS: 98 of 99 verbatim texts (r7 widening; was 8); 70 select
-    # real rows at sf0.001 (62 verbatim + q8/q44 via the zip/null-FK
-    # lanes + 7 under the year-shift run); the 62 verbatim-populated
-    # are star=True — a builder audit showed every one of their plans
+    # real rows at sf0.001 (67 verbatim + q8/q44/q76 via the zip/null-FK
+    # lanes + 8 under the year-shift run); the verbatim-populated set
+    # is star=True — a builder audit showed every one of their plans
     # broadcasts its dimension side, so the gate pins it. The full
     # 24-table spec schema is view-mapped (literal_tpcds.py); the rest are
     # legitimately empty at sf0.001 (year
@@ -138,7 +138,7 @@ _CASES = [
     ("tpcds", "q36", False, True, None),
     ("tpcds", "q37", False, False, None),
     ("tpcds", "q38", False, True, None),
-    ("tpcds", "q39", False, False, None),
+    ("tpcds", "q39", False, True, None),
     ("tpcds", "q40", False, False, None),
     ("tpcds", "q41", False, False, None),
     ("tpcds", "q42", False, True, None),
@@ -152,17 +152,17 @@ _CASES = [
     ("tpcds", "q50", False, True, None),
     ("tpcds", "q51", False, False, None),
     ("tpcds", "q52", False, True, None),
-    ("tpcds", "q53", False, False, None),
+    ("tpcds", "q53", False, True, None),
     ("tpcds", "q54", False, False, None),
     ("tpcds", "q55", False, True, None),
     ("tpcds", "q56", False, False, None),
     ("tpcds", "q57", False, True, None),
     ("tpcds", "q58", False, False, None),
-    ("tpcds", "q59", False, False, None),
+    ("tpcds", "q59", "year", False, None),
     ("tpcds", "q60", False, True, None),
     ("tpcds", "q61", False, True, None),
     ("tpcds", "q62", False, True, None),
-    ("tpcds", "q63", False, False, None),
+    ("tpcds", "q63", False, True, None),
     ("tpcds", "q64", False, False, None),
     ("tpcds", "q65", False, True, None),
     ("tpcds", "q66", False, True, None),
@@ -175,7 +175,7 @@ _CASES = [
     ("tpcds", "q73", False, True, None),
     ("tpcds", "q74", "year", False, None),
     ("tpcds", "q75", False, False, None),
-    ("tpcds", "q76", False, False, None),
+    ("tpcds", "q76", False, True, None),
     ("tpcds", "q77", False, True, None),
     ("tpcds", "q78", False, True, None),
     ("tpcds", "q79", False, True, None),
@@ -440,8 +440,10 @@ def test_literal_text_matches_duckdb(
         ("tpch", "q14"), ("tpch", "q16"),
         ("tpcds", "q1"), ("tpcds", "q2"), ("tpcds", "q3"), ("tpcds", "q5"),
         ("tpcds", "q7"), ("tpcds", "q8"), ("tpcds", "q10"), ("tpcds", "q11"),
-        ("tpcds", "q30"), ("tpcds", "q35"), ("tpcds", "q44"),
-        ("tpcds", "q49"), ("tpcds", "q74"),
+        ("tpcds", "q30"), ("tpcds", "q35"), ("tpcds", "q39"),
+        ("tpcds", "q44"), ("tpcds", "q49"), ("tpcds", "q53"),
+        ("tpcds", "q59"), ("tpcds", "q63"), ("tpcds", "q74"),
+        ("tpcds", "q76"),
         ("tpcds", "q9"), ("tpcds", "q12"), ("tpcds", "q13"), ("tpcds", "q15"),
         ("tpcds", "q16"), ("tpcds", "q17"), ("tpcds", "q18"), ("tpcds", "q19"),
         ("tpcds", "q20"), ("tpcds", "q22"), ("tpcds", "q25"), ("tpcds", "q26"),
