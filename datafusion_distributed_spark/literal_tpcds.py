@@ -7,9 +7,12 @@ views covered just the sales-channel core. This module maps the ENTIRE public
 TPC-DS schema (all 24 tables, every spec column) onto the driver tables so a
 user can paste any of the 99 texts:
 
-- the three sales facts are channel slices of lineitem JOIN orders (store =
-  all rows, catalog = odd orderkeys, web = orderkey % 3 == 2 — the same
-  modelling the engine-native TPC-DS classes use);
+- the three sales facts are channel slices of lineitem JOIN orders
+  (store = orderkey % 12 != 11, catalog = odd, web = orderkey % 3 == 2):
+  catalog and web OVERLAP store, but the % 12 == 11 residue is
+  web+catalog ONLY — with store = all rows the other channels were strict subsets
+  and channel-compare texts (q51's web-cumulative > store-cumulative)
+  were structurally empty at any scale;
 - a NULL-FK lane mirrors the official facts' ~4% NULL foreign keys:
   ``ss_addr_sk``/``ss_store_sk`` (~5%/4%), ``cs_ship_addr_sk``,
   ``ws_ship_customer_sk`` — q44's baseline subquery needs
@@ -280,7 +283,8 @@ SELECT {SOLD_SK} AS ss_sold_date_sk,
             ELSE CAST(l.l_suppkey % 10 + 1 AS {INT}) END AS ss_store_sk,
        l.l_orderkey % 30 AS ss_promo_sk,
        l.l_orderkey AS ss_ticket_number,{fact_cols("ss_")}
-FROM {LO}"""
+FROM {LO}
+WHERE o.o_orderkey % 12 <> 11"""
 
     views["store_returns"] = f"""
 SELECT {SOLD_SK} + (l.l_orderkey * 3 + l.l_linenumber) % 90 + 1 AS sr_returned_date_sk,
@@ -292,7 +296,7 @@ SELECT {SOLD_SK} + (l.l_orderkey * 3 + l.l_linenumber) % 90 + 1 AS sr_returned_d
        CAST(l.l_suppkey % 10 + 1 AS {INT}) AS sr_store_sk,
        l.l_orderkey AS sr_ticket_number,{return_cols("sr_", "return_amt", "store_credit")}
 FROM {LO}
-WHERE l.l_returnflag = 'R'"""
+WHERE o.o_orderkey % 12 <> 11 AND l.l_returnflag = 'R'"""
 
     views["catalog_sales"] = f"""
 SELECT {SOLD_SK} AS cs_sold_date_sk,

@@ -87,8 +87,8 @@ _CASES = [
     ("tpch", "q21", False, True, None),
     ("tpch", "q22", False, False, None),
     # --- TPC-DS: 98 of 99 verbatim texts (r7 widening; was 8); 70 select
-    # real rows at sf0.001 (67 verbatim + q8/q44/q76 via the zip/null-FK
-    # lanes + 8 under the year-shift run); the verbatim-populated set
+    # real rows at sf0.001 (69 verbatim + q8/q44/q51/q76 via the zip/null-FK/channel
+    # lanes + 9 under the year-shift run); the verbatim-populated set
     # is star=True — a builder audit showed every one of their plans
     # broadcasts its dimension side, so the gate pins it. The full
     # 24-table spec schema is view-mapped (literal_tpcds.py); the rest are
@@ -150,7 +150,7 @@ _CASES = [
     ("tpcds", "q48", False, True, None),
     ("tpcds", "q49", "year", False, None),
     ("tpcds", "q50", False, True, None),
-    ("tpcds", "q51", False, False, None),
+    ("tpcds", "q51", False, True, None),  # populated: non-nested channel model
     ("tpcds", "q52", False, True, None),
     ("tpcds", "q53", False, True, None),
     ("tpcds", "q54", False, False, None),
@@ -174,7 +174,7 @@ _CASES = [
     ("tpcds", "q72", False, True, None),
     ("tpcds", "q73", False, True, None),
     ("tpcds", "q74", "year", False, None),
-    ("tpcds", "q75", False, False, None),
+    ("tpcds", "q75", "year", False, None),
     ("tpcds", "q76", False, True, None),
     ("tpcds", "q77", False, True, None),
     ("tpcds", "q78", False, True, None),
@@ -441,9 +441,9 @@ def test_literal_text_matches_duckdb(
         ("tpcds", "q1"), ("tpcds", "q2"), ("tpcds", "q3"), ("tpcds", "q5"),
         ("tpcds", "q7"), ("tpcds", "q8"), ("tpcds", "q10"), ("tpcds", "q11"),
         ("tpcds", "q30"), ("tpcds", "q35"), ("tpcds", "q39"),
-        ("tpcds", "q44"), ("tpcds", "q49"), ("tpcds", "q53"),
-        ("tpcds", "q59"), ("tpcds", "q63"), ("tpcds", "q74"),
-        ("tpcds", "q76"),
+        ("tpcds", "q44"), ("tpcds", "q49"), ("tpcds", "q51"),
+        ("tpcds", "q53"), ("tpcds", "q59"), ("tpcds", "q63"),
+        ("tpcds", "q74"), ("tpcds", "q75"), ("tpcds", "q76"),
         ("tpcds", "q9"), ("tpcds", "q12"), ("tpcds", "q13"), ("tpcds", "q15"),
         ("tpcds", "q16"), ("tpcds", "q17"), ("tpcds", "q18"), ("tpcds", "q19"),
         ("tpcds", "q20"), ("tpcds", "q22"), ("tpcds", "q25"), ("tpcds", "q26"),
