@@ -457,7 +457,7 @@ SELECT p_partkey AS i_item_sk,
        CAST(1 + p_partkey % 10 AS {INT}) AS i_category_id,
        {_pick("p_partkey", _I_CATEGORIES)} AS i_category,
        CAST(p_partkey % 1000 AS {INT}) AS i_manufact_id,
-       'Manufact#' || {S("p_partkey % 1000")} AS i_manufact,
+       'Manufact#' || {S("p_partkey % 25")} AS i_manufact,
        {_pick("p_partkey * 29", _I_SIZES)} AS i_size,
        'formulation ' || {S("p_partkey % 37")} AS i_formulation,
        {_pick("p_partkey * 29", _I_COLORS)} AS i_color,

@@ -29,7 +29,7 @@ from datafusion_distributed_spark.literal import (
     run_literal_sql,
 )
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = __import__("os").environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 
 def canon(v):
