@@ -293,9 +293,9 @@ def network_stream_summary(df: DataFrame) -> list[dict]:
     broadcast build) and the consumer stage reads it. This reports one row
     per exchange edge — the per-stream split the per-stage SQLMetrics
     rendering doesn't give — from the producer-side metrics Spark attaches
-    to the exchange node itself. Finer (per-reducer-task) granularity would
-    need a custom shuffle manager; per-edge matches the reference's
-    per-stream tables.
+    to the exchange node itself. For the per-(consumer-partition ←
+    producer-task) split of each shuffle edge — the reference's actual
+    per-Flight-stream byte counters — see ``network_stream_matrix``.
 
     Returns [{producer_stage, consumer_stage, kind, bytes, rows}] in plan
     order."""
@@ -321,6 +321,86 @@ def network_stream_summary(df: DataFrame) -> list[dict]:
             walk(child)
 
     walk(root)
+    return out
+
+
+_INT_MAX = 2147483647
+
+
+def _walk_shuffle_exchanges(jnode, out: list, seen_ids: set) -> None:
+    jnode = _unwrap(jnode)
+    if jnode.getClass().getSimpleName().startswith("ShuffleExchangeExec"):
+        out.append(jnode)
+    for ch in _jchildren(jnode):
+        _walk_shuffle_exchanges(ch, out, seen_ids)
+
+
+def network_stream_matrix(df: DataFrame) -> list[dict]:
+    """Per-(consumer-partition ← producer-task) bytes for EVERY shuffle edge
+    — the reference's per-Flight-stream granularity (call after the query
+    ran, before the context cleaner GCs the shuffle).
+
+    The reference wraps each consumer←producer Arrow-Flight stream in a
+    ``BytesCounterMetric`` (/root/reference/src/metrics/bytes_metric.rs), so
+    its metrics tables carry one byte count per (consumer task, producer
+    task) channel. In Spark that exact matrix already exists on the driver
+    without any custom shuffle manager: every map task registers a
+    ``MapStatus`` holding its output size toward every reduce partition, and
+    ``MapOutputTrackerMaster`` serves (blockId, size, mapIndex) triples per
+    reduce partition — the same numbers shuffle readers use to plan fetches.
+
+    Accuracy contract (documented, not a defect): MapStatus sizes are
+    log-1.1-quantized (``CompressedMapStatus``), so each stream's bytes are
+    an estimate within ~10 %; above 2000 reduce partitions Spark switches to
+    ``HighlyCompressedMapStatus`` and non-huge blocks report the average
+    block size. Empty streams (a producer wrote nothing toward a consumer)
+    are omitted, exactly like the reference's metrics tables, which only
+    materialize streams that opened.
+
+    AQE note: ``consumer_partition`` is the shuffle's reduce-partition id.
+    When AQE coalesces reducers, one consumer TASK reads a contiguous range
+    of these partitions; the per-partition rows are the finer-grained truth
+    and sum losslessly into per-task numbers.
+
+    Returns [{shuffle_id, producer_task, consumer_partition, bytes_est}],
+    ordered by (shuffle_id, producer_task, consumer_partition).
+    """
+    sc = df.sparkSession.sparkContext
+    mot = sc._jvm.org.apache.spark.SparkEnv.get().mapOutputTracker()
+    exchanges: list = []
+    _walk_shuffle_exchanges(df._jdf.queryExecution().executedPlan(), exchanges, set())
+    out: list[dict] = []
+    seen: set[int] = set()
+    for ex in exchanges:
+        dep = ex.shuffleDependency()
+        sid = int(dep.shuffleId())
+        if sid in seen:  # ReusedExchange: one physical shuffle, one matrix
+            continue
+        seen.add(sid)
+        nparts = int(dep.partitioner().numPartitions())
+        try:
+            it = mot.getMapSizesByExecutorId(sid, 0, _INT_MAX, 0, nparts)
+        except Exception:
+            continue  # shuffle already unregistered (context cleaner)
+        while it.hasNext():
+            tup = it.next()
+            blocks = tup._2().iterator()
+            while blocks.hasNext():
+                b = blocks.next()
+                block_id = str(b._1())  # shuffle_<sid>_<mapTaskId>_<reduceId>
+                if not block_id.startswith("shuffle_"):
+                    continue
+                out.append(
+                    {
+                        "shuffle_id": sid,
+                        "producer_task": int(b._3()),  # map partition index
+                        "consumer_partition": int(block_id.rsplit("_", 1)[1]),
+                        "bytes_est": int(b._2()),
+                    }
+                )
+    out.sort(
+        key=lambda r: (r["shuffle_id"], r["producer_task"], r["consumer_partition"])
+    )
     return out
 
 

@@ -283,6 +283,62 @@ def test_network_stream_summary_per_edge_bytes(spark):
                if s["kind"] == "shuffle" and s["rows"] > 0)
 
 
+def test_network_stream_matrix_per_stream_bytes(spark):
+    """Per-(consumer-partition ← producer-task) byte matrix — the
+    reference's per-Flight-stream BytesCounterMetric granularity
+    (src/metrics/bytes_metric.rs), served from MapOutputTrackerMaster
+    without a custom shuffle manager."""
+    from datafusion_distributed_spark.plans.explain import (
+        network_stream_matrix,
+        network_stream_summary,
+    )
+
+    df = tpch_q1(spark, SF_DIR)
+    df.collect()
+    matrix = network_stream_matrix(df)
+    assert matrix, "q1's one shuffle must yield stream rows"
+    assert len({r["shuffle_id"] for r in matrix}) == 1
+    for r in matrix:
+        assert r["bytes_est"] > 0
+        assert r["producer_task"] >= 0
+        assert r["consumer_partition"] >= 0
+    # The matrix must SUM to the per-edge producer-side total within the
+    # documented log-1.1 MapStatus quantization (~10 %).
+    edges = [s for s in network_stream_summary(df) if s["kind"] == "shuffle"]
+    assert len(edges) == 1
+    total = sum(r["bytes_est"] for r in matrix)
+    assert abs(total - edges[0]["bytes"]) <= 0.12 * edges[0]["bytes"] + 64
+    # Strictly finer than per-edge: at least one producer feeds multiple
+    # consumers (q1's partial agg hashes 4+ group keys across reducers).
+    fanout: dict[int, set] = {}
+    for r in matrix:
+        fanout.setdefault(r["producer_task"], set()).add(r["consumer_partition"])
+    assert max(len(v) for v in fanout.values()) > 1
+
+
+def test_network_stream_matrix_multi_shuffle(spark):
+    """Every shuffle edge of a join query gets its own matrix; reused
+    exchanges are reported once (one physical shuffle)."""
+    from datafusion_distributed_spark.plans.explain import (
+        network_stream_matrix,
+        network_stream_summary,
+    )
+
+    df = tpch_q3(spark, SF_DIR)
+    df.collect()
+    matrix = network_stream_matrix(df)
+    n_edges = sum(1 for s in network_stream_summary(df) if s["kind"] == "shuffle")
+    sids = {r["shuffle_id"] for r in matrix}
+    assert 1 <= len(sids) <= n_edges
+    # Rows are sorted and unique per (shuffle, producer, consumer) stream.
+    keys = [
+        (r["shuffle_id"], r["producer_task"], r["consumer_partition"])
+        for r in matrix
+    ]
+    assert keys == sorted(keys)
+    assert len(keys) == len(set(keys))
+
+
 def test_explain_analyze_renders_network_streams(spark):
     from datafusion_distributed_spark.plans.explain import explain_analyze
 
