@@ -4,14 +4,16 @@ SPARK_ERR, DUCK_ERR. Builder tool for deciding which texts to enable in
 tests/test_literal_sql.py. Usage:
     python tools/tpcds_sweep.py [q1 q72 ...]   # default: all 99
 
-Known engine divergence (the one excluded text, q14): GROUP BY ROLLUP over
+Known engine divergence (q14, the one shift-only text): GROUP BY ROLLUP over
 an EMPTY input. Minimal repro —
     SELECT k, sum(v) FROM (SELECT 'a' AS k, 1 AS v WHERE 1=0) t
     GROUP BY ROLLUP(k)
 DuckDB returns one row (NULL, NULL) — the SQL-standard ()-grouping-set row,
 like a global aggregate over empty input; Spark's PropagateEmptyRelation
-returns zero rows. q14's selection is provably empty on the driver data
-(it wants 2001-11; orders end 2001-08), so the verbatim text cannot agree.
+returns zero rows. q14's VERBATIM selection is provably empty on the driver
+data (it wants 2001-11; orders end 2001-08), so that spelling cannot agree;
+the lane runs q14 under the year-shift contract only (-1 lands on Nov 2000:
+populated, 100 rows, engines agree).
 """
 import math
 import sys
