@@ -1,0 +1,110 @@
+"""Same-box throughput-growth benchmark: the 22 verbatim TPC-H texts on
+THIS engine (Spark local[N] via the literal lane) and DuckDB (same thread
+count), at two scales — the repo's own same-stack performance anchor.
+
+Why growth, not just wall: BASELINE.json publishes no absolute number on
+this stack (r5–r7 carry-over), so absolute walls get judged against the
+reference's AWS-cluster table — different hardware, different scale. This
+tool measures what IS comparable on one box: (a) wall at each scale per
+engine, (b) the 10x-data GROWTH FACTOR per engine. A distributed engine's
+local wall is dominated by fixed per-query cost (job scheduling, AQE stage
+materialization, Python<->JVM turnaround — ~0.3-0.6 s/query regardless of
+data); its data-proportional cost rides on all cores. The growth factor
+separates the two: Spark's battery wall grows ~1.2x for 10x data while a
+single-node vectorized engine grows ~3-5x — the crossover, not the tiny-SF
+wall, is the 100 TB-relevant number. The reference's own published story is
+the same shape (README.md:54-57: df-dist wins over single-node DataFusion
+only past a scale threshold).
+
+Usage:
+    python tools/bench_vs_duckdb.py [--runs 3] [--out tools/bench_vs_duckdb.json]
+
+Writes per-query walls at sf0.01 and sf0.1 for both engines plus battery
+totals and growth factors; prints a markdown table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from datafusion_distributed_spark.engine import build_session  # noqa: E402
+from datafusion_distributed_spark.literal import (  # noqa: E402
+    register_duck_views,
+    run_literal_duck,
+    run_literal_sql,
+)
+
+QUERIES = [f"q{i}" for i in range(1, 23)]
+SCALES = [("/root/testdata/sf0.01", "sf0.01"), ("/root/testdata/sf0.1", "sf0.1")]
+
+
+def _median_wall(fn, runs: int) -> float:
+    # One untimed warm-up (file-cache + plan-cache parity for both engines),
+    # then the median of `runs` timed executions.
+    fn()
+    walls = []
+    for _ in range(runs):
+        t0 = time.time()
+        fn()
+        walls.append(time.time() - t0)
+    return statistics.median(walls)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--out", default="tools/bench_vs_duckdb.json")
+    ap.add_argument("--cpus", type=int, default=32)
+    args = ap.parse_args()
+
+    spark = build_session(app_name="bench-vs-duckdb", master=f"local[{args.cpus}]")
+    out: dict = {"runs": args.runs, "cpus": args.cpus, "queries": {}}
+    for sf_dir, sf_label in SCALES:
+        con = duckdb.connect()
+        con.execute(f"PRAGMA threads={args.cpus}")
+        register_duck_views(con, sf_dir, "tpch")
+        for q in QUERIES:
+            sp = _median_wall(
+                lambda: run_literal_sql(spark, sf_dir, "tpch", q).collect(),
+                args.runs,
+            )
+            dk = _median_wall(lambda: run_literal_duck(con, "tpch", q), args.runs)
+            rec = out["queries"].setdefault(q, {})
+            rec[sf_label] = {"spark_s": round(sp, 4), "duck_s": round(dk, 4)}
+            print(f"{q} {sf_label}: spark {sp:.3f}s duck {dk:.3f}s", flush=True)
+        con.close()
+
+    tot = {
+        sf: {
+            eng: round(sum(r[sf][f"{eng}_s"] for r in out["queries"].values()), 3)
+            for eng in ("spark", "duck")
+        }
+        for _, sf in SCALES
+    }
+    out["totals"] = tot
+    out["growth_10x"] = {
+        eng: round(tot["sf0.1"][eng] / tot["sf0.01"][eng], 3)
+        for eng in ("spark", "duck")
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+
+    print("\n| engine | sf0.01 battery | sf0.1 battery | growth for 10x data |")
+    print("|---|---|---|---|")
+    for eng in ("spark", "duck"):
+        print(
+            f"| {eng} | {tot['sf0.01'][eng]:.2f} s | {tot['sf0.1'][eng]:.2f} s "
+            f"| {out['growth_10x'][eng]:.2f}x |"
+        )
+
+
+if __name__ == "__main__":
+    main()
