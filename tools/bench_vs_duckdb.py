@@ -1,6 +1,7 @@
-"""Same-box throughput-growth benchmark: the 22 verbatim TPC-H texts on
-THIS engine (Spark local[N] via the literal lane) and DuckDB (same thread
-count), at two scales — the repo's own same-stack performance anchor.
+"""Same-box throughput-growth benchmark: the verbatim TPC-H (22) or
+ClickBench (43) texts on THIS engine (Spark local[N] via the literal lane)
+and DuckDB (same thread count), at two scales — the repo's own same-stack
+performance anchor.
 
 Why growth, not just wall: BASELINE.json publishes no absolute number on
 this stack (r5–r7 carry-over), so absolute walls get judged against the
@@ -17,7 +18,7 @@ the same shape (README.md:54-57: df-dist wins over single-node DataFusion
 only past a scale threshold).
 
 Usage:
-    python tools/bench_vs_duckdb.py [--runs 3] [--out tools/bench_vs_duckdb.json]
+    python tools/bench_vs_duckdb.py [--runs 3] [--suite {tpch,clickbench}]
 
 Writes per-query walls at sf0.01 and sf0.1 for both engines plus battery
 totals and growth factors; prints a markdown table.
@@ -42,7 +43,11 @@ from datafusion_distributed_spark.literal import (  # noqa: E402
     run_literal_sql,
 )
 
-QUERIES = [f"q{i}" for i in range(1, 23)]
+SUITE_QUERIES = {
+    "tpch": [f"q{i}" for i in range(1, 23)],
+    # all 43 verbatim ClickBench texts (single-table hits view)
+    "clickbench": [f"q{i}" for i in range(0, 43)],
+}
 SCALES = [("/root/testdata/sf0.01", "sf0.01"), ("/root/testdata/sf0.1", "sf0.1")]
 
 
@@ -60,23 +65,29 @@ def _median_wall(fn, runs: int) -> float:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--suite", choices=sorted(SUITE_QUERIES), default="tpch")
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--out", default="tools/bench_vs_duckdb.json")
+    ap.add_argument("--out", default=None)
     ap.add_argument("--cpus", type=int, default=32)
     args = ap.parse_args()
+    out_path = args.out or f"tools/bench_vs_duckdb_{args.suite}.json"
 
     spark = build_session(app_name="bench-vs-duckdb", master=f"local[{args.cpus}]")
-    out: dict = {"runs": args.runs, "cpus": args.cpus, "queries": {}}
+    out: dict = {
+        "suite": args.suite, "runs": args.runs, "cpus": args.cpus, "queries": {},
+    }
     for sf_dir, sf_label in SCALES:
         con = duckdb.connect()
         con.execute(f"PRAGMA threads={args.cpus}")
-        register_duck_views(con, sf_dir, "tpch")
-        for q in QUERIES:
+        register_duck_views(con, sf_dir, args.suite)
+        for q in SUITE_QUERIES[args.suite]:
             sp = _median_wall(
-                lambda: run_literal_sql(spark, sf_dir, "tpch", q).collect(),
+                lambda: run_literal_sql(spark, sf_dir, args.suite, q).collect(),
                 args.runs,
             )
-            dk = _median_wall(lambda: run_literal_duck(con, "tpch", q), args.runs)
+            dk = _median_wall(
+                lambda: run_literal_duck(con, args.suite, q), args.runs
+            )
             rec = out["queries"].setdefault(q, {})
             rec[sf_label] = {"spark_s": round(sp, 4), "duck_s": round(dk, 4)}
             print(f"{q} {sf_label}: spark {sp:.3f}s duck {dk:.3f}s", flush=True)
@@ -94,7 +105,7 @@ def main() -> None:
         eng: round(tot["sf0.1"][eng] / tot["sf0.01"][eng], 3)
         for eng in ("spark", "duck")
     }
-    with open(args.out, "w") as f:
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
 
     print("\n| engine | sf0.01 battery | sf0.1 battery | growth for 10x data |")
