@@ -248,6 +248,51 @@ if _os.path.isdir(REFERENCE_QUERIES):
         )
 
     @query(
+        "lit_tpcds_q3_brand_november",
+        oracle=_tpcds_oracle(
+            "q3",
+            ("date_dim", "store_sales", "item"),
+            ("d_year", "brand_id", "brand", "sum_agg"),
+        ),
+        tags=("literal", "tpcds", "star-join"),
+    )
+    def lit_tpcds_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q3: manufacturer-filtered November brand report. The
+        # ORDER BY (d_year, sum_agg DESC, brand_id) is a total order —
+        # brand_id is a group key — so LIMIT 100 is deterministic.
+        return run_literal_sql(spark, sf_dir, "tpcds", "q3").toDF(
+            "d_year", "brand_id", "brand", "sum_agg"
+        )
+
+    @query(
+        "lit_tpcds_q52_manager_brand_november",
+        oracle=_tpcds_oracle(
+            "q52",
+            ("date_dim", "store_sales", "item"),
+            ("d_year", "brand_id", "brand", "ext_price"),
+        ),
+        tags=("literal", "tpcds", "star-join"),
+    )
+    def lit_tpcds_q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return run_literal_sql(spark, sf_dir, "tpcds", "q52").toDF(
+            "d_year", "brand_id", "brand", "ext_price"
+        )
+
+    @query(
+        "lit_tpcds_q55_brand_report",
+        oracle=_tpcds_oracle(
+            "q55",
+            ("date_dim", "store_sales", "item"),
+            ("brand_id", "brand", "ext_price"),
+        ),
+        tags=("literal", "tpcds", "star-join"),
+    )
+    def lit_tpcds_q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return run_literal_sql(spark, sf_dir, "tpcds", "q55").toDF(
+            "brand_id", "brand", "ext_price"
+        )
+
+    @query(
         "lit_tpcds_q96_evening_count",
         oracle=_tpcds_oracle(
             "q96",

@@ -1,5 +1,5 @@
 """Same-box throughput-growth benchmark: the verbatim TPC-H (22) or
-ClickBench (43) texts on THIS engine (Spark local[N] via the literal lane)
+ClickBench (43) / TPC-DS (99) texts on THIS engine (Spark local[N] via the literal lane)
 and DuckDB (same thread count), at two scales — the repo's own same-stack
 performance anchor.
 
@@ -18,7 +18,7 @@ the same shape (README.md:54-57: df-dist wins over single-node DataFusion
 only past a scale threshold).
 
 Usage:
-    python tools/bench_vs_duckdb.py [--runs 3] [--suite {tpch,clickbench}]
+    python tools/bench_vs_duckdb.py [--runs 3] [--suite {tpch,clickbench,tpcds}]
 
 Writes per-query walls at sf0.01 and sf0.1 for both engines plus battery
 totals and growth factors; prints a markdown table.
@@ -47,6 +47,9 @@ SUITE_QUERIES = {
     "tpch": [f"q{i}" for i in range(1, 23)],
     # all 43 verbatim ClickBench texts (single-table hits view)
     "clickbench": [f"q{i}" for i in range(0, 43)],
+    # all 99 TPC-DS texts (q14 runs verbatim here: timing, not a result
+    # differential — the rollup-over-empty divergence is irrelevant to wall)
+    "tpcds": [f"q{i}" for i in range(1, 100)],
 }
 SCALES = [("/root/testdata/sf0.01", "sf0.01"), ("/root/testdata/sf0.1", "sf0.1")]
 
@@ -81,26 +84,40 @@ def main() -> None:
         con.execute(f"PRAGMA threads={args.cpus}")
         register_duck_views(con, sf_dir, args.suite)
         for q in SUITE_QUERIES[args.suite]:
-            sp = _median_wall(
-                lambda: run_literal_sql(spark, sf_dir, args.suite, q).collect(),
-                args.runs,
-            )
-            dk = _median_wall(
-                lambda: run_literal_duck(con, args.suite, q), args.runs
-            )
             rec = out["queries"].setdefault(q, {})
+            try:
+                sp = _median_wall(
+                    lambda: run_literal_sql(spark, sf_dir, args.suite, q).collect(),
+                    args.runs,
+                )
+                dk = _median_wall(
+                    lambda: run_literal_duck(con, args.suite, q), args.runs
+                )
+            except Exception as e:  # record and continue: a battery tool
+                rec[sf_label] = {"err": str(e).split("\n")[0][:200]}
+                print(f"{q} {sf_label}: ERR {rec[sf_label]['err']}", flush=True)
+                continue
             rec[sf_label] = {"spark_s": round(sp, 4), "duck_s": round(dk, 4)}
             print(f"{q} {sf_label}: spark {sp:.3f}s duck {dk:.3f}s", flush=True)
         con.close()
 
+    # Totals over queries that succeeded at BOTH scales, so the growth
+    # factor compares identical batteries.
+    ok = [
+        q for q, r in out["queries"].items()
+        if all("err" not in r.get(sf, {"err": 1}) for _, sf in SCALES)
+    ]
     tot = {
         sf: {
-            eng: round(sum(r[sf][f"{eng}_s"] for r in out["queries"].values()), 3)
+            eng: round(
+                sum(out["queries"][q][sf][f"{eng}_s"] for q in ok), 3
+            )
             for eng in ("spark", "duck")
         }
         for _, sf in SCALES
     }
     out["totals"] = tot
+    out["n_ok"] = len(ok)
     out["growth_10x"] = {
         eng: round(tot["sf0.1"][eng] / tot["sf0.01"][eng], 3)
         for eng in ("spark", "duck")
