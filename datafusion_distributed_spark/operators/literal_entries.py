@@ -265,6 +265,40 @@ if _os.path.isdir(REFERENCE_QUERIES):
         )
 
     @query(
+        "lit_tpcds_q19_cross_zip_brands",
+        oracle=_tpcds_oracle(
+            "q19",
+            ("date_dim", "store_sales", "item", "customer",
+             "customer_address", "store"),
+            ("brand_id", "brand", "i_manufact_id", "i_manufact", "ext_price"),
+        ),
+        tags=("literal", "tpcds", "star-join"),
+    )
+    def lit_tpcds_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q19: brand report for customers shopping outside their
+        # own zip (SUBSTRING(ca_zip,1,5) <> SUBSTRING(s_zip,1,5)). ORDER BY
+        # lists every group key after the sum — fully deterministic.
+        return run_literal_sql(spark, sf_dir, "tpcds", "q19").toDF(
+            "brand_id", "brand", "i_manufact_id", "i_manufact", "ext_price"
+        )
+
+    @query(
+        "lit_tpcds_q45_zip_or_item_web",
+        oracle=_tpcds_oracle(
+            "q45",
+            ("web_sales", "customer", "customer_address", "date_dim", "item"),
+            ("ca_zip", "ca_city", "sum_sales"),
+        ),
+        tags=("literal", "tpcds", "disjunctive-subquery"),
+    )
+    def lit_tpcds_q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q45: zip-prefix OR uncorrelated-IN-subquery disjunction;
+        # ORDER BY is the full group key (ca_zip, ca_city).
+        return run_literal_sql(spark, sf_dir, "tpcds", "q45").toDF(
+            "ca_zip", "ca_city", "sum_sales"
+        )
+
+    @query(
         "lit_tpcds_q52_manager_brand_november",
         oracle=_tpcds_oracle(
             "q52",
