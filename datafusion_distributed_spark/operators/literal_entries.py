@@ -70,6 +70,53 @@ def lit_cb_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CB_Q1_ORACLE = f"""
+WITH {_lit_ctes("hits")}
+SELECT COUNT(*) AS n_adv FROM lit_hits WHERE "AdvEngineID" <> 0
+"""
+
+
+@query(
+    "lit_cb_q1_filtered_count",
+    oracle=_CB_Q1_ORACLE,
+    tags=("literal", "clickbench", "count"),
+)
+def lit_cb_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_literal_sql(spark, sf_dir, "clickbench", "q1").toDF("n_adv")
+
+
+_CB_Q5_ORACLE = f"""
+WITH {_lit_ctes("hits")}
+SELECT COUNT(DISTINCT "SearchPhrase") AS n_phrases FROM lit_hits
+"""
+
+
+@query(
+    "lit_cb_q5_distinct_phrases",
+    oracle=_CB_Q5_ORACLE,
+    tags=("literal", "clickbench", "distinct"),
+)
+def lit_cb_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_literal_sql(spark, sf_dir, "clickbench", "q5").toDF("n_phrases")
+
+
+_CB_Q6_ORACLE = f"""
+WITH {_lit_ctes("hits")}
+SELECT MIN("EventDate") AS min_date, MAX("EventDate") AS max_date FROM lit_hits
+"""
+
+
+@query(
+    "lit_cb_q6_date_range",
+    oracle=_CB_Q6_ORACLE,
+    tags=("literal", "clickbench"),
+)
+def lit_cb_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_literal_sql(spark, sf_dir, "clickbench", "q6").toDF(
+        "min_date", "max_date"
+    )
+
+
 _TPCH_Q4_ORACLE = f"""
 WITH {_lit_ctes("lineitem", "orders")}
 SELECT o_orderpriority, COUNT(*) AS order_count
