@@ -339,6 +339,23 @@ def test_network_stream_matrix_multi_shuffle(spark):
     assert len(keys) == len(set(keys))
 
 
+def test_network_stream_matrix_aqe_off(spark):
+    """The matrix walker unwraps plain (non-adaptive) exchange nodes too —
+    static plans carry ShuffleExchangeExec directly, no QueryStage wrappers."""
+    from datafusion_distributed_spark.plans.explain import network_stream_matrix
+
+    prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = tpch_q1(spark, SF_DIR)
+        df.collect()
+        matrix = network_stream_matrix(df)
+        assert matrix
+        assert all(r["bytes_est"] > 0 for r in matrix)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prior)
+
+
 def test_explain_analyze_renders_network_streams(spark):
     from datafusion_distributed_spark.plans.explain import explain_analyze
 
