@@ -425,6 +425,17 @@ def explain_analyze(df: DataFrame, with_task_latency: bool = True) -> str:
                 f"  stage {s['consumer_stage']} ← stage {s['producer_stage']} "
                 f"[{s['kind']}]: {s['bytes']:,} bytes, {s['rows']:,} rows"
             )
+    # Busiest per-task streams (the reference's per-Flight-stream byte
+    # counters) — top 5 so a skewed channel is visible at a glance.
+    matrix = network_stream_matrix(df)
+    if matrix:
+        lines.append("Busiest streams (consumer partition ← producer task):")
+        top = sorted(matrix, key=lambda r: -r["bytes_est"])[:5]
+        for r in top:
+            lines.append(
+                f"  shuffle {r['shuffle_id']}: part {r['consumer_partition']}"
+                f" ← task {r['producer_task']}: ~{r['bytes_est']:,} bytes"
+            )
     lines.append("")
     lines.append("Task latency per scheduler stage:")
     for r in latency:

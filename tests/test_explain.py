@@ -362,6 +362,7 @@ def test_explain_analyze_renders_network_streams(spark):
     out = explain_analyze(tpch_q3(spark, SF_DIR))
     assert "Network streams (consumer ← producer):" in out
     assert "bytes," in out
+    assert "Busiest streams (consumer partition ← producer task):" in out
 
 
 def test_rank_topn_uses_window_group_limit(spark):
