@@ -358,7 +358,10 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = tb["region"].filter(F.col("r_name") == "AMERICA")
     joined = (
         tb["lineitem"]
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        # part is SF-growing (200k rows x SF); the 'ECONOMY' slice keeps the
+        # same growth class, so no pinned broadcast — AQE decides (it still
+        # broadcasts at every tested scale; r7 VERDICT item 1).
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(tb["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(tb["customer"], F.col("c_custkey") == F.col("o_custkey"))
@@ -623,8 +626,11 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") != "Brand#1") & (~F.col("p_type").like("PROMO%"))
     )
     bad_supp = tb["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    # bad_supp is the negative-balance slice of supplier, which grows
+    # linearly with SF — no pinned broadcast; AQE picks the build side
+    # at runtime (r7 VERDICT item 1).
     li = tb["lineitem"].join(
-        F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
     )
     joined = part.join(li, F.col("p_partkey") == F.col("l_partkey"))
     return joined.groupBy("p_brand", "p_type", "p_size").agg(
@@ -657,8 +663,10 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
         F.avg("l_quantity").alias("avg_quantity")
     )
+    # The brand slice of part is still ~1/|brands| of an SF-growing table —
+    # no pinned broadcast; AQE decides (r7 VERDICT item 1).
     joined = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(avg_qty, F.col("l_partkey") == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_quantity"))
     )

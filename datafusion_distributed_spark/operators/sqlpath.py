@@ -3198,15 +3198,19 @@ def _q44_frames(spark: SparkSession, sf_dir: str, store_slice: int = 4) -> DataF
     asc_r = v1.withColumn("rnk", F.rank().over(wa)).where(F.col("rnk") < 11)
     desc_r = v1.withColumn("rnk", F.rank().over(wd)).where(F.col("rnk") < 11)
     part = t(spark, sf_dir)["part"]
+    # No F.broadcast on `part`: it grows linearly with SF (200k rows x SF —
+    # billions at the 100 TB design point). The rank-pruned best/worst frames
+    # are <=10 rows each; AQE picks THEM as the broadcast side at runtime,
+    # which is the correct orientation at any scale (r7 VERDICT item 1).
     return (
         asc_r.alias("a")
         .join(desc_r.alias("d"), "rnk")
         .join(
-            F.broadcast(part.alias("i1")),
+            part.alias("i1"),
             F.col("i1.p_partkey") == F.col("a.item_sk"),
         )
         .join(
-            F.broadcast(part.alias("i2")),
+            part.alias("i2"),
             F.col("i2.p_partkey") == F.col("d.item_sk"),
         )
         .select(

@@ -128,8 +128,11 @@ def _enrich_purchases(purchases: DataFrame, customers: DataFrame) -> DataFrame:
     """Per-segment purchase totals: purchases keyed by user joined to the
     static customer dim (user_id -> c_custkey), aggregated by segment.
     Money in exact integer cents until output."""
+    # customer is SF-growing (150k rows x SF), so the static enrichment dim
+    # carries no pinned broadcast hint — Spark's stream-static join planner
+    # (and AQE on the batch path) picks the strategy (r7 VERDICT item 1).
     joined = purchases.join(
-        F.broadcast(customers.select("c_custkey", "c_mktsegment")),
+        customers.select("c_custkey", "c_mktsegment"),
         purchases["user_id"] == F.col("c_custkey"),
     )
     return (

@@ -91,3 +91,127 @@ def test_no_pinned_vocabulary_broadcasts():
                 f"{fn.__name__}: pinned broadcast on vocabulary-scale "
                 f"table '{var}' — let AQE decide (see r6 VERDICT item 1)"
             )
+
+
+# ---------------------------------------------------------------------------
+# Whole-package broadcast whitelist (r7 VERDICT item 2). The same anti-pattern
+# — a pinned F.broadcast on a frame that GROWS with the corpus / scale factor
+# — was fixed four times in four modules (CC labels r3, cluster table r6,
+# vocabularies r7, TPC-H dimension slices r8). No runtime gate can see it
+# (the local fixtures are tiny), so the fix is pinned at the source level:
+# EVERY `F.broadcast(` site in datafusion_distributed_spark/ must appear in
+# the whitelist below with a boundedness justification, and no whitelisted
+# argument may mention an SF-growing base table. A new broadcast site fails
+# this test until its boundedness argument is written down here.
+# ---------------------------------------------------------------------------
+
+# Frames whose row count is INDEPENDENT of corpus size / scale factor:
+#   nation (25 rows) / region (5 rows) fixed dims; 1-row global aggregates;
+#   per-source / per-lang / per-bucket threshold tables (group-key bounded);
+#   fixed query-term or query-vector sets (Q-bounded, user-supplied);
+#   eval-set frames (decontamination references, fixed);
+#   CMS counter tables (depth x width fixed); calendar-day spines.
+_BROADCAST_WHITELIST: dict[tuple[str, str], str] = {
+    # --- sampling.py: threshold / offset tables, group-key bounded ---
+    ("operators/sampling.py", "cmin"): "1-row global class-minimum aggregate",
+    ("operators/sampling.py", "thr"): "per-source threshold table (|sources| rows)",
+    ("operators/sampling.py", "boundary.select(\"source\", \"bucket\", \"offset_before\")"):
+        "per-(source,bucket) prefix-sum offsets (bucket-count bounded)",
+    ("operators/sampling.py", "offs"): "per-(bucket,sub) offsets (bucket-count bounded)",
+    ("operators/sampling.py", "nmin"): "1-row global minimum aggregate",
+    # --- textstats.py: 1-row totals, per-source/lang thresholds, bounded heads ---
+    ("operators/textstats.py", "nd"): "1-row corpus doc-count aggregate",
+    ("operators/textstats.py", "head.withColumn(\"in_head\", F.lit(1))"):
+        "df>=20%-of-docs head set — pigeonhole-bounded at <=5/0.2 tokens per "
+        "avg distinct-token count, independent of corpus size",
+    ("operators/textstats.py", "src"): "per-source stats (|sources| rows)",
+    ("operators/textstats.py", "thr"):
+        "per-source / per-lang threshold table (group-key bounded)",
+    ("operators/textstats.py", "tot"): "1-row corpus-total aggregate",
+    ("operators/textstats.py", "df_tbl"):
+        "BM25 df over the FIXED query-term list (<=|terms| rows)",
+    ("operators/textstats.py", "stats"): "1-row corpus stats (n_docs, total_dl)",
+    ("operators/textstats.py", "n_docs"): "1-row doc-count aggregate",
+    # --- relational.py: fixed dims and 1-row scalars only ---
+    ("operators/relational.py", "nat"): "nation dim, 25 rows at any SF",
+    ("operators/relational.py", "reg"): "region dim, 5 rows at any SF",
+    ("operators/relational.py", "n1"): "nation projection, 25 rows",
+    ("operators/relational.py", "n2"): "nation projection, 25 rows",
+    ("operators/relational.py", "region"): "region slice, <=5 rows",
+    ("operators/relational.py", "tb[\"nation\"]"): "nation dim, 25 rows",
+    ("operators/relational.py", "max_rev"): "1-row max-revenue scalar",
+    ("operators/relational.py", "stats"): "1-row avg-balance scalar",
+    # --- dedup.py: eval-set-bounded decontamination frames ---
+    ("operators/dedup.py", "eval_sh"): "eval-set shingles (fixed reference set)",
+    ("operators/dedup.py", "hits"): "eval-hit doc ids (eval-set bounded)",
+    # --- clickstream.py ---
+    ("operators/clickstream.py", "cd"): "CMS counter slice (depth x width fixed)",
+    ("operators/clickstream.py", "dd"):
+        "per-day aggregate joined to the calendar spine (day-span bounded)",
+    ("operators/clickstream.py", "global_profile"): "1-row global profile",
+    # --- analytic.py: fixed dims ---
+    ("operators/analytic.py", "tb[\"nation\"]"): "nation dim, 25 rows",
+    ("operators/analytic.py", "tb[\"region\"]"): "region dim, 5 rows",
+    # --- similarity.py: query-set frames, Q-bounded by contract ---
+    ("operators/similarity.py", "q"): "query-vector set (Q-bounded, documented)",
+    ("operators/similarity.py", "qd"): "query cells (Q x nprobe bounded)",
+}
+
+# Base tables that grow linearly with scale factor: any broadcast argument
+# that references one of these LITERALLY is banned even if whitelisted.
+_SF_GROWING = ('["part"]', '["supplier"]', '["customer"]', '["orders"]',
+               '["lineitem"]', '["documents"]', '["embeddings"]', '["events"]')
+
+
+def _broadcast_sites():
+    """Yield (relpath, normalized-argument) for every F.broadcast( call."""
+    from pathlib import Path
+
+    import datafusion_distributed_spark as pkg
+
+    root = Path(pkg.__file__).parent
+    for path in sorted(root.rglob("*.py")):
+        text = path.read_text()
+        rel = str(path.relative_to(root))
+        start = 0
+        while True:
+            idx = text.find("F.broadcast(", start)
+            if idx == -1:
+                break
+            # balanced-paren scan from the opening paren
+            depth = 0
+            j = idx + len("F.broadcast(") - 1
+            while j < len(text):
+                if text[j] == "(":
+                    depth += 1
+                elif text[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            arg = " ".join(text[idx + len("F.broadcast(") : j].split())
+            arg = arg.replace("( ", "(").replace(" )", ")").replace(" ,", ",")
+            yield rel, arg
+            start = j
+
+
+def test_broadcast_whitelist_covers_every_site():
+    """Every F.broadcast site must be whitelisted with a boundedness reason,
+    and none may reference an SF-growing base table."""
+    found = set()
+    for rel, arg in _broadcast_sites():
+        found.add((rel, arg))
+        assert not any(g in arg for g in _SF_GROWING), (
+            f"{rel}: F.broadcast({arg}) references an SF-growing base table "
+            "— part/supplier/customer/orders/lineitem/documents grow with "
+            "scale factor; a constant-selectivity filter does not change the "
+            "growth class. Drop the hint and let AQE decide (r7 VERDICT)."
+        )
+        assert (rel, arg) in _BROADCAST_WHITELIST, (
+            f"{rel}: unwhitelisted F.broadcast({arg}) — add it to "
+            "_BROADCAST_WHITELIST in tests/test_plan_lint.py WITH a written "
+            "boundedness justification (fixed dim / 1-row scalar / group-key "
+            "bounded / query-set bounded), or remove the hint."
+        )
+    stale = {k for k in _BROADCAST_WHITELIST if k not in found}
+    assert not stale, f"stale whitelist entries (site removed/edited): {stale}"
