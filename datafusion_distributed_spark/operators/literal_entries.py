@@ -1,9 +1,13 @@
 """Registry entries that execute the LITERAL reference texts.
 
-The literal lane (datafusion_distributed_spark/literal.py, round 6) runs
-verbatim benchmark texts over schema-mapped views; its full 48-execution
-differential lives in tests/test_literal_sql.py. These registry entries put
-a sample of that lane behind the driver's own correctness gate: the Spark
+The literal lane (datafusion_distributed_spark/literal.py +
+literal_tpcds.py) runs verbatim benchmark texts over schema-mapped views:
+TPC-H 22/22, TPC-DS 99/99, ClickBench 43/43 — 164 reference texts, each
+differentially compared against DuckDB in tests/test_literal_sql.py
+(79 TPC-DS texts value-proven on populated selections at sf0.001, 8 more at
+sf0.01; the remainder agree-on-empty at tested scales — tier split documented
+at tests/test_literal_sql.py::_SPARSE_NOTES). These registry entries put
+a subset of that lane behind the driver's own correctness gate: the Spark
 side executes the VERBATIM reference text end-to-end (views + spark.sql);
 the oracle re-derives the same result over the identical view derivations
 spelled as DuckDB CTEs (``lit_*`` names so the CTE bodies can reference the

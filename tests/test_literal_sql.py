@@ -19,9 +19,13 @@ compares numerics at 9 significant digits instead of the engine-native
 battery's bit-exact repr. Relative float-sum noise is ~1e-12; a real defect
 (wrong rows in the aggregate) moves results by whole units.
 
-Coverage (round 7): TPC-H 22/22, TPC-DS 99/99 (q14 runs ONLY under the
+Coverage (round 8): TPC-H 22/22, TPC-DS 99/99 (q14 runs ONLY under the
 year-shift contract — see the _CASES comment), ClickBench 43/43 — 164
-reference texts, 163 of them also verbatim.
+reference texts, 163 of them also verbatim. Population tiers: 79 TPC-DS
+texts fire at sf0.001, 8 more at sf0.01 (_SF001_CASES), q41/q91 at sf0.1
+(test_sparse_text_populates_at_sf01); q23/q24/q54/q64/q84/q85 need SF>=1
+density and carry per-text waivers with both-engines-agree evidence at
+sf0.1 (_SPARSE_NOTES); q34/q46/q68 are ticket-size-bound at any scale.
 
 Plan-shape gate: every literal plan is asserted free of cartesian products,
 and the star-join texts must broadcast their dimension sides — the same
@@ -513,11 +517,12 @@ def test_tpcds_pick_multipliers_coprime():
 # windows like q21/q82, q4's three-channel-growth customer intersection
 # under the year shift). This differential at the larger scale proves the
 # emptiness above is data-thinness, not a broken derivation, and that
-# values still agree when the selections fire. Builder probes place
-# q41/q91 at the sf0.1 tier; the q34/q46/q68 family is TICKET-SIZE-bound
-# (their 15-20-items-per-ticket bands are unreachable with the driver's
-# <= 7-line orders at ANY scale — both engines agree empty), and
-# q23/q24/q54/q64/q84/q85 need SF >= 1 conjunction density.
+# values still agree when the selections fire. q41/q91 populate at the
+# sf0.1 tier (pinned below in test_sparse_text_populates_at_sf01); the
+# q34/q46/q68 family is TICKET-SIZE-bound (their 15-20-items-per-ticket
+# bands are unreachable with the driver's <= 7-line orders at ANY scale —
+# both engines agree empty), and q23/q24/q54/q64/q84/q85 need SF >= 1
+# conjunction density (waived with sf0.1 agreement evidence below).
 _SF001_CASES = [("q4", -1), ("q6", 0), ("q21", 0), ("q40", 0), ("q56", 0),
                 ("q58", 0), ("q71", 0), ("q82", 0)]
 _SF001_DIR = "/root/testdata/sf0.01"
@@ -539,4 +544,72 @@ def test_sf_bound_text_populates_at_sf001(spark, name, yshift):
     finally:
         con.close()
         # the module-level suite memo must not assume these sf0.01 views
+        _LAST_DUCK_SUITE[0] = None
+
+
+# --- sf0.1 tier (r7 VERDICT item 3) ----------------------------------------
+# q41 (100 rows) and q91 (4 rows) fire VERBATIM at sf0.1 — value-checked
+# populated here, pinning the tier the round-7 comment only claimed.
+_SF01_POPULATED = ["q41", "q91"]
+# The six texts below stay empty at sf0.1 at EVERY year shift (builder probe,
+# round 8): their selections need SF >= 1 conjunction density. Per-text
+# waiver notes; the test below proves the emptiness is data-thinness, not a
+# broken derivation, by running the verbatim text through BOTH engines at
+# sf0.1 and asserting they agree (identically empty). Reference proves these
+# on populated SF1 data (/root/reference/tests/tpcds_correctness_test.rs);
+# generating an SF1-density fixture is out of the driver's fixture budget,
+# and a view-layer densification would perturb the other 93 value-checked
+# texts sharing the same view derivations — waived instead, with evidence.
+_SPARSE_NOTES = {
+    "q23": "frequent-item x best-customer intersection: needs items bought "
+           ">4x/yr AND customers above the 95th store-sales percentile in "
+           "BOTH channels — joint density reached only near SF1",
+    "q24": "store/customer zip-pair return match under 0.05*avg-paid floor: "
+           "the salesreturns self-pair plus same-zip conjunction is "
+           "~1/|zips| selective per pair",
+    "q54": "month-window revenue segmentation over customers acquired via a "
+           "cross-channel category purchase — acquisition cohort empty "
+           "below SF1",
+    "q64": "cross-year same-item store-sale+return+catalog-sale chain with "
+           "price-ratio floor: a 6-way conjunction on one item",
+    "q84": "income-band + city + demographics equality chain on "
+           "customer_address/household_demographics",
+    "q85": "web_returns x reason x 3-band demographics/address conjunction",
+}
+
+
+@pytest.mark.parametrize("name", _SF01_POPULATED)
+def test_sparse_text_populates_at_sf01(spark, name):
+    """q41/q91: verbatim texts, value-checked on POPULATED selections at
+    sf0.1 (the tier the round-7 _SF001_CASES comment claimed; this pins it)."""
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf01):
+        pytest.skip("sf0.1 fixtures not available")
+    con = duckdb.connect()
+    try:
+        register_duck_views(con, sf01, "tpcds")
+        df = run_literal_sql(spark, sf01, "tpcds", name, year_shift=0)
+        cols, rows = run_literal_duck(con, "tpcds", name, year_shift=0)
+        n = _compare(df, cols, rows, f"tpcds/{name}@sf0.1")
+        assert n > 0, f"tpcds/{name}: expected a populated selection at sf0.1"
+    finally:
+        con.close()
+        _LAST_DUCK_SUITE[0] = None
+
+
+@pytest.mark.parametrize("name", sorted(_SPARSE_NOTES))
+def test_sf1_bound_text_agrees_at_sf01(spark, name):
+    """SF>=1-density texts: verbatim run through BOTH engines at sf0.1 must
+    agree (expected: identically empty — see _SPARSE_NOTES waivers)."""
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf01):
+        pytest.skip("sf0.1 fixtures not available")
+    con = duckdb.connect()
+    try:
+        register_duck_views(con, sf01, "tpcds")
+        df = run_literal_sql(spark, sf01, "tpcds", name, year_shift=0)
+        cols, rows = run_literal_duck(con, "tpcds", name, year_shift=0)
+        _compare(df, cols, rows, f"tpcds/{name}@sf0.1")
+    finally:
+        con.close()
         _LAST_DUCK_SUITE[0] = None
