@@ -38,6 +38,8 @@ _CROSS_OK = {
     "text_rare_token_fraction",  # 1-row corpus-count scalar joined onto vocab df
     "sql_multiband_counts",  # q88 shape: cross join of four 1-row counts
     "sql_ampm_ratio",  # q90 shape: cross join of two 1-row counts
+    "lit_tpcds_q88_store_hour_bands",  # verbatim q88: eight 1-row counts crossed
+    "lit_tpcds_q90_ampm_ratio",  # verbatim q90: two 1-row counts crossed
     "cb_kmv_sketch_merge",  # 1-row exact count x 1-row merged-sketch kth value
     "sql_bucket_profile",  # q28 shape: cross join of four 1-row band aggregates
     "text_source_drift",  # 1-row corpus-total scalar crossed onto vocab frame
