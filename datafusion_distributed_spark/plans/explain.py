@@ -327,12 +327,12 @@ def network_stream_summary(df: DataFrame) -> list[dict]:
 _INT_MAX = 2147483647
 
 
-def _walk_shuffle_exchanges(jnode, out: list, seen_ids: set) -> None:
+def _walk_shuffle_exchanges(jnode, out: list) -> None:
     jnode = _unwrap(jnode)
     if jnode.getClass().getSimpleName().startswith("ShuffleExchangeExec"):
         out.append(jnode)
     for ch in _jchildren(jnode):
-        _walk_shuffle_exchanges(ch, out, seen_ids)
+        _walk_shuffle_exchanges(ch, out)
 
 
 def network_stream_matrix(df: DataFrame) -> list[dict]:
@@ -368,7 +368,7 @@ def network_stream_matrix(df: DataFrame) -> list[dict]:
     sc = df.sparkSession.sparkContext
     mot = sc._jvm.org.apache.spark.SparkEnv.get().mapOutputTracker()
     exchanges: list = []
-    _walk_shuffle_exchanges(df._jdf.queryExecution().executedPlan(), exchanges, set())
+    _walk_shuffle_exchanges(df._jdf.queryExecution().executedPlan(), exchanges)
     out: list[dict] = []
     seen: set[int] = set()
     for ex in exchanges:
@@ -388,18 +388,149 @@ def network_stream_matrix(df: DataFrame) -> list[dict]:
             while blocks.hasNext():
                 b = blocks.next()
                 block_id = str(b._1())  # shuffle_<sid>_<mapTaskId>_<reduceId>
-                if not block_id.startswith("shuffle_"):
+                fields = block_id.split("_")
+                # Exactly 4 fields = ShuffleBlockId. A 5-field
+                # ShuffleBlockBatchId (shuffle_<sid>_<map>_<start>_<end>)
+                # would otherwise silently report its END-reduce id as the
+                # partition — skip anything that isn't the plain shape.
+                if fields[0] != "shuffle" or len(fields) != 4:
                     continue
                 out.append(
                     {
                         "shuffle_id": sid,
                         "producer_task": int(b._3()),  # map partition index
-                        "consumer_partition": int(block_id.rsplit("_", 1)[1]),
+                        "consumer_partition": int(fields[3]),
                         "bytes_est": int(b._2()),
                     }
                 )
     out.sort(
         key=lambda r: (r["shuffle_id"], r["producer_task"], r["consumer_partition"])
+    )
+    return out
+
+
+def _aqe_shuffle_read_specs(jroot) -> dict:
+    """shuffle_id -> list of AQE partition specs (one spec per consumer
+    TASK, in task order) for every AQEShuffleReadExec in the executed plan."""
+    specs: dict[int, list] = {}
+
+    def walk(jnode):
+        cls = jnode.getClass().getSimpleName()
+        if cls.startswith("AdaptiveSparkPlanExec"):
+            walk(jnode.executedPlan())
+            return
+        if cls.endswith("QueryStageExec"):
+            walk(jnode.plan())
+            return
+        if cls.startswith("ReusedExchangeExec"):
+            walk(jnode.child())
+            return
+        if cls.startswith("AQEShuffleReadExec"):
+            exch: list = []
+            _walk_shuffle_exchanges(jnode, exch)
+            if exch:
+                sid = int(exch[0].shuffleDependency().shuffleId())
+                it = jnode.partitionSpecs().iterator()
+                sl = []
+                while it.hasNext():
+                    sl.append(it.next())
+                # ReusedExchange: first read wins (same physical shuffle,
+                # identical coalescing decided once by AQE).
+                specs.setdefault(sid, sl)
+        for ch in _jchildren(jnode):
+            walk(ch)
+
+    walk(jroot)
+    return specs
+
+
+def network_stream_matrix_by_task(df: DataFrame) -> list[dict]:
+    """Per-(consumer-TASK ← producer-task) bytes: ``network_stream_matrix``
+    rolled up over AQE's partition specs so each row is one actual fetch
+    stream — a 1:1 match for the reference's per-Flight-stream table
+    (/root/reference/src/metrics/bytes_metric.rs): one Flight stream per
+    (consumer task, producer task) channel.
+
+    Under AQE, a consumer task reads a contiguous reduce-partition range
+    (CoalescedPartitionSpec), one map-range slice of a skewed partition
+    (PartialReducerPartitionSpec), or one map's partition range (the
+    local-read PartialMapperPartitionSpec); the per-partition rows sum
+    losslessly into these. Shuffles read without an AQEShuffleReadExec
+    (static plans, AQE off) degrade to task == partition.
+
+    Skew-join note: when AQE splits a skewed partition, the OTHER join
+    side's matching partition is replicated — each split task re-fetches
+    it, so that shuffle's per-task byte total legitimately EXCEEDS the
+    producer-written total reported by ``network_stream_matrix``. That is
+    faithful to the wire: the reference's per-Flight-stream counters would
+    likewise count one stream per re-fetch.
+
+    Returns [{shuffle_id, producer_task, consumer_task, bytes_est,
+    n_partitions}] sorted by (shuffle_id, consumer_task, producer_task).
+    """
+    matrix = network_stream_matrix(df)
+    specs = _aqe_shuffle_read_specs(df._jdf.queryExecution().executedPlan())
+    by_sid: dict[int, list] = {}
+    for r in matrix:
+        by_sid.setdefault(r["shuffle_id"], []).append(r)
+    out: list[dict] = []
+    for sid, rows in by_sid.items():
+        sl = specs.get(sid)
+        if sl is None:
+            for r in rows:
+                out.append(
+                    {
+                        "shuffle_id": sid,
+                        "producer_task": r["producer_task"],
+                        "consumer_task": r["consumer_partition"],
+                        "bytes_est": r["bytes_est"],
+                        "n_partitions": 1,
+                    }
+                )
+            continue
+        for task_idx, spec in enumerate(sl):
+            scls = spec.getClass().getSimpleName()
+            if scls.startswith("CoalescedPartitionSpec"):
+                lo = int(spec.startReducerIndex())
+                hi = int(spec.endReducerIndex())  # exclusive
+                sel = [r for r in rows if lo <= r["consumer_partition"] < hi]
+            elif scls.startswith("PartialReducerPartitionSpec"):
+                red = int(spec.reducerIndex())
+                m0 = int(spec.startMapIndex())
+                m1 = int(spec.endMapIndex())  # exclusive
+                sel = [
+                    r
+                    for r in rows
+                    if r["consumer_partition"] == red
+                    and m0 <= r["producer_task"] < m1
+                ]
+            elif scls.startswith("PartialMapperPartitionSpec"):
+                mi = int(spec.mapIndex())
+                lo = int(spec.startReducerIndex())
+                hi = int(spec.endReducerIndex())
+                sel = [
+                    r
+                    for r in rows
+                    if r["producer_task"] == mi
+                    and lo <= r["consumer_partition"] < hi
+                ]
+            else:  # unknown spec shape: report nothing rather than guess
+                sel = []
+            per_prod: dict[int, list] = {}
+            for r in sel:
+                per_prod.setdefault(r["producer_task"], []).append(r)
+            for prod, rs in per_prod.items():
+                out.append(
+                    {
+                        "shuffle_id": sid,
+                        "producer_task": prod,
+                        "consumer_task": task_idx,
+                        "bytes_est": sum(r["bytes_est"] for r in rs),
+                        "n_partitions": len(rs),
+                    }
+                )
+    out.sort(
+        key=lambda r: (r["shuffle_id"], r["consumer_task"], r["producer_task"])
     )
     return out
 
@@ -436,6 +567,19 @@ def explain_analyze(df: DataFrame, with_task_latency: bool = True) -> str:
                 f"  shuffle {r['shuffle_id']}: part {r['consumer_partition']}"
                 f" ← task {r['producer_task']}: ~{r['bytes_est']:,} bytes"
             )
+        # The same streams at the reference's per-Flight-stream grain: one
+        # row per (consumer TASK ← producer task) actual fetch channel,
+        # with AQE-coalesced partition ranges summed per task.
+        tasks = network_stream_matrix_by_task(df)
+        if tasks:
+            lines.append("Busiest task streams (consumer task ← producer task):")
+            for r in sorted(tasks, key=lambda r: -r["bytes_est"])[:5]:
+                lines.append(
+                    f"  shuffle {r['shuffle_id']}: task {r['consumer_task']}"
+                    f" ← task {r['producer_task']}: ~{r['bytes_est']:,} bytes"
+                    f" ({r['n_partitions']} partition"
+                    f"{'s' if r['n_partitions'] != 1 else ''})"
+                )
     lines.append("")
     lines.append("Task latency per scheduler stage:")
     for r in latency:

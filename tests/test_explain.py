@@ -342,17 +342,24 @@ def test_network_stream_matrix_multi_shuffle(spark):
 def test_network_stream_matrix_aqe_off(spark):
     """The matrix walker unwraps plain (non-adaptive) exchange nodes too —
     static plans carry ShuffleExchangeExec directly, no QueryStage wrappers."""
+    from datafusion_distributed_spark import engine
     from datafusion_distributed_spark.plans.explain import network_stream_matrix
 
-    prior = spark.conf.get("spark.sql.adaptive.enabled")
+    # Patch RUNTIME_CONFS too: query entrypoints re-apply it on table load,
+    # so a bare conf.set silently leaves AQE on (round-8 fix).
+    prior = engine.RUNTIME_CONFS["spark.sql.adaptive.enabled"]
+    engine.RUNTIME_CONFS["spark.sql.adaptive.enabled"] = "false"
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         df = tpch_q1(spark, SF_DIR)
         df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "AdaptiveSparkPlan" not in plan, "AQE still on — toggle failed"
         matrix = network_stream_matrix(df)
         assert matrix
         assert all(r["bytes_est"] > 0 for r in matrix)
     finally:
+        engine.RUNTIME_CONFS["spark.sql.adaptive.enabled"] = prior
         spark.conf.set("spark.sql.adaptive.enabled", prior)
 
 
@@ -363,6 +370,82 @@ def test_explain_analyze_renders_network_streams(spark):
     assert "Network streams (consumer ← producer):" in out
     assert "bytes," in out
     assert "Busiest streams (consumer partition ← producer task):" in out
+    assert "Busiest task streams (consumer task ← producer task):" in out
+
+
+def test_network_stream_matrix_by_task_rollup(spark):
+    """Per-task rollup of the stream matrix: the reference's
+    per-Flight-stream table is one byte counter per (consumer task,
+    producer task) channel (src/metrics/bytes_metric.rs); under AQE a
+    consumer task reads a coalesced reduce-partition RANGE, so the rollup
+    must (a) conserve bytes exactly, (b) never have more consumer tasks
+    than reduce partitions, and (c) attribute every stream to exactly one
+    task (no double-counted or dropped partitions)."""
+    from datafusion_distributed_spark.plans.explain import (
+        network_stream_matrix,
+        network_stream_matrix_by_task,
+    )
+
+    df = tpch_q1(spark, SF_DIR)
+    df.collect()
+    matrix = network_stream_matrix(df)
+    tasks = network_stream_matrix_by_task(df)
+    assert tasks
+    # (a) lossless: per-shuffle byte totals match the fine matrix exactly.
+    for sid in {r["shuffle_id"] for r in matrix}:
+        fine = sum(r["bytes_est"] for r in matrix if r["shuffle_id"] == sid)
+        coarse = sum(r["bytes_est"] for r in tasks if r["shuffle_id"] == sid)
+        assert coarse == fine, f"shuffle {sid}: {coarse} != {fine}"
+        # (c) partition multiplicity is conserved too.
+        n_fine = sum(1 for r in matrix if r["shuffle_id"] == sid)
+        n_coarse = sum(
+            r["n_partitions"] for r in tasks if r["shuffle_id"] == sid
+        )
+        assert n_coarse == n_fine
+    # (b) AQE coalescing can only shrink the consumer-side fan-in.
+    n_consumer_tasks = len({(r["shuffle_id"], r["consumer_task"]) for r in tasks})
+    n_partitions = len(
+        {(r["shuffle_id"], r["consumer_partition"]) for r in matrix}
+    )
+    assert n_consumer_tasks <= n_partitions
+    # Rows are sorted and unique per (shuffle, consumer_task, producer).
+    keys = [
+        (r["shuffle_id"], r["consumer_task"], r["producer_task"]) for r in tasks
+    ]
+    assert keys == sorted(keys) and len(keys) == len(set(keys))
+
+
+def test_network_stream_matrix_by_task_aqe_off_identity(spark):
+    """Without an AQEShuffleReadExec the rollup degrades to
+    task == partition: same rows as the fine matrix, n_partitions == 1."""
+    from datafusion_distributed_spark.plans.explain import (
+        network_stream_matrix,
+        network_stream_matrix_by_task,
+    )
+
+    from datafusion_distributed_spark import engine
+
+    prior = engine.RUNTIME_CONFS["spark.sql.adaptive.enabled"]
+    engine.RUNTIME_CONFS["spark.sql.adaptive.enabled"] = "false"
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = tpch_q1(spark, SF_DIR)
+        df.collect()
+        fine = network_stream_matrix(df)
+        tasks = network_stream_matrix_by_task(df)
+        assert tasks and all(r["n_partitions"] == 1 for r in tasks)
+        assert {
+            (r["shuffle_id"], r["consumer_task"], r["producer_task"],
+             r["bytes_est"])
+            for r in tasks
+        } == {
+            (r["shuffle_id"], r["consumer_partition"], r["producer_task"],
+             r["bytes_est"])
+            for r in fine
+        }
+    finally:
+        engine.RUNTIME_CONFS["spark.sql.adaptive.enabled"] = prior
+        spark.conf.set("spark.sql.adaptive.enabled", prior)
 
 
 def test_rank_topn_uses_window_group_limit(spark):
@@ -429,3 +512,83 @@ def test_case_scalar_subqueries_merge_and_reuse(spark):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedSubquery" in executed, executed[:2000]
+
+
+def test_network_stream_matrix_by_task_skew_replication(spark):
+    """Skew-join splitting: the split side's partitions roll up losslessly
+    (map-range slices partition the producer set), while the OTHER side's
+    matching partition is replicated — one re-fetch per split task — so its
+    per-task bytes legitimately EXCEED the producer-written bytes. Both
+    directions are pinned here."""
+    from pyspark.sql import functions as F
+
+    from datafusion_distributed_spark.plans.explain import (
+        network_stream_matrix,
+        network_stream_matrix_by_task,
+    )
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 50000).select(
+            (F.col("id") % 500).alias("k"), F.rand(7).alias("v")
+        )
+        hot = spark.range(0, 400000).select(
+            F.lit(0).cast("long").alias("k"), F.rand(3).alias("v")
+        )
+        right = spark.range(0, 500).select(
+            F.col("id").alias("k"), F.rand(5).alias("w")
+        )
+        df = (
+            left.unionAll(hot)
+            .join(right, "k")
+            .select(F.sum(F.col("v") + F.col("w")).alias("s"))
+        )
+        df.collect()
+        fine = network_stream_matrix(df)
+        tasks = network_stream_matrix_by_task(df)
+        split_sids = {
+            r["shuffle_id"] for r in tasks if r["n_partitions"] == 1
+        }
+        # At least one shuffle must have been skew-split into map-range
+        # slices (several tasks reading the same reducer partition).
+        per_sid_fine = {}
+        per_sid_coarse = {}
+        for r in fine:
+            per_sid_fine[r["shuffle_id"]] = (
+                per_sid_fine.get(r["shuffle_id"], 0) + r["bytes_est"]
+            )
+        for r in tasks:
+            per_sid_coarse[r["shuffle_id"]] = (
+                per_sid_coarse.get(r["shuffle_id"], 0) + r["bytes_est"]
+            )
+        assert set(per_sid_fine) == set(per_sid_coarse)
+        # Fetch totals can only meet or exceed written totals (replication),
+        # never undercount (a dropped partition).
+        exceeded = 0
+        for sid in per_sid_fine:
+            assert per_sid_coarse[sid] >= per_sid_fine[sid], (
+                f"shuffle {sid}: rollup dropped bytes "
+                f"({per_sid_coarse[sid]} < {per_sid_fine[sid]})"
+            )
+            if per_sid_coarse[sid] > per_sid_fine[sid]:
+                exceeded += 1
+        assert exceeded >= 1, (
+            "expected at least one skew-replicated shuffle "
+            f"(per-sid fine {per_sid_fine}, coarse {per_sid_coarse})"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
