@@ -371,11 +371,16 @@ SELECT {SOLD_SK} + (l.l_orderkey * 3 + l.l_linenumber) % 90 + 1 AS wr_returned_d
 FROM {LO}
 WHERE o.o_orderkey % 3 = 2 AND l.l_returnflag = 'R'"""
 
+    # Spike hash: the pre-multiply `% 100000` keeps the product in BIGINT
+    # range at ANY scale factor ((x*c) mod m == ((x mod m)*c) mod m, so
+    # values are identical); without it p_partkey ~ 3e8 would overflow —
+    # Spark (non-ANSI) wraps silently while DuckDB raises, diverging the
+    # differential asymmetrically.
     views["inventory"] = f"""
 SELECT {ED("w.wk")} AS inv_date_sk,
        p.p_partkey AS inv_item_sk,
        wh.w AS inv_warehouse_sk,
-       CAST(CASE WHEN ((p.p_partkey * 131 + wh.w * 7 + {ED("w.wk")} * 31) * 2654435761 % 100000) % 11 = 0
+       CAST(CASE WHEN (((p.p_partkey * 131 + wh.w * 7 + {ED("w.wk")} * 31) % 100000) * 2654435761 % 100000) % 11 = 0
                  THEN 400 + (p.p_partkey * 31 + {ED("w.wk")} * 5) % 600
                  ELSE (p.p_partkey * 13 + wh.w * 17 + {ED("w.wk")} * 7) % 40
             END AS {INT}) AS inv_quantity_on_hand

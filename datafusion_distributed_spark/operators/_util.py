@@ -106,6 +106,22 @@ def release_local_checkpoint(df) -> None:
 _CHECKPOINT_SLOTS: dict = {}
 
 
+def _prune_dead_sessions(slots: dict) -> None:
+    """Drop slots owned by STOPPED sessions: the multi-session differential
+    harnesses create short-lived sessions, and a (session, key) entry holds
+    strong references to the dead session and its frame for the process
+    lifetime otherwise (r7 ADVICE). A stopped PySpark context nulls its
+    _jsc, which is the liveness signal used here; the blocks themselves
+    died with the session, so popping the entry is the whole cleanup."""
+    dead = [
+        k
+        for k in slots
+        if getattr(k[0].sparkContext, "_jsc", None) is None
+    ]
+    for k in dead:
+        slots.pop(k, None)
+
+
 def slot_local_checkpoint(key: str, df) -> "DataFrame":
     """Eager localCheckpoint with single-slot ownership per operator.
 
@@ -122,6 +138,7 @@ def slot_local_checkpoint(key: str, df) -> "DataFrame":
     # Slots are keyed per (SparkSession, operator): two sessions in one
     # process (the differential harnesses) must not release each other's
     # blocks — localCheckpoint lineage cannot be recomputed (r6 ADVICE).
+    _prune_dead_sessions(_CHECKPOINT_SLOTS)
     skey = (df.sparkSession, key)
     prev = _CHECKPOINT_SLOTS.pop(skey, None)
     if prev is not None:
@@ -144,6 +161,7 @@ def slot_persist(key: str, df, eager: bool = False) -> "DataFrame":
     more than it saves (p50 0.61 s lazy vs 0.69 s eager); what actually
     mattered was releasing the PREVIOUS invocation's block, which an
     un-slotted persist never does."""
+    _prune_dead_sessions(_PERSIST_SLOTS)
     skey = (df.sparkSession, key)
     prev = _PERSIST_SLOTS.pop(skey, None)
     if prev is not None:

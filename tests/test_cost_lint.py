@@ -84,14 +84,26 @@ def test_narrow_battery_per_row_cost(spark, counts, load):
             # stale by then — the r6 judge flake). A genuine per-row storm
             # (>3x the quiet budget) still fails the retry because the
             # calibration probe slows with the same ambient conditions.
+            # The retry must pass at a TIGHTER margin (85 % of budget) and
+            # is logged even on pass, so a marginal real regression riding a
+            # transient probe slowdown leaves a trail instead of vanishing
+            # (r7 ADVICE).
             lf2 = load_factor(spark, COST_SF_DIR, counts)
-            elapsed = measure(qd.fn, spark, COST_SF_DIR)
-            if elapsed <= budget_seconds(rows, lf2):
+            elapsed2 = measure(qd.fn, spark, COST_SF_DIR)
+            print(
+                f"[cost-lint retry] {name}: first {elapsed:.2f}s "
+                f"(budget {budget_seconds(rows, load):.2f}s at load "
+                f"{load:.2f}), retry {elapsed2:.2f}s (budget "
+                f"{budget_seconds(rows, lf2):.2f}s at re-measured load "
+                f"{lf2:.2f}), rows={rows}"
+            )
+            if elapsed2 <= 0.85 * budget_seconds(rows, lf2):
                 continue
             violations.append(
-                f"{name}: {elapsed:.2f}s for {rows} rows "
-                f"(budget {budget_seconds(rows, lf2):.2f}s at re-measured "
-                f"load {lf2:.2f} — {elapsed / max(rows, 1) * 1e6:.1f} µs/row)"
+                f"{name}: {elapsed2:.2f}s for {rows} rows "
+                f"(first run {elapsed:.2f}s; retry budget "
+                f"0.85*{budget_seconds(rows, lf2):.2f}s at re-measured "
+                f"load {lf2:.2f} — {elapsed2 / max(rows, 1) * 1e6:.1f} µs/row)"
             )
     assert violations == [], (
         "narrow-only queries exceeding the per-row cost budget "
