@@ -420,6 +420,47 @@ if _os.path.isdir(REFERENCE_QUERIES):
         # into one row (the reference's multi-scan shape) — all integers.
         return run_literal_sql(spark, sf_dir, "tpcds", "q88").toDF(*_Q88_COLS)
 
+    _PROMO_AVG_COLS = ("i_item_id", "agg1", "agg2", "agg3", "agg4")
+
+    @query(
+        "lit_tpcds_q7_promo_store_avgs",
+        oracle=_tpcds_oracle(
+            "q7",
+            ("store_sales", "customer_demographics", "date_dim", "item",
+             "promotion"),
+            _PROMO_AVG_COLS,
+        ),
+        tags=("literal", "tpcds", "star-join", "avg"),
+        order_by="i_item_id",
+    )
+    def lit_tpcds_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q7: per-item AVGs of integer-valued monetary doubles for
+        # demographics-filtered promo sales. avg = exact-integer-sum /
+        # count, divided identically in double by both engines (the
+        # lit_cb_q2 precedent); i_item_id is the lone group key, so
+        # ORDER BY + LIMIT 100 is total.
+        return run_literal_sql(spark, sf_dir, "tpcds", "q7").toDF(
+            *_PROMO_AVG_COLS
+        )
+
+    @query(
+        "lit_tpcds_q26_promo_catalog_avgs",
+        oracle=_tpcds_oracle(
+            "q26",
+            ("catalog_sales", "customer_demographics", "date_dim", "item",
+             "promotion"),
+            _PROMO_AVG_COLS,
+        ),
+        tags=("literal", "tpcds", "star-join", "avg"),
+        order_by="i_item_id",
+    )
+    def lit_tpcds_q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # q7's catalog-channel twin (cs_bill_cdemo_sk path) — same exactness
+        # argument.
+        return run_literal_sql(spark, sf_dir, "tpcds", "q26").toDF(
+            *_PROMO_AVG_COLS
+        )
+
     @query(
         "lit_tpcds_q90_ampm_ratio",
         oracle="SELECT CAST(am_pm_ratio AS DOUBLE) AS am_pm_ratio FROM ("
