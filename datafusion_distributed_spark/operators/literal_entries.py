@@ -420,6 +420,42 @@ if _os.path.isdir(REFERENCE_QUERIES):
         # into one row (the reference's multi-scan shape) — all integers.
         return run_literal_sql(spark, sf_dir, "tpcds", "q88").toDF(*_Q88_COLS)
 
+    @query(
+        "lit_tpcds_q92_excess_discount",
+        oracle=_tpcds_oracle(
+            "q92",
+            ("web_sales", "item", "date_dim"),
+            ("excess_discount_amount",),
+        ),
+        tags=("literal", "tpcds", "correlated-subquery"),
+    )
+    def lit_tpcds_q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q92: discounts above 1.3x the per-item window average.
+        # The threshold is avg (exact-int-sum / count) * 1.3 — identical
+        # double math on identical exact inputs in both engines — and the
+        # output SUM is over integer-valued monetary doubles (exact).
+        return run_literal_sql(spark, sf_dir, "tpcds", "q92").toDF(
+            "excess_discount_amount"
+        )
+
+    _Q95_COLS = ("order_count", "total_shipping_cost", "total_net_profit")
+
+    @query(
+        "lit_tpcds_q95_returned_multiwarehouse",
+        oracle=_tpcds_oracle(
+            "q95",
+            ("web_sales", "web_returns", "date_dim", "customer_address",
+             "web_site"),
+            _Q95_COLS,
+        ),
+        tags=("literal", "tpcds", "semi-join", "distinct"),
+    )
+    def lit_tpcds_q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q95: multi-warehouse returned web orders — a self-join
+        # CTE feeding two IN subqueries, COUNT(DISTINCT) + exact
+        # integer-valued money sums; single-row output.
+        return run_literal_sql(spark, sf_dir, "tpcds", "q95").toDF(*_Q95_COLS)
+
     _PROMO_AVG_COLS = ("i_item_id", "agg1", "agg2", "agg3", "agg4")
 
     @query(
