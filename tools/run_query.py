@@ -57,6 +57,12 @@ def main() -> int:
 
     spark = build_session(app_name=f"run:{args.name}", master="local[8]")
     df = REGISTRY[args.name].fn(spark, args.sf)
+    # Worker plan rewrite hooks run where a plan leaves the engine for
+    # execution (reference: with_distributed_worker_plan_rewrite_handler,
+    # docs/advanced/03-plan-hooks.md). No-op unless hooks are registered.
+    from datafusion_distributed_spark.plans.hooks import run_plan_hooks
+
+    df = run_plan_hooks(df)
 
     if args.explain:
         from datafusion_distributed_spark.plans.explain import render_stage_tree
