@@ -59,6 +59,14 @@ class HookContext:
     def local_property(self, key: str) -> Optional[str]:
         return self.spark.sparkContext.getLocalProperty(key)
 
+    def option_extension(self, cls):
+        """Typed option extension rebuilt from propagated properties —
+        the reference hook test reads its PlanHookOptions the same way
+        (with_distributed_option_extension_from_headers)."""
+        from .options import get_option_extension
+
+        return get_option_extension(cls, self.spark)
+
 
 # (name, handler) in registration order — the reference runs handlers in the
 # order they were added to the builder.
