@@ -283,6 +283,111 @@ class _NoJob:
 _NO_JOB = _NoJob()
 
 
+def _opt(jopt, default=None):
+    """Unwrap a scala Option."""
+    try:
+        return jopt.get() if jopt.isDefined() else default
+    except Exception:
+        return default
+
+
+def per_task_metrics(df: DataFrame, max_tasks_per_stage: int = 10_000) -> list[dict]:
+    """Per-TASK runtime metrics for every executed scheduler stage — the
+    reference's ``DistributedMetricsFormat::PerTask`` rendering
+    (docs/source/user-guide/05-metrics.md: "each metric collects its
+    per-task values into a map keyed by task id,
+    ``output_rows={0:.., 1:..}``"), as opposed to the Aggregated per-node
+    SQLMetrics ``explain_analyze`` renders.
+
+    Drains the query under a dedicated job group (metrics exist only after
+    execution — same ordering contract as the reference), then reads each
+    task's metrics from the AppStatusStore: the scheduler already records
+    per-task input/output/shuffle/duration numbers, so no listener code is
+    needed.
+
+    Returns one dict per executed stage:
+    ``{stage_id, name, n_tasks, metrics: {metric_name: {task_index: value}}}``
+    with metric names ``duration_ms, records_read, bytes_read,
+    shuffle_read_bytes, shuffle_read_records, shuffle_write_bytes,
+    shuffle_write_records, records_written``. Stages skipped by reuse
+    (ReusedExchange) are omitted, like the reference's metrics tables only
+    materialize executed tasks.
+    """
+    sc = df.sparkSession.sparkContext
+    group = f"per-task-metrics-{id(df)}"
+    sc.setJobGroup(group, "per-task metrics drain")
+    try:
+        df.collect()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jsc = sc._jsc.sc()
+    try:
+        jsc.listenerBus().waitUntilEmpty(10_000)
+    except Exception:
+        import time
+
+        time.sleep(0.5)
+    tracker = sc.statusTracker()
+    stage_ids = sorted(
+        {
+            s
+            for j in tracker.getJobIdsForGroup(group)
+            for s in (tracker.getJobInfo(j) or _NO_JOB).stageIds
+        }
+    )
+    store = jsc.statusStore()
+    out: list[dict] = []
+    for sid in stage_ids:
+        info = tracker.getStageInfo(sid)
+        if info is None:
+            continue
+        try:
+            tasks = store.taskList(sid, 0, max_tasks_per_stage)
+        except Exception:
+            continue  # stage skipped (reused exchange): no task data
+        metrics: dict[str, dict[int, int]] = {}
+
+        def put(name: str, idx: int, value) -> None:
+            if value is None:
+                return
+            metrics.setdefault(name, {})[idx] = int(value)
+
+        it = tasks.iterator()
+        n = 0
+        while it.hasNext():
+            t = it.next()
+            idx = int(t.index())
+            n += 1
+            put("duration_ms", idx, _opt(t.duration()))
+            tm = _opt(t.taskMetrics())
+            if tm is None:
+                continue
+            put("records_read", idx, tm.inputMetrics().recordsRead())
+            put("bytes_read", idx, tm.inputMetrics().bytesRead())
+            sr = tm.shuffleReadMetrics()
+            put(
+                "shuffle_read_bytes",
+                idx,
+                int(sr.remoteBytesRead()) + int(sr.localBytesRead()),
+            )
+            put("shuffle_read_records", idx, sr.recordsRead())
+            sw = tm.shuffleWriteMetrics()
+            put("shuffle_write_bytes", idx, sw.bytesWritten())
+            put("shuffle_write_records", idx, sw.recordsWritten())
+            put("records_written", idx, tm.outputMetrics().recordsWritten())
+        if n == 0:
+            continue
+        out.append(
+            {
+                "stage_id": sid,
+                "name": info.name.split(" at ")[0],
+                "n_tasks": n,
+                "metrics": metrics,
+            }
+        )
+    return out
+
+
 def network_stream_summary(df: DataFrame) -> list[dict]:
     """Bytes and rows per network stream (call after the query ran).
 

@@ -592,3 +592,34 @@ def test_network_stream_matrix_by_task_skew_replication(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_per_task_metrics_format(spark):
+    """PerTask metrics rendering — the reference's
+    DistributedMetricsFormat::PerTask (user-guide/05-metrics.md): each
+    metric as a map keyed by task index, per executed scheduler stage.
+    Pins the conservation law (shuffle records written == shuffle records
+    read downstream for the drained job) and map/task-count consistency."""
+    from datafusion_distributed_spark.plans.explain import per_task_metrics
+
+    rows = per_task_metrics(tpch_q3(spark, SF_DIR))
+    assert len(rows) >= 2  # multi-stage query
+    total_written = 0
+    total_read = 0
+    for r in rows:
+        m = r["metrics"]
+        # every finished task has a duration entry, keyed by task index
+        assert len(m["duration_ms"]) == r["n_tasks"]
+        assert all(isinstance(k, int) for k in m["duration_ms"])
+        assert all(v >= 0 for v in m["duration_ms"].values())
+        total_written += sum(m.get("shuffle_write_records", {}).values())
+        total_read += sum(m.get("shuffle_read_records", {}).values())
+    assert total_written > 0, "q3 shuffles — writes must be recorded"
+    assert total_written == total_read, (
+        f"shuffle record conservation: {total_written} written vs "
+        f"{total_read} read"
+    )
+    # at least one stage actually scanned input
+    assert any(
+        sum(r["metrics"].get("records_read", {}).values()) > 0 for r in rows
+    )
