@@ -114,3 +114,42 @@ def test_reserved_namespace_and_validation(spark):
 
     with pytest.raises(ValueError, match="needs `spark`"):
         get_option_extension(CustomExtension)
+
+
+def test_parse_round_trip_property():
+    """String round-trip totality: every value an extension field can hold
+    must survive str() -> _parse() exactly (the reference's
+    extensions_options! guarantees the same round-trip through gRPC
+    metadata strings)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datafusion_distributed_spark.plans.options import _parse
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+    def ints(v):
+        assert _parse(str(v), int, None) == v
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.floats(allow_nan=False))
+    def floats(v):
+        assert _parse(str(v), float, None) == v
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.booleans())
+    def bools(v):
+        assert _parse(str(v), bool, None) == v
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text())
+    def strs(v):
+        assert _parse(v, str, None) == v
+
+    ints()
+    floats()
+    bools()
+    strs()
+    # None (property unset) falls back to the declared default for every type
+    for typ, default in ((int, 3), (float, 0.5), (bool, True), (str, "d")):
+        assert _parse(None, typ, default) == default
