@@ -103,8 +103,10 @@ _CASES = [
     # q14 is the ONE shift-only text ("year-only"): its verbatim selection
     # is provably empty (it wants 2001-11; orders end 2001-08) and the
     # engines genuinely disagree on GROUP BY ROLLUP over an EMPTY input —
-    # DuckDB emits the standard ()-grouping-set row, Spark's
-    # PropagateEmptyRelation drops it (minimal repro in the module docs of
+    # DuckDB emits the standard ()-grouping-set row; Spark's Expand-based
+    # grouped-agg encoding yields zero groups even with
+    # PropagateEmptyRelation excluded and AQE off (r8 probe; repro and
+    # root-cause in the module docs of
     # tools/tpcds_sweep.py) — so ONLY the year-shift run executes (-1 lands
     # the d_moy=11 slice on Nov 2000, populated: 100 rows hash-match).
     # Not an operator gap: the engine-native gsets_* classes prove rollup

@@ -9,8 +9,16 @@ an EMPTY input. Minimal repro —
     SELECT k, sum(v) FROM (SELECT 'a' AS k, 1 AS v WHERE 1=0) t
     GROUP BY ROLLUP(k)
 DuckDB returns one row (NULL, NULL) — the SQL-standard ()-grouping-set row,
-like a global aggregate over empty input; Spark's PropagateEmptyRelation
-returns zero rows. q14's VERBATIM selection is provably empty on the driver
+like a global aggregate over empty input; Spark returns zero rows. Round-8
+probe pinned WHERE the divergence lives: it is NOT the
+PropagateEmptyRelation optimizer rule — with that rule (and PruneFilters/
+ConvertToLocalRelation) excluded via spark.sql.optimizer.excludedRules AND
+AQE off, the optimized plan keeps the full Expand + Aggregate and STILL
+yields zero rows. Spark encodes ROLLUP as Expand + a GROUPED aggregate on
+spark_grouping_id, and a grouped aggregate over zero input rows has zero
+groups — including the () grand-total set — so the standard row is
+unproducible by construction, not by optimization. No conf restores it.
+q14's VERBATIM selection is provably empty on the driver
 data (it wants 2001-11; orders end 2001-08), so that spelling cannot agree;
 the lane runs q14 under the year-shift contract only (-1 lands on Nov 2000:
 populated, 100 rows, engines agree).
