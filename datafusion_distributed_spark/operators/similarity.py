@@ -1227,3 +1227,100 @@ def _semdedup_capped_frames(
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid drift monitor: how far each label's embedding centroid
+# sits from the GLOBAL corpus centroid (cosine + centroid L2 norm). The
+# embedding-space twin of text_source_drift: a training-data pipeline
+# watches this to catch a source/label whose representation distribution
+# shifted (bad ingest, encoder regression, poisoned slice). The 100 TB
+# shape: one explode to (label, dim, value), two map-side-combinable hash
+# aggregates onto |labels| x 64 and 64 groups — the shuffle carries
+# centroid-scale rows regardless of corpus size — then centroid-scale
+# joins. Portability: component sums are exact integers (round(v * 1e6) as
+# BIGINT, the sim_kmeans_step trick) promoted to DECIMAL(38,0)/HUGEINT for
+# the quadratic forms, so dot products and norms are EXACT in both engines;
+# the only float ops are the final correctly-rounded casts, sqrts, one
+# multiply, one divide — spelled identically on both sides.
+# ---------------------------------------------------------------------------
+
+_CENTROID_DRIFT_ORACLE = """
+WITH emb AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+ex AS (
+  SELECT label, unnest(e) AS val, unnest(generate_series(1, 64)) AS dim
+  FROM emb
+),
+s AS (
+  SELECT label, dim,
+         SUM(CAST(ROUND(val * 1000000) AS BIGINT)) AS sld
+  FROM ex GROUP BY label, dim
+),
+nl AS (SELECT label, COUNT(*) AS n_vecs FROM emb GROUP BY label),
+g AS (SELECT dim, CAST(SUM(sld) AS HUGEINT) AS td FROM s GROUP BY dim),
+q AS (
+  SELECT s.label,
+         SUM(CAST(s.sld AS HUGEINT) * g.td) AS dot,
+         SUM(CAST(s.sld AS HUGEINT) * CAST(s.sld AS HUGEINT)) AS na,
+         SUM(g.td * g.td) AS nb
+  FROM s JOIN g USING (dim) GROUP BY s.label
+)
+SELECT q.label,
+       nl.n_vecs,
+       CAST(q.dot AS DOUBLE)
+         / (sqrt(CAST(q.na AS DOUBLE)) * sqrt(CAST(q.nb AS DOUBLE)))
+         AS cos_to_global,
+       sqrt(CAST(q.na AS DOUBLE)) / (1000000.0 * nl.n_vecs) AS centroid_l2
+FROM q JOIN nl ON q.label = nl.label
+ORDER BY q.label
+"""
+
+
+@query(
+    "sim_centroid_drift",
+    oracle=_CENTROID_DRIFT_ORACLE,
+    tags=("similarity", "monitoring", "drift"),
+    order_by="label",
+)
+def centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir)["embeddings"].select(
+        "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    ex = emb.select("label", F.posexplode("e").alias("pos", "val"))
+    s = ex.groupBy("label", (F.col("pos") + 1).alias("dim")).agg(
+        F.sum(F.round(F.col("val") * 1000000, 0).cast("long"))
+        .cast("decimal(38,0)")
+        .alias("sld")
+    )
+    nl = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    g = s.groupBy("dim").agg(F.sum("sld").cast("decimal(38,0)").alias("td"))
+    q = (
+        s.join(g, "dim")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("sld") * F.col("td")).alias("dot"),
+            F.sum(F.col("sld") * F.col("sld")).alias("na"),
+            F.sum(F.col("td") * F.col("td")).alias("nb"),
+        )
+    )
+    return (
+        q.join(nl, "label")
+        .select(
+            "label",
+            "n_vecs",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                )
+            ).alias("cos_to_global"),
+            (
+                F.sqrt(F.col("na").cast("double"))
+                / (F.lit(1000000.0) * F.col("n_vecs"))
+            ).alias("centroid_l2"),
+        )
+        .orderBy("label")
+    )
