@@ -416,6 +416,10 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CC_MAX_ITERS = 25
+# Rounds of plain neighbor-min propagation before the pointer jump engages
+# (see the loop comment): > the 2-5 rounds ordinary LSH dup graphs need, so
+# the common case never pays the jump join.
+_CC_JUMP_AFTER = 6
 
 
 def connected_components(edges: DataFrame) -> DataFrame:
@@ -451,22 +455,49 @@ def connected_components(edges: DataFrame) -> DataFrame:
     # unchanged when the pair graph IS huge, so there is no small-graph
     # special case here.
     prev_sum = None
-    for _ in range(_CC_MAX_ITERS):
+    for it in range(_CC_MAX_ITERS):
         nbr_min = (
             sym.join(labels, sym["src"] == labels["node"])
             .groupBy("dst")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["dst"], "left")
-            .select(
-                labels["node"],
-                F.least(labels["lbl"], F.coalesce("nbr_lbl", labels["lbl"])).alias(
-                    "lbl"
-                ),
-            )
-            .localCheckpoint(eager=True)
+        lowered = labels.join(
+            nbr_min, labels["node"] == nbr_min["dst"], "left"
+        ).select(
+            labels["node"],
+            F.least(labels["lbl"], F.coalesce("nbr_lbl", labels["lbl"])).alias(
+                "lbl"
+            ),
         )
+        # Pointer jump (r8), ADAPTIVE: from round _CC_JUMP_AFTER on, each
+        # node also adopts its LABEL's label — label-of-label doubles the
+        # propagation horizon every round, so a long-chain graph converges
+        # in O(log diameter) rounds instead of O(diameter) (a 300-long
+        # near-dup chain — the shape web corpora actually produce —
+        # converges in ~13 rounds instead of blowing the 25-round cap at
+        # 100 TB; pinned in tests/test_cc_convergence.py). Every label IS
+        # a node id, so the jump is a left self-join on the SAME
+        # checkpointed frame. The gate exists because the jump join costs
+        # ~25 % per round and ordinary LSH dup graphs reach fixpoint in
+        # 2-5 plain rounds (measured at sf0.01/sf0.1) — the common case
+        # pays nothing, only genuinely deep graphs engage it. Both the
+        # plain and combined operators are per-element non-increasing, so
+        # the unchanged-sum test certifies a fixpoint in either regime
+        # (and a fixpoint of neighbor-min+jump is in particular a
+        # neighbor-min fixpoint = min-reachable labels).
+        if it >= _CC_JUMP_AFTER:
+            ptr = labels.select(
+                F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl")
+            )
+            lowered = lowered.join(
+                ptr, lowered["lbl"] == F.col("p_node"), "left"
+            ).select(
+                lowered["node"],
+                F.least(
+                    lowered["lbl"], F.coalesce("p_lbl", lowered["lbl"])
+                ).alias("lbl"),
+            )
+        new_labels = lowered.localCheckpoint(eager=True)
         cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         # new_labels is materialized (eager checkpoint + the sum action):
         # iteration N-1's blocks are dead state from here — free them now.

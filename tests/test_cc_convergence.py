@@ -86,3 +86,13 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
         .agg(F.countDistinct("raw").alias("n_raw"))
     )
     assert raw_spans.filter(F.col("n_raw") > 1).count() > 0
+
+
+def test_cc_pointer_jump_beats_linear_diameter(spark):
+    """The r8 pointer-jump upgrade: label-of-label halves the remaining
+    propagation distance each round, so a chain FAR longer than the
+    iteration cap still converges (plain neighbor-min propagation needs
+    ~diameter rounds and would raise). 300 >> 25 = _CC_MAX_ITERS."""
+    labels = dedup.connected_components(_chain(spark, 300)).collect()
+    assert len(labels) == 301
+    assert {r.cluster_id for r in labels} == {0}
