@@ -56,6 +56,14 @@ _CROSS_OK = {
 _ALL = sorted(REGISTRY)
 
 
+def test_cross_ok_whitelist_is_live():
+    """_CROSS_OK must not carry names that left the registry — a renamed
+    query would otherwise silently lose its cartesian gate (same hygiene
+    the broadcast whitelist and plan snapshots already enforce)."""
+    stale = sorted(_CROSS_OK - set(REGISTRY))
+    assert stale == [], f"stale _CROSS_OK entries: {stale}"
+
+
 @pytest.mark.parametrize("name", _ALL)
 def test_plan_has_no_antipatterns(spark, name):
     df = REGISTRY[name].fn(spark, SF_DIR)
