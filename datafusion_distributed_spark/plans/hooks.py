@@ -27,16 +27,19 @@ handler in order, enforcing the reference's contract:
   metric taps, logging) and semantics-preserving hints are appropriate;
   anything schema-changing is rejected at hook time.
 
-The single-process registry mirrors the reference's per-worker
-`SessionStateBuilder` registration: in a real cluster deployment the module
-is imported on the driver, and the rewrites it applies (hints, persist,
-instrumentation wrappers) ride into every executor through the plan itself.
+The registry is keyed per SparkSession, mirroring the reference's
+per-worker `SessionStateBuilder` registration: handlers registered on one
+session never run on another's frames (the multi-session differential
+harnesses are exactly this scenario). In a real cluster deployment the
+module is imported on the driver, and the rewrites it applies (hints,
+persist, instrumentation wrappers) ride into every executor through the
+plan itself.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Callable, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -68,36 +71,79 @@ class HookContext:
         return get_option_extension(cls, self.spark)
 
 
-# (name, handler) in registration order — the reference runs handlers in the
-# order they were added to the builder.
-_HOOKS: List[Tuple[str, Callable[[DataFrame, HookContext], DataFrame]]] = []
+# Per-session registries: {SparkSession: [(name, handler), ...]} in
+# registration order — the reference registers handlers on a specific
+# worker session's SessionStateBuilder (tests/worker_plan_hook.rs), so two
+# sessions in one process must not see each other's handlers. Plain dict
+# keyed by session + stopped-session pruning, the same ownership pattern as
+# operators/_util.py's checkpoint/persist slots (a WeakKeyDictionary could
+# silently drop a live session's hooks if the caller kept no other strong
+# reference; stopped-session pruning can't).
+_HOOKS: dict = {}
+
+
+def _prune_stopped_sessions() -> None:
+    dead = [
+        s for s in _HOOKS if getattr(s.sparkContext, "_jsc", None) is None
+    ]
+    for s in dead:
+        _HOOKS.pop(s, None)
+
+
+def _resolve_session(spark: Optional[SparkSession]) -> SparkSession:
+    s = spark or SparkSession.getActiveSession()
+    if s is None:
+        raise RuntimeError(
+            "no SparkSession: pass spark= explicitly or register from a "
+            "thread with an active session (hooks are session-scoped, like "
+            "the reference's per-session SessionStateBuilder registration)"
+        )
+    return s
 
 
 def register_worker_plan_hook(
-    name: str, fn: Callable[[DataFrame, HookContext], DataFrame]
+    name: str,
+    fn: Callable[[DataFrame, HookContext], DataFrame],
+    spark: Optional[SparkSession] = None,
 ) -> None:
-    """Append a handler. Duplicate names are rejected so unregistering is
-    unambiguous."""
-    if any(n == name for n, _ in _HOOKS):
+    """Append a handler to ``spark``'s registry (default: the active
+    session). Duplicate names within a session are rejected so
+    unregistering is unambiguous; the same name in two sessions is fine —
+    that's the isolation the reference's per-session registration gives."""
+    _prune_stopped_sessions()
+    s = _resolve_session(spark)
+    hooks = _HOOKS.setdefault(s, [])
+    if any(n == name for n, _ in hooks):
         raise ValueError(f"plan hook {name!r} already registered")
-    _HOOKS.append((name, fn))
+    hooks.append((name, fn))
 
 
-def unregister_worker_plan_hook(name: str) -> bool:
-    """Remove a handler by name; returns whether one was removed."""
-    for i, (n, _) in enumerate(_HOOKS):
+def unregister_worker_plan_hook(
+    name: str, spark: Optional[SparkSession] = None
+) -> bool:
+    """Remove a handler by name from ``spark``'s registry (default: the
+    active session); returns whether one was removed."""
+    s = _resolve_session(spark)
+    hooks = _HOOKS.get(s, [])
+    for i, (n, _) in enumerate(hooks):
         if n == name:
-            del _HOOKS[i]
+            del hooks[i]
             return True
     return False
 
 
-def clear_worker_plan_hooks() -> None:
-    _HOOKS.clear()
+def clear_worker_plan_hooks(spark: Optional[SparkSession] = None) -> None:
+    """Clear one session's hooks, or — with no argument and no active
+    session context needed — every session's (the test-fixture clean-slate
+    semantics)."""
+    if spark is not None:
+        _HOOKS.pop(spark, None)
+    else:
+        _HOOKS.clear()
 
 
-def registered_hooks() -> list:
-    return [n for n, _ in _HOOKS]
+def registered_hooks(spark: Optional[SparkSession] = None) -> list:
+    return [n for n, _ in _HOOKS.get(_resolve_session(spark), [])]
 
 
 def run_plan_hooks(df: DataFrame) -> DataFrame:
@@ -107,12 +153,17 @@ def run_plan_hooks(df: DataFrame) -> DataFrame:
     Handler errors propagate — the reference's
     `plan_hook_errors_propagate_to_query` behavior — wrapped with the hook
     name so the failing handler is identifiable, like the reference's
-    error context."""
-    if not _HOOKS:
+    error context.
+
+    Session-scoped: only the hooks registered against ``df``'s own session
+    run — a sibling session's handlers never see this frame, matching the
+    reference where each worker session carries its own handler list."""
+    hooks = _HOOKS.get(df.sparkSession)
+    if not hooks:
         return df
     ctx = HookContext(spark=df.sparkSession)
     before = df.schema
-    for name, fn in list(_HOOKS):
+    for name, fn in list(hooks):
         try:
             out = fn(df, ctx)
         except Exception as e:

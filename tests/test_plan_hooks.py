@@ -127,6 +127,41 @@ def test_each_hook_sees_previous_output(spark):
     assert seen_plans == [True]
 
 
+def test_hooks_are_session_scoped(spark):
+    """Two sessions, one process: handlers registered on session A must not
+    run on session B's frames and vice versa — the reference registers
+    handlers on a specific worker session's SessionStateBuilder
+    (tests/worker_plan_hook.rs), so registration is per-session, not
+    process-global. This is the exact scenario of the repo's own
+    multi-session differential harnesses."""
+    s1, s2 = spark.newSession(), spark.newSession()
+    calls = []
+
+    register_worker_plan_hook("iso", lambda df, ctx: (calls.append("s1"), df)[1], spark=s1)
+    # same hook NAME on the sibling is legal — separate registries
+    register_worker_plan_hook("iso", lambda df, ctx: (calls.append("s2"), df)[1], spark=s2)
+    register_worker_plan_hook("only1", lambda df, ctx: df, spark=s1)
+
+    assert registered_hooks(s1) == ["iso", "only1"]
+    assert registered_hooks(s2) == ["iso"]
+
+    run_plan_hooks(tpch_q6(s1, SF_DIR))
+    assert calls == ["s1"]  # s2's handler did not fire on s1's frame
+    run_plan_hooks(tpch_q6(s2, SF_DIR))
+    assert calls == ["s1", "s2"]
+
+    # unregister is scoped too: removing from s1 leaves s2's intact
+    assert unregister_worker_plan_hook("iso", spark=s1) is True
+    assert registered_hooks(s2) == ["iso"]
+    run_plan_hooks(tpch_q6(s1, SF_DIR))
+    assert calls == ["s1", "s2"]  # nothing fired on s1 anymore
+
+    # clearing one session never touches the other
+    clear_worker_plan_hooks(s2)
+    assert registered_hooks(s1) == ["only1"]
+    assert registered_hooks(s2) == []
+
+
 def test_unregister_and_duplicates(spark):
     def h(df, ctx):
         return df
