@@ -1290,7 +1290,12 @@ def centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex = emb.select("label", F.posexplode("e").alias("pos", "val"))
     s = ex.groupBy("label", (F.col("pos") + 1).alias("dim")).agg(
-        F.sum(F.round(F.col("val") * 1000000, 0).cast("long"))
+        # Cast each rounded component to DECIMAL BEFORE the sum: Spark widens
+        # decimal sums (decimal(28,0) terms -> decimal(38,0) sum), so the
+        # per-(label,dim) sum is exact at any n_vecs, matching DuckDB's
+        # SUM(BIGINT)->HUGEINT promotion. A long-typed sum would silently
+        # wrap in non-ANSI mode at extreme scale (r8 ADVICE).
+        F.sum(F.round(F.col("val") * 1000000, 0).cast("long").cast("decimal(28,0)"))
         .cast("decimal(38,0)")
         .alias("sld")
     )

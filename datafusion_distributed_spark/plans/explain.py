@@ -18,6 +18,7 @@ and after execution.
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -227,15 +228,29 @@ def task_latency_summary(df: DataFrame) -> list[dict]:
     Returns one dict per executed stage:
     {stage_id, name, n_tasks, p50_ms, p95_ms, max_ms}."""
     sc = df.sparkSession.sparkContext
-    group = f"explain-analyze-{id(df)}"
-    sc.setJobGroup(group, "explain analyze drain")
+    stage_ids = _drain_under_group(df, "explain-analyze")
+    return _latency_for_stages(sc, stage_ids)
+
+
+def _drain_under_group(df: DataFrame, prefix: str) -> list[int]:
+    """Collect ``df`` under a FRESH dedicated job group and return the
+    scheduler stage ids it executed, with the listener bus flushed so the
+    AppStatusStore has every task-end event before the caller reads it.
+
+    The group name carries a monotonic counter, never id(df): draining the
+    same frame twice (or an id() reused after GC) must not pick up jobs
+    from earlier drains (r8 ADVICE). setJobGroup sets three thread-local
+    properties; all three are cleared so later jobs on this thread don't
+    inherit the drain's identity."""
+    sc = df.sparkSession.sparkContext
+    group = f"{prefix}-{next(_PER_TASK_SEQ)}"
+    sc.setJobGroup(group, f"{prefix} drain")
     try:
         df.collect()  # drain, like DistributedAnalyzeExec
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
-
-    # AppStatusStore is fed asynchronously from the listener bus — flush it
-    # so every task-end event of the drain is visible before we read.
+        sc.setLocalProperty("spark.job.description", None)
+        sc.setLocalProperty("spark.job.interruptOnCancel", None)
     jsc = sc._jsc.sc()
     try:
         jsc.listenerBus().waitUntilEmpty(10_000)
@@ -243,15 +258,19 @@ def task_latency_summary(df: DataFrame) -> list[dict]:
         import time
 
         time.sleep(0.5)
-
     tracker = sc.statusTracker()
-    stage_ids = sorted(
+    return sorted(
         {
             s
             for j in tracker.getJobIdsForGroup(group)
             for s in (tracker.getJobInfo(j) or _NO_JOB).stageIds
         }
     )
+
+
+def _latency_for_stages(sc, stage_ids: list[int]) -> list[dict]:
+    tracker = sc.statusTracker()
+    jsc = sc._jsc.sc()
     store = jsc.statusStore()
     gw = sc._gateway
     quantiles = gw.new_array(gw.jvm.double, 3)
@@ -281,6 +300,9 @@ class _NoJob:
 
 
 _NO_JOB = _NoJob()
+
+# Fresh job-group suffix per drain (never reused, unlike id(df)).
+_PER_TASK_SEQ = itertools.count()
 
 
 def _opt(jopt, default=None):
@@ -314,28 +336,15 @@ def per_task_metrics(df: DataFrame, max_tasks_per_stage: int = 10_000) -> list[d
     materialize executed tasks.
     """
     sc = df.sparkSession.sparkContext
-    group = f"per-task-metrics-{id(df)}"
-    sc.setJobGroup(group, "per-task metrics drain")
-    try:
-        df.collect()
-    finally:
-        sc.setLocalProperty("spark.jobGroup.id", None)
-    jsc = sc._jsc.sc()
-    try:
-        jsc.listenerBus().waitUntilEmpty(10_000)
-    except Exception:
-        import time
+    stage_ids = _drain_under_group(df, "per-task-metrics")
+    return _per_task_for_stages(sc, stage_ids, max_tasks_per_stage)
 
-        time.sleep(0.5)
+
+def _per_task_for_stages(
+    sc, stage_ids: list[int], max_tasks_per_stage: int = 10_000
+) -> list[dict]:
     tracker = sc.statusTracker()
-    stage_ids = sorted(
-        {
-            s
-            for j in tracker.getJobIdsForGroup(group)
-            for s in (tracker.getJobInfo(j) or _NO_JOB).stageIds
-        }
-    )
-    store = jsc.statusStore()
+    store = sc._jsc.sc().statusStore()
     out: list[dict] = []
     for sid in stage_ids:
         info = tracker.getStageInfo(sid)
@@ -353,11 +362,21 @@ def per_task_metrics(df: DataFrame, max_tasks_per_stage: int = 10_000) -> list[d
             metrics.setdefault(name, {})[idx] = int(value)
 
         it = tasks.iterator()
-        n = 0
+        seen_idx: set[int] = set()
         while it.hasNext():
             t = it.next()
+            # Only successful attempts: with speculative execution or task
+            # retries multiple attempts share an index; counting them all
+            # would overwrite map entries with a failed attempt's partials
+            # and break the len(metrics)==n_tasks shape (r8 ADVICE). The
+            # reference's PerTask map likewise keys committed tasks only.
+            try:
+                if str(t.status()) != "SUCCESS":
+                    continue
+            except Exception:
+                pass  # status unavailable: keep the row (local mode)
             idx = int(t.index())
-            n += 1
+            seen_idx.add(idx)
             put("duration_ms", idx, _opt(t.duration()))
             tm = _opt(t.taskMetrics())
             if tm is None:
@@ -375,13 +394,15 @@ def per_task_metrics(df: DataFrame, max_tasks_per_stage: int = 10_000) -> list[d
             put("shuffle_write_bytes", idx, sw.bytesWritten())
             put("shuffle_write_records", idx, sw.recordsWritten())
             put("records_written", idx, tm.outputMetrics().recordsWritten())
-        if n == 0:
+        if not seen_idx:
             continue
         out.append(
             {
                 "stage_id": sid,
                 "name": info.name.split(" at ")[0],
-                "n_tasks": n,
+                # distinct successful task indices — equals every metric
+                # map's size by construction (the pinned shape invariant)
+                "n_tasks": len(seen_idx),
                 "metrics": metrics,
             }
         )
@@ -515,9 +536,20 @@ def network_stream_matrix(df: DataFrame) -> list[dict]:
 
 
 def _aqe_shuffle_read_specs(jroot) -> dict:
-    """shuffle_id -> list of AQE partition specs (one spec per consumer
-    TASK, in task order) for every AQEShuffleReadExec in the executed plan."""
+    """shuffle_id -> list of DISTINCT AQE spec lists, one per differing
+    read of that shuffle (each spec list has one spec per consumer TASK,
+    in task order).
+
+    A reused exchange usually carries identical specs at every read, but
+    AQE can plan different specs for different consumers (e.g. a skew
+    split in one join, a plain coalesce in another), so reads are
+    collected per occurrence and deduplicated by spec signature — keeping
+    only the first would misattribute the second consumer's streams to
+    the first consumer's task layout (r8 ADVICE)."""
     specs: dict[int, list] = {}
+
+    def _sig(sl) -> tuple:
+        return tuple(str(s.toString()) for s in sl)
 
     def walk(jnode):
         cls = jnode.getClass().getSimpleName()
@@ -539,9 +571,9 @@ def _aqe_shuffle_read_specs(jroot) -> dict:
                 sl = []
                 while it.hasNext():
                     sl.append(it.next())
-                # ReusedExchange: first read wins (same physical shuffle,
-                # identical coalescing decided once by AQE).
-                specs.setdefault(sid, sl)
+                reads = specs.setdefault(sid, [])
+                if _sig(sl) not in {_sig(r) for r in reads}:
+                    reads.append(sl)
         for ch in _jchildren(jnode):
             walk(ch)
 
@@ -570,8 +602,16 @@ def network_stream_matrix_by_task(df: DataFrame) -> list[dict]:
     faithful to the wire: the reference's per-Flight-stream counters would
     likewise count one stream per re-fetch.
 
-    Returns [{shuffle_id, producer_task, consumer_task, bytes_est,
-    n_partitions}] sorted by (shuffle_id, consumer_task, producer_task).
+    Reused-exchange note: when AQE plans DIFFERENT specs for two consumers
+    of one reused shuffle (skew-split in one join, plain coalesce in the
+    other), each distinct read gets its own rollup, distinguished by
+    ``read_index`` — byte totals then conserve PER READ, not per shuffle,
+    because each consumer really fetches the full shuffle over the wire.
+    The common identical-specs case collapses to a single read_index 0.
+
+    Returns [{shuffle_id, read_index, producer_task, consumer_task,
+    bytes_est, n_partitions}] sorted by (shuffle_id, read_index,
+    consumer_task, producer_task).
     """
     matrix = network_stream_matrix(df)
     specs = _aqe_shuffle_read_specs(df._jdf.queryExecution().executedPlan())
@@ -580,12 +620,13 @@ def network_stream_matrix_by_task(df: DataFrame) -> list[dict]:
         by_sid.setdefault(r["shuffle_id"], []).append(r)
     out: list[dict] = []
     for sid, rows in by_sid.items():
-        sl = specs.get(sid)
-        if sl is None:
+        reads = specs.get(sid)
+        if not reads:
             for r in rows:
                 out.append(
                     {
                         "shuffle_id": sid,
+                        "read_index": 0,
                         "producer_task": r["producer_task"],
                         "consumer_task": r["consumer_partition"],
                         "bytes_est": r["bytes_est"],
@@ -593,50 +634,64 @@ def network_stream_matrix_by_task(df: DataFrame) -> list[dict]:
                     }
                 )
             continue
-        for task_idx, spec in enumerate(sl):
-            scls = spec.getClass().getSimpleName()
-            if scls.startswith("CoalescedPartitionSpec"):
-                lo = int(spec.startReducerIndex())
-                hi = int(spec.endReducerIndex())  # exclusive
-                sel = [r for r in rows if lo <= r["consumer_partition"] < hi]
-            elif scls.startswith("PartialReducerPartitionSpec"):
-                red = int(spec.reducerIndex())
-                m0 = int(spec.startMapIndex())
-                m1 = int(spec.endMapIndex())  # exclusive
-                sel = [
-                    r
-                    for r in rows
-                    if r["consumer_partition"] == red
-                    and m0 <= r["producer_task"] < m1
-                ]
-            elif scls.startswith("PartialMapperPartitionSpec"):
-                mi = int(spec.mapIndex())
-                lo = int(spec.startReducerIndex())
-                hi = int(spec.endReducerIndex())
-                sel = [
-                    r
-                    for r in rows
-                    if r["producer_task"] == mi
-                    and lo <= r["consumer_partition"] < hi
-                ]
-            else:  # unknown spec shape: report nothing rather than guess
-                sel = []
-            per_prod: dict[int, list] = {}
-            for r in sel:
-                per_prod.setdefault(r["producer_task"], []).append(r)
-            for prod, rs in per_prod.items():
-                out.append(
-                    {
-                        "shuffle_id": sid,
-                        "producer_task": prod,
-                        "consumer_task": task_idx,
-                        "bytes_est": sum(r["bytes_est"] for r in rs),
-                        "n_partitions": len(rs),
-                    }
-                )
+        for read_idx, sl in enumerate(reads):
+            out.extend(
+                _rollup_one_read(sid, read_idx, sl, rows)
+            )
     out.sort(
-        key=lambda r: (r["shuffle_id"], r["consumer_task"], r["producer_task"])
+        key=lambda r: (
+            r["shuffle_id"], r["read_index"], r["consumer_task"],
+            r["producer_task"],
+        )
     )
+    return out
+
+
+def _rollup_one_read(sid: int, read_idx: int, sl: list, rows: list) -> list[dict]:
+    """Roll the fine per-partition rows up into one read's task layout."""
+    out: list[dict] = []
+    for task_idx, spec in enumerate(sl):
+        scls = spec.getClass().getSimpleName()
+        if scls.startswith("CoalescedPartitionSpec"):
+            lo = int(spec.startReducerIndex())
+            hi = int(spec.endReducerIndex())  # exclusive
+            sel = [r for r in rows if lo <= r["consumer_partition"] < hi]
+        elif scls.startswith("PartialReducerPartitionSpec"):
+            red = int(spec.reducerIndex())
+            m0 = int(spec.startMapIndex())
+            m1 = int(spec.endMapIndex())  # exclusive
+            sel = [
+                r
+                for r in rows
+                if r["consumer_partition"] == red
+                and m0 <= r["producer_task"] < m1
+            ]
+        elif scls.startswith("PartialMapperPartitionSpec"):
+            mi = int(spec.mapIndex())
+            lo = int(spec.startReducerIndex())
+            hi = int(spec.endReducerIndex())
+            sel = [
+                r
+                for r in rows
+                if r["producer_task"] == mi
+                and lo <= r["consumer_partition"] < hi
+            ]
+        else:  # unknown spec shape: report nothing rather than guess
+            sel = []
+        per_prod: dict[int, list] = {}
+        for r in sel:
+            per_prod.setdefault(r["producer_task"], []).append(r)
+        for prod, rs in per_prod.items():
+            out.append(
+                {
+                    "shuffle_id": sid,
+                    "read_index": read_idx,
+                    "producer_task": prod,
+                    "consumer_task": task_idx,
+                    "bytes_est": sum(r["bytes_est"] for r in rs),
+                    "n_partitions": len(rs),
+                }
+            )
     return out
 
 
@@ -650,7 +705,12 @@ def explain_analyze(df: DataFrame, with_task_latency: bool = True) -> str:
     if not with_task_latency:
         df.collect()  # drain, like DistributedAnalyzeExec
         return render_stage_tree(df, with_metrics=True)
-    latency = task_latency_summary(df)  # drains
+    sc = df.sparkSession.sparkContext
+    # ONE drain feeds both the latency panel and the PerTask panel — the
+    # reference rewrites all metric dimensions from a single execution.
+    stage_ids = _drain_under_group(df, "explain-analyze")
+    latency = _latency_for_stages(sc, stage_ids)
+    per_task = _per_task_for_stages(sc, stage_ids)
     lines = [render_stage_tree(df, with_metrics=True)]
     streams = network_stream_summary(df)
     if streams:
@@ -693,4 +753,24 @@ def explain_analyze(df: DataFrame, with_task_latency: bool = True) -> str:
             f"p50={r['p50_ms']:.0f}ms p95={r['p95_ms']:.0f}ms "
             f"max={r['max_ms']:.0f}ms"
         )
+    # PerTask panel — the reference's DistributedMetricsFormat::PerTask
+    # rendering (docs/user-guide/05-metrics.md): each metric as a map keyed
+    # by task index, e.g. output_rows={0: 12, 1: 9}. Zero-valued metrics are
+    # elided per stage so the panel stays readable on wide stages.
+    if per_task:
+        lines.append("")
+        lines.append("Per-task metrics (PerTask):")
+        for st in per_task:
+            lines.append(
+                f"  stage {st['stage_id']} [{st['name']}] "
+                f"tasks={st['n_tasks']}:"
+            )
+            for metric in sorted(st["metrics"]):
+                vals = st["metrics"][metric]
+                if not any(vals.values()):
+                    continue
+                body = ", ".join(
+                    f"{i}: {vals[i]}" for i in sorted(vals)
+                )
+                lines.append(f"    {metric}={{{body}}}")
     return "\n".join(lines)

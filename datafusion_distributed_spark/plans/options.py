@@ -60,6 +60,20 @@ def _fields(cls: Type[E]):
     if not getattr(cls, "PREFIX", ""):
         raise ValueError(f"{cls.__name__} must define a non-empty PREFIX")
     hints = typing.get_type_hints(cls)
+    for f in dataclasses.fields(cls):
+        if (
+            f.default is dataclasses.MISSING
+            and f.default_factory is dataclasses.MISSING  # type: ignore[misc]
+        ):
+            # Caught here (not at f.default_factory() call time) so the
+            # contract error names the offending field instead of an opaque
+            # "'_MISSING_TYPE' object is not callable" (r8 ADVICE).
+            raise ValueError(
+                f"{cls.__name__}.{f.name} has no default: option-extension "
+                "fields must declare a default or default_factory — unset "
+                "properties fall back to it (the reference's "
+                "extensions_options! defaults)"
+            )
     return [(f.name, hints.get(f.name, str)) for f in dataclasses.fields(cls)]
 
 
@@ -107,6 +121,7 @@ def get_option_extension(
                 "get_option_extension needs `spark` outside a task context"
             )
         getter = spark.sparkContext.getLocalProperty
+    _fields(cls)  # validates: dataclass, PREFIX, every field has a default
     kwargs = {}
     for f in dataclasses.fields(cls):
         typ = typing.get_type_hints(cls).get(f.name, str)

