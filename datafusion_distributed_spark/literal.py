@@ -248,8 +248,24 @@ SUITE_VIEWS = {
         )
     ],
     "tpcds": TPCDS_SUITE_VIEWS,
+    # Dense-slice lane: the SAME 24 view names and query texts, rendered
+    # with literal_tpcds.view_definitions(dense=True) — joint-conjunction
+    # density raised so the SF>=1 texts (q24/q84/q85) populate below SF1
+    # without touching the default lane's 93 value-checked texts.
+    "tpcds_dense": TPCDS_SUITE_VIEWS,
     "clickbench": [("hits", "hits")],
 }
+
+# Suites whose query TEXTS live under another suite's directory and whose
+# view keys are re-rendered rather than re-listed.
+_SUITE_TEXT_DIR = {"tpcds_dense": "tpcds"}
+
+
+def _suite_defs(engine: str, base, suite: str) -> dict[str, str]:
+    defs = view_definitions(engine, base)
+    if suite == "tpcds_dense":
+        defs.update(_tpcds_view_definitions(engine, base, dense=True))
+    return defs
 
 
 def register_spark_views(spark: SparkSession, sf_dir: str, suite: str) -> None:
@@ -262,7 +278,7 @@ def register_spark_views(spark: SparkSession, sf_dir: str, suite: str) -> None:
     tables = load_tables(spark, sf_dir, register=False)
     for name, df in tables.items():
         df.createOrReplaceTempView(_BASE_PREFIX + name)
-    defs = view_definitions("spark", lambda n: _BASE_PREFIX + n)
+    defs = _suite_defs("spark", lambda n: _BASE_PREFIX + n, suite)
     prior = spark.conf.get("spark.sql.ansi.doubleQuotedIdentifiers", None)
     spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
     try:
@@ -292,7 +308,7 @@ _DUCK_MATERIALIZED = {"inventory", "time_dim", "household_demographics"}
 
 def register_duck_views(con, sf_dir: str, suite: str) -> None:
     base = lambda n: f"read_parquet('{sf_dir.rstrip('/')}/{n}.parquet')"
-    defs = view_definitions("duck", base)
+    defs = _suite_defs("duck", base, suite)
     for name, key in SUITE_VIEWS[suite]:
         if name in _DUCK_MATERIALIZED:
             con.execute(f'CREATE OR REPLACE TEMP TABLE "{name}" AS {defs[key]}')
@@ -340,7 +356,10 @@ def load_literal_statements(
     provably empty on the driver's 1995..2001-08 data; shifting by -1
     proves the VALUES on a populated selection). Both rewrites feed the
     text given to BOTH engines."""
-    path = os.path.join(REFERENCE_QUERIES, suite, "queries", f"{name}.sql")
+    path = os.path.join(
+        REFERENCE_QUERIES, _SUITE_TEXT_DIR.get(suite, suite), "queries",
+        f"{name}.sql",
+    )
     with open(path) as f:
         lines = [l for l in f.read().splitlines() if not l.lstrip().startswith("--")]
     text = "\n".join(lines)
@@ -386,7 +405,7 @@ def run_literal_sql(
     stmts = load_literal_statements(suite, name, date_shift_years, year_shift)
     # clickbench quotes column identifiers; tpcds quotes aliases (q50/q62's
     # "30 days" buckets) — both need identifier-style double quotes.
-    quoted = suite in ("clickbench", "tpcds")
+    quoted = suite in ("clickbench", "tpcds", "tpcds_dense")
     prior = spark.conf.get("spark.sql.ansi.doubleQuotedIdentifiers", None)
     if quoted:
         spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")

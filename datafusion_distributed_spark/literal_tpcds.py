@@ -157,10 +157,31 @@ _T_SUB_SHIFTS = ["morning", "afternoon", "evening", "night"]
 _CAL_START, _CAL_END = "1992-01-01", "2003-12-31"
 
 
-def view_definitions(engine: str, base) -> dict[str, str]:
+def view_definitions(engine: str, base, dense: bool = False) -> dict[str, str]:
     """Render every TPC-DS view's SELECT text for one engine ('spark' or
     'duck'); ``base(name)`` references a raw driver table. Merged into the
-    literal lane's view set by literal.view_definitions."""
+    literal lane's view set by literal.view_definitions.
+
+    ``dense=True`` renders the DENSE-SLICE lane (r8 VERDICT item 3): the
+    same schema with four derivations re-tuned so the joint conjunctions of
+    the SF>=1-density texts land on real rows below SF1 — the q51
+    non-nested-channel trick generalized. Both engines get the identical
+    dense derivation, so the differential stays meaningful; the 93
+    value-checked texts keep running on the untouched default lane.
+    Overrides (each chosen for ONE waived text's empty conjunction):
+    - ca_city multiplier 13 -> 5: q84 needs ca_city='Edgewood' AND the
+      household income band residues k%20 in {4,6,15,17}; with *13 the city
+      residue class (k%10==0) never intersects them — with *5 every even
+      custkey is Edgewood, so k%20 in {4,6} qualifies;
+    - s_zip drawn from the CUSTOMER zip pool: q24 needs s_zip = ca_zip,
+      which the default lane makes impossible on purpose (q19 needs
+      substr-5 inequality);
+    - 1-in-4 items forced 'peach': q24 filters i_color='peach' (1/92 of
+      parts by default — sub-row expectation at sf0.01);
+    - sales_price folded into [50,200) and net_profit into [50,300):
+      q85's OR-arms band ws_sales_price into [50,200] and ws_net_profit
+      into [50,300]; the default FLOOR(l_extendedprice) never goes below
+      ~900 at any SF."""
     sp = engine == "spark"
 
     def S(x: str) -> str:  # integer -> string
@@ -216,13 +237,29 @@ def view_definitions(engine: str, base) -> dict[str, str]:
         ext = "l.l_extendedprice"
         disc = "l.l_discount"
         tax = "l.l_tax"
+        if dense:
+            # Fold the price/profit magnitudes into q85's filter bands while
+            # staying integer-valued DOUBLEs (exact cross-engine sums).
+            sales_price_expr = (
+                f"CAST(50 + CAST(FLOOR({ext}) AS BIGINT) % 150 AS DOUBLE)"
+            )
+            net_profit_expr = (
+                f"CAST(50 + CAST(FLOOR({ext} * (1 - {disc})) AS BIGINT) % 250"
+                " AS DOUBLE)"
+            )
+        else:
+            sales_price_expr = f"CAST(FLOOR({ext}) AS DOUBLE)"
+            net_profit_expr = (
+                f"CAST(FLOOR({ext} * (1 - {disc})) AS DOUBLE) - "
+                f"CAST(FLOOR({ext} * 0.6) AS DOUBLE)"
+            )
         return f"""
        CAST((l.l_orderkey * 7919 + l.l_linenumber * 104729) % 86400 AS {INT}) AS {p}sold_time_sk,
        CAST((o.o_custkey * 31) % 7200 AS {INT}) AS {p}hdemo_sk,
        CAST(l.l_quantity AS {INT}) AS {p}quantity,
        CAST(FLOOR({ext} * 0.6) AS DOUBLE) AS {p}wholesale_cost,
        CAST(FLOOR({ext} * (1 + {tax})) AS DOUBLE) AS {p}list_price,
-       CAST(FLOOR({ext}) AS DOUBLE) AS {p}sales_price,
+       {sales_price_expr} AS {p}sales_price,
        CAST(FLOOR({ext} * {disc}) AS DOUBLE) AS {p}ext_discount_amt,
        CAST(FLOOR({ext}) AS DOUBLE) AS {p}ext_sales_price,
        CAST(FLOOR({ext} * 0.6) AS DOUBLE) AS {p}ext_wholesale_cost,
@@ -231,7 +268,7 @@ def view_definitions(engine: str, base) -> dict[str, str]:
        CAST(FLOOR({ext} * {disc}) AS DOUBLE) AS {p}coupon_amt,
        CAST(FLOOR({ext} * (1 - {disc})) AS DOUBLE) AS {p}net_paid,
        CAST(FLOOR({ext} * (1 - {disc}) * (1 + {tax})) AS DOUBLE) AS {p}net_paid_inc_tax,
-       CAST(FLOOR({ext} * (1 - {disc})) AS DOUBLE) - CAST(FLOOR({ext} * 0.6) AS DOUBLE) AS {p}net_profit"""
+       {net_profit_expr} AS {p}net_profit"""
 
     def ship_cols(p: str) -> str:
         """Shipping-lane keys/measures for the catalog and web channels."""
@@ -465,7 +502,9 @@ SELECT p_partkey AS i_item_sk,
        'Manufact#' || {S("p_partkey % 25")} AS i_manufact,
        {_pick("p_partkey * 29", _I_SIZES)} AS i_size,
        'formulation ' || {S("p_partkey % 37")} AS i_formulation,
-       {_pick("p_partkey * 29", _I_COLORS)} AS i_color,
+       {("CASE WHEN p_partkey % 4 = 0 THEN 'peach' ELSE "
+         + _pick("p_partkey * 29", _I_COLORS) + " END") if dense
+        else _pick("p_partkey * 29", _I_COLORS)} AS i_color,
        {_pick("p_partkey * 41", _I_UNITS)} AS i_units,
        p_type AS i_container,
        CAST(p_partkey % 100 AS {INT}) AS i_manager_id,
@@ -500,7 +539,7 @@ SELECT c_custkey AS ca_address_sk,
        {_pick("c_custkey * 3", _STREET_NAMES)} AS ca_street_name,
        {_pick("c_custkey * 7", _STREET_TYPES)} AS ca_street_type,
        'Suite ' || {S("c_custkey % 50")} AS ca_suite_number,
-       {_pick("c_custkey * 13", _CA_CITIES)} AS ca_city,
+       {_pick("c_custkey * 5" if dense else "c_custkey * 13", _CA_CITIES)} AS ca_city,
        {_pick("c_custkey * 17", _CA_COUNTIES)} AS ca_county,
        {_pick("c_custkey * 11", _CA_STATES)} AS ca_state,
        {_pick("c_custkey * 7", _ZIPS)} AS ca_zip,
@@ -598,7 +637,7 @@ SELECT s_store_sk,
        {_pick("s_store_sk", _S_CITIES)} AS s_city,
        'Williamson County' AS s_county,
        'TN' AS s_state,
-       {_pick("s_store_sk * 3", _S_ZIPS)} AS s_zip,
+       {_pick("s_store_sk * 3", _ZIPS if dense else _S_ZIPS)} AS s_zip,
        'United States' AS s_country,
        CAST(-5 AS {INT}) AS s_gmt_offset,
        CAST(s_store_sk % 12 AS DOUBLE) / 100 AS s_tax_precentage
