@@ -181,7 +181,15 @@ def view_definitions(engine: str, base, dense: bool = False) -> dict[str, str]:
     - sales_price folded into [50,200) and net_profit into [50,300):
       q85's OR-arms band ws_sales_price into [50,200] and ws_net_profit
       into [50,300]; the default FLOOR(l_extendedprice) never goes below
-      ~900 at any SF."""
+      ~900 at any SF;
+    - ca_county multiplier 17 -> 5 (q54's 'Williamson County' = s_county
+      residue class k%10==0 never intersects the TN state class k≡6 mod
+      20; with *5 every even custkey is Williamson), i_class multiplier
+      13 -> 2 (maternity's index-10 class is even-only under any odd
+      multiplier mod 16, clashing with Women's odd p≡9 mod 10), and
+      1-in-2 odd items forced 'Women' (raises the Women x maternity joint
+      from 1/40 to 1/8 of parts so q54's December acquisition cohort is
+      non-empty below SF1)."""
     sp = engine == "spark"
 
     def S(x: str) -> str:  # integer -> string
@@ -495,9 +503,11 @@ SELECT p_partkey AS i_item_sk,
        CAST(p_partkey % 1000 AS {INT}) AS i_brand_id,
        {_pick("p_partkey * 27", _I_BRANDS)} AS i_brand,
        CAST(1 + p_partkey % 16 AS {INT}) AS i_class_id,
-       {_pick("p_partkey * 13", _I_CLASSES)} AS i_class,
+       {_pick("p_partkey * 2" if dense else "p_partkey * 13", _I_CLASSES)} AS i_class,
        CAST(1 + p_partkey % 10 AS {INT}) AS i_category_id,
-       {_pick("p_partkey", _I_CATEGORIES)} AS i_category,
+       {("CASE WHEN p_partkey % 2 = 1 THEN 'Women' ELSE "
+         + _pick("p_partkey", _I_CATEGORIES) + " END") if dense
+        else _pick("p_partkey", _I_CATEGORIES)} AS i_category,
        CAST(p_partkey % 1000 AS {INT}) AS i_manufact_id,
        'Manufact#' || {S("p_partkey % 25")} AS i_manufact,
        {_pick("p_partkey * 29", _I_SIZES)} AS i_size,
@@ -540,7 +550,7 @@ SELECT c_custkey AS ca_address_sk,
        {_pick("c_custkey * 7", _STREET_TYPES)} AS ca_street_type,
        'Suite ' || {S("c_custkey % 50")} AS ca_suite_number,
        {_pick("c_custkey * 5" if dense else "c_custkey * 13", _CA_CITIES)} AS ca_city,
-       {_pick("c_custkey * 17", _CA_COUNTIES)} AS ca_county,
+       {_pick("c_custkey * 5" if dense else "c_custkey * 17", _CA_COUNTIES)} AS ca_county,
        {_pick("c_custkey * 11", _CA_STATES)} AS ca_state,
        {_pick("c_custkey * 7", _ZIPS)} AS ca_zip,
        'United States' AS ca_country,

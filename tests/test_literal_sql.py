@@ -575,7 +575,8 @@ _SPARSE_NOTES = {
            "dense lane (_DENSE_PROOFS)",
     "q54": "month-window revenue segmentation over customers acquired via a "
            "cross-channel category purchase — acquisition cohort empty "
-           "below SF1",
+           "below SF1 — VALUE-PROVEN at sf0.01 on the dense lane "
+           "(_DENSE_PROOFS, -1 year shift)",
     "q64": "cross-year same-item store-sale+return+catalog-sale chain with "
            "price-ratio floor: a 6-way conjunction on one item",
     "q84": "income-band + city + demographics equality chain on "
@@ -614,10 +615,12 @@ def test_sparse_text_populates_at_sf01(spark, name):
 # engines read the identical dense derivation, so the differential is as
 # meaningful as the default lane's. q85 keeps a -3 year shift (d_year=2000
 # predates the 1992-1998 order dates — the standard shift contract).
-# q23/q54/q64 remain waived: their conjunctions compose cross-channel
-# percentile / cross-year same-item chains that no per-table densification
-# reaches below SF1.
-_DENSE_PROOFS = {"q24": 0, "q84": 0, "q85": -3}  # name -> year_shift
+# q54 joins them under a -1 shift (December-1998 acquisitions predate the
+# 1998-08 order horizon). q23/q64 remain waived: their conjunctions compose
+# cross-channel purchase-frequency percentiles / cross-year same-customer-
+# same-item repeat purchases that no per-table densification reaches below
+# SF1 (the repeat-purchase probability itself scales with fact density).
+_DENSE_PROOFS = {"q24": 0, "q54": -1, "q84": 0, "q85": -3}  # name -> year_shift
 
 
 @pytest.mark.parametrize("name", sorted(_DENSE_PROOFS))
