@@ -93,3 +93,38 @@ def wuf_filtered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+_WUF_TASKS_ORACLE = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@query(
+    "wuf_desired_tasks_stats",
+    oracle=_WUF_TASKS_ORACLE,
+    tags=("source", "work-unit-feed", "task-estimator"),
+)
+def wuf_desired_tasks_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate through the feed under a task-count annotation — the
+    reference's TaskEstimator surface (tests/task_estimator_test.rs,
+    src/events/desired_task_count.rs): the source DECLARES its desired
+    stage task count (here 8) and the discovered units are reconciled into
+    exactly that many scan partitions (split or merged as needed). The
+    oracle proves result invariance under the repacking; the scan-side
+    partition arithmetic is pinned in tests/test_sources.py."""
+    register_work_unit_feed(spark)
+    docs = (
+        spark.read.format("work_unit_feed")
+        .option("path", f"{sf_dir.rstrip('/')}/documents.parquet")
+        .option("rows_per_unit", "1000")
+        .option("desired_tasks", "8")
+        .load()
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -52,19 +52,97 @@ def _expand_parquet_paths(pattern: str) -> list[str]:
     return out
 
 
+@dataclass
+class WorkUnitGroup(InputPartition):
+    """Several work units executed by ONE task — the merge side of the
+    task-count reconciliation (reference: the planner packing leaf
+    partitions into the stage's final task count,
+    /root/reference/tests/task_estimator_test.rs custom_routing_more_partitions:
+    5 tasks x 2 partitions each)."""
+
+    units: list
+
+
+def _pack_units(units: list, desired: int, maximum: int) -> list:
+    """Reconcile discovered units against the task-count annotations — the
+    Spark seat of the reference's TaskEstimator contract
+    (/root/reference/src/events/desired_task_count.rs):
+
+    - ``desired`` is a HINT: more units than desired merge into exactly
+      ``desired`` balanced groups; fewer units than desired split along row
+      ranges until the count is reached or nothing splittable remains (the
+      final count "might not be exactly this number");
+    - ``maximum`` is a HARD CAP and wins over ``desired`` when smaller
+      (the reference: the smallest Maximum has preference); ``maximum=1``
+      is the "cannot be distributed" declaration — one task scans all.
+    """
+    if desired <= 0 and maximum <= 0:
+        return units
+    target = desired if desired > 0 else len(units)
+    if maximum > 0:
+        target = min(target, maximum)
+    target = max(target, 1)
+
+    # Split phase: raise the unit count toward the target by halving the
+    # row range of the largest splittable unit (row_count >= 2).
+    units = list(units)
+    while len(units) < target:
+        units.sort(key=lambda u: -u.row_count)
+        big = units[0]
+        if big.row_count < 2:
+            break  # nothing splittable: final count stays below the hint
+        half = big.row_count // 2
+        units[0] = WorkUnit(big.path, big.row_group, big.row_start, half)
+        units.append(
+            WorkUnit(
+                big.path, big.row_group, big.row_start + half,
+                big.row_count - half,
+            )
+        )
+    if len(units) <= target:
+        return units
+
+    # Merge phase: pack into exactly `target` groups, balanced by row
+    # count (greedy into the lightest bin — units are metadata-scale, the
+    # packing is driver-side and O(U log T)).
+    import heapq
+
+    bins = [(0, i, []) for i in range(target)]
+    heapq.heapify(bins)
+    for u in sorted(units, key=lambda u: -u.row_count):
+        rows, i, members = heapq.heappop(bins)
+        members.append(u)
+        heapq.heappush(bins, (rows + u.row_count, i, members))
+    return [WorkUnitGroup(members) for _, _, members in sorted(bins) if members]
+
+
 class WorkUnitFeedReader(DataSourceReader):
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("work_unit_feed requires a 'path' option")
         self.rows_per_unit = int(options.get("rows_per_unit", "0"))
+        # Task-count annotations (reference: TaskCountAnnotation::Desired /
+        # ::Maximum, events/desired_task_count.rs). 0 = unset.
+        self.desired_tasks = int(options.get("desired_tasks", "0"))
+        self.max_tasks = int(options.get("max_tasks", "0"))
 
     def partitions(self):
         """DRIVER-side work discovery — the WorkUnitFeedProvider role.
 
         Enumerates row groups from parquet footers (metadata-only, no data
         read), optionally sub-splitting into fixed row ranges so one file
-        still fans out to many tasks."""
+        still fans out to many tasks; the discovered units are then
+        reconciled against the desired/max task-count annotations (the
+        reference's TaskEstimator flow — the scan's partition list IS the
+        stage task count in Spark). Subclasses refine discovery (pruning)
+        via _discover_units; packing always runs last, on the surviving
+        units."""
+        return _pack_units(
+            self._discover_units(), self.desired_tasks, self.max_tasks
+        )
+
+    def _discover_units(self) -> list:
         import pyarrow.parquet as pq
 
         files = _expand_parquet_paths(self.path)
@@ -78,7 +156,14 @@ class WorkUnitFeedReader(DataSourceReader):
                     units.append(WorkUnit(f, rg, start, min(step, n - start)))
         return units
 
-    def read(self, partition: WorkUnit):
+    def read(self, partition):
+        if isinstance(partition, WorkUnitGroup):
+            for u in partition.units:
+                yield from self._read_unit(u)
+        else:
+            yield from self._read_unit(partition)
+
+    def _read_unit(self, partition: WorkUnit):
         """Executor-side: materialize exactly one work unit as Arrow batches.
 
         Decoding is STREAMING with early stop: ``iter_batches`` decodes the
@@ -220,10 +305,10 @@ class FilteredWorkUnitFeedReader(WorkUnitFeedReader):
                 continue  # incomparable literal/stat types: never prune
         return True
 
-    def partitions(self):
+    def _discover_units(self) -> list:
         import pyarrow.parquet as pq
 
-        units = super().partitions()
+        units = super()._discover_units()
         if not self._pruning_filters:
             return units
 
