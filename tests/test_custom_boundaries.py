@@ -148,3 +148,32 @@ def test_observe_metrics(spark):
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
     ).collect()[0][0]
     assert obs.get["cents"] == exact
+
+
+def test_empty_columns_between_stages(spark):
+    """Zero-column batches crossing an exchange — the reference's
+    empty_columns_between_workers.rs repro: `SELECT (SELECT count(*) FROM t)
+    FROM t GROUP BY c` projects only a literal, so the grouped intermediate
+    carries NO columns between stages (Arrow IPC rejects such batches in
+    the reference; Spark's UnsafeRow exchange must carry them fine). Runs
+    through a real shuffle and matches DuckDB on the same parquet."""
+    import duckdb
+
+    from datafusion_distributed_spark.tables import load_tables
+
+    load_tables(spark, SF_DIR)
+    q = "SELECT (SELECT count(*) FROM documents) FROM documents GROUP BY lang"
+    df = spark.sql(q)
+    plan = _plan(df)
+    assert "Exchange" in plan  # the empty-column frame really crosses stages
+    got = sorted(r[0] for r in df.collect())
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        want = sorted(r[0] for r in con.sql(q).fetchall())
+    finally:
+        con.close()
+    assert got == want and len(got) > 0
