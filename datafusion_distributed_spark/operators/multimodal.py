@@ -28,6 +28,7 @@ from pyspark.sql.types import (
 )
 
 from ..sources.png import PNG_SIGNATURE, decode_png, encode_png
+from ..sources.wav import decode_wav, encode_wav
 from ._util import t
 from .registry import query
 
@@ -514,4 +515,130 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("px_sum").cast("bigint").alias("sum_px"),
         F.min("px_min").cast("int").alias("min_px"),
         F.max("px_max").cast("int").alias("max_px"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real WAV/PCM decode, proven the same way as PNG: stage 1 ENCODES a
+# deterministic PCM clip per document (rate/channels/frames/samples are
+# pure functions of doc_id) into real RIFF/WAVE bytes, stage 2 DECODES
+# them back with the pure-Python codec (sources/wav.py) and emits exact
+# sample statistics; the oracle recomputes every sample from the doc_id
+# formula, so one wrong byte in chunk walk / 16-bit LE packing / frame
+# interleave breaks the hash match.
+# ---------------------------------------------------------------------------
+
+_WAV_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("wav", BinaryType())]
+)
+
+_WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("s_sum", LongType()),
+        StructField("s_min", IntegerType()),
+        StructField("s_max", IntegerType()),
+    ]
+)
+
+
+def _wav_geometry(doc_id: int) -> tuple[int, int, int]:
+    """(sample_rate, channels, n_frames) as pure functions of doc_id."""
+    return 8000 + (doc_id % 3) * 4000, 1 + doc_id % 2, 40 + doc_id % 25
+
+
+def _wav_sample(doc_id: int, t: int, c: int) -> int:
+    # signed 16-bit range, sign decided by parity so min/max are exercised
+    v = (doc_id * 7 + 13 * t + 5 * c) % 2003
+    return v - 1001
+
+
+def encode_wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        wavs = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            rate, nch, nf = _wav_geometry(d)
+            samples = [
+                _wav_sample(d, t, c) for t in range(nf) for c in range(nch)
+            ]
+            wavs.append(encode_wav(rate, nch, 16, samples))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "wav": wavs})
+
+
+def wav_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["wav"]):
+            au = decode_wav(payload if isinstance(payload, bytes) else bytes(payload))
+            rows.append(
+                [
+                    doc_id, au.sample_rate, au.channels, au.n_frames,
+                    sum(au.samples), min(au.samples), max(au.samples),
+                ]
+            )
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "sample_rate", "channels", "n_frames",
+                "s_sum", "s_min", "s_max",
+            ],
+        )
+        yield out.astype(
+            {
+                "sample_rate": "int32", "channels": "int32",
+                "n_frames": "int32", "s_sum": "int64",
+                "s_min": "int32", "s_max": "int32",
+            }
+        )
+
+
+_WAV_STATS_ORACLE = """
+WITH geo AS (
+  SELECT doc_id,
+         CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS rate,
+         CAST(1 + doc_id % 2 AS INTEGER) AS nch,
+         CAST(40 + doc_id % 25 AS INTEGER) AS nf
+  FROM documents
+),
+smp AS (
+  SELECT g.doc_id, g.rate, g.nch,
+         (g.doc_id * 7 + 13 * ts.t + 5 * cs.c) % 2003 - 1001 AS v
+  FROM geo g,
+       LATERAL unnest(generate_series(0, g.nf - 1)) AS ts(t),
+       LATERAL unnest(generate_series(0, g.nch - 1)) AS cs(c)
+),
+stats AS (
+  SELECT doc_id, rate, nch, SUM(v) AS s_sum, MIN(v) AS s_min, MAX(v) AS s_max
+  FROM smp GROUP BY doc_id, rate, nch
+)
+SELECT rate AS sample_rate, nch AS channels,
+       COUNT(*) AS n_clips,
+       CAST(SUM(s_sum) AS BIGINT) AS sum_samples,
+       CAST(MIN(s_min) AS INTEGER) AS min_sample,
+       CAST(MAX(s_max) AS INTEGER) AS max_sample
+FROM stats GROUP BY rate, nch
+"""
+
+
+@query(
+    "mm_wav_sample_stats",
+    oracle=_WAV_STATS_ORACLE,
+    tags=("multimodal", "pandas-udf", "audio", "wav"),
+)
+def wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode-then-decode roundtrip through REAL RIFF/WAVE PCM bytes,
+    aggregated per (sample_rate, channels); the audio twin of
+    mm_png_pixel_stats."""
+    docs = t(spark, sf_dir)["documents"].select("doc_id")
+    wavs = docs.mapInPandas(encode_wav_batches, schema=_WAV_SCHEMA)
+    stats = wavs.mapInPandas(wav_stats_batches, schema=_WAV_STATS_SCHEMA)
+    return stats.groupBy("sample_rate", "channels").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("s_sum").cast("bigint").alias("sum_samples"),
+        F.min("s_min").cast("int").alias("min_sample"),
+        F.max("s_max").cast("int").alias("max_sample"),
     )
