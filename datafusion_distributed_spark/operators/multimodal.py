@@ -1,10 +1,14 @@
 """Multimodal column handling: opaque binary payloads + typed metadata.
 
-BASELINE.json extension (SURVEY.md §7 Phase 3). The container has no
-image/audio codecs, so the *decode* step is a deterministic stub behind
-``mapInPandas`` — but the Spark-side plumbing is real and is exactly what a
-production decode would use: binary column in, Arrow-batched Pandas transform,
-typed struct out, no driver-side collection, partition-parallel.
+BASELINE.json extension (SURVEY.md §7 Phase 3). Three formats decode for
+REAL through pure-spec stdlib codecs — PNG images (sources/png.py), WAV/PCM
+audio (sources/wav.py), Y4M video (sources/y4m.py) — each proven by an
+encode→decode roundtrip query whose DuckDB oracle recomputes every
+pixel/sample from a doc_id formula. Formats needing binary libraries this
+container lacks (jpeg/webp/compressed video) keep a deterministic stub
+behind the same ``mapInPandas`` plumbing, which is exactly what a
+production decode would use: binary column in, Arrow-batched Pandas
+transform, typed struct out, no driver-side collection, partition-parallel.
 
 Scale design: ``mapInPandas`` streams Arrow batches through Python one
 partition at a time (constant memory); the metadata aggregation afterwards is
@@ -29,6 +33,7 @@ from pyspark.sql.types import (
 
 from ..sources.png import PNG_SIGNATURE, decode_png, encode_png
 from ..sources.wav import decode_wav, encode_wav
+from ..sources.y4m import decode_y4m, encode_y4m
 from ._util import t
 from .registry import query
 
@@ -641,4 +646,150 @@ def wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s_sum").cast("bigint").alias("sum_samples"),
         F.min("s_min").cast("int").alias("min_sample"),
         F.max("s_max").cast("int").alias("max_sample"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real VIDEO decode + frame sampling via Y4M (YUV4MPEG2) — the third codec
+# of the trio (PNG image, WAV audio). Stage 1 ENCODES a deterministic C420
+# clip per document (geometry, frame count, and every Y/U/V sample are pure
+# functions of doc_id), stage 2 DECODES it and keeps every 2nd frame (the
+# REAL frame-sample step mm_frame_sample stubs), emitting exact per-frame
+# luma and chroma statistics; the oracle recomputes every sample from the
+# formulas, so plane ordering, C420 subsampled sizes, FRAME framing, and
+# the sampling stride are all hash-checked.
+# ---------------------------------------------------------------------------
+
+_Y4M_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("y4m", BinaryType())]
+)
+
+_Y4M_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("luma_sum", LongType()),
+        StructField("luma_max", IntegerType()),
+        StructField("chroma_sum", LongType()),
+    ]
+)
+
+_Y4M_SAMPLE_STRIDE = 2
+
+
+def _y4m_geometry(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) — even dims (C420) by construction."""
+    return 4 + 2 * (doc_id % 3), 4 + 2 * (doc_id % 2), 3 + doc_id % 4
+
+
+def _y4m_planes(doc_id: int, w: int, h: int, f: int) -> tuple[bytes, bytes, bytes]:
+    y = bytes((doc_id + 3 * x + 7 * yy + 11 * f) % 256 for yy in range(h) for x in range(w))
+    cw, ch = w // 2, h // 2
+    u = bytes((doc_id + 5 * x + 9 * yy + 2 * f) % 256 for yy in range(ch) for x in range(cw))
+    v = bytes((doc_id + 4 * x + 6 * yy + 3 * f) % 256 for yy in range(ch) for x in range(cw))
+    return y, u, v
+
+
+def encode_y4m_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        clips = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h, nf = _y4m_geometry(d)
+            frames = [_y4m_planes(d, w, h, f) for f in range(nf)]
+            clips.append(encode_y4m(w, h, frames, colorspace="C420"))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "y4m": clips})
+
+
+def y4m_frame_sample_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Decode, keep every _Y4M_SAMPLE_STRIDE-th frame, emit exact stats."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["y4m"]):
+            vid = decode_y4m(payload if isinstance(payload, bytes) else bytes(payload))
+            for f_idx in range(0, vid.n_frames, _Y4M_SAMPLE_STRIDE):
+                y, u, v = vid.frames[f_idx]
+                rows.append(
+                    [
+                        doc_id, vid.width, vid.height, f_idx,
+                        sum(y), max(y), sum(u) + sum(v),
+                    ]
+                )
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "frame_idx",
+                "luma_sum", "luma_max", "chroma_sum",
+            ],
+        )
+        yield out.astype(
+            {
+                "width": "int32", "height": "int32", "frame_idx": "int32",
+                "luma_sum": "int64", "luma_max": "int32", "chroma_sum": "int64",
+            }
+        )
+
+
+_Y4M_STATS_ORACLE = """
+WITH geo AS (
+  SELECT doc_id,
+         CAST(4 + 2 * (doc_id % 3) AS INTEGER) AS w,
+         CAST(4 + 2 * (doc_id % 2) AS INTEGER) AS h,
+         CAST(3 + doc_id % 4 AS INTEGER) AS nf
+  FROM documents
+),
+sampled AS (
+  SELECT g.doc_id, g.w, g.h, fs.f
+  FROM geo g, LATERAL unnest(generate_series(0, g.nf - 1, 2)) AS fs(f)
+),
+luma AS (
+  SELECT s.doc_id, s.w, s.h, s.f,
+         SUM((s.doc_id + 3 * xs.x + 7 * ys.y + 11 * s.f) % 256) AS luma_sum,
+         MAX((s.doc_id + 3 * xs.x + 7 * ys.y + 11 * s.f) % 256) AS luma_max
+  FROM sampled s,
+       LATERAL unnest(generate_series(0, s.w - 1)) AS xs(x),
+       LATERAL unnest(generate_series(0, s.h - 1)) AS ys(y)
+  GROUP BY s.doc_id, s.w, s.h, s.f
+),
+chroma AS (
+  SELECT s.doc_id, s.f,
+         SUM((s.doc_id + 5 * xs.x + 9 * ys.y + 2 * s.f) % 256
+             + (s.doc_id + 4 * xs.x + 6 * ys.y + 3 * s.f) % 256) AS chroma_sum
+  FROM sampled s,
+       LATERAL unnest(generate_series(0, s.w // 2 - 1)) AS xs(x),
+       LATERAL unnest(generate_series(0, s.h // 2 - 1)) AS ys(y)
+  GROUP BY s.doc_id, s.f
+)
+SELECT l.w AS width, l.h AS height,
+       COUNT(DISTINCT l.doc_id) AS n_videos,
+       COUNT(*) AS n_sampled_frames,
+       CAST(SUM(l.luma_sum) AS BIGINT) AS total_luma,
+       CAST(MAX(l.luma_max) AS INTEGER) AS max_luma,
+       CAST(SUM(c.chroma_sum) AS BIGINT) AS total_chroma
+FROM luma l JOIN chroma c ON l.doc_id = c.doc_id AND l.f = c.f
+GROUP BY l.w, l.h
+"""
+
+
+@query(
+    "mm_y4m_frame_sample",
+    oracle=_Y4M_STATS_ORACLE,
+    tags=("multimodal", "pandas-udf", "video", "y4m"),
+)
+def y4m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode-then-decode roundtrip through REAL Y4M video bytes with a
+    REAL every-2nd-frame sample step, aggregated per (width, height)."""
+    docs = t(spark, sf_dir)["documents"].select("doc_id")
+    clips = docs.mapInPandas(encode_y4m_batches, schema=_Y4M_SCHEMA)
+    stats = clips.mapInPandas(y4m_frame_sample_batches, schema=_Y4M_STATS_SCHEMA)
+    return stats.groupBy("width", "height").agg(
+        F.count_distinct("doc_id").alias("n_videos"),
+        F.count(F.lit(1)).alias("n_sampled_frames"),
+        F.sum("luma_sum").cast("bigint").alias("total_luma"),
+        F.max("luma_max").cast("int").alias("max_luma"),
+        F.sum("chroma_sum").cast("bigint").alias("total_chroma"),
     )
