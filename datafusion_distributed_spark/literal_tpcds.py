@@ -101,6 +101,11 @@ _I_COLORS = [
     "sienna", "sky", "slate", "smoke", "snow", "spring", "steel", "tan",
     "thistle", "tomato", "turquoise", "violet", "wheat", "white", "yellow",
 ]
+# Dense-lane color cycle (r9): 'peach' for q24 plus q64's six filter colors,
+# cycled over partkey so the 20 fact-reachable item keys cover all seven —
+# the default 92-color pick leaves ~one q64 color inside the price band.
+_DENSE_COLORS = ["peach", "purple", "burlywood", "indian", "spring",
+                 "floral", "medium", "peach"]
 _CA_STATES = ["CA", "GA", "IL", "IN", "KY", "CO", "TN", "TX", "WA", "NY",
               "OH", "MI", "NM", "VA", "FL", "MO", "AL", "SD", "MN", "NE"]
 _CA_CITIES = ["Edgewood", "Fairview", "Midway", "Oakland", "Springfield",
@@ -189,7 +194,28 @@ def view_definitions(engine: str, base, dense: bool = False) -> dict[str, str]:
       multiplier mod 16, clashing with Women's odd p≡9 mod 10), and
       1-in-2 odd items forced 'Women' (raises the Women x maternity joint
       from 1/40 to 1/8 of parts so q54's December acquisition cohort is
-      non-empty below SF1)."""
+      non-empty below SF1);
+    - fact item_sk folded to l_partkey % 20 + 1 (r9, q23/q64): repeat
+      purchases of the SAME item — q23's >4-sales-of-one-item-on-one-day
+      HAVING, q64's same-item-same-store sales in two consecutive years —
+      have probability that scales with fact rows PER item key, which no
+      per-table vocabulary tuning raises; folding the fact-side item key
+      space to 20 (items 1..20 of the full 2000-row item dimension) gives
+      every item ~|lineitem|/20 events at any SF, so same-day repeat
+      counts and cross-year store matches fire at sf0.01. Dimension-side
+      item rows keep their full key range; fact joins simply concentrate
+      on the first 20;
+    - ss_cdemo_sk partner-shifted to the adjacent custkey (r9, q64): the
+      default lane's ss_cdemo_sk = c_current_cdemo_sk = custkey makes
+      q64's cd1.cd_marital_status <> cd2.cd_marital_status STRUCTURALLY
+      false (cd1 and cd2 are the same row) at any scale; pairing even
+      custkey k with k-1 (odd with k+1) lands cd1 on an existing
+      demographics row whose marital pick (k%5 cycle) always differs;
+    - i_current_price folded into [64, 80) (r9, q64): q64's double band
+      i_current_price BETWEEN 65 AND 74 covers ~10/16 of items under the
+      fold, vs ~9% under the default [0.10, 99.09] spread — needed
+      because q64 further intersects 6 colors and a two-year store
+      conjunction. q24 reads the column only as a projection."""
     sp = engine == "spark"
 
     def S(x: str) -> str:  # integer -> string
@@ -294,6 +320,12 @@ def view_definitions(engine: str, base, dense: bool = False) -> dict[str, str]:
         ext = "l.l_extendedprice"
         disc = "l.l_discount"
         tax = "l.l_tax"
+        # Dense: a PARTIAL-refund split (0.5x net_paid total) — the default
+        # full-refund split (0.7+0.2+0.1 = 1.0x) makes q64's cs_ui HAVING
+        # sum(list_price) > 2*sum(refund) structurally unreachable at ANY
+        # scale (sale/refund = (1+tax)/(1-disc) ~ 1.1); at 0.5x the ratio is
+        # ~2.2 and the filter selects on real tax/discount variation.
+        rf = ("0.35", "0.1", "0.05") if dense else ("0.7", "0.2", "0.1")
         return f"""
        CAST((l.l_orderkey * 104729 + l.l_linenumber * 7919) % 86400 AS {INT}) AS {p}returned_time_sk,
        CAST((l.l_orderkey * 3 + l.l_linenumber) % 35 + 1 AS {INT}) AS {p}reason_sk,
@@ -303,13 +335,27 @@ def view_definitions(engine: str, base, dense: bool = False) -> dict[str, str]:
        CAST(FLOOR({ext} * (1 - {disc}) * (1 + {tax})) AS DOUBLE) AS {p}return_amt_inc_tax,
        CAST((l.l_orderkey * 7 + l.l_linenumber) % 100 AS DOUBLE) AS {p}fee,
        CAST(FLOOR({ext} * 0.04) AS DOUBLE) AS {p}return_ship_cost,
-       CAST(FLOOR({ext} * (1 - {disc}) * 0.7) AS DOUBLE) AS {p}refunded_cash,
-       CAST(FLOOR({ext} * (1 - {disc}) * 0.2) AS DOUBLE) AS {p}reversed_charge,
-       CAST(FLOOR({ext} * (1 - {disc}) * 0.1) AS DOUBLE) AS {p}{credit_name},
+       CAST(FLOOR({ext} * (1 - {disc}) * {rf[0]}) AS DOUBLE) AS {p}refunded_cash,
+       CAST(FLOOR({ext} * (1 - {disc}) * {rf[1]}) AS DOUBLE) AS {p}reversed_charge,
+       CAST(FLOOR({ext} * (1 - {disc}) * {rf[2]}) AS DOUBLE) AS {p}{credit_name},
        CAST(FLOOR({ext} * (1 - {disc}) * 0.3) AS DOUBLE) + CAST((l.l_orderkey * 7 + l.l_linenumber) % 100 AS DOUBLE) AS {p}net_loss"""
 
     LO = f"{base('lineitem')} l JOIN {base('orders')} o ON l.l_orderkey = o.o_orderkey"
     SOLD_SK = ED("CAST(o.o_orderdate AS DATE)")
+
+    # Fact-side item key (see dense notes above): the dense lane folds it to
+    # 20 values so same-item repeat events (q23/q64) exist below SF1.
+    ITEM_SK = "l.l_partkey % 20 + 1" if dense else "l.l_partkey"
+    # store_sales demographics key: dense pairs each customer with the
+    # ADJACENT custkey so q64's cd1 <> cd2 marital inequality is satisfiable
+    # (custkeys are contiguous from 1, so the partner exists except at the
+    # boundary, where the inner join drops the row in both engines alike).
+    SS_CDEMO = (
+        "CASE WHEN o.o_custkey % 2 = 0 THEN o.o_custkey - 1 "
+        "ELSE o.o_custkey + 1 END"
+        if dense
+        else "o.o_custkey"
+    )
 
     # address rows exist for every custkey (customer_address maps c_custkey).
     addr = "o.o_custkey"
@@ -319,9 +365,9 @@ def view_definitions(engine: str, base, dense: bool = False) -> dict[str, str]:
     # ------------------------------------------------------------- facts --
     views["store_sales"] = f"""
 SELECT {SOLD_SK} AS ss_sold_date_sk,
-       l.l_partkey AS ss_item_sk,
+       {ITEM_SK} AS ss_item_sk,
        o.o_custkey AS ss_customer_sk,
-       o.o_custkey AS ss_cdemo_sk,
+       {SS_CDEMO} AS ss_cdemo_sk,
        CASE WHEN (l.l_orderkey * 7 + l.l_linenumber) % 20 = 0
             THEN NULL ELSE {addr} END AS ss_addr_sk,
        CASE WHEN (l.l_orderkey * 11 + l.l_linenumber) % 25 = 0 THEN NULL
@@ -333,7 +379,7 @@ WHERE o.o_orderkey % 12 <> 11"""
 
     views["store_returns"] = f"""
 SELECT {SOLD_SK} + (l.l_orderkey * 3 + l.l_linenumber) % 90 + 1 AS sr_returned_date_sk,
-       l.l_partkey AS sr_item_sk,
+       {ITEM_SK} AS sr_item_sk,
        o.o_custkey AS sr_customer_sk,
        o.o_custkey AS sr_cdemo_sk,
        CAST((o.o_custkey * 31) % 7200 AS {INT}) AS sr_hdemo_sk,
@@ -345,7 +391,7 @@ WHERE o.o_orderkey % 12 <> 11 AND l.l_returnflag = 'R'"""
 
     views["catalog_sales"] = f"""
 SELECT {SOLD_SK} AS cs_sold_date_sk,
-       l.l_partkey AS cs_item_sk,
+       {ITEM_SK} AS cs_item_sk,
        o.o_custkey AS cs_bill_customer_sk,
        o.o_custkey AS cs_bill_cdemo_sk,
        CAST((o.o_custkey * 31) % 7200 AS {INT}) AS cs_bill_hdemo_sk,
@@ -364,7 +410,7 @@ WHERE o.o_orderkey % 2 = 1"""
 
     views["catalog_returns"] = f"""
 SELECT {SOLD_SK} + (l.l_orderkey * 3 + l.l_linenumber) % 90 + 1 AS cr_returned_date_sk,
-       l.l_partkey AS cr_item_sk,
+       {ITEM_SK} AS cr_item_sk,
        o.o_custkey AS cr_refunded_customer_sk,
        o.o_custkey AS cr_refunded_cdemo_sk,
        CAST((o.o_custkey * 31) % 7200 AS {INT}) AS cr_refunded_hdemo_sk,
@@ -383,7 +429,7 @@ WHERE o.o_orderkey % 2 = 1 AND l.l_returnflag = 'R'"""
 
     views["web_sales"] = f"""
 SELECT {SOLD_SK} AS ws_sold_date_sk,
-       l.l_partkey AS ws_item_sk,
+       {ITEM_SK} AS ws_item_sk,
        o.o_custkey AS ws_bill_customer_sk,
        o.o_custkey AS ws_bill_cdemo_sk,
        CAST((o.o_custkey * 31) % 7200 AS {INT}) AS ws_bill_hdemo_sk,
@@ -402,7 +448,7 @@ WHERE o.o_orderkey % 3 = 2"""
 
     views["web_returns"] = f"""
 SELECT {SOLD_SK} + (l.l_orderkey * 3 + l.l_linenumber) % 90 + 1 AS wr_returned_date_sk,
-       l.l_partkey AS wr_item_sk,
+       {ITEM_SK} AS wr_item_sk,
        o.o_custkey AS wr_refunded_customer_sk,
        o.o_custkey AS wr_refunded_cdemo_sk,
        CAST((o.o_custkey * 31) % 7200 AS {INT}) AS wr_refunded_hdemo_sk,
@@ -492,14 +538,20 @@ SELECT tt.t AS t_time_sk,
             ELSE NULL END AS t_meal_time
 FROM {SEQI(0, 86399, "t")} tt"""
 
+    # Dense: fold prices into [64, 80) so q64's BETWEEN 65 AND 74 band
+    # covers ~10/16 of items (default spread [0.10, 99.09] gives ~9%).
+    price_num = (
+        "6400 + (p_partkey * 83) % 1600" if dense
+        else "(p_partkey * 83) % 9900 + 10"
+    )
     views["item"] = f"""
 SELECT p_partkey AS i_item_sk,
        'item_' || {S("p_partkey")} AS i_item_id,
        CAST('1997-10-27' AS DATE) AS i_rec_start_date,
        CAST(NULL AS DATE) AS i_rec_end_date,
        p_name AS i_item_desc,
-       CAST((p_partkey * 83) % 9900 + 10 AS DOUBLE) / 100 AS i_current_price,
-       CAST((p_partkey * 83) % 9900 + 10 AS DOUBLE) / 100 * 0.6 AS i_wholesale_cost,
+       CAST({price_num} AS DOUBLE) / 100 AS i_current_price,
+       CAST({price_num} AS DOUBLE) / 100 * 0.6 AS i_wholesale_cost,
        CAST(p_partkey % 1000 AS {INT}) AS i_brand_id,
        {_pick("p_partkey * 27", _I_BRANDS)} AS i_brand,
        CAST(1 + p_partkey % 16 AS {INT}) AS i_class_id,
@@ -512,8 +564,7 @@ SELECT p_partkey AS i_item_sk,
        'Manufact#' || {S("p_partkey % 25")} AS i_manufact,
        {_pick("p_partkey * 29", _I_SIZES)} AS i_size,
        'formulation ' || {S("p_partkey % 37")} AS i_formulation,
-       {("CASE WHEN p_partkey % 4 = 0 THEN 'peach' ELSE "
-         + _pick("p_partkey * 29", _I_COLORS) + " END") if dense
+       {_pick("p_partkey", _DENSE_COLORS) if dense
         else _pick("p_partkey * 29", _I_COLORS)} AS i_color,
        {_pick("p_partkey * 41", _I_UNITS)} AS i_units,
        p_type AS i_container,

@@ -23,11 +23,11 @@ Coverage (round 9): TPC-H 22/22, TPC-DS 99/99 (q14 runs ONLY under the
 year-shift contract — see the _CASES comment), ClickBench 43/43 — 164
 reference texts, 163 of them also verbatim. Population tiers: 79 TPC-DS
 texts fire at sf0.001, 8 more at sf0.01 (_SF001_CASES), q41/q91 at sf0.1
-(test_sparse_text_populates_at_sf01); q24/q84/q85 are value-proven on
-populated selections at sf0.01 through the DENSE-SLICE view lane
-(_DENSE_PROOFS — suite 'tpcds_dense', identical texts, density-tuned
-derivations fed to both engines); q23/q54/q64 still need SF>=1 density and
-carry per-text waivers with both-engines-agree evidence at sf0.1
+(test_sparse_text_populates_at_sf01); ALL SIX formerly-waived SF>=1 texts
+(q23/q24/q54/q64/q84/q85) are value-proven on populated selections at
+sf0.01 through the DENSE-SLICE view lane (_DENSE_PROOFS — suite
+'tpcds_dense', identical texts, density-tuned derivations fed to both
+engines); the default-lane both-engines-agree-at-sf0.1 evidence is retained
 (_SPARSE_NOTES); q34/q46/q68 are ticket-size-bound at any scale.
 
 Plan-shape gate: every literal plan is asserted free of cartesian products,
@@ -567,8 +567,9 @@ _SF01_POPULATED = ["q41", "q91"]
 # texts sharing the same view derivations — waived instead, with evidence.
 _SPARSE_NOTES = {
     "q23": "frequent-item x best-customer intersection: needs items bought "
-           ">4x/yr AND customers above the 95th store-sales percentile in "
-           "BOTH channels — joint density reached only near SF1",
+           ">4x on one DAY AND customers above half the max store spend — "
+           "VALUE-PROVEN at sf0.01 on the dense lane (_DENSE_PROOFS, -3 "
+           "year shift, fact item-key fold)",
     "q24": "store/customer zip-pair return match under 0.05*avg-paid floor: "
            "the salesreturns self-pair plus same-zip conjunction is "
            "~1/|zips| selective per pair — VALUE-PROVEN at sf0.01 on the "
@@ -578,7 +579,13 @@ _SPARSE_NOTES = {
            "below SF1 — VALUE-PROVEN at sf0.01 on the dense lane "
            "(_DENSE_PROOFS, -1 year shift)",
     "q64": "cross-year same-item store-sale+return+catalog-sale chain with "
-           "price-ratio floor: a 6-way conjunction on one item",
+           "price-ratio floor: a 6-way conjunction on one item — VALUE-"
+           "PROVEN at sf0.01 on the dense lane (_DENSE_PROOFS, -3 year "
+           "shift; needed the item-key fold, the adjacent-custkey cdemo "
+           "pairing — the default ss_cdemo_sk = c_current_cdemo_sk makes "
+           "the cd1<>cd2 marital inequality structurally false — and the "
+           "partial-refund split that makes cs_ui's sale > 2*refund "
+           "HAVING reachable)",
     "q84": "income-band + city + demographics equality chain on "
            "customer_address/household_demographics — VALUE-PROVEN at "
            "sf0.01 on the dense lane (_DENSE_PROOFS)",
@@ -606,21 +613,23 @@ def test_sparse_text_populates_at_sf01(spark, name):
         _LAST_DUCK_SUITE[0] = None
 
 
-# Dense-slice lane (r8 VERDICT item 3): q24/q84/q85 value-proven on
-# POPULATED selections below SF1 via literal_tpcds.view_definitions(
-# dense=True) — the SAME verbatim texts over the same 24 view names, with
-# four derivations re-tuned so the joint conjunctions land on real rows
-# (ca_city residue alignment, store zips from the customer pool, denser
-# 'peach', price/profit folded into q85's bands; see that docstring). Both
-# engines read the identical dense derivation, so the differential is as
-# meaningful as the default lane's. q85 keeps a -3 year shift (d_year=2000
-# predates the 1992-1998 order dates — the standard shift contract).
-# q54 joins them under a -1 shift (December-1998 acquisitions predate the
-# 1998-08 order horizon). q23/q64 remain waived: their conjunctions compose
-# cross-channel purchase-frequency percentiles / cross-year same-customer-
-# same-item repeat purchases that no per-table densification reaches below
-# SF1 (the repeat-purchase probability itself scales with fact density).
-_DENSE_PROOFS = {"q24": 0, "q54": -1, "q84": 0, "q85": -3}  # name -> year_shift
+# Dense-slice lane (r8 VERDICT item 3, closed fully in r9): all six
+# formerly-waived texts value-proven on POPULATED selections below SF1 via
+# literal_tpcds.view_definitions(dense=True) — the SAME verbatim texts over
+# the same 24 view names, with derivations re-tuned so the joint
+# conjunctions land on real rows (ca_city residue alignment, store zips
+# from the customer pool, the dense color cycle, price/profit folded into
+# q85's bands; r9: fact item-key fold to 20 values so same-item repeat
+# events exist, adjacent-custkey ss_cdemo pairing so q64's marital
+# inequality is satisfiable, partial-refund split so q64's cs_ui HAVING is
+# reachable, i_current_price folded into q64's [65,74] band; see that
+# docstring). Both engines read the identical dense derivation, so the
+# differential is as meaningful as the default lane's. q85 keeps a -3 year
+# shift (d_year=2000 predates the 1992-1998 order dates — the standard
+# shift contract); q54 a -1 shift (December-1998 acquisitions predate the
+# 1998-08 order horizon); q23/q64 a -3 shift (their 1999-2003 windows).
+_DENSE_PROOFS = {"q23": -3, "q24": 0, "q54": -1, "q64": -3,
+                 "q84": 0, "q85": -3}  # name -> year_shift
 
 
 @pytest.mark.parametrize("name", sorted(_DENSE_PROOFS))
