@@ -211,8 +211,16 @@ def _tpcds_oracle(
     )
     # Longest-first so `store` never clips `store_sales`/`store_returns`;
     # \b is safe because '_' is a word character (no boundary inside names).
+    # Rewrite only OUTSIDE single-quoted literals: q93 filters
+    # r_reason_desc = 'reason 28', and a blind rewrite turned that literal
+    # into 'lit_reason 28' (selection silently empty — caught by the
+    # sf0.01 differential before registration).
+    segments = text.split("'")
     for t in sorted(tables, key=len, reverse=True):
-        text = _re.sub(rf"\b{t}\b", f"lit_{t}", text)
+        pat = _re.compile(rf"\b{t}\b")
+        for i in range(0, len(segments), 2):  # even segments = outside quotes
+            segments[i] = pat.sub(f"lit_{t}", segments[i])
+    text = "'".join(segments)
     cols = ", ".join(renames)
     ctes = ",\n".join(f"lit_{n} AS ({_VIEW_DEFS[n]})" for n in tables)
     return f"WITH {ctes}\nSELECT * FROM (\n{text}\n) AS _r({cols})"
@@ -844,4 +852,252 @@ def lit_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unique, so the declared order is total.
     return run_literal_sql(spark, sf_dir, "tpch", "q21").toDF(
         "s_name", "numwait"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 third wave: eleven more integer-exact verbatim texts. Selection
+# rule unchanged — outputs are counts, integer-valued-double sums (exact at
+# any partition order), group keys, or deterministic double divisions of
+# exact integers; every LIMIT cut happens under a TOTAL order (unique key in
+# the ORDER BY) or is never reached (row count / bounded vocabulary below
+# the LIMIT at both gate scales). TPC-DS q6 was evaluated and REJECTED: its
+# avg(i_current_price)*1.2 subquery averages NON-integer-valued two-decimal
+# doubles, whose sum is partition-order-sensitive in Spark — a knife-edge
+# the bit-exact gate must not sit on.
+# ---------------------------------------------------------------------------
+
+if _os.path.isdir(REFERENCE_QUERIES):
+
+    _Q4_COLS = ("customer_id", "customer_first_name", "customer_last_name",
+                "customer_preferred_cust_flag")
+
+    @query(
+        "lit_tpcds_q4_three_channel_growth",
+        oracle=_tpcds_oracle(
+            "q4",
+            ("store_sales", "catalog_sales", "web_sales", "customer",
+             "date_dim"),
+            _Q4_COLS,
+            year_shift=-1,
+        ),
+        tags=("literal", "tpcds", "self-join", "growth-ratio"),
+        order_by="customer_id",
+    )
+    def lit_tpcds_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q4 under the -1 year shift (2001/2002 predate the order
+        # range): the 6-alias year_total self-join with growth-ratio-of-
+        # ratios comparisons across all three channels. year_total sums
+        # (... )/2 of integer-valued doubles — halves are binary-exact —
+        # and the ratio compares divide exact doubles identically in both
+        # engines. Output is strings; ORDER BY customer_id is unique, so
+        # the sf0.1 LIMIT cut is a total-order prefix.
+        return run_literal_sql(
+            spark, sf_dir, "tpcds", "q4", year_shift=-1
+        ).toDF(*_Q4_COLS)
+
+    @query(
+        "lit_tpcds_q8_preferred_zip_stores",
+        oracle=_tpcds_oracle(
+            "q8",
+            ("store_sales", "date_dim", "store", "customer_address",
+             "customer"),
+            ("s_store_name", "sum_net_profit"),
+        ),
+        tags=("literal", "tpcds", "intersect", "zip-prefix"),
+        order_by="s_store_name",
+    )
+    def lit_tpcds_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q8: the zip-prefix INTERSECT machinery (400-literal
+        # IN-list x preferred-customer zips, then substr-2 store match).
+        # sum(ss_net_profit) is exact; store names are a 10-value bounded
+        # vocabulary, so the LIMIT never cuts.
+        return run_literal_sql(spark, sf_dir, "tpcds", "q8").toDF(
+            "s_store_name", "sum_net_profit"
+        )
+
+    _Q25_COLS = ("i_item_id", "i_item_desc", "s_store_id", "s_store_name",
+                 "store_sales_profit", "store_returns_loss",
+                 "catalog_sales_profit")
+
+    @query(
+        "lit_tpcds_q25_buy_return_rebuy_profit",
+        oracle=_tpcds_oracle(
+            "q25",
+            ("store_sales", "store_returns", "catalog_sales", "date_dim",
+             "store", "item"),
+            _Q25_COLS,
+        ),
+        tags=("literal", "tpcds", "chain-join"),
+        order_by="i_item_id, i_item_desc, s_store_id, s_store_name",
+    )
+    def lit_tpcds_q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q25: the buy->return->rebuy same-customer-same-item
+        # chain (store sale, store return, catalog re-purchase) with
+        # exact net_profit/net_loss sums; ORDER BY is the full group key.
+        return run_literal_sql(spark, sf_dir, "tpcds", "q25").toDF(*_Q25_COLS)
+
+    _Q29_COLS = ("i_item_id", "i_item_desc", "s_store_id", "s_store_name",
+                 "store_sales_quantity", "store_returns_quantity",
+                 "catalog_sales_quantity")
+
+    @query(
+        "lit_tpcds_q29_buy_return_rebuy_quantity",
+        oracle=_tpcds_oracle(
+            "q29",
+            ("store_sales", "store_returns", "catalog_sales", "date_dim",
+             "store", "item"),
+            _Q29_COLS,
+        ),
+        tags=("literal", "tpcds", "chain-join"),
+        order_by="i_item_id, i_item_desc, s_store_id, s_store_name",
+    )
+    def lit_tpcds_q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q29: q25's INT-quantity sibling over a wider month
+        # window; all-integer outputs, full-group-key ordering.
+        return run_literal_sql(spark, sf_dir, "tpcds", "q29").toDF(*_Q29_COLS)
+
+    @query(
+        "lit_tpcds_q33_manufact_period_sales",
+        oracle=_tpcds_oracle(
+            "q33",
+            ("store_sales", "catalog_sales", "web_sales", "date_dim",
+             "customer_address", "item"),
+            ("i_manufact_id", "total_sales"),
+        ),
+        tags=("literal", "tpcds", "union", "in-subquery"),
+    )
+    def lit_tpcds_q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q33: three-channel UNION under an IN-subquery manufact
+        # restriction. total_sales sums integer-valued ext_sales_price
+        # (exact); 90 groups at sf0.1 < LIMIT 100, so the count-tied ORDER
+        # never cuts and the compare is a multiset.
+        return run_literal_sql(spark, sf_dir, "tpcds", "q33").toDF(
+            "i_manufact_id", "total_sales"
+        )
+
+    @query(
+        "lit_tpcds_q56_color_period_sales",
+        oracle=_tpcds_oracle(
+            "q56",
+            ("store_sales", "catalog_sales", "web_sales", "date_dim",
+             "customer_address", "item"),
+            ("i_item_id", "total_sales"),
+        ),
+        tags=("literal", "tpcds", "union", "in-subquery"),
+    )
+    def lit_tpcds_q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q56: q33's color-restricted sibling; 79 groups at sf0.1
+        # < LIMIT 100 — no cut, multiset-total.
+        return run_literal_sql(spark, sf_dir, "tpcds", "q56").toDF(
+            "i_item_id", "total_sales"
+        )
+
+    _Q58_COLS = ("item_id", "ss_item_rev", "ss_dev", "cs_item_rev",
+                 "cs_dev", "ws_item_rev", "ws_dev", "average")
+
+    @query(
+        "lit_tpcds_q58_cross_channel_parity",
+        oracle=_tpcds_oracle(
+            "q58",
+            ("store_sales", "catalog_sales", "web_sales", "date_dim",
+             "item"),
+            _Q58_COLS,
+        ),
+        tags=("literal", "tpcds", "scalar-subquery", "band-compare"),
+        order_by="item_id, ss_item_rev",
+    )
+    def lit_tpcds_q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q58: items whose one-day revenue agrees within 10%
+        # across all three channels. Each rev is an exact sum; the 0.9/1.1
+        # band products and the dev/average divisions are single IEEE ops
+        # on exact doubles — bit-identical. ORDER BY leads with the unique
+        # item_id, so the sf0.1 LIMIT cut is total-ordered.
+        return run_literal_sql(spark, sf_dir, "tpcds", "q58").toDF(*_Q58_COLS)
+
+    @query(
+        "lit_tpcds_q60_category_period_sales",
+        oracle=_tpcds_oracle(
+            "q60",
+            ("store_sales", "catalog_sales", "web_sales", "date_dim",
+             "customer_address", "item"),
+            ("i_item_id", "total_sales"),
+        ),
+        tags=("literal", "tpcds", "union", "in-subquery"),
+        order_by="i_item_id, total_sales",
+    )
+    def lit_tpcds_q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q60: q33's category-restricted sibling. ORDER BY leads
+        # with the unique group key i_item_id, so the LIMIT cut at sf0.1
+        # (exactly 100 groups) is a total-order prefix.
+        return run_literal_sql(spark, sf_dir, "tpcds", "q60").toDF(
+            "i_item_id", "total_sales"
+        )
+
+    _Q71_COLS = ("brand_id", "brand", "t_hour", "t_minute", "ext_price")
+
+    @query(
+        "lit_tpcds_q71_brand_time_of_day",
+        oracle=_tpcds_oracle(
+            "q71",
+            ("item", "web_sales", "catalog_sales", "store_sales",
+             "date_dim", "time_dim"),
+            _Q71_COLS,
+        ),
+        tags=("literal", "tpcds", "union", "time-dim"),
+    )
+    def lit_tpcds_q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q71: three-channel UNION joined to time_dim's meal-time
+        # slices, grouped by brand x minute. Exact integer-valued sums, NO
+        # LIMIT — multiset-deterministic despite ext_price ordering ties.
+        return run_literal_sql(spark, sf_dir, "tpcds", "q71").toDF(*_Q71_COLS)
+
+    @query(
+        "lit_tpcds_q93_net_after_returns",
+        oracle=_tpcds_oracle(
+            "q93",
+            ("store_sales", "store_returns", "reason"),
+            ("ss_customer_sk", "sumsales"),
+        ),
+        tags=("literal", "tpcds", "outer-join"),
+        order_by="sumsales, ss_customer_sk",
+    )
+    def lit_tpcds_q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q93: per-customer sales net of reason-28 returns
+        # (LEFT OUTER on (item, ticket)). act_sales multiplies integer
+        # quantities by integer-valued sales_price — exact products, exact
+        # sums; ss_customer_sk breaks sumsales ties, so the LIMIT cut
+        # (exactly 100 at both scales) is total-ordered.
+        return run_literal_sql(spark, sf_dir, "tpcds", "q93").toDF(
+            "ss_customer_sk", "sumsales"
+        )
+
+
+_TPCH_Q18_ORACLE = f"""
+WITH {_lit_ctes("customer", "orders", "lineitem")}
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       sum(l_quantity) AS total_qty
+FROM lit_customer, lit_orders, lit_lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM lit_lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+  AND c_custkey = o_custkey
+  AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate
+"""
+
+
+@query(
+    "lit_tpch_q18_large_volume_customers",
+    oracle=_TPCH_Q18_ORACLE,
+    tags=("literal", "tpch", "in-subquery", "having"),
+)
+def lit_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Verbatim q18 (no dates, no LIMIT in the reference text): orders whose
+    # total quantity exceeds 300 through an IN-subquery HAVING. l_quantity
+    # is an integer-valued double (sums exact); o_totalprice is a raw
+    # pass-through column — multiset-deterministic.
+    return run_literal_sql(spark, sf_dir, "tpch", "q18").toDF(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+        "total_qty"
     )
