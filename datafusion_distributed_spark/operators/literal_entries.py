@@ -222,8 +222,21 @@ def _tpcds_oracle(
             segments[i] = pat.sub(f"lit_{t}", segments[i])
     text = "'".join(segments)
     cols = ", ".join(renames)
-    ctes = ",\n".join(f"lit_{n} AS ({_VIEW_DEFS[n]})" for n in tables)
+    # Generated (non-parquet) dimensions must be MATERIALIZED CTEs: DuckDB's
+    # optimizer has no cardinality for an inlined generate_series cross-join
+    # and picks catastrophic join orders (q72 over an inlined lit_inventory:
+    # >120 s at sf0.01; materialized: 4 s) — the CTE twin of the
+    # literal.register_duck_views _DUCK_MATERIALIZED rule.
+    ctes = ",\n".join(
+        f"lit_{n} AS MATERIALIZED ({_VIEW_DEFS[n]})"
+        if n in _DUCK_MATERIALIZED_CTES
+        else f"lit_{n} AS ({_VIEW_DEFS[n]})"
+        for n in tables
+    )
     return f"WITH {ctes}\nSELECT * FROM (\n{text}\n) AS _r({cols})"
+
+
+_DUCK_MATERIALIZED_CTES = {"inventory", "time_dim", "household_demographics"}
 
 
 _VIEW_DEFS = view_definitions("duck", lambda n: n)
@@ -1101,3 +1114,273 @@ def lit_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
         "total_qty"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 fourth wave: the full systematic sweep. Every remaining TPC-DS
+# text was screened at sf0.01 AND sf0.1 (rows > 0 at the gate scale, LIMIT
+# cut behavior, output arithmetic class); the 33 below are structurally
+# bit-exact — counts, integer-valued-double sums, exact-sum/count averages,
+# single-IEEE-op divisions of exact doubles, group keys — and every LIMIT
+# cut happens under a TOTAL order (ORDER BY contains a unique key, or
+# distinct ROLLUP levels make the key tuple unique) or is never reached.
+#
+# Screened and REJECTED, with the defect class:
+# - q17/q39: stddev/cov outputs — Spark's streaming variance is
+#   partition-order-sensitive on doubles;
+# - q47/q57/q89: ORDER BY (sum_sales - avg_monthly_sales) LIMIT 100 with
+#   the cut reached — the difference key can tie at the boundary (same
+#   class as the rejected CB q9/q15 rank-boundary ties);
+# - q53/q63: ORDER BY avg, sum, manufact/manager LIMIT 100 with the cut
+#   reached and a non-unique key tuple (same manufact across quarters);
+# - q83: its qty*1.0000/total/3.0*100 deviation chain rides the text's
+#   DECIMAL literals — Spark's decimal-arithmetic result scales differ
+#   from DuckDB's (caught by the sf0.01 differential: '12.000000' vs
+#   '12.0'), the same class as q61;
+# - q61: a DECIMAL(15,4)/DECIMAL(15,4) output column — Spark and DuckDB
+#   decimal-division result scales differ, so reprs diverge;
+# - q65: ORDER BY s_store_name, i_item_desc cut at 100 — i_item_desc is
+#   p_name, which collides across items (non-unique boundary);
+# - q78: ROUND(qty_ratio, 2) output — HALF_UP vs bankers at .005;
+# - q18: AVG(CAST(x AS DECIMAL(12,2))) — Spark returns DECIMAL(16,6),
+#   DuckDB DOUBLE; reprs diverge;
+# - q6: avg(i_current_price)*1.2 threshold (non-integer-valued doubles,
+#   rejected in the third wave);
+# - q74/q75: empty at the sf0.01 gate scale (q74's year-pair growth and
+#   q75's YoY decline fire only at larger SF; both remain value-checked in
+#   the pytest lane's tier system);
+# - q72 (the inventory x sales week-chain): REJECTED from the gate after
+#   the 10x probe OOMed its Spark plan — Catalyst's size estimate for the
+#   generated inventory-grid VIEW (part x warehouse x week sequences)
+#   under-estimates by orders of magnitude, so it broadcasts a data-scale
+#   join side ("Not enough memory to build and broadcast"). The DuckDB
+#   twin of the hazard is already documented at literal.py
+#   _DUCK_MATERIALIZED (q72 over the inventory VIEW: 545 s). The text
+#   stays value-proven in the pytest lane (populated differential at
+#   sf0.01 AND sf0.1, 100 rows each); a driver-gate entry must survive
+#   the probe, and this one structurally cannot while inventory is a
+#   generated view;
+# - q14: runs shift-only (the documented rollup-over-empty divergence).
+# ---------------------------------------------------------------------------
+
+_SWEEP = [
+    # (qnum, slug, renames, order_by or None, note)
+    ("q5", "channel_rollup_report",
+     ("channel", "id", "sales", "returns_amt", "profit"),
+     # ROLLUP NULL keys: the text orders NULLS FIRST explicitly; the
+     # ordering-property re-sort must spell it too (DuckDB defaults LAST).
+     "channel NULLS FIRST, id NULLS FIRST",
+     "three-channel UNION feeding one ROLLUP; exact sums; ROLLUP levels "
+     "make (channel, id) unique so the LIMIT cut is total-ordered"),
+    ("q9", "bucket_case_subqueries",
+     ("bucket1", "bucket2", "bucket3", "bucket4", "bucket5"),
+     None,
+     "CASE arms picking avg-vs-avg scalar subqueries by count thresholds; "
+     "single row, exact-sum/count averages"),
+    ("q12", "web_class_revenue_share",
+     ("i_item_id", "i_item_desc", "i_category", "i_class",
+      "i_current_price", "itemrevenue", "revenueratio"),
+     "i_category, i_class, i_item_id, i_item_desc, revenueratio",
+     "window revenue share over class; exact sums, one IEEE division; "
+     "i_item_id makes the cut total-ordered"),
+    ("q13", "demographic_band_averages",
+     ("avg1", "avg2", "avg3", "sum_wholesale"),
+     None,
+     "OR-of-ANDs demographic/address bands; single row of exact averages"),
+    ("q16", "catalog_multiwarehouse_orders",
+     ("order_count", "total_shipping_cost", "total_net_profit"),
+     None,
+     "EXISTS/NOT-EXISTS multi-warehouse catalog orders; single row, "
+     "COUNT DISTINCT + exact sums"),
+    ("q20", "catalog_class_revenue_share",
+     ("i_item_id", "i_item_desc", "i_category", "i_class",
+      "i_current_price", "itemrevenue", "revenueratio"),
+     "i_category, i_class, i_item_id, i_item_desc, revenueratio",
+     "q12's catalog sibling"),
+    ("q22", "inventory_rollup_qoh",
+     ("i_product_name", "i_brand", "i_class", "i_category", "qoh"),
+     "qoh NULLS FIRST, i_product_name NULLS FIRST, i_brand NULLS FIRST, i_class NULLS FIRST, i_category NULLS FIRST",
+     "4-level ROLLUP average quantity-on-hand; exact int averages; "
+     "distinct NULL patterns keep the 5-key sort unique"),
+    ("q27", "store_state_demographic_avgs",
+     ("i_item_id", "s_state", "g_state", "agg1", "agg2", "agg3", "agg4"),
+     None,
+     "ROLLUP over (item, state) with grouping(); exact int averages; "
+     "single row at gate scales"),
+    ("q28", "list_price_band_buckets",
+     ("b1_lp", "b1_cnt", "b1_cntd", "b2_lp", "b2_cnt", "b2_cntd",
+      "b3_lp", "b3_cnt", "b3_cntd", "b4_lp", "b4_cnt", "b4_cntd",
+      "b5_lp", "b5_cnt", "b5_cntd", "b6_lp", "b6_cnt", "b6_cntd"),
+     None,
+     "six cross-joined quantity-band buckets of avg/count/count-distinct "
+     "over integer-valued list prices; single row"),
+    ("q31", "county_quarter_growth_ratios",
+     ("ca_county", "d_year", "web_q1_q2_increase", "store_q1_q2_increase",
+      "web_q2_q3_increase", "store_q2_q3_increase"),
+     None,
+     "web-vs-store quarter-over-quarter growth ratio comparisons; exact "
+     "sums, deterministic divisions, no LIMIT"),
+    ("q36", "margin_rollup_rank",
+     ("gross_margin", "i_category", "i_class", "lochierarchy",
+      "rank_within_parent"),
+     None,
+     "RANK within ROLLUP parent by gross-margin ratio; 91 groups < LIMIT "
+     "at both scales, multiset-total"),
+    ("q38", "three_channel_intersect_count",
+     ("cnt",),
+     None,
+     "COUNT over the 3-channel customer INTERSECT; single row"),
+    ("q44", "best_worst_rank_join",
+     ("rnk", "best_performing", "worst_performing"),
+     "rnk",
+     "dual ASC/DESC item rankings over the ss_addr_sk-IS-NULL baseline; "
+     "10 rows, deterministic RANK on exact averages"),
+    ("q48", "disjunctive_band_quantity",
+     ("sum_qty",),
+     None,
+     "OR-of-ANDs cross-dimension bands; single integer row"),
+    ("q51", "cumulative_channel_dominance",
+     ("item_sk", "d_date", "web_sales", "store_sales", "web_cumulative",
+      "store_cumulative"),
+     "item_sk, d_date",
+     "FULL OUTER running-MAX forward-fill where web overtakes store; "
+     "exact sums; (item_sk, d_date) unique so the cut is total-ordered"),
+    ("q66", "warehouse_month_pivot",
+     ("w_warehouse_name", "w_warehouse_sq_ft", "w_city", "w_county",
+      "w_state", "w_country", "ship_carriers", "year_",
+      "jan_sales", "feb_sales", "mar_sales", "apr_sales", "may_sales",
+      "jun_sales", "jul_sales", "aug_sales", "sep_sales", "oct_sales",
+      "nov_sales", "dec_sales",
+      "jan_sales_per_sq_foot", "feb_sales_per_sq_foot",
+      "mar_sales_per_sq_foot", "apr_sales_per_sq_foot",
+      "may_sales_per_sq_foot", "jun_sales_per_sq_foot",
+      "jul_sales_per_sq_foot", "aug_sales_per_sq_foot",
+      "sep_sales_per_sq_foot", "oct_sales_per_sq_foot",
+      "nov_sales_per_sq_foot", "dec_sales_per_sq_foot",
+      "jan_net", "feb_net", "mar_net", "apr_net", "may_net", "jun_net",
+      "jul_net", "aug_net", "sep_net", "oct_net", "nov_net", "dec_net"),
+     "w_warehouse_name",
+     "12-month conditional-sum pivot per warehouse/carrier pair; exact "
+     "products (price x quantity), per-sq-ft divisions of exact sums; "
+     "5 warehouses < LIMIT"),
+    ("q67", "rollup_topk_per_category",
+     ("i_category", "i_class", "i_brand", "i_product_name", "d_year",
+      "d_qoy", "d_moy", "s_store_id", "sumsales", "rk"),
+     None,
+     "rank <= 100 per category over an 8-level ROLLUP; exact sums, "
+     "deterministic RANK; distinct NULL patterns keep the full 10-key "
+     "ORDER unique under the cut"),
+    ("q69", "state_demographic_profile",
+     ("cd_gender", "cd_marital_status", "cd_education_status", "cnt1",
+      "cd_purchase_estimate", "cnt2", "cd_credit_rating", "cnt3"),
+     None,
+     "EXISTS AND NOT-EXISTS channel profile counts; 21 groups < LIMIT"),
+    ("q70", "state_profit_rollup_rank",
+     ("total_sum", "s_state", "s_county", "lochierarchy",
+      "rank_within_parent"),
+     None,
+     "RANK within state ROLLUP gated by a top-5-states window subquery; "
+     "3 groups < LIMIT"),
+    ("q73", "ticket_size_households",
+     ("c_last_name", "c_first_name", "c_salutation",
+      "c_preferred_cust_flag", "ss_ticket_number", "cnt"),
+     None,
+     "1-5-item ticket bands per household; counts, no LIMIT"),
+    ("q76", "lost_key_channel_counts",
+     ("channel", "col_name", "d_year", "d_qoy", "i_category", "sales_cnt",
+      "sales_amt"),
+     "channel, col_name, d_year, d_qoy, i_category",
+     "the NULL-FK lane union (exactly the three channels' lost-key "
+     "lanes); counts + exact sums; ORDER BY is the full group key"),
+    ("q77", "channel_profit_rollup",
+     ("channel", "id", "sales", "returns_amt", "profit"),
+     None,
+     "per-channel sales/returns/profit ROLLUP; 40 groups < LIMIT"),
+    ("q79", "manager_ticket_profits",
+     ("c_last_name", "c_first_name", "s_city_prefix", "ss_ticket_number",
+      "amt", "profit"),
+     None,
+     "per-ticket coupon/profit sums under dep-count/vehicle bands; "
+     "c_first_name is the unique TPC-H c_name, so the cut ORDER "
+     "(lname, fname, ...) is total"),
+    ("q80", "channel_promo_rollup",
+     ("channel", "id", "sales", "returns_amt", "profit"),
+     "channel NULLS FIRST, id NULLS FIRST",
+     "three-channel returns-joined ROLLUP under a promo restriction; "
+     "exact sums; ROLLUP (channel, id) unique under the sf0.1 cut"),
+    ("q81", "state_return_outliers",
+     ("c_customer_id", "c_salutation", "c_first_name", "c_last_name",
+      "ca_street_number", "ca_street_name", "ca_street_type",
+      "ca_suite_number", "ca_city", "ca_county", "ca_state", "ca_zip",
+      "ca_country", "ca_gmt_offset", "ca_location_type",
+      "ctr_total_return"),
+     "c_customer_id",
+     "catalog returns above 1.2x the state average (correlated CTE); "
+     "exact sums, exact-sum/count threshold; c_customer_id unique"),
+    ("q86", "web_rollup_rank",
+     ("total_sum", "i_category", "i_class", "lochierarchy",
+      "rank_within_parent"),
+     None,
+     "q36's web sibling; 91 groups < LIMIT"),
+    ("q87", "cohort_except_count",
+     ("cnt",),
+     None,
+     "chained EXCEPT cohort count; single row"),
+    ("q94", "web_multiwarehouse_orders",
+     ("order_count", "total_shipping_cost", "total_net_profit"),
+     None,
+     "q16's web sibling (EXISTS + NOT EXISTS on web_returns); single row"),
+    ("q97", "channel_overlap_counts",
+     ("store_only", "catalog_only", "store_and_catalog"),
+     None,
+     "FULL OUTER store/catalog purchaser overlap counts; single row"),
+    ("q98", "store_class_revenue_share",
+     ("i_item_id", "i_item_desc", "i_category", "i_class",
+      "i_current_price", "itemrevenue", "revenueratio"),
+     None,
+     "q12's store sibling, NO LIMIT — multiset-total"),
+    ("q99", "catalog_ship_lag_bands",
+     ("w_substr", "sm_type", "cc_name_lower", "days_30", "days_31_60",
+      "days_61_90", "days_91_120", "days_over_120"),
+     None,
+     "30/60/90/120-day catalog ship-lag count matrix; 90 groups < LIMIT"),
+]
+
+if _os.path.isdir(REFERENCE_QUERIES):
+
+    _ALL_TPCDS_VIEWS = tuple(_VIEW_DEFS) + ("customer",)
+
+    def _tables_in_text(qname: str) -> tuple[str, ...]:
+        """Auto-derive the view names a text references (word matches
+        outside single-quoted literals), so oracle CTE lists can't drift
+        from the text."""
+        text = load_literal_text("tpcds", qname)
+        segments = text.split("'")[::2]
+        body = "\n".join(segments)
+        names = [
+            t for t in TPCDS_TABLE_NAMES
+            if _re.search(rf"\b{t}\b", body)
+        ]
+        return tuple(names)
+
+    from ..literal_tpcds import TPCDS_SUITE_VIEWS as _TSV
+
+    TPCDS_TABLE_NAMES = tuple(name for name, _key in _TSV)
+
+    def _register_sweep_entry(qnum, slug, renames, order_by, note):
+        tables = _tables_in_text(qnum)
+
+        def fn(spark: SparkSession, sf_dir: str, _q=qnum, _r=renames):
+            return run_literal_sql(spark, sf_dir, "tpcds", _q).toDF(*_r)
+
+        fn.__name__ = f"lit_tpcds_{qnum}"
+        fn.__doc__ = f"Verbatim TPC-DS {qnum}: {note}."
+        query(
+            f"lit_tpcds_{qnum}_{slug}",
+            oracle=_tpcds_oracle(qnum, tables, renames),
+            tags=("literal", "tpcds", "sweep"),
+            order_by=order_by,
+        )(fn)
+
+    for _row in _SWEEP:
+        _register_sweep_entry(*_row)
