@@ -1384,3 +1384,90 @@ if _os.path.isdir(REFERENCE_QUERIES):
 
     for _row in _SWEEP:
         _register_sweep_entry(*_row)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 ClickBench sweep: the remaining 33 CB texts screened the same way.
+# Promoted: q12 (10-phrase vocabulary == LIMIT, never cuts), q21/q22 (the
+# URL-LIKE family — all 10 phrase groups survive the filter at any scale,
+# so the LIMIT never cuts; min(URL)/min(Title) are deterministic string
+# extrema), q29 (90 integer sums, single row, no LIMIT). Rejected, each
+# verified empirically with a LIMIT-12 boundary probe at both gate scales:
+# q8/q9/q11/q14 (count-DESC rank-10 ties at the cut — q8 ranks 9-12 all
+# u=2 at sf0.01, q14 all c=667 at sf0.1), q15/q16/q17/q18/q30/q31/q32/
+# q33/q34/q35 (high-cardinality keys ORDER BY c DESC — count-1 tie walls),
+# q23/q24/q25/q26 (ORDER BY derived EventTime — non-unique, tied cut),
+# q3 (bigint-sum overflow divergence, rejected in r8), q19/q27/q28/
+# q36-q42 (empty at the sf0.01 gate scale).
+# ---------------------------------------------------------------------------
+
+
+def _cb_oracle(qname: str, renames: tuple[str, ...]) -> str:
+    """DuckDB oracle for a verbatim ClickBench text: lit_hits CTE + table
+    rewrite outside quoted literals + positional renames."""
+    text = load_literal_text("clickbench", qname)
+    segments = text.split("'")
+    pat = _re.compile(r"\bhits\b")
+    for i in range(0, len(segments), 2):
+        segments[i] = pat.sub("lit_hits", segments[i])
+    text = "'".join(segments)
+    cols = ", ".join(f'"{c}"' for c in renames)
+    return (
+        f"WITH {_lit_ctes('hits')}\n"
+        f"SELECT * FROM (\n{text}\n) AS _r({cols})"
+    )
+
+
+if _os.path.isdir(REFERENCE_QUERIES):
+
+    @query(
+        "lit_cb_q12_phrase_counts",
+        oracle=_cb_oracle("q12", ("phrase", "c")),
+        tags=("literal", "clickbench", "count", "sweep"),
+    )
+    def lit_cb_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q12: per-phrase counts; exactly 10 non-empty phrases at
+        # any SF (bounded vocabulary) == LIMIT 10 — never cuts.
+        return run_literal_sql(spark, sf_dir, "clickbench", "q12").toDF(
+            "phrase", "c"
+        )
+
+    @query(
+        "lit_cb_q21_url_like_phrases",
+        oracle=_cb_oracle("q21", ("phrase", "min_url", "c")),
+        tags=("literal", "clickbench", "like", "sweep"),
+    )
+    def lit_cb_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q21: URL-LIKE-filtered phrase groups with min(URL); all
+        # 10 phrase groups survive the filter (vocabulary-bounded, == LIMIT).
+        return run_literal_sql(spark, sf_dir, "clickbench", "q21").toDF(
+            "phrase", "min_url", "c"
+        )
+
+    @query(
+        "lit_cb_q22_title_like_phrases",
+        oracle=_cb_oracle(
+            "q22", ("phrase", "min_url", "min_title", "c", "u")
+        ),
+        tags=("literal", "clickbench", "like", "distinct", "sweep"),
+    )
+    def lit_cb_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q22: Title-LIKE + URL-NOT-LIKE phrase groups with string
+        # extrema and COUNT DISTINCT; vocabulary-bounded below the LIMIT.
+        return run_literal_sql(spark, sf_dir, "clickbench", "q22").toDF(
+            "phrase", "min_url", "min_title", "c", "u"
+        )
+
+    _Q29_COLS = tuple(f"s{k}" for k in range(90))
+
+    @query(
+        "lit_cb_q29_resolution_sum_fan",
+        oracle=_cb_oracle("q29", _Q29_COLS),
+        tags=("literal", "clickbench", "sweep"),
+    )
+    def lit_cb_q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q29: SUM(ResolutionWidth + k) for k = 0..89 — ninety
+        # exact integer sums in one row (whole-stage-codegen width stress).
+        return run_literal_sql(spark, sf_dir, "clickbench", "q29").toDF(
+            *_Q29_COLS
+        )
