@@ -274,7 +274,21 @@ def register_spark_views(spark: SparkSession, sf_dir: str, suite: str) -> None:
     Bases are re-registered under ``lit_base_*`` names so padded views can
     take the bare names. Overriding the bare TPC-H names is safe: every
     engine-native query path re-registers its views through
-    ``tables.load_tables`` (which this resets the ownership token for)."""
+    ``tables.load_tables`` (which this resets the ownership token for).
+
+    Idempotent per (session, sf_dir, suite): re-registering 24 views on
+    every literal query call cost ~100 ms of DDL each — at 83 ``lit_*``
+    registry entries x 4 bench executions that was minutes of pure view
+    churn. The early return is valid only while NO engine-native path
+    re-registered the bare views since (``_dds_active_views`` is the
+    None this function left it as); ``load_tables(register=True)`` sets
+    it to its sf_dir, which invalidates this cache too."""
+    key = (sf_dir.rstrip("/"), suite)
+    if (
+        getattr(spark, "_dds_literal_views", None) == key
+        and getattr(spark, "_dds_active_views", "stale") is None
+    ):
+        return
     tables = load_tables(spark, sf_dir, register=False)
     for name, df in tables.items():
         df.createOrReplaceTempView(_BASE_PREFIX + name)
@@ -296,6 +310,7 @@ def register_spark_views(spark: SparkSession, sf_dir: str, suite: str) -> None:
     # Invalidate tables.load_tables view ownership: the next engine-native
     # query re-registers the unpadded bare views.
     setattr(spark, "_dds_active_views", None)
+    setattr(spark, "_dds_literal_views", key)
 
 
 # Generated (non-parquet) tables DuckDB must see as TABLES, not views: its

@@ -1458,16 +1458,20 @@ if _os.path.isdir(REFERENCE_QUERIES):
             "phrase", "min_url", "min_title", "c", "u"
         )
 
-    _Q29_COLS = tuple(f"s{k}" for k in range(90))
+    # NB: distinct name from the tpcds q29 entry's _Q29_COLS — the entry
+    # functions read their column tuples LATE-BOUND from module scope, so
+    # re-binding a shared name here silently re-aliases the other entry
+    # (caught by the oracle battery: tpcds q29 got 90 CB names).
+    _CB_Q29_COLS = tuple(f"s{k}" for k in range(90))
 
     @query(
         "lit_cb_q29_resolution_sum_fan",
-        oracle=_cb_oracle("q29", _Q29_COLS),
+        oracle=_cb_oracle("q29", _CB_Q29_COLS),
         tags=("literal", "clickbench", "sweep"),
     )
     def lit_cb_q29(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Verbatim q29: SUM(ResolutionWidth + k) for k = 0..89 — ninety
         # exact integer sums in one row (whole-stage-codegen width stress).
         return run_literal_sql(spark, sf_dir, "clickbench", "q29").toDF(
-            *_Q29_COLS
+            *_CB_Q29_COLS
         )

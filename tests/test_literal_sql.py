@@ -672,3 +672,42 @@ def test_sf1_bound_text_agrees_at_sf01(spark, name):
     finally:
         con.close()
         _LAST_DUCK_SUITE[0] = None
+
+
+def test_view_registration_cache_invalidates(spark):
+    """register_spark_views is idempotent per (sf_dir, suite) but MUST
+    re-register after (a) an engine-native load_tables re-takes the bare
+    views or (b) a scale/suite switch — the r4 alternating-sf_dir bug
+    class, now guarded on the literal lane's own cache."""
+    from datafusion_distributed_spark.literal import register_spark_views
+    from datafusion_distributed_spark.tables import load_tables
+
+    sf_small = SF_DIR
+    sf_med = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_med):
+        pytest.skip("sf0.01 fixtures not available")
+
+    register_spark_views(spark, sf_small, "tpch")
+    n_small = spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0].n
+    # cache hit: same key, bare views untouched -> early return (cheap DDL
+    # path; correctness asserted by the count staying right)
+    register_spark_views(spark, sf_small, "tpch")
+    assert spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0].n == n_small
+
+    # scale switch through the literal lane must re-register
+    register_spark_views(spark, sf_med, "tpch")
+    n_med = spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0].n
+    assert n_med > n_small
+
+    # an engine-native load_tables retakes the bare views (small scale);
+    # the next literal registration for sf_med must NOT early-return on
+    # its stale key
+    load_tables(spark, sf_small, register=True)
+    assert spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0].n == n_small
+    register_spark_views(spark, sf_med, "tpch")
+    assert spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0].n == n_med
+
+    # suite switch re-registers shared names (tpcds overrides `customer`)
+    register_spark_views(spark, sf_med, "tpcds")
+    cols = {c.lower() for c in spark.table("customer").columns}
+    assert "c_customer_sk" in cols
