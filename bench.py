@@ -7,6 +7,10 @@ and prints ONE JSON line:
 Methodology mirrors the reference's benchmark stats (p50 of repeated runs,
 /root/reference/benchmarks/src/stats.rs; BASELINE.md §B): one warm-up run,
 then N_RUNS timed runs per query, per-query median, total = sum of medians.
+(A round-9 experiment ran lit_* entries warm-up + single-run to shave wall;
+REVERTED — the single run right after warm-up measures ~40% above the 3-run
+median on those sub-second star queries, polluting the battery total for a
+~54 s wall saving.)
 """
 
 from __future__ import annotations

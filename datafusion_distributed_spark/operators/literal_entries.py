@@ -1348,8 +1348,6 @@ _SWEEP = [
 
 if _os.path.isdir(REFERENCE_QUERIES):
 
-    _ALL_TPCDS_VIEWS = tuple(_VIEW_DEFS) + ("customer",)
-
     def _tables_in_text(qname: str) -> tuple[str, ...]:
         """Auto-derive the view names a text references (word matches
         outside single-quoted literals), so oracle CTE lists can't drift
