@@ -467,6 +467,27 @@ WHERE o.o_orderkey % 3 = 2 AND l.l_returnflag = 'R'"""
     # values are identical); without it p_partkey ~ 3e8 would overflow —
     # Spark (non-ANSI) wraps silently while DuckDB raises, diverging the
     # differential asymmetrically.
+    # Grid generation: Spark renders the part x warehouse x week grid as
+    # chained LATERAL VIEW explodes — NARROW generation above the part
+    # scan, no join at all. The SEQI/SEQD cross-join spelling planned as
+    # BroadcastNestedLoopJoin Cross over generated one-column relations
+    # whose sizes Catalyst cannot estimate; at sf0.1 that BNLJ chain made
+    # q22-class texts the battery's slowest rows (4.5 s) and drove the
+    # q72 probe OOM (a data-scale side got broadcast). DuckDB keeps the
+    # cross-join spelling — its side is MATERIALIZED anyway
+    # (_DUCK_MATERIALIZED / the oracle's AS MATERIALIZED CTEs). Identical
+    # rows from both renderings.
+    _GRID = (
+        f"{base('part')} p\n"
+        "LATERAL VIEW explode(sequence(1, 5)) wh AS w\n"
+        "LATERAL VIEW explode(sequence(DATE '1995-01-01', "
+        "DATE '2002-12-31', interval 7 day)) w AS wk"
+        if sp
+        else f"{base('part')} p\n"
+        f"CROSS JOIN {SEQI(1, 5, 'w')} wh\n"
+        f"CROSS JOIN {SEQD('1995-01-01', '2002-12-31', 7, 'wk')} w"
+    )
+
     views["inventory"] = f"""
 SELECT {ED("w.wk")} AS inv_date_sk,
        p.p_partkey AS inv_item_sk,
@@ -475,9 +496,7 @@ SELECT {ED("w.wk")} AS inv_date_sk,
                  THEN 400 + (p.p_partkey * 31 + {ED("w.wk")} * 5) % 600
                  ELSE (p.p_partkey * 13 + wh.w * 17 + {ED("w.wk")} * 7) % 40
             END AS {INT}) AS inv_quantity_on_hand
-FROM {base('part')} p
-CROSS JOIN {SEQI(1, 5, "w")} wh
-CROSS JOIN {SEQD("1995-01-01", "2002-12-31", 7, "wk")} w"""
+FROM {_GRID}"""
 
     # -------------------------------------------------------- dimensions --
     d = "cal.d_date"

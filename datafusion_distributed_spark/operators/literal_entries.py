@@ -1150,16 +1150,16 @@ def lit_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   q75's YoY decline fire only at larger SF; both remain value-checked in
 #   the pytest lane's tier system);
 # - q72 (the inventory x sales week-chain): REJECTED from the gate after
-#   the 10x probe OOMed its Spark plan — Catalyst's size estimate for the
-#   generated inventory-grid VIEW (part x warehouse x week sequences)
-#   under-estimates by orders of magnitude, so it broadcasts a data-scale
-#   join side ("Not enough memory to build and broadcast"). The DuckDB
-#   twin of the hazard is already documented at literal.py
-#   _DUCK_MATERIALIZED (q72 over the inventory VIEW: 545 s). The text
-#   stays value-proven in the pytest lane (populated differential at
-#   sf0.01 AND sf0.1, 100 rows each); a driver-gate entry must survive
-#   the probe, and this one structurally cannot while inventory is a
-#   generated view;
+#   the 10x probe killed its Spark plan twice — first via Catalyst
+#   broadcasting a data-scale side of the BNLJ-era inventory-grid cross,
+#   then (after the grid moved to LATERAL-explode generation, which DID
+#   remove the BNLJ and the broadcast) via executor memory exhaustion on
+#   the honest workload: the probe's 10x replica is an SF1-equivalent
+#   420M-row inventory grid joined through the week-chain, beyond this
+#   box for a gate entry. The text stays value-proven in the pytest lane
+#   (populated differential at sf0.01 AND sf0.1) and is the same-box
+#   sf0.1 throughput win recorded in BASELINE.md SC (52.5 s vs DuckDB's
+#   96.5 s);
 # - q14: runs shift-only (the documented rollup-over-empty divergence).
 # ---------------------------------------------------------------------------
 

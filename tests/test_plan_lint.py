@@ -51,12 +51,6 @@ _CROSS_OK = {
     "ds_perplexity_buckets",  # same 1-row-total × vocab cross as the surprisal fit
     "text_tfidf_cosine_pairs",  # 1-row doc-count scalar crossed onto the df frame
     "join_nonequi_exists",  # deliberate NLJ-semi repro over the 25-row nation dim
-    # The inventory VIEW is part x 5 warehouses x 418 weeks built from
-    # generated sequences — the cross is the view's own bounded grid
-    # construction, never a data-scale product:
-    "lit_tpcds_q21_inventory_shift_bands",
-    "lit_tpcds_q22_inventory_rollup_qoh",
-    "lit_tpcds_q82_inventory_band_items",
     "lit_tpcds_q28_list_price_band_buckets",  # six 1-row band aggregates crossed
     "lit_tpcds_q70_state_profit_rollup_rank",  # NLJ-semi over the <=20-state top-5 set
     "lit_tpcds_q77_channel_profit_rollup",  # cross of 1-row channel aggregates
