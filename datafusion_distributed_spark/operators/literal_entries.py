@@ -1273,8 +1273,10 @@ _SWEEP = [
     ("q69", "state_demographic_profile",
      ("cd_gender", "cd_marital_status", "cd_education_status", "cnt1",
       "cd_purchase_estimate", "cnt2", "cd_credit_rating", "cnt3"),
-     None,
-     "EXISTS AND NOT-EXISTS channel profile counts; 21 groups < LIMIT"),
+     "cd_gender, cd_marital_status, cd_education_status, "
+     "cd_purchase_estimate, cd_credit_rating",
+     "EXISTS AND NOT-EXISTS channel profile counts; 21 groups < LIMIT; "
+     "ORDER BY is the full group key (total)"),
     ("q70", "state_profit_rollup_rank",
      ("total_sum", "s_state", "s_county", "lochierarchy",
       "rank_within_parent"),
@@ -1337,13 +1339,17 @@ _SWEEP = [
     ("q98", "store_class_revenue_share",
      ("i_item_id", "i_item_desc", "i_category", "i_class",
       "i_current_price", "itemrevenue", "revenueratio"),
-     None,
-     "q12's store sibling, NO LIMIT — multiset-total"),
+     "i_category NULLS FIRST, i_class NULLS FIRST, i_item_id NULLS "
+     "FIRST, i_item_desc NULLS FIRST, revenueratio NULLS FIRST",
+     "q12's store sibling, NO LIMIT; ORDER BY leads with the unique "
+     "item_id before the ratio — total"),
     ("q99", "catalog_ship_lag_bands",
      ("w_substr", "sm_type", "cc_name_lower", "days_30", "days_31_60",
       "days_61_90", "days_91_120", "days_over_120"),
-     None,
-     "30/60/90/120-day catalog ship-lag count matrix; 90 groups < LIMIT"),
+     "w_substr NULLS FIRST, sm_type NULLS FIRST, cc_name_lower NULLS "
+     "FIRST",
+     "30/60/90/120-day catalog ship-lag count matrix; 90 groups < LIMIT; "
+     "ORDER BY is the full group key (total)"),
 ]
 
 if _os.path.isdir(REFERENCE_QUERIES):
