@@ -1479,3 +1479,42 @@ if _os.path.isdir(REFERENCE_QUERIES):
         return run_literal_sql(spark, sf_dir, "clickbench", "q29").toDF(
             *_CB_Q29_COLS
         )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 fifth wave: q74/q75 re-screened under the year-shift contract —
+# the zero-shift screen had marked them empty-at-gate-scale, but both fire
+# at -1 (their 2000/2001 year pairs predate the order horizon, the same
+# contract as lit_tpcds_q4/q15/q32). q74 promoted. q75 REJECTED at the
+# sf0.01 differential: its WHERE ratio CAST(cnt AS DECIMAL)/prev_cnt can
+# divide by ZERO (net-of-returns quantity sums to 0 for some brand-years),
+# and ANSI Spark THROWS on rows its join order evaluates the predicate on
+# while DuckDB's join order never reaches them — engine-semantics edge, not
+# densifiable away. The text stays covered in the pytest lane (year-shift
+# tier) and by the engine-native sql_channel_decline_yoy class.
+# ---------------------------------------------------------------------------
+
+if _os.path.isdir(REFERENCE_QUERIES):
+
+    _Q74_COLS = ("customer_id", "customer_first_name", "customer_last_name")
+
+    @query(
+        "lit_tpcds_q74_two_channel_growth",
+        oracle=_tpcds_oracle(
+            "q74",
+            ("store_sales", "web_sales", "customer", "date_dim"),
+            _Q74_COLS,
+            year_shift=-1,
+        ),
+        tags=("literal", "tpcds", "self-join", "growth-ratio"),
+        order_by="customer_id",
+    )
+    def lit_tpcds_q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q74 under the -1 year shift: q4's two-channel sibling
+        # (4-alias year_total self-join, web growth beats store growth).
+        # sum(ss_net_paid)/sum(ws_net_paid) are exact integer-valued-double
+        # sums; the ratio compare divides exact doubles identically in both
+        # engines; ORDER BY 1 = the unique customer_id (total cut).
+        return run_literal_sql(
+            spark, sf_dir, "tpcds", "q74", year_shift=-1
+        ).toDF(*_Q74_COLS)
