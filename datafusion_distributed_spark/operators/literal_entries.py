@@ -1518,3 +1518,141 @@ if _os.path.isdir(REFERENCE_QUERIES):
         return run_literal_sql(
             spark, sf_dir, "tpcds", "q74", year_shift=-1
         ).toDF(*_Q74_COLS)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 sixth wave: the remaining year-shiftable texts re-screened at -1
+# (all six populate at BOTH gate scales). Promoted: q10/q11/q30/q35/q91.
+# Rejected with defect classes: q2 (ROUND(ratio, 2) outputs — HALF_UP vs
+# bankers at .005, the q78 class), q49 (DECIMAL(15,4)/DECIMAL(15,4)
+# return_ratio output — the q61/q83 scale-repr class). q41 stays a
+# documented sf0.1-only tier (empty at the sf0.01 gate scale at every
+# shift; value-proven at sf0.1 in the pytest lane).
+# ---------------------------------------------------------------------------
+
+if _os.path.isdir(REFERENCE_QUERIES):
+
+    _Q10_COLS = ("cd_gender", "cd_marital_status", "cd_education_status",
+                 "cnt1", "cd_purchase_estimate", "cnt2", "cd_credit_rating",
+                 "cnt3", "cd_dep_count", "cnt4", "cd_dep_employed_count",
+                 "cnt5", "cd_dep_college_count", "cnt6")
+
+    @query(
+        "lit_tpcds_q10_county_demographic_profile",
+        oracle=_tpcds_oracle(
+            "q10",
+            ("customer", "customer_address", "customer_demographics",
+             "store_sales", "web_sales", "catalog_sales", "date_dim"),
+            _Q10_COLS,
+            year_shift=-1,
+        ),
+        tags=("literal", "tpcds", "exists", "mark-join"),
+    )
+    def lit_tpcds_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q10 under -1: EXISTS AND (EXISTS OR EXISTS) double mark
+        # join over county-restricted customers; counts only; 14 groups <
+        # LIMIT at both scales.
+        return run_literal_sql(
+            spark, sf_dir, "tpcds", "q10", year_shift=-1
+        ).toDF(*_Q10_COLS)
+
+    _Q11_COLS = ("customer_id", "customer_first_name", "customer_last_name",
+                 "customer_preferred_cust_flag")
+
+    @query(
+        "lit_tpcds_q11_store_web_growth",
+        oracle=_tpcds_oracle(
+            "q11",
+            ("store_sales", "web_sales", "customer", "date_dim"),
+            _Q11_COLS,
+            year_shift=-1,
+        ),
+        tags=("literal", "tpcds", "self-join", "growth-ratio"),
+        order_by="customer_id",
+    )
+    def lit_tpcds_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q11 under -1: q4/q74's list-price-minus-discount
+        # sibling. Exact integer-valued sums, deterministic ratio compare;
+        # ORDER BY leads with the unique customer_id (total sf0.1 cut).
+        return run_literal_sql(
+            spark, sf_dir, "tpcds", "q11", year_shift=-1
+        ).toDF(*_Q11_COLS)
+
+    _Q30_COLS = ("c_customer_id", "c_salutation", "c_first_name",
+                 "c_last_name", "c_preferred_cust_flag", "c_birth_day",
+                 "c_birth_month", "c_birth_year", "c_birth_country",
+                 "c_login", "c_email_address", "c_last_review_date_sk",
+                 "ctr_total_return")
+
+    @query(
+        "lit_tpcds_q30_web_return_outliers",
+        oracle=_tpcds_oracle(
+            "q30",
+            ("web_returns", "date_dim", "customer_address", "customer"),
+            _Q30_COLS,
+            year_shift=-1,
+        ),
+        tags=("literal", "tpcds", "correlated-subquery"),
+        order_by="c_customer_id",
+    )
+    def lit_tpcds_q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q30 under -1: q81's web sibling (returns above 1.2x the
+        # state average, correlated CTE). Exact sums, exact-sum/count
+        # threshold; c_customer_id is unique; under the LIMIT at both
+        # scales (5 / 49 rows).
+        return run_literal_sql(
+            spark, sf_dir, "tpcds", "q30", year_shift=-1
+        ).toDF(*_Q30_COLS)
+
+    _Q35_COLS = ("ca_state", "cd_gender", "cd_marital_status",
+                 "cd_dep_count", "cnt1", "min1", "max1", "avg1",
+                 "cd_dep_employed_count", "cnt2", "min2", "max2", "avg2",
+                 "cd_dep_college_count", "cnt3", "min3", "max3", "avg3")
+
+    @query(
+        "lit_tpcds_q35_state_dependent_profile",
+        oracle=_tpcds_oracle(
+            "q35",
+            ("customer", "customer_address", "customer_demographics",
+             "store_sales", "web_sales", "catalog_sales", "date_dim"),
+            _Q35_COLS,
+            year_shift=-1,
+        ),
+        tags=("literal", "tpcds", "exists", "mark-join"),
+        order_by="ca_state NULLS FIRST, cd_gender NULLS FIRST, "
+                 "cd_marital_status NULLS FIRST, cd_dep_count NULLS FIRST, "
+                 "cd_dep_employed_count NULLS FIRST, "
+                 "cd_dep_college_count NULLS FIRST",
+    )
+    def lit_tpcds_q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q35 under -1: q10's state-level sibling with
+        # count/min/max/avg blocks per dependent-count dimension — avg of
+        # ints is exact-sum/count; ORDER BY is the full 6-key group key,
+        # so the sf0.1 LIMIT cut is total-ordered.
+        return run_literal_sql(
+            spark, sf_dir, "tpcds", "q35", year_shift=-1
+        ).toDF(*_Q35_COLS)
+
+    _Q91_COLS = ("call_center", "call_center_name", "manager",
+                 "returns_loss")
+
+    @query(
+        "lit_tpcds_q91_call_center_losses",
+        oracle=_tpcds_oracle(
+            "q91",
+            ("call_center", "catalog_returns", "date_dim", "customer",
+             "customer_address", "customer_demographics",
+             "household_demographics"),
+            _Q91_COLS,
+            year_shift=-1,
+        ),
+        tags=("literal", "tpcds", "star-join"),
+    )
+    def lit_tpcds_q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q91 under -1: call-center return losses for a
+        # demographics band. sum(cr_net_loss) is an exact integer-valued
+        # sum; 1 / 6 rows, NO LIMIT — multiset-total despite the
+        # loss-descending ordering.
+        return run_literal_sql(
+            spark, sf_dir, "tpcds", "q91", year_shift=-1
+        ).toDF(*_Q91_COLS)
