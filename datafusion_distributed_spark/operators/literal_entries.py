@@ -1656,3 +1656,34 @@ if _os.path.isdir(REFERENCE_QUERIES):
         return run_literal_sql(
             spark, sf_dir, "tpcds", "q91", year_shift=-1
         ).toDF(*_Q91_COLS)
+
+
+if _os.path.isdir(REFERENCE_QUERIES):
+
+    _Q59_COLS = ("s_store_name1", "s_store_id1", "d_week_seq1",
+                 "sun_sales_ratio", "mon_sales_ratio", "tue_sales_ratio",
+                 "wed_sales_ratio", "thu_sales_ratio", "fri_sales_ratio",
+                 "sat_sales_ratio")
+
+    @query(
+        "lit_tpcds_q59_weekday_yoy_ratios",
+        oracle=_tpcds_oracle(
+            "q59",
+            ("store_sales", "date_dim", "store"),
+            _Q59_COLS,
+            year_shift=-1,
+        ),
+        tags=("literal", "tpcds", "pivot", "self-join"),
+        order_by="s_store_name1 NULLS FIRST, s_store_id1 NULLS FIRST, "
+                 "d_week_seq1 NULLS FIRST",
+    )
+    def lit_tpcds_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q59 under -1 (initially missed by the zero-shift
+        # screen): the day-of-week pivot with 53-week-lagged YoY ratios —
+        # conditional integer-valued sums per weekday divided across the
+        # year pair (single IEEE divisions of exact doubles, NO ROUND,
+        # unlike the rejected q2 sibling). ORDER BY is the full group key,
+        # so the LIMIT cut at both scales is total-ordered.
+        return run_literal_sql(
+            spark, sf_dir, "tpcds", "q59", year_shift=-1
+        ).toDF(*_Q59_COLS)
