@@ -40,6 +40,13 @@ _STRESS_QUERIES = [
     "ds_token_budget_sample",
     "ds_length_batching",
     "dd_block_dedup",
+    # round-9 literal tier: verbatim reference texts under the stress knob —
+    # exactly how the reference proves its own suites
+    # (FILE_SCAN_CONFIG_BYTES_PER_PARTITION=1 over the TPC-H corpus). One
+    # star text over the 24-view TPC-DS mapping and one EXISTS/NOT-EXISTS
+    # TPC-H text exercise the literal lane's scan splitting.
+    "lit_tpcds_q59_weekday_yoy_ratios",
+    "lit_tpch_q21_waiting_suppliers",
 ]
 
 _TINY_SPLIT = 64 * 1024
