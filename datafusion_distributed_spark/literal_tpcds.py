@@ -477,8 +477,13 @@ WHERE o.o_orderkey % 3 = 2 AND l.l_returnflag = 'R'"""
     # cross-join spelling — its side is MATERIALIZED anyway
     # (_DUCK_MATERIALIZED / the oracle's AS MATERIALIZED CTEs). Identical
     # rows from both renderings.
+    # The REPARTITION(32) hint spreads the 2090-per-part-row explode
+    # across the cluster: the part scan is 1-2 input splits at sf0.1, so
+    # without it the whole 42M-row grid generated on 1-2 tasks (measured
+    # ~4.4 s of q22's 4.7 s). Shuffling the tiny part table first is
+    # negligible; explicit-count repartitions are not AQE-coalesced.
     _GRID = (
-        f"{base('part')} p\n"
+        f"(SELECT /*+ REPARTITION(32) */ * FROM {base('part')}) p\n"
         "LATERAL VIEW explode(sequence(1, 5)) wh AS w\n"
         "LATERAL VIEW explode(sequence(DATE '1995-01-01', "
         "DATE '2002-12-31', interval 7 day)) w AS wk"
