@@ -695,6 +695,49 @@ def _rollup_one_read(sid: int, read_idx: int, sl: list, rows: list) -> list[dict
     return out
 
 
+def local_connections_used(df: DataFrame) -> list[dict]:
+    """Per shuffle read, how many consumer-task streams were LOCAL —
+    the reference's ``local_connections_used`` metric on every network
+    boundary (/root/reference/tests/local_connections.rs:40-46): when the
+    dynamic planner sees stages small enough, it co-locates them and the
+    boundary is crossed without a network jump.
+
+    Spark's equivalent co-location decision is AQE's local shuffle read
+    (``OptimizeShuffleWithLocalRead``): when a statically-planned shuffle
+    join is demoted to a broadcast join at runtime, the surviving shuffle
+    is re-read with ``PartialMapperPartitionSpec`` — each consumer task
+    reads exactly one mapper's output, scheduled ON that mapper's host, so
+    the fetch never leaves the machine. Coalesced/skew-split specs and
+    plain reduce-partition reads fetch from every mapper and stay remote.
+
+    Returns one row per (shuffle_id, read_index):
+    ``{shuffle_id, read_index, local_connections_used, total_reads}``
+    where ``local_connections_used`` counts the local-read consumer tasks.
+    Must be called after the frame has executed (AQE specs exist only on
+    the executed plan).
+    """
+    specs = _aqe_shuffle_read_specs(df._jdf.queryExecution().executedPlan())
+    out: list[dict] = []
+    for sid in sorted(specs):
+        for read_idx, sl in enumerate(specs[sid]):
+            n_local = sum(
+                1
+                for s in sl
+                if s.getClass().getSimpleName().startswith(
+                    "PartialMapperPartitionSpec"
+                )
+            )
+            out.append(
+                {
+                    "shuffle_id": sid,
+                    "read_index": read_idx,
+                    "local_connections_used": n_local,
+                    "total_reads": len(sl),
+                }
+            )
+    return out
+
+
 def explain_analyze(df: DataFrame, with_task_latency: bool = True) -> str:
     """Distributed EXPLAIN ANALYZE: drain the query, then render the stage
     tree annotated with the per-node SQLMetrics Spark collected from the
@@ -720,6 +763,17 @@ def explain_analyze(df: DataFrame, with_task_latency: bool = True) -> str:
             lines.append(
                 f"  stage {s['consumer_stage']} ← stage {s['producer_stage']} "
                 f"[{s['kind']}]: {s['bytes']:,} bytes, {s['rows']:,} rows"
+            )
+    # Local connections per boundary (the reference's
+    # local_connections_used counter, tests/local_connections.rs) — shown
+    # only when AQE actually co-located a read, so the common remote case
+    # stays quiet.
+    for lc in local_connections_used(df):
+        if lc["local_connections_used"]:
+            lines.append(
+                f"  shuffle {lc['shuffle_id']} read {lc['read_index']}: "
+                f"local_connections_used={lc['local_connections_used']}"
+                f"/{lc['total_reads']}"
             )
     # Busiest per-task streams (the reference's per-Flight-stream byte
     # counters) — top 5 so a skewed channel is visible at a glance.
