@@ -1037,3 +1037,150 @@ def _ensemble_frames(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup spans (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better"): find every maximal region of a document
+# built from k-token windows that occur MORE THAN ONCE anywhere in the
+# corpus. Unlike dd_block_dedup's fixed non-overlapping grid, the windows
+# here SLIDE one token at a time, so a duplicated passage is detected at any
+# alignment, and overlapping duplicated windows are merged into one span per
+# contiguous region (the gaps-and-islands interval merge).
+#
+# Scale design (100 TB): the exploded window set is corpus-sized x doc
+# length, so the global duplicate count runs over xxhash64(window) — an
+# 8-byte shuffle key with map-side partial aggregation — never the window
+# text. Window TEXT is shuffled only for the hash-duplicate CANDIDATES
+# (output-bounded: the duplicated fraction of the corpus), where a second
+# group-by-text pass eliminates hash collisions exactly — the same
+# hash-for-recall / verify-for-precision split as the MinHash->Jaccard
+# family above. The interval merge shuffles only candidate spans keyed by
+# doc_id. The oracle skips the hash prefilter (groups by text directly) —
+# legal because the verify pass makes the hashed plan text-exact.
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 8  # window length in tokens
+
+
+def _substring_spans_oracle(k: int = _SPAN_W, where: str = "") -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS ts
+  FROM documents {where}
+),
+wins AS (
+  SELECT doc_id, i AS pos, array_to_string(ts[i:i+{k - 1}], ' ') AS win
+  FROM toks, unnest(range(1, greatest(len(ts) - {k - 2}, 1))) AS g(i)
+),
+dup AS (SELECT win FROM wins GROUP BY win HAVING COUNT(*) > 1),
+spans AS (
+  SELECT doc_id, pos AS s, pos + {k - 1} AS e
+  FROM wins WHERE win IN (SELECT win FROM dup)
+),
+marked AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s <= COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 0 ELSE 1 END AS newgrp
+  FROM spans
+),
+grp AS (
+  SELECT doc_id, s, e,
+         SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY s
+             ROWS UNBOUNDED PRECEDING) AS gid
+  FROM marked
+)
+SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
+       CAST(MAX(e) AS BIGINT) AS span_end,
+       CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens
+FROM grp GROUP BY doc_id, gid
+"""
+
+
+def substring_spans_frames(docs: DataFrame, k: int = _SPAN_W) -> DataFrame:
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), " +").alias("ts")
+    )
+    # One row per k-token sliding window; positions are 1-based like the
+    # oracle's array slice. All narrow whole-stage-codegen HOFs.
+    wins = (
+        toks.where(F.size("ts") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ts") - k),
+                    lambda i: F.array_join(F.slice("ts", i + 1, k), " "),
+                )
+            ).alias("pos0", "win"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            "win",
+            F.xxhash64("win").alias("wh"),
+        )
+    )
+    # Pass 1 — recall: duplicate counts over the 8-byte hash only.
+    dup_h = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .select("wh")
+    )
+    cand = wins.join(dup_h, "wh").select("doc_id", "pos", "win")
+    # Pass 2 — precision: regroup the (output-bounded) candidates by TEXT,
+    # so an xxhash64 collision can never fabricate a duplicate.
+    dup_w = (
+        cand.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .select("win")
+    )
+    spans = cand.join(dup_w, "win").select(
+        "doc_id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + k - 1).alias("e"),
+    )
+    # Gaps-and-islands merge: a window starting inside-or-adjacent-to the
+    # running max end extends the current span. Positions are unique per
+    # doc, so the ordering is total and the islands deterministic.
+    by_pos = Window.partitionBy("doc_id").orderBy("s")
+    w_prev = by_pos.rowsBetween(Window.unboundedPreceding, -1)
+    w_run = by_pos.rowsBetween(Window.unboundedPreceding, 0)
+    marked = spans.select(
+        "doc_id",
+        "s",
+        "e",
+        F.when(
+            F.col("s") <= F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1, 0
+        )
+        .otherwise(1)
+        .alias("newgrp"),
+    )
+    grp = marked.select(
+        "doc_id", "s", "e", F.sum("newgrp").over(w_run).alias("gid")
+    )
+    return (
+        grp.groupBy("doc_id", "gid")
+        .agg(
+            F.min("s").cast("long").alias("span_start"),
+            F.max("e").cast("long").alias("span_end"),
+            (F.max("e") - F.min("s") + 1).cast("long").alias("span_tokens"),
+        )
+        .drop("gid")
+    )
+
+
+@query(
+    "dd_substring_spans",
+    oracle=_substring_spans_oracle(),
+    tags=("dedup", "substring", "spans"),
+)
+def substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged per-document spans of corpus-duplicated k-token windows —
+    the exact-substring dedup primitive: a cleaning pipeline cuts these
+    spans out (or drops docs whose duplicated fraction is high) instead of
+    discarding whole near-dup documents."""
+    return substring_spans_frames(t(spark, sf_dir)["documents"], _SPAN_W)
