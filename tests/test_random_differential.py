@@ -1488,3 +1488,47 @@ def test_random_string_surface_matches_oracle(spark, duck, i):
         name=f"randstrfn[{i}]{case}",
         order_by="p_brand",
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomized substring-span family: dd_substring_spans re-run with generated
+# window widths and doc-subset filters. Varying k moves every window
+# boundary (different duplicate sets, different span extents — smaller k
+# finds more/shorter duplicated regions, larger k only the longest); the
+# subset changes WHICH windows still have a corpus duplicate, so spans
+# shrink or vanish. Pins the two-pass hash/verify split and the
+# gaps-and-islands merge well beyond the single registered k=8.
+# ---------------------------------------------------------------------------
+
+_N_SPAN_CASES = 5
+
+
+def _gen_span_case(rng: random.Random):
+    return {
+        "k": rng.choice([3, 5, 8, 12, 20]),
+        "mod": rng.choice([None, 2, 3]),  # doc_id % mod == 0 subset
+    }
+
+
+_SPAN_CASES = [_gen_span_case(random.Random(21000 + i)) for i in range(_N_SPAN_CASES)]
+
+
+@pytest.mark.parametrize("i", range(_N_SPAN_CASES))
+def test_random_substring_spans_match_oracle(spark, duck, i):
+    from datafusion_distributed_spark.operators.dedup import (
+        _substring_spans_oracle,
+        substring_spans_frames,
+    )
+
+    case = _SPAN_CASES[i]
+    docs = load_tables(spark, SF_DIR)["documents"]
+    oracle_views(duck, SF_DIR)
+    where = "" if case["mod"] is None else f"WHERE doc_id % {case['mod']} = 0"
+    if case["mod"] is not None:
+        docs = docs.filter(F.col("doc_id") % case["mod"] == 0)
+    compare_to_oracle(
+        substring_spans_frames(docs, case["k"]),
+        duck,
+        _substring_spans_oracle(case["k"], where),
+        name=f"randspan[{i}]{case}",
+    )
