@@ -1184,3 +1184,84 @@ def substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans out (or drops docs whose duplicated fraction is high) instead of
     discarding whole near-dup documents."""
     return substring_spans_frames(t(spark, sf_dir)["documents"], _SPAN_W)
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-fraction document filter: the decision layer a cleaning
+# pipeline applies over the substring spans — per document, what fraction
+# of its tokens sits inside corpus-duplicated spans, and does the doc
+# survive a threshold policy (RefinedWeb/FineWeb drop heavily-duplicated
+# pages rather than surgically cutting them). Docs with NO duplicated span
+# must appear with fraction 0 and kept=true, hence the left join.
+#
+# Scale: inherits substring_spans' design (hash-shuffled window counts,
+# output-bounded candidates); the only additions are a doc-keyed rollup of
+# the (tiny) span set and a left join against the per-row token counts —
+# one corpus-scale shuffle on doc_id, skew-free (doc_id is unique).
+# ---------------------------------------------------------------------------
+
+_DUP_DOC_TAU = 0.5
+
+
+def _dup_doc_filter_oracle(k: int = _SPAN_W, tau: float = _DUP_DOC_TAU) -> str:
+    return f"""
+WITH spans AS ({_substring_spans_oracle(k)}),
+tot AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(lower(text)), ' +')) AS n_tokens
+  FROM documents
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_spans, SUM(span_tokens) AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       ROUND(CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / t.n_tokens, 6)
+         AS dup_fraction,
+       (CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / t.n_tokens) < {tau}
+         AS kept
+FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""
+
+
+def dup_doc_filter_frames(
+    docs: DataFrame, k: int = _SPAN_W, tau: float = _DUP_DOC_TAU
+) -> DataFrame:
+    spans = substring_spans_frames(docs, k)
+    tot = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.lower("text")), " +"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    agg = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+    )
+    dup = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
+    # The keep decision compares the UNROUNDED double in both engines (one
+    # IEEE division each) — the rounded column is display-grade only.
+    frac = dup.cast("double") / F.col("n_tokens")
+    return tot.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        dup.alias("dup_tokens"),
+        F.round(frac, 6).alias("dup_fraction"),
+        (frac < tau).alias("kept"),
+    )
+
+
+@query(
+    "dd_dup_doc_filter",
+    oracle=_dup_doc_filter_oracle(),
+    tags=("dedup", "substring", "filter"),
+)
+def dup_doc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-token fraction over the merged substring
+    spans, with the threshold keep/drop verdict a cleaning pipeline
+    actually enforces. One row per document, zero-span docs included."""
+    return dup_doc_filter_frames(t(spark, sf_dir)["documents"], _SPAN_W)
