@@ -1346,3 +1346,144 @@ def centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance (ADC) top-k — the vector
+# compression every 100 TB ANN stack runs (IVF-PQ): split the 64-dim vector
+# into M=4 subspaces of 16 dims, encode each subvector as the index of its
+# nearest codeword (the K=8 seed vectors' subvectors — same fixed codebook
+# discipline as the IVF centroids; a real fit trains them with
+# sim_kmeans_step per subspace), and score query-to-vector distance as the
+# SUM of M table lookups instead of a 64-dim float computation.
+#
+# Scale design: encoding is a per-row literal-codebook expression — scan
+# speed, zero shuffles, and the corpus representation shrinks 32x (64 x 8 B
+# doubles -> 4 small ints). The ADC scoring joins the whole ENCODED corpus
+# against the Q-bounded broadcast query tables at 4 integer adds per pair —
+# the classic PQ trade: touch every vector, but at lookup cost, with the
+# full-precision vectors never leaving the scan. All distances are integer
+# MICROS (round(d2 * 1e6)): argmin and ADC sums are exact integer
+# arithmetic in both engines, so ranking is portable bit-for-bit (the one
+# rounding per (vector, codeword, subspace) is the repo's established
+# round-6 pattern).
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_D = 16  # dims per subspace (4 x 16 = 64)
+_PQ_K = 8  # codewords per subspace (the seed vectors' subvectors)
+_PQ_TOPK = 5
+
+
+def _pq_dist_micro_arr(vec_col: str, codewords: list[list[float]], m: int):
+    """Array of K integer-micro L2^2 distances from the row's m-th subvector
+    to each codeword's m-th subvector (m is 0-based)."""
+    lo = m * _PQ_D
+    sub = F.slice(F.col(vec_col), lo + 1, _PQ_D)
+    return F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(
+                            *[F.lit(float(c[lo + j])) for j in range(_PQ_D)]
+                        ),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                * 1000000.0,
+                0,
+            ).cast("long")
+            for c in codewords
+        ]
+    )
+
+
+def _pq_oracle(topk: int = _PQ_TOPK) -> str:
+    k0 = _IVF_FIRST_CENTROID
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cw AS (SELECT vec_id - {k0} + 1 AS c, e AS ce FROM emb
+       WHERE vec_id BETWEEN {k0} AND {k0 + _PQ_K - 1}),
+sq AS (
+  SELECT v.vec_id, w.c, CAST((d - 1) // {_PQ_D} AS INTEGER) + 1 AS m,
+         (v.e[d] - w.ce[d]) * (v.e[d] - w.ce[d]) AS s
+  FROM emb v CROSS JOIN cw w
+  CROSS JOIN unnest(generate_series(1, {_PQ_M * _PQ_D})) AS g(d)
+),
+sub AS (
+  SELECT vec_id, c, m, CAST(ROUND(SUM(s) * 1000000.0, 0) AS BIGINT) AS d2u
+  FROM sq GROUP BY vec_id, c, m
+),
+codes AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT vec_id, m, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2u, c) AS rn
+    FROM sub WHERE vec_id >= {_N_QUERIES}
+  ) WHERE rn = 1
+),
+qtab AS (SELECT vec_id AS q_id, m, c, d2u FROM sub WHERE vec_id < {_N_QUERIES}),
+adc AS (
+  SELECT t.q_id, cd.vec_id AS neighbor_id,
+         CAST(SUM(t.d2u) AS BIGINT) AS adc_micro
+  FROM codes cd JOIN qtab t ON t.m = cd.m AND t.c = cd.code
+  GROUP BY t.q_id, cd.vec_id
+)
+SELECT q_id, neighbor_id, adc_micro FROM (
+  SELECT q_id, neighbor_id, adc_micro,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY adc_micro, neighbor_id) AS rn
+  FROM adc
+) WHERE rn <= {topk}
+"""
+
+
+@query(
+    "sim_pq_adc_topk",
+    oracle=_pq_oracle(),
+    tags=("similarity", "ann", "pq", "quantization"),
+    order_by="q_id, adc_micro, neighbor_id",
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encode the corpus (M=4 subspace codes against the seed codebook)
+    and answer each query's top-k by asymmetric distance: the sum of the
+    query's per-subspace distance-table entries at the vector's codes."""
+    emb = t(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    codewords = _centroids(spark, emb, sf_dir)[:_PQ_K]
+    # Encode: per subspace, argmin over the K micro-distances (tie -> lowest
+    # code, the array_position-of-min contract the IVF cell expr uses).
+    darrs = [_pq_dist_micro_arr("e", codewords, m) for m in range(_PQ_M)]
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
+        "vec_id",
+        *[
+            F.array_position(d, F.array_min(d)).cast("int").alias(f"code_{m + 1}")
+            for m, d in enumerate(darrs)
+        ],
+    )
+    # Query distance tables: the K-entry micro-distance array per subspace.
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        *[d.alias(f"qt_{m + 1}") for m, d in enumerate(darrs)],
+    )
+    adc = sum(
+        F.element_at(F.col(f"qt_{m + 1}"), F.col(f"code_{m + 1}"))
+        for m in range(_PQ_M)
+    )
+    pairs = corpus.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        adc.cast("long").alias("adc_micro"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("q_id").orderBy("adc_micro", "neighbor_id")
+    )
+    return (
+        pairs.select("q_id", "neighbor_id", "adc_micro", rn.alias("rn"))
+        .where(F.col("rn") <= _PQ_TOPK)
+        .drop("rn")
+    )
