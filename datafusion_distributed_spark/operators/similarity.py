@@ -1402,7 +1402,9 @@ def _pq_dist_micro_arr(vec_col: str, codewords: list[list[float]], m: int):
     )
 
 
-def _pq_oracle(topk: int = _PQ_TOPK) -> str:
+def _pq_cte_prefix() -> str:
+    """Shared oracle CTEs through ``adc`` (the ALL-pairs ADC distances) —
+    the top-k and the recall oracles both rank from this frame."""
     k0 = _IVF_FIRST_CENTROID
     return f"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -1431,7 +1433,11 @@ adc AS (
          CAST(SUM(t.d2u) AS BIGINT) AS adc_micro
   FROM codes cd JOIN qtab t ON t.m = cd.m AND t.c = cd.code
   GROUP BY t.q_id, cd.vec_id
-)
+)"""
+
+
+def _pq_oracle(topk: int = _PQ_TOPK) -> str:
+    return f"""{_pq_cte_prefix()}
 SELECT q_id, neighbor_id, adc_micro FROM (
   SELECT q_id, neighbor_id, adc_micro,
          ROW_NUMBER() OVER (PARTITION BY q_id
@@ -1451,34 +1457,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-encode the corpus (M=4 subspace codes against the seed codebook)
     and answer each query's top-k by asymmetric distance: the sum of the
     query's per-subspace distance-table entries at the vector's codes."""
-    emb = t(spark, sf_dir)["embeddings"].select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    codewords = _centroids(spark, emb, sf_dir)[:_PQ_K]
-    # Encode: per subspace, argmin over the K micro-distances (tie -> lowest
-    # code, the array_position-of-min contract the IVF cell expr uses).
-    darrs = [_pq_dist_micro_arr("e", codewords, m) for m in range(_PQ_M)]
-    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
-        "vec_id",
-        *[
-            F.array_position(d, F.array_min(d)).cast("int").alias(f"code_{m + 1}")
-            for m, d in enumerate(darrs)
-        ],
-    )
-    # Query distance tables: the K-entry micro-distance array per subspace.
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        *[d.alias(f"qt_{m + 1}") for m, d in enumerate(darrs)],
-    )
-    adc = sum(
-        F.element_at(F.col(f"qt_{m + 1}"), F.col(f"code_{m + 1}"))
-        for m in range(_PQ_M)
-    )
-    pairs = corpus.crossJoin(F.broadcast(q)).select(
-        "q_id",
-        F.col("vec_id").alias("neighbor_id"),
-        adc.cast("long").alias("adc_micro"),
-    )
+    pairs = _pq_adc_pairs(spark, sf_dir)
     rn = F.row_number().over(
         Window.partitionBy("q_id").orderBy("adc_micro", "neighbor_id")
     )
@@ -1486,4 +1465,113 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("q_id", "neighbor_id", "adc_micro", rn.alias("rn"))
         .where(F.col("rn") <= _PQ_TOPK)
         .drop("rn")
+    )
+
+
+def _pq_adc_pairs(
+    spark: SparkSession, sf_dir: str, with_vectors: bool = False
+) -> DataFrame:
+    """All (query, corpus-vector) ADC micro-distances; with_vectors keeps
+    the full-precision vectors on both sides so a caller can also score the
+    TRUE distance from the same pair frame (the recall gate)."""
+    emb = t(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    codewords = _centroids(spark, emb, sf_dir)[:_PQ_K]
+    # Encode: per subspace, argmin over the K micro-distances (tie -> lowest
+    # code, the array_position-of-min contract the IVF cell expr uses).
+    darrs = [_pq_dist_micro_arr("e", codewords, m) for m in range(_PQ_M)]
+    codes = [
+        F.array_position(d, F.array_min(d)).cast("int").alias(f"code_{m + 1}")
+        for m, d in enumerate(darrs)
+    ]
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
+        "vec_id", *codes, *(["e"] if with_vectors else [])
+    )
+    # Query distance tables: the K-entry micro-distance array per subspace.
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        *[d.alias(f"qt_{m + 1}") for m, d in enumerate(darrs)],
+        *([F.col("e").alias("qe")] if with_vectors else []),
+    )
+    adc = sum(
+        F.element_at(F.col(f"qt_{m + 1}"), F.col(f"code_{m + 1}"))
+        for m in range(_PQ_M)
+    )
+    extra = []
+    if with_vectors:
+        true_micro = F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("e"), F.col("qe"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * 1000000.0,
+            0,
+        ).cast("long")
+        extra = [true_micro.alias("true_micro")]
+    return corpus.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        adc.cast("long").alias("adc_micro"),
+        *extra,
+    )
+
+
+def _pq_recall_oracle(topk: int = _PQ_TOPK) -> str:
+    return f"""{_pq_cte_prefix()},
+tru AS (
+  SELECT q.vec_id AS q_id, v.vec_id AS neighbor_id,
+         CAST(ROUND(SUM((q.e[d] - v.e[d]) * (q.e[d] - v.e[d]))
+                    * 1000000.0, 0) AS BIGINT) AS true_micro
+  FROM emb q CROSS JOIN emb v
+  CROSS JOIN unnest(generate_series(1, {_PQ_M * _PQ_D})) AS g(d)
+  WHERE q.vec_id < {_N_QUERIES} AND v.vec_id >= {_N_QUERIES}
+  GROUP BY q_id, neighbor_id
+),
+rk AS (
+  SELECT p.q_id, p.neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY p.q_id
+                            ORDER BY t.true_micro, p.neighbor_id) AS rt,
+         ROW_NUMBER() OVER (PARTITION BY p.q_id
+                            ORDER BY p.adc_micro, p.neighbor_id) AS ra
+  FROM adc p JOIN tru t
+    ON t.q_id = p.q_id AND t.neighbor_id = p.neighbor_id
+)
+SELECT q_id, COUNT(*) AS n_exact,
+       CAST(SUM(CASE WHEN ra <= {topk} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched,
+       CAST(SUM(CASE WHEN ra <= {topk} THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS recall_at_k
+FROM rk WHERE rt <= {topk} GROUP BY q_id
+"""
+
+
+@query(
+    "sim_pq_recall",
+    oracle=_pq_recall_oracle(),
+    tags=("similarity", "pq", "evaluation"),
+)
+def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the PQ/ADC ranking vs the exact full-precision L2
+    ranking, per query — the acceptance gate a pipeline runs before
+    swapping full vectors for codes. One fused pair frame scores BOTH
+    distances (true L2^2 micro from the vectors, ADC micro from the
+    codes), so the two rankings derive from identical pairs; both
+    row_numbers are rank-only windows over the same q_id partition (one
+    shuffle, two sorts, map-side group-limit prunable)."""
+    pairs = _pq_adc_pairs(spark, sf_dir, with_vectors=True)
+    by_q = Window.partitionBy("q_id")
+    rt = F.row_number().over(by_q.orderBy("true_micro", "neighbor_id"))
+    ra = F.row_number().over(by_q.orderBy("adc_micro", "neighbor_id"))
+    ranked = pairs.select(
+        "q_id", rt.alias("rt"), ra.alias("ra")
+    ).where(F.col("rt") <= _PQ_TOPK)
+    n_matched = F.sum(F.when(F.col("ra") <= _PQ_TOPK, 1).otherwise(0))
+    return ranked.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        n_matched.cast("long").alias("n_matched"),
+        (n_matched.cast("double") / F.count(F.lit(1))).alias("recall_at_k"),
     )

@@ -32,6 +32,7 @@ _CROSS_OK = {
     "tpch_q15_top_supplier",  # 1-row max-revenue scalar
     "sim_cosine_topk",  # broadcast queries × corpus, by design
     "sim_pq_adc_topk",  # broadcast query dist-tables × encoded corpus (PQ/ADC), by design
+    "sim_pq_recall",  # same fused PQ pair frame scoring both rankings, by design
     "sim_cosine_range",  # broadcast queries × corpus, by design
     "sim_filtered_topk",  # broadcast queries × filtered corpus, by design
     "ds_weighted_mixture",  # 1-row global-min scalar joined onto 20-row dim
