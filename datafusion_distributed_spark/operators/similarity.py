@@ -1465,6 +1465,12 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("q_id", "neighbor_id", "adc_micro", rn.alias("rn"))
         .where(F.col("rn") <= _PQ_TOPK)
         .drop("rn")
+        # Presentation order IS part of the declared contract (order_by):
+        # without the final sort the returned order is partition order,
+        # which happens to be globally sorted only when AQE coalesces the
+        # tiny shuffle to one partition — the AQE-OFF sweep caught exactly
+        # that (k·Q rows, so the sort is output-bounded).
+        .orderBy("q_id", "adc_micro", "neighbor_id")
     )
 
 
