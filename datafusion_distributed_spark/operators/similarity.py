@@ -1581,3 +1581,52 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_matched.cast("long").alias("n_matched"),
         (n_matched.cast("double") / F.count(F.lit(1))).alias("recall_at_k"),
     )
+
+
+def _pq_distortion_oracle() -> str:
+    return f"""{_pq_cte_prefix()},
+dist AS (
+  SELECT vec_id, CAST(SUM(md) AS BIGINT) AS dist_micro FROM (
+    SELECT vec_id, m, MIN(d2u) AS md
+    FROM sub WHERE vec_id >= {_N_QUERIES} GROUP BY vec_id, m
+  ) GROUP BY vec_id
+),
+lab AS (SELECT vec_id, label FROM embeddings)
+SELECT l.label, COUNT(*) AS n_vecs,
+       CAST(SUM(d.dist_micro) AS BIGINT) AS total_distortion_micro,
+       CAST(SUM(d.dist_micro) AS DOUBLE) / COUNT(*) AS avg_distortion_micro
+FROM dist d JOIN lab l ON l.vec_id = d.vec_id
+GROUP BY l.label
+"""
+
+
+@query(
+    "sim_pq_distortion",
+    oracle=_pq_distortion_oracle(),
+    tags=("similarity", "pq", "quantization", "evaluation"),
+)
+def pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label PQ quantization distortion: each vector's reconstruction
+    error is the SUM over subspaces of its distance to the NEAREST codeword
+    — i.e. the argmin's minimum itself, so the whole metric is the encode
+    expression re-aggregated (no codes materialized, no joins: a narrow
+    scan-speed per-row expression into one map-side-combinable aggregate
+    onto |labels| groups). The vector-level quality twin of
+    sim_pq_recall's ranking-level gate; integer micros keep the sums exact
+    in both engines, the avg is one final double division."""
+    emb = t(spark, sf_dir)["embeddings"].select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    codewords = _centroids(spark, emb.select("vec_id", "e"), sf_dir)[:_PQ_K]
+    darrs = [_pq_dist_micro_arr("e", codewords, m) for m in range(_PQ_M)]
+    dist = sum(F.array_min(d) for d in darrs)
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
+        "label", dist.alias("dist_micro")
+    )
+    return corpus.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("dist_micro").cast("long").alias("total_distortion_micro"),
+        (F.sum("dist_micro").cast("double") / F.count(F.lit(1))).alias(
+            "avg_distortion_micro"
+        ),
+    )
