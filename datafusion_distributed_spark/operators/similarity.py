@@ -1607,23 +1607,56 @@ GROUP BY l.label
 )
 def pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label PQ quantization distortion: each vector's reconstruction
-    error is the SUM over subspaces of its distance to the NEAREST codeword
-    — i.e. the argmin's minimum itself, so the whole metric is the encode
-    expression re-aggregated (no codes materialized, no joins: a narrow
-    scan-speed per-row expression into one map-side-combinable aggregate
-    onto |labels| groups). The vector-level quality twin of
-    sim_pq_recall's ranking-level gate; integer micros keep the sums exact
-    in both engines, the avg is one final double division."""
+    error is the SUM over subspaces of its distance to the NEAREST
+    codeword — the encode argmin's minimum itself. The vector-level
+    quality twin of sim_pq_recall's ranking-level gate.
+
+    Formulation note: this deliberately does NOT reuse the HOF encode
+    expression — 512 interpreted CodegenFallback lambda evaluations per
+    row blew the per-row cost lint (606 µs/row). Instead it takes the
+    sim_kmeans_step shape: posexplode to (vec, dim, val), K codegen'd
+    squared diffs per dim row (element_at into literal codeword arrays —
+    whole-stage codegen, no lambdas), and a map-side-combinable aggregate
+    that collapses each vector's 64 dim rows to M rows of K partial sums
+    BEFORE the shuffle — so the one corpus-scale shuffle carries
+    M small rows per vector, and everything per-row stays in codegen.
+    Integer micros keep the min/sum arithmetic exact in both engines;
+    the avg is one final double division."""
     emb = t(spark, sf_dir)["embeddings"].select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
     codewords = _centroids(spark, emb.select("vec_id", "e"), sf_dir)[:_PQ_K]
-    darrs = [_pq_dist_micro_arr("e", codewords, m) for m in range(_PQ_M)]
-    dist = sum(F.array_min(d) for d in darrs)
-    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
-        "label", dist.alias("dist_micro")
+    cw_lits = [
+        F.array(*[F.lit(float(x)) for x in c]) for c in codewords
+    ]
+    ex = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
+        "vec_id", "label", F.posexplode("e").alias("pos", "val")
     )
-    return corpus.groupBy("label").agg(
+    per_dim = ex.select(
+        "vec_id",
+        "label",
+        (F.col("pos") / _PQ_D).cast("int").alias("m"),
+        *[
+            ((F.col("val") - F.element_at(cw, F.col("pos") + 1))
+             * (F.col("val") - F.element_at(cw, F.col("pos") + 1))).alias(f"s{c}")
+            for c, cw in enumerate(cw_lits)
+        ],
+    )
+    per_sub = per_dim.groupBy("vec_id", "label", "m").agg(
+        *[F.sum(f"s{c}").alias(f"t{c}") for c in range(_PQ_K)]
+    )
+    md = F.least(
+        *[
+            F.round(F.col(f"t{c}") * 1000000.0, 0).cast("long")
+            for c in range(_PQ_K)
+        ]
+    )
+    per_vec = (
+        per_sub.select("vec_id", "label", md.alias("md"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum("md").alias("dist_micro"))
+    )
+    return per_vec.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum("dist_micro").cast("long").alias("total_distortion_micro"),
         (F.sum("dist_micro").cast("double") / F.count(F.lit(1))).alias(
