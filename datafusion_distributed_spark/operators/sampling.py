@@ -601,17 +601,10 @@ ORDER BY source, split
     order_by="source, split",
 )
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import (
-        capped_band_pairs,
-        connected_components,
-        lsh_bands,
-        minhash_signatures,
-    )
+    from .dedup import near_dup_cluster_table
 
     docs = t(spark, sf_dir)["documents"]
-    pairs = capped_band_pairs(lsh_bands(minhash_signatures(docs))).persist()
-    clusters = connected_components(pairs)
-    pairs.unpersist(blocking=False)
+    clusters = near_dup_cluster_table(spark, sf_dir)
     # No broadcast hint on the clusters side: it is one row per document in
     # the capped LSH pair graph — a corpus-fraction-sized table at 100 TB
     # (10-50 % of all docs on a real web corpus), the exact anti-pattern

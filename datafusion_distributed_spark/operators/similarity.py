@@ -765,7 +765,14 @@ def cosine_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 # FLOPs — the reason filtered-ANN is not "ANN then post-filter".
 # ---------------------------------------------------------------------------
 
-_FILTERED_MIN_CHARS = 600
+# 300 sits just above the en-doc median n_chars in the synthetic corpus
+# (median ~294-300, max 540-577 across sf0.001..sf0.1), so the predicate
+# keeps roughly half the en documents at every validated scale — the filter
+# is selective (proving filter-before-distance) AND the candidate set is
+# populated (proving the distance/top-k path actually runs). The original
+# 600 exceeded the corpus max and made the entry vacuously green (r9
+# VERDICT "What's wrong" #1).
+_FILTERED_MIN_CHARS = 300
 
 _FILTERED_TOPK_ORACLE = f"""
 WITH emb AS (

@@ -744,18 +744,35 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Inverted-index construction: token -> ordered posting list of doc_ids, for
-# the RARE tail of the vocabulary (document frequency in [2, 10] — head
-# tokens' postings are corpus-sized and belong in a different storage tier).
-# Posting lists are emitted as comma-joined sorted doc_ids, a canonical
-# string both engines produce byte-identically. Shuffle granularity is one
-# row per (doc, distinct token), like text_vocab_topk; the df-band filter
-# runs BEFORE list materialization, so only tail postings are built.
+# Inverted-index construction: PHRASE (3-token shingle) -> ordered posting
+# list of doc_ids, for the RARE tail of the phrase space (document frequency
+# in [2, 10] — head phrases' postings are corpus-sized and belong in a
+# different storage tier). Posting lists are emitted as comma-joined sorted
+# doc_ids, a canonical string both engines produce byte-identically. Shuffle
+# granularity is one row per (doc, distinct shingle); the df-band filter
+# runs BEFORE list materialization, so only tail postings are built, and
+# each kept list is bounded at 10 ids regardless of corpus size.
+#
+# Keyed on shingles, not unigrams: the synthetic corpus has a 31-token
+# unigram vocabulary whose minimum df already exceeds the band at sf0.01
+# (min df 25, growing with the corpus), so a unigram [2,10] band is
+# STRUCTURALLY empty at every scale — the r9 vacuous-green finding
+# (VERDICT "What's wrong" #2). The 3-shingle space has a real df spread
+# (df 1..25 across sf0.001..sf0.1; 6.8k-17k shingles inside the band), the
+# same reason the MinHash family fingerprints shingles.
 # ---------------------------------------------------------------------------
 
 _POSTINGS_ORACLE = f"""
-WITH per_doc AS (
-  SELECT DISTINCT doc_id, unnest({_TOK_SQL}) AS tok FROM documents
+WITH words AS (
+  SELECT doc_id, {_TOK_SQL} AS w FROM documents
+),
+per_doc AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           range(1, len(w) - 1),
+           i -> array_to_string(w[i:i + 2], ' '))) AS tok
+  FROM words
+  WHERE len(w) >= 3
 ),
 banded AS (
   SELECT tok FROM per_doc GROUP BY tok HAVING COUNT(*) BETWEEN 2 AND 10
@@ -771,10 +788,18 @@ GROUP BY p.tok
 @query("text_inverted_index", oracle=_POSTINGS_ORACLE, tags=("text", "index"))
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir)["documents"]
-    per_doc = docs.select(
+    words = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), " +").alias("w")
+    ).filter(F.size("w") >= 3)
+    per_doc = words.select(
         "doc_id",
         F.explode(
-            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), " +"))
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2),"
+                    " i -> concat_ws(' ', slice(w, i, 3)))"
+                )
+            )
         ).alias("tok"),
     )
     banded = (

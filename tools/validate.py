@@ -49,6 +49,7 @@ def main():
               if any(n.startswith(p) for p in prefixes)}
     osql = entry.oracle_sql()
     bad = []
+    empty_ok = []  # green but 0 rows at THIS scale — vacuity-checked below
     for i, (name, fn) in enumerate(sorted(qs.items())):
         t0 = time.time()
         try:
@@ -78,12 +79,27 @@ def main():
                 print(f"[{i+1}/{len(qs)}] {name}: VALUE MISMATCH "
                       f"s={len(s_set)} o={len(o_set)}")
             else:
+                if not rows:
+                    empty_ok.append(name)
                 print(f"[{i+1}/{len(qs)}] {name}: OK rows={len(rows)} "
                       f"({time.time()-t0:.1f}s)")
         except Exception as e:  # noqa: BLE001
             bad.append((name, f"EXC {type(e).__name__}: {e}"))
             print(f"[{i+1}/{len(qs)}] {name}: EXCEPTION {e}")
         sys.stdout.flush()
+    if empty_ok:
+        # Vacuity gate: a green 0-row match proves parse/plan only. Escalate
+        # any query empty at THIS scale through the oracle at every fixture
+        # scale; empty everywhere (and not expect_empty) is a FAILURE — the
+        # r9 lesson (sim_filtered_topk / text_inverted_index were vacuously
+        # green at every validated scale).
+        from datafusion_distributed_spark.vacuity import vacuous_queries
+        vac = vacuous_queries(names=empty_ok)
+        for n, counts in sorted(vac.items()):
+            bad.append((n, f"VACUOUS: 0 rows at every fixture scale {counts}"))
+        checked = sorted(set(empty_ok) - set(vac))
+        if checked:
+            print(f"\nempty at this scale, populated elsewhere: {checked}")
     print(f"\n=== {len(qs) - len(bad)}/{len(qs)} OK ===")
     for n, msg in bad:
         print(f"FAIL {n}: {msg[:500]}")
