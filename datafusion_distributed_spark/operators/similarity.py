@@ -1482,15 +1482,21 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_adc_pairs(
-    spark: SparkSession, sf_dir: str, with_vectors: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    with_vectors: bool = False,
+    codewords: list[list[float]] | None = None,
 ) -> DataFrame:
     """All (query, corpus-vector) ADC micro-distances; with_vectors keeps
     the full-precision vectors on both sides so a caller can also score the
-    TRUE distance from the same pair frame (the recall gate)."""
+    TRUE distance from the same pair frame (the recall gate). ``codewords``
+    overrides the codebook (default: the seed vectors; the trained lane
+    passes the one-Lloyd-step codebook from _trained_codewords)."""
     emb = t(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    codewords = _centroids(spark, emb, sf_dir)[:_PQ_K]
+    if codewords is None:
+        codewords = _centroids(spark, emb, sf_dir)[:_PQ_K]
     # Encode: per subspace, argmin over the K micro-distances (tie -> lowest
     # code, the array_position-of-min contract the IVF cell expr uses).
     darrs = [_pq_dist_micro_arr("e", codewords, m) for m in range(_PQ_M)]
@@ -1575,7 +1581,12 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes), so the two rankings derive from identical pairs; both
     row_numbers are rank-only windows over the same q_id partition (one
     shuffle, two sorts, map-side group-limit prunable)."""
-    pairs = _pq_adc_pairs(spark, sf_dir, with_vectors=True)
+    return _recall_from_pairs(_pq_adc_pairs(spark, sf_dir, with_vectors=True))
+
+
+def _recall_from_pairs(pairs: DataFrame) -> DataFrame:
+    """recall@k aggregation over a fused (true_micro, adc_micro) pair frame
+    — shared by the seed-codebook and trained-codebook recall gates."""
     by_q = Window.partitionBy("q_id")
     rt = F.row_number().over(by_q.orderBy("true_micro", "neighbor_id"))
     ra = F.row_number().over(by_q.orderBy("adc_micro", "neighbor_id"))
@@ -1669,4 +1680,207 @@ def pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("dist_micro").cast("double") / F.count(F.lit(1))).alias(
             "avg_distortion_micro"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ codebook TRAINING (one exact Lloyd step per subspace) + the trained
+# recall gate. The seed-codebook PQ family above proves the encode/ADC
+# machinery; this lane makes the codebook itself real: each subspace's K
+# codewords are recomputed as the per-dimension mean of the corpus
+# subvectors assigned to them (assignment = the same argmin the encoder
+# uses), which is exactly one k-means iteration in the 16-dim subspace —
+# how production PQ codebooks are actually fit (Jegou et al., "Product
+# Quantization for Nearest Neighbor Search"). Lloyd monotonicity guarantees
+# the trained codebook's total quantization distortion is <= the seed
+# codebook's (the mean minimizes within-cell SSE), pinned in
+# tests/test_pq_training.py.
+#
+# Portability: the mean is (exact int64 sum of round(v*1e6)) / (1e6 * n) —
+# the sim_kmeans_step discipline — so both engines derive bit-identical
+# codeword doubles, and every downstream distance/rounding sees identical
+# inputs. Empty cells (a codeword that attracts no members) fall back to
+# the seed subvector in BOTH engines via the same left-join/coalesce.
+#
+# Scale shape: training is one corpus scan (encode argmin runs in
+# whole-stage codegen against literal seed codewords — zero joins), a
+# posexplode to 64 (m, code, dim, val) rows per vector, and ONE map-side-
+# combinable aggregate onto M*K*D = 512 groups — the shuffle carries 512
+# partial rows per map task regardless of corpus size. The collected
+# codebook is 512 doubles: metadata-scale, the same class as the K x 64
+# centroid fetch (a real fit broadcasts this).
+# ---------------------------------------------------------------------------
+
+
+def _pq_tcw_cte() -> str:
+    """Oracle CTE for the trained codebook: one Lloyd step over the seed
+    assignment (`codes` from the shared prefix)."""
+    return f"""
+tcw AS (
+  SELECT cd.m, cd.code, g.d AS dim,
+         COUNT(*) AS n_members,
+         CAST(SUM(CAST(ROUND(v.e[(cd.m - 1) * {_PQ_D} + g.d] * 1000000)
+                       AS BIGINT)) AS DOUBLE)
+           / (1000000.0 * COUNT(*)) AS mean_val
+  FROM codes cd JOIN emb v ON v.vec_id = cd.vec_id
+  CROSS JOIN unnest(generate_series(1, {_PQ_D})) AS g(d)
+  GROUP BY cd.m, cd.code, g.d
+)"""
+
+
+def _pq_train_oracle() -> str:
+    return f"""{_pq_cte_prefix()},{_pq_tcw_cte()}
+SELECT m, code, dim, mean_val, n_members FROM tcw
+"""
+
+
+def _trained_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained-codebook statistics frame: (m, code, dim) -> exact mean
+    of member subvector values + member count. One scan, one 512-group
+    map-combinable aggregate."""
+    emb = t(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    seed = _centroids(spark, emb, sf_dir)[:_PQ_K]
+    darrs = [_pq_dist_micro_arr("e", seed, m) for m in range(_PQ_M)]
+    codes = [
+        F.array_position(d, F.array_min(d)).cast("int").alias(f"code_{m + 1}")
+        for m, d in enumerate(darrs)
+    ]
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select("e", *codes)
+    m_of = (F.col("pos") / _PQ_D).cast("int") + 1
+    ex = corpus.select(
+        F.posexplode("e").alias("pos", "val"),
+        F.array(*[F.col(f"code_{m + 1}") for m in range(_PQ_M)]).alias("carr"),
+    ).select(
+        m_of.cast("int").alias("m"),
+        F.element_at("carr", m_of).alias("code"),
+        (F.pmod(F.col("pos"), F.lit(_PQ_D)) + 1).cast("int").alias("dim"),
+        "val",
+    )
+    return ex.groupBy("m", "code", "dim").agg(
+        (
+            F.sum(F.round(F.col("val") * 1000000, 0).cast("long")).cast("double")
+            / (F.lit(1000000.0) * F.count(F.lit(1)))
+        ).alias("mean_val"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+@query(
+    "sim_pq_train_codebook",
+    oracle=_pq_train_oracle(),
+    tags=("similarity", "pq", "kmeans", "training"),
+)
+def pq_train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd step per PQ subspace: assign every corpus subvector
+    to its nearest seed codeword (the encoder's own argmin), then emit each
+    (subspace, code, dim) cell's exact member mean — the trained codebook
+    the ADC lane consumes via _trained_codewords."""
+    return _trained_stats(spark, sf_dir).select(
+        "m", "code", "dim", "mean_val", "n_members"
+    )
+
+
+_TRAINED_CW_CACHE: dict[tuple[str, str], list[list[float]]] = {}
+
+
+def _trained_codewords(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """The trained codebook as K full-width vectors (subspace slices filled
+    from the Lloyd-step means, seed values where a cell is empty), collected
+    once per (session, sf_dir) — 512 doubles, metadata-scale."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    hit = _TRAINED_CW_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+    emb = t(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    seed = _centroids(spark, emb, sf_dir)[:_PQ_K]
+    trained = [list(c) for c in seed]  # empty-cell fallback = seed values
+    for r in _trained_stats(spark, sf_dir).collect():
+        trained[r.code - 1][(r.m - 1) * _PQ_D + (r.dim - 1)] = float(r.mean_val)
+    _TRAINED_CW_CACHE[cache_key] = trained
+    return trained
+
+
+def _pq_trained_recall_oracle(topk: int = _PQ_TOPK) -> str:
+    # cwgrid: the coalesced trained codebook (mean where the cell has
+    # members, seed subvector value otherwise) — then the encode / query-
+    # table / ADC / recall pipeline re-runs verbatim against it.
+    return f"""{_pq_cte_prefix()},{_pq_tcw_cte()},
+cwgrid AS (
+  SELECT w.c, g.m, g.d,
+         COALESCE(t.mean_val, w.ce[(g.m - 1) * {_PQ_D} + g.d]) AS val
+  FROM cw w
+  CROSS JOIN (SELECT mm.m, dd.d
+              FROM unnest(generate_series(1, {_PQ_M})) AS mm(m)
+              CROSS JOIN unnest(generate_series(1, {_PQ_D})) AS dd(d)) g
+  LEFT JOIN tcw t ON t.m = g.m AND t.code = w.c AND t.dim = g.d
+),
+sq2 AS (
+  SELECT v.vec_id, cg.c, cg.m,
+         (v.e[(cg.m - 1) * {_PQ_D} + cg.d] - cg.val)
+         * (v.e[(cg.m - 1) * {_PQ_D} + cg.d] - cg.val) AS s
+  FROM emb v CROSS JOIN cwgrid cg
+),
+sub2 AS (
+  SELECT vec_id, c, m, CAST(ROUND(SUM(s) * 1000000.0, 0) AS BIGINT) AS d2u
+  FROM sq2 GROUP BY vec_id, c, m
+),
+codes2 AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT vec_id, m, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2u, c) AS rn
+    FROM sub2 WHERE vec_id >= {_N_QUERIES}
+  ) WHERE rn = 1
+),
+qtab2 AS (SELECT vec_id AS q_id, m, c, d2u FROM sub2 WHERE vec_id < {_N_QUERIES}),
+adc2 AS (
+  SELECT t.q_id, cd.vec_id AS neighbor_id,
+         CAST(SUM(t.d2u) AS BIGINT) AS adc_micro
+  FROM codes2 cd JOIN qtab2 t ON t.m = cd.m AND t.c = cd.code
+  GROUP BY t.q_id, cd.vec_id
+),
+tru AS (
+  SELECT q.vec_id AS q_id, v.vec_id AS neighbor_id,
+         CAST(ROUND(SUM((q.e[d] - v.e[d]) * (q.e[d] - v.e[d]))
+                    * 1000000.0, 0) AS BIGINT) AS true_micro
+  FROM emb q CROSS JOIN emb v
+  CROSS JOIN unnest(generate_series(1, {_PQ_M * _PQ_D})) AS g(d)
+  WHERE q.vec_id < {_N_QUERIES} AND v.vec_id >= {_N_QUERIES}
+  GROUP BY q_id, neighbor_id
+),
+rk AS (
+  SELECT p.q_id, p.neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY p.q_id
+                            ORDER BY t.true_micro, p.neighbor_id) AS rt,
+         ROW_NUMBER() OVER (PARTITION BY p.q_id
+                            ORDER BY p.adc_micro, p.neighbor_id) AS ra
+  FROM adc2 p JOIN tru t
+    ON t.q_id = p.q_id AND t.neighbor_id = p.neighbor_id
+)
+SELECT q_id, COUNT(*) AS n_exact,
+       CAST(SUM(CASE WHEN ra <= {topk} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched,
+       CAST(SUM(CASE WHEN ra <= {topk} THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS recall_at_k
+FROM rk WHERE rt <= {topk} GROUP BY q_id
+"""
+
+
+@query(
+    "sim_pq_trained_recall",
+    oracle=_pq_trained_recall_oracle(),
+    tags=("similarity", "pq", "kmeans", "training", "evaluation"),
+)
+def pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the TRAINED-codebook PQ/ADC ranking vs the exact
+    full-precision ranking — the acceptance gate run after fitting, before
+    swapping the trained codebook in. Identical machinery to sim_pq_recall
+    (one fused pair frame scores both distances) with the one-Lloyd-step
+    codebook substituted for the seed slices."""
+    codewords = _trained_codewords(spark, sf_dir)
+    return _recall_from_pairs(
+        _pq_adc_pairs(spark, sf_dir, with_vectors=True, codewords=codewords)
     )
