@@ -1,14 +1,15 @@
 """Multimodal column handling: opaque binary payloads + typed metadata.
 
-BASELINE.json extension (SURVEY.md §7 Phase 3). Three formats decode for
+BASELINE.json extension (SURVEY.md §7 Phase 3). Four formats decode for
 REAL through pure-spec stdlib codecs — PNG images (sources/png.py), WAV/PCM
-audio (sources/wav.py), Y4M video (sources/y4m.py) — each proven by an
-encode→decode roundtrip query whose DuckDB oracle recomputes every
-pixel/sample from a doc_id formula. Formats needing binary libraries this
-container lacks (jpeg/webp/compressed video) keep a deterministic stub
-behind the same ``mapInPandas`` plumbing, which is exactly what a
-production decode would use: binary column in, Arrow-batched Pandas
-transform, typed struct out, no driver-side collection, partition-parallel.
+audio (sources/wav.py), Y4M video (sources/y4m.py), baseline JPEG
+(sources/jpeg.py) — each proven by an encode→decode roundtrip query whose
+DuckDB oracle recomputes every pixel/sample from a doc_id formula. Formats
+needing binary libraries this container lacks (webp, compressed video) keep
+a deterministic stub behind the same ``mapInPandas`` plumbing, which is
+exactly what a production decode would use: binary column in, Arrow-batched
+Pandas transform, typed struct out, no driver-side collection,
+partition-parallel.
 
 Scale design: ``mapInPandas`` streams Arrow batches through Python one
 partition at a time (constant memory); the metadata aggregation afterwards is
@@ -31,6 +32,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..sources.jpeg import BASIS, ZIGZAG, decode_jpeg, encode_jpeg_gray
 from ..sources.png import PNG_SIGNATURE, decode_png, encode_png
 from ..sources.wav import decode_wav, encode_wav
 from ..sources.y4m import decode_y4m, encode_y4m
@@ -86,26 +88,32 @@ _DECODE_SCHEMA = StructType(
     ]
 )
 
-REAL_DECODE = False  # no jpeg/webp/video codecs in this container
+REAL_DECODE = False  # no webp/compressed-video codecs in this container
 
 
 def _real_decode(payload: bytes) -> tuple[int, int, int, str]:
     """Real decode for the formats the repo carries a codec for: PNG via
     the pure-Python spec implementation (sources/png.py, stdlib zlib — the
-    Avro-decoder playbook). Other codecs remain environment-gated."""
+    Avro-decoder playbook) and baseline JPEG (sources/jpeg.py, pure spec).
+    Only webp and compressed video remain environment-gated."""
     if payload[:8] == PNG_SIGNATURE:
         img = decode_png(payload)
         return img.width, img.height, 1, "png"
+    if payload[:2] == b"\xff\xd8":
+        jimg = decode_jpeg(payload)
+        return jimg.width, jimg.height, 1, "jpeg"
     raise NotImplementedError(
-        "real decode implemented for PNG only; jpeg/webp/video codecs "
-        "are not available in this container"
+        "real decode implemented for PNG and baseline JPEG; webp and "
+        "compressed-video codecs are not available in this container"
     )
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
-    """Deterministic stand-in for an image/video decode — except PNG
-    payloads, which take the REAL decode path (signature-dispatched)."""
-    if payload[:8] == PNG_SIGNATURE:
+    """Deterministic stand-in for an image/video decode — except PNG/JPEG
+    payloads, which take the REAL decode path (signature-dispatched; the
+    synthetic payloads here are UTF-8 text bytes, which can never start
+    with 0x89PNG or 0xFFD8)."""
+    if payload[:8] == PNG_SIGNATURE or payload[:2] == b"\xff\xd8":
         return _real_decode(payload)
     if REAL_DECODE:  # pragma: no cover
         return _real_decode(payload)
@@ -792,4 +800,196 @@ def y4m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("luma_sum").cast("bigint").alias("total_luma"),
         F.max("luma_max").cast("int").alias("max_luma"),
         F.sum("chroma_sum").cast("bigint").alias("total_chroma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real baseline JPEG decode, proven end-to-end (the last codec behind the
+# decode gate; PNG/WAV/Y4M landed earlier via the same playbook): stage 1
+# ENCODES a deterministic image per document into real baseline JPEG bytes
+# — real canonical Huffman tables (DHT), DC prediction, AC run/size coding
+# with EOB and ZRL, 0xFF byte stuffing, zigzag quantization tables (DQT) —
+# and stage 2 DECODES them back with the pure-Python codec
+# (sources/jpeg.py) and emits exact pixel statistics.
+#
+# JPEG is lossy only at forward quantization, so the fixture images are
+# DEFINED in the frequency domain: per 8x8 block, a quantized DC plus two
+# AC coefficients at doc/block-dependent zigzag positions (the spread
+# exercises DC size categories, AC run lengths, ZRL chains and EOB). The
+# entropy layer round-trips those coefficients exactly, and the decoded
+# pixels are the closed-form IDCT of the dequantized values — which the
+# oracle recomputes per pixel from the SAME basis constants (repr-exact
+# literals) and the same per-term product order. One wrong bit anywhere in
+# marker parse / canonical Huffman / EXTEND / dezigzag / dequant / IDCT /
+# clamp breaks the hash match. Distributed shape: payload-per-row,
+# Arrow-batched mapInPandas, zero shuffle until the final JVM aggregate.
+# ---------------------------------------------------------------------------
+
+_JPEG_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("jpeg", BinaryType())]
+)
+
+_JPEG_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_blocks", IntegerType()),
+        StructField("n_px", IntegerType()),
+        StructField("px_sum", LongType()),
+        StructField("px_min", IntegerType()),
+        StructField("px_max", IntegerType()),
+    ]
+)
+
+#: Quantization table, zigzag order. q[0] = 20 makes the DC range overdrive
+#: [0, 255] so clamping is exercised at both ends across the corpus.
+_JPEG_QTABLE = [20] + [8 + (k * 3) % 17 for k in range(1, 64)]
+
+
+def _jpeg_geometry(doc_id: int) -> tuple[int, int]:
+    """(width, height) as pure functions of doc_id — mirrored in SQL."""
+    return 8 * (1 + doc_id % 3), 8 * (1 + doc_id % 2)
+
+
+def _jpeg_block_coeffs(doc_id: int, b: int) -> list:
+    """Quantized zigzag coefficients of block b: DC plus two ACs whose
+    positions/values vary with (doc, block) — mirrored in SQL."""
+    blk = [0] * 64
+    blk[0] = ((doc_id * 7 + b * 13) % 128) - 64
+    blk[1 + (b % 5)] = ((doc_id + b) % 7) - 3
+    blk[20 + (doc_id % 10)] = ((doc_id * 3 + b) % 5) - 2
+    return blk
+
+
+def encode_jpeg_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """doc_id -> real baseline JPEG bytes (grayscale, 1-6 blocks)."""
+    for pdf in batches:
+        jpegs = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = _jpeg_geometry(d)
+            nb = (w // 8) * (h // 8)
+            blocks = [_jpeg_block_coeffs(d, b) for b in range(nb)]
+            jpegs.append(encode_jpeg_gray(w, h, blocks, _JPEG_QTABLE))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "jpeg": jpegs})
+
+
+def jpeg_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """JPEG bytes -> decoded geometry + exact pixel statistics."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["jpeg"]):
+            img = decode_jpeg(
+                payload if isinstance(payload, bytes) else bytes(payload)
+            )
+            px = img.pixels
+            rows.append(
+                [
+                    doc_id, img.width, img.height, img.n_blocks,
+                    len(px), sum(px), min(px), max(px),
+                ]
+            )
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "n_blocks",
+                "n_px", "px_sum", "px_min", "px_max",
+            ],
+        )
+        yield out.astype(
+            {
+                "width": "int32", "height": "int32", "n_blocks": "int32",
+                "n_px": "int32", "px_sum": "int64",
+                "px_min": "int32", "px_max": "int32",
+            }
+        )
+
+
+def _jpeg_oracle() -> str:
+    """Recompute every decoded pixel in SQL: the coefficient formulas, the
+    zigzag->(u,v) map, the quant table and the IDCT basis constants are all
+    inlined as literals generated from the codec's own Python constants, so
+    the two sides can never drift."""
+    basis_rows = ", ".join(
+        f"({u}, {x}, {BASIS[u][x]!r})" for u in range(8) for x in range(8)
+    )
+    zig_rows = ", ".join(
+        f"({k}, {ZIGZAG[k] % 8}, {ZIGZAG[k] // 8})" for k in range(64)
+    )
+    q_rows = ", ".join(f"({k}, {_JPEG_QTABLE[k]})" for k in range(64))
+    return f"""
+WITH basis(u, x, bv) AS (VALUES {basis_rows}),
+zig(z, zu, zv) AS (VALUES {zig_rows}),
+qt(z, q) AS (VALUES {q_rows}),
+geo AS (
+  SELECT doc_id,
+         CAST(8 * (1 + doc_id % 3) AS INTEGER) AS w,
+         CAST(8 * (1 + doc_id % 2) AS INTEGER) AS h
+  FROM documents
+),
+blk AS (
+  SELECT g.doc_id, g.w, g.h, bs.b
+  FROM geo g,
+       LATERAL unnest(generate_series(0, (g.w // 8) * (g.h // 8) - 1)) AS bs(b)
+),
+coef AS (
+  SELECT doc_id, w, h, b, 0 AS z,
+         ((doc_id * 7 + b * 13) % 128) - 64 AS val FROM blk
+  UNION ALL
+  SELECT doc_id, w, h, b, 1 + (b % 5), ((doc_id + b) % 7) - 3 FROM blk
+  UNION ALL
+  SELECT doc_id, w, h, b, 20 + (doc_id % 10), ((doc_id * 3 + b) % 5) - 2 FROM blk
+),
+samp AS (
+  SELECT c.doc_id, c.w, c.h, c.b, bu.x AS x, bv.x AS y,
+         SUM((c.val * qt.q) * bu.bv * bv.bv) AS s
+  FROM coef c
+  JOIN qt ON qt.z = c.z
+  JOIN zig ON zig.z = c.z
+  JOIN basis bu ON bu.u = zig.zu
+  JOIN basis bv ON bv.u = zig.zv
+  GROUP BY c.doc_id, c.w, c.h, c.b, bu.x, bv.x
+),
+px AS (
+  SELECT doc_id, w, h,
+         LEAST(GREATEST(CAST(FLOOR(s + 0.5) AS BIGINT) + 128, 0), 255) AS v
+  FROM samp
+),
+stats AS (
+  SELECT doc_id, w, h, COUNT(*) AS n_px, SUM(v) AS px_sum,
+         MIN(v) AS px_min, MAX(v) AS px_max
+  FROM px GROUP BY doc_id, w, h
+)
+SELECT w AS width, h AS height, COUNT(*) AS n_imgs,
+       CAST(SUM((w // 8) * (h // 8)) AS BIGINT) AS total_blocks,
+       CAST(SUM(n_px) AS BIGINT) AS total_px,
+       CAST(SUM(px_sum) AS BIGINT) AS sum_px,
+       CAST(MIN(px_min) AS INTEGER) AS min_px,
+       CAST(MAX(px_max) AS INTEGER) AS max_px
+FROM stats GROUP BY w, h
+"""
+
+
+@query(
+    "mm_jpeg_pixel_stats",
+    oracle=_jpeg_oracle(),
+    tags=("multimodal", "pandas-udf", "jpeg"),
+)
+def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode-then-decode roundtrip through REAL baseline JPEG bytes,
+    aggregated per (width, height); the oracle recomputes every pixel from
+    the coefficient formulas via the same IDCT basis constants, proving the
+    whole codec (markers, canonical Huffman, DC prediction, run/size + ZRL
+    + EOB, byte unstuffing, dezigzag, dequant, IDCT, clamp)."""
+    docs = t(spark, sf_dir)["documents"].select("doc_id")
+    jpegs = docs.mapInPandas(encode_jpeg_batches, schema=_JPEG_SCHEMA)
+    stats = jpegs.mapInPandas(jpeg_stats_batches, schema=_JPEG_STATS_SCHEMA)
+    return stats.groupBy("width", "height").agg(
+        F.count(F.lit(1)).alias("n_imgs"),
+        F.sum("n_blocks").cast("bigint").alias("total_blocks"),
+        F.sum("n_px").cast("bigint").alias("total_px"),
+        F.sum("px_sum").cast("bigint").alias("sum_px"),
+        F.min("px_min").cast("int").alias("min_px"),
+        F.max("px_max").cast("int").alias("max_px"),
     )

@@ -1,0 +1,168 @@
+"""Unit tests for the pure-Python baseline JPEG codec (sources/jpeg.py) —
+the codec-level complement to the end-to-end mm_jpeg_pixel_stats oracle
+query. Covers: exact coefficient roundtrip through the entropy layer
+(JPEG's only lossy step is forward quantization, which the frequency-domain
+encoder skips), byte-stuffing, ZRL/EOB paths, DC prediction across blocks,
+the closed-form DC-only IDCT, clamping, and the unsupported-feature gates
+(progressive, multi-component, restart intervals fail loudly, never
+silently wrong — the PNG codec's scope discipline)."""
+
+from __future__ import annotations
+
+import math
+import random
+import struct
+
+import pytest
+
+from datafusion_distributed_spark.sources.jpeg import (
+    BASIS,
+    ZIGZAG,
+    _canonical_codes,
+    decode_jpeg,
+    encode_jpeg_gray,
+)
+
+_Q = [20] + [8 + (k * 3) % 17 for k in range(1, 64)]
+
+
+def _blk(dc=0, **ac):
+    b = [0] * 64
+    b[0] = dc
+    for k, v in ac.items():
+        b[int(k[1:])] = v
+    return b
+
+
+def test_coefficient_roundtrip_exact():
+    blocks = [
+        _blk(dc=-64, z1=3, z25=-2),
+        _blk(dc=63, z5=-3, z20=2),
+        _blk(dc=0),  # all-zero AC -> immediate EOB
+    ]
+    data = encode_jpeg_gray(24, 8, blocks, _Q)
+    img = decode_jpeg(data)
+    assert img.width == 24 and img.height == 8 and img.n_blocks == 3
+    assert img.coeffs == blocks
+
+
+def test_dc_only_block_is_flat_and_closed_form():
+    dcq = 40
+    img = decode_jpeg(encode_jpeg_gray(8, 8, [_blk(dc=dcq)], _Q))
+    # DC-only IDCT: every sample = floor(dcq*q0 * B00^2 + 0.5) + 128.
+    expected = int(math.floor(dcq * _Q[0] * BASIS[0][0] * BASIS[0][0] + 0.5)) + 128
+    assert set(img.pixels) == {expected}
+
+
+def test_clamping_both_ends():
+    lo = decode_jpeg(encode_jpeg_gray(8, 8, [_blk(dc=-2000)], _Q))
+    hi = decode_jpeg(encode_jpeg_gray(8, 8, [_blk(dc=2000)], _Q))
+    assert set(lo.pixels) == {0}
+    assert set(hi.pixels) == {255}
+
+
+def test_zrl_long_zero_runs():
+    # position 60 forces runs > 16 -> ZRL symbols on the wire
+    blocks = [_blk(dc=5, z60=7), _blk(dc=5, z1=1, z63=-1)]
+    img = decode_jpeg(encode_jpeg_gray(16, 8, blocks, _Q))
+    assert img.coeffs == blocks
+
+
+def test_byte_stuffing_roundtrip():
+    # Sweep DC values until the entropy stream contains a stuffed 0xFF00,
+    # then prove the decoder unstuffs it.
+    # A single DC-only block can't align eight 1-bits (EOB interrupts the
+    # run), so sweep random multi-block coefficient sets until the ENTROPY
+    # segment contains a stuffed 0xFF00, then prove the decoder unstuffs it.
+    rng = random.Random(1)
+    found = 0
+    for _ in range(300):
+        blocks = []
+        for _ in range(4):
+            b = [0] * 64
+            b[0] = rng.choice((1023, -1023, 511, 767))
+            b[rng.randint(1, 10)] = rng.choice((255, -255, 127))
+            blocks.append(b)
+        data = encode_jpeg_gray(32, 8, blocks, _Q)
+        sos = data.find(b"\xff\xda")
+        entropy = data[sos + 10 : -2]
+        if b"\xff\x00" in entropy:
+            found += 1
+            assert decode_jpeg(data).coeffs == blocks
+    assert found > 0, "no trial produced a stuffed 0xFF - writer suspect"
+
+
+def test_dc_prediction_across_blocks():
+    # Large swings exercise several DC size categories and the differential.
+    blocks = [_blk(dc=v) for v in (0, 1000, -1000, 3, -3, 512)]
+    img = decode_jpeg(encode_jpeg_gray(48, 8, blocks, _Q))
+    assert [b[0] for b in img.coeffs] == [0, 1000, -1000, 3, -3, 512]
+
+
+def test_fuzz_roundtrip_random_coefficients():
+    rng = random.Random(42)
+    for _ in range(100):
+        nb = rng.randint(1, 6)
+        blocks = []
+        for _ in range(nb):
+            b = [0] * 64
+            b[0] = rng.randint(-1023, 1023)
+            for _ in range(rng.randint(0, 12)):
+                b[rng.randint(1, 63)] = rng.randint(-255, 255)
+            blocks.append(b)
+        img = decode_jpeg(encode_jpeg_gray(8 * nb, 8, blocks, _Q))
+        assert img.coeffs == blocks
+
+
+def test_rejects_non_baseline_and_malformed():
+    good = encode_jpeg_gray(8, 8, [_blk(dc=1)], _Q)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x00" + good[2:])  # missing SOI
+    # SOF2 (progressive) must be rejected: patch the SOF0 marker byte.
+    sof0 = good.find(b"\xff\xc0")
+    progressive = good[:sof0 + 1] + b"\xc2" + good[sof0 + 2 :]
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(progressive)
+    # DRI (restart interval) must be rejected.
+    dri = good[:2] + b"\xff\xdd" + struct.pack(">HH", 4, 8) + good[2:]
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(dri)
+
+
+def test_canonical_code_generation_matches_annex_c():
+    # The T.81 Annex K.3.1 luminance DC table: BITS/HUFFVAL -> known codes.
+    bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    vals = list(range(12))
+    codes = _canonical_codes(bits, vals)
+    assert codes[0] == (0b00, 2)
+    assert codes[1] == (0b010, 3)
+    assert codes[5] == (0b110, 3)
+    assert codes[6] == (0b1110, 4)
+    assert codes[11] == (0b111111110, 9)
+
+
+def test_encoder_tables_never_use_all_ones_code():
+    """T.81 C.2: the all-1-bits code of any length must stay unused (it
+    would alias the 0xFF marker prefix after stuffing removal)."""
+    data = encode_jpeg_gray(
+        48, 16, [_blk(dc=i * 97 % 1000 - 500, z3=i % 5 - 2) for i in range(12)], _Q
+    )
+    pos = 2
+    while pos < len(data) - 2:
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if marker == 0xC4:
+            body = data[pos + 4 : pos + 2 + seglen]
+            b = 0
+            while b < len(body):
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                codes = _canonical_codes(bits, list(body[b + 17 : b + 17 + n]))
+                for code, length in codes.values():
+                    assert code != (1 << length) - 1
+                b += 17 + n
+        if marker == 0xDA:
+            break
+        pos += 2 + seglen
