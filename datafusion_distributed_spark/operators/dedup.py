@@ -1250,6 +1250,11 @@ def dup_doc_filter_frames(
     docs: DataFrame, k: int = _SPAN_W, tau: float = _DUP_DOC_TAU
 ) -> DataFrame:
     spans = substring_spans_frames(docs, k)
+    # Non-null text contract: split('') yields [''] (size 1) so empty text
+    # is safe, but a NULL text row would produce NULL n_tokens in Spark vs
+    # a NULL len() in DuckDB — a silently dropped/NULL row instead of an
+    # explicit division guard. The fixture schema declares text NOT NULL;
+    # coalesce text to '' in BOTH engines before lifting that contract.
     tot = docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.lower("text")), " +"))

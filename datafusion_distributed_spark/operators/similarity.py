@@ -1639,7 +1639,13 @@ def pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the shuffle — so the one corpus-scale shuffle carries
     M small rows per vector, and everything per-row stays in codegen.
     Integer micros keep the min/sum arithmetic exact in both engines;
-    the avg is one final double division."""
+    the avg is one final double division. Boundary assumption: the
+    per-subspace double sums are accumulated in shuffle-group order here
+    and in DuckDB's scan order there BEFORE the round-to-micro, so a sum
+    landing within ~1 ulp of a .5-micro boundary could round to different
+    longs — the same exposure as every d2u rounding in this module
+    (fixture values sit far from boundaries; a boundary hit would surface
+    as a deterministic off-by-one differential)."""
     emb = t(spark, sf_dir)["embeddings"].select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )

@@ -706,9 +706,18 @@ def local_connections_used(df: DataFrame) -> list[dict]:
     (``OptimizeShuffleWithLocalRead``): when a statically-planned shuffle
     join is demoted to a broadcast join at runtime, the surviving shuffle
     is re-read with ``PartialMapperPartitionSpec`` — each consumer task
-    reads exactly one mapper's output, scheduled ON that mapper's host, so
-    the fetch never leaves the machine. Coalesced/skew-split specs and
-    plain reduce-partition reads fetch from every mapper and stay remote.
+    reads exactly one mapper's output and the scheduler PREFERS placing it
+    on that mapper's host. Coalesced/skew-split specs and plain
+    reduce-partition reads fetch from every mapper and stay remote.
+
+    Caveat (vs the reference): mapper-host placement is a Spark locality
+    PREFERENCE, not a guarantee — on a busy multi-node cluster a consumer
+    task can be scheduled off-host and its fetch then crosses the network,
+    so this counter counts local-READ PARTITION SPECS (an upper bound on
+    truly-local connections), while the reference counts actually-local
+    connections at the Flight layer. On local[N] the two coincide; on a
+    real cluster, cross-check task host vs mapper host via the
+    task-metrics listener for the exact count.
 
     Returns one row per (shuffle_id, read_index):
     ``{shuffle_id, read_index, local_connections_used, total_reads}``
@@ -768,11 +777,13 @@ def explain_analyze(df: DataFrame, with_task_latency: bool = True) -> str:
     # local_connections_used counter, tests/local_connections.rs) — shown
     # only when AQE actually co-located a read, so the common remote case
     # stays quiet.
+    # (label says "specs": placement is a locality preference, see
+    # local_connections_used's caveat — exact on local[N].)
     for lc in local_connections_used(df):
         if lc["local_connections_used"]:
             lines.append(
                 f"  shuffle {lc['shuffle_id']} read {lc['read_index']}: "
-                f"local_connections_used={lc['local_connections_used']}"
+                f"local_read_specs={lc['local_connections_used']}"
                 f"/{lc['total_reads']}"
             )
     # Busiest per-task streams (the reference's per-Flight-stream byte
