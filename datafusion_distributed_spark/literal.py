@@ -90,7 +90,9 @@ _COLORS = [
 ]
 
 
-def view_definitions(engine: str, base) -> dict[str, str]:
+def view_definitions(
+    engine: str, base, tpch_exact: bool = False
+) -> dict[str, str]:
     """View SELECT texts for one engine.
 
     ``engine`` is 'spark' or 'duck'; ``base(name)`` renders a reference to
@@ -99,8 +101,35 @@ def view_definitions(engine: str, base) -> dict[str, str]:
     ||, substring, EXTRACT); the few spellings that differ (date+days,
     epoch-day numbering, string cast) are rendered per engine here, so the
     SAME derivation yields bit-identical values on both sides — that is
-    what lets the literal texts run differentially."""
+    what lets the literal texts run differentially.
+
+    ``tpch_exact`` renders the TPC-H views' money columns ORDER-EXACT for
+    double summation (the tpch_exact sibling suite — the TPC-DS floor-
+    money trick generalized): prices quantize to whole dollars (integer-
+    valued doubles) and rates (l_discount/l_tax) to 1/128-dyadic rationals,
+    so every product l_extendedprice*(1±rate)(1±rate) is an exact multiple
+    of 2^-14 and every partial sum stays exactly representable far beyond
+    sf0.1 (sum_charge ~6.8e10 * 2^14 ~ 1.1e15 << 2^53). Any summation
+    ORDER then yields the identical double, which is what lets verbatim
+    float-sum texts (q1/q5/q6/q14/q17/q19) pass the driver's bit-exact
+    hash gate. 1/128 (not 1/100) keeps the rates dyadic while preserving
+    the texts' band predicates' selectivity (q6's BETWEEN 0.05 AND 0.07
+    keeps exactly the source-0.06 rows as 0.0625)."""
     sp = engine == "spark"
+
+    if tpch_exact:
+        _EP = "ROUND(l_extendedprice)"
+        _DISC = "(ROUND(l_discount * 128) / 128)"
+        _TAX = "(ROUND(l_tax * 128) / 128)"
+        _TOT = "ROUND(o_totalprice)"
+        _CBAL = "ROUND(c_acctbal)"
+        _SBAL = "ROUND(s_acctbal)"
+        _RETP = "ROUND(p_retailprice)"
+    else:
+        _EP, _DISC, _TAX = "l_extendedprice", "l_discount", "l_tax"
+        _TOT, _CBAL, _SBAL, _RETP = (
+            "o_totalprice", "c_acctbal", "s_acctbal", "p_retailprice",
+        )
 
     def DA(col: str, days: str) -> str:  # date + N days
         # Spark's date_add takes an INT day count (BIGINT is rejected under
@@ -135,7 +164,8 @@ def view_definitions(engine: str, base) -> dict[str, str]:
         # ---- TPC-H: driver tables padded to the full spec column set ----
         "lineitem": f"""
 SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
-       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+       {_EP} AS l_extendedprice, {_DISC} AS l_discount, {_TAX} AS l_tax,
+       l_returnflag, l_linestatus,
        CAST(l_shipdate AS DATE) AS l_shipdate,
        {DA("CAST(l_shipdate AS DATE)", "(l_orderkey * 7 + l_linenumber * 3) % 61 - 30")} AS l_commitdate,
        {DA("CAST(l_shipdate AS DATE)", "(l_orderkey * 11 + l_linenumber * 5) % 30 + 1")} AS l_receiptdate,
@@ -144,7 +174,7 @@ SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
        'line note ' || {S("l_linenumber")} AS l_comment
 FROM {base("lineitem")}""",
         "orders": f"""
-SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+SELECT o_orderkey, o_custkey, o_orderstatus, {_TOT} AS o_totalprice,
        CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
        CAST(o_orderkey % 3 AS INT) AS o_shippriority,
        'Clerk#' || {S("1 + o_orderkey % 1000")} AS o_clerk,
@@ -153,13 +183,13 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
             ELSE 'standard order note ' || {S("o_orderkey % 7")} END AS o_comment
 FROM {base("orders")}""",
         "customer": f"""
-SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+SELECT c_custkey, c_name, c_nationkey, {_CBAL} AS c_acctbal, c_mktsegment,
        {S("10 + c_custkey % 25")} || '-555-' || {S("1000 + c_custkey % 9000")} AS c_phone,
        'Address ' || {S("c_custkey")} AS c_address,
        'customer note ' || {S("c_custkey % 11")} AS c_comment
 FROM {base("customer")}""",
         "supplier": f"""
-SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+SELECT s_suppkey, s_name, s_nationkey, {_SBAL} AS s_acctbal,
        'Depot ' || {S("s_suppkey")} AS s_address,
        {S("10 + s_suppkey % 25")} || '-555-' || {S("2000 + s_suppkey % 8000")} AS s_phone,
        CASE WHEN s_suppkey % 50 = 7 THEN 'noted Customer recurring Complaints'
@@ -168,7 +198,7 @@ FROM {base("supplier")}""",
         "part": f"""
 SELECT p_partkey,
        {_pick("p_partkey * 23", _COLORS)} || ' ' || p_name AS p_name,
-       p_brand, p_type, p_size, p_retailprice,
+       p_brand, p_type, p_size, {_RETP} AS p_retailprice,
        'Manufacturer#' || {S("1 + p_partkey % 5")} AS p_mfgr,
        {_pick("p_partkey * 19", _CONTAINERS)} AS p_container,
        'part note ' || {S("p_partkey % 17")} AS p_comment
@@ -253,16 +283,27 @@ SUITE_VIEWS = {
     # density raised so the SF>=1 texts (q24/q84/q85) populate below SF1
     # without touching the default lane's 93 value-checked texts.
     "tpcds_dense": TPCDS_SUITE_VIEWS,
+    # Exact-summation lane (the dense-slice method applied to TPC-H float
+    # sums): the SAME 8 view names and verbatim texts, money columns
+    # rendered order-exact (whole-dollar prices, 1/128-dyadic rates — see
+    # view_definitions) so float-sum texts hash bit-exactly across engines.
+    "tpch_exact": [
+        (n, n)
+        for n in (
+            "lineitem", "orders", "customer", "supplier", "part",
+            "partsupp", "nation", "region",
+        )
+    ],
     "clickbench": [("hits", "hits")],
 }
 
 # Suites whose query TEXTS live under another suite's directory and whose
 # view keys are re-rendered rather than re-listed.
-_SUITE_TEXT_DIR = {"tpcds_dense": "tpcds"}
+_SUITE_TEXT_DIR = {"tpcds_dense": "tpcds", "tpch_exact": "tpch"}
 
 
 def _suite_defs(engine: str, base, suite: str) -> dict[str, str]:
-    defs = view_definitions(engine, base)
+    defs = view_definitions(engine, base, tpch_exact=suite == "tpch_exact")
     if suite == "tpcds_dense":
         defs.update(_tpcds_view_definitions(engine, base, dense=True))
     return defs

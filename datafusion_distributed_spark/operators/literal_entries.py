@@ -1687,3 +1687,136 @@ if _os.path.isdir(REFERENCE_QUERIES):
         return run_literal_sql(
             spark, sf_dir, "tpcds", "q59", year_shift=-1
         ).toDF(*_Q59_COLS)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H exact-summation promotions (round 10, the r9 VERDICT's hash-gate
+# tier): verbatim TPC-H float-sum texts behind the driver's bit-exact gate
+# via the tpch_exact sibling suite — the SAME 8 view names with money
+# columns rendered order-exact (whole-dollar prices, 1/128-dyadic rates;
+# see literal.view_definitions). Every sum the texts compute is then a sum
+# of exact multiples of 2^-14 whose partial sums stay representable
+# (<= ~1.1e15 << 2^53 at sf0.1), so ANY summation order yields the same
+# double and the hash gate holds. The default-lane texts keep running under
+# the pytest 9-digit differential; this lane ADDS populated bit-exact
+# driver entries without touching them.
+# ---------------------------------------------------------------------------
+
+_EXACT_VIEW_DEFS = view_definitions("duck", lambda n: n, tpch_exact=True)
+
+
+def _tpch_exact_oracle(
+    qname: str,
+    tables: tuple[str, ...],
+    renames: tuple[str, ...],
+    date_shift_years: int = 0,
+) -> str:
+    """DuckDB oracle for a verbatim TPC-H text over the exact-summation
+    views: lit_ CTEs + outside-quote name rewrite + positional renames
+    (the _tpcds_oracle contract)."""
+    text = load_literal_text("tpch", qname, date_shift_years=date_shift_years)
+    segments = text.split("'")
+    for t in sorted(tables, key=len, reverse=True):
+        pat = _re.compile(rf"\b{t}\b")
+        for i in range(0, len(segments), 2):  # even segments = outside quotes
+            segments[i] = pat.sub(f"lit_{t}", segments[i])
+    text = "'".join(segments)
+    cols = ", ".join(renames)
+    ctes = ",\n".join(f"lit_{n} AS ({_EXACT_VIEW_DEFS[n]})" for n in tables)
+    return f"WITH {ctes}\nSELECT * FROM (\n{text}\n) AS _r({cols})"
+
+
+if _os.path.isdir(REFERENCE_QUERIES):
+
+    _Q1_COLS = ("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+                "sum_disc_price", "sum_charge", "avg_qty", "avg_price",
+                "avg_disc", "count_order")
+
+    @query(
+        "lit_tpch_q1_exact_pricing",
+        oracle=_tpch_exact_oracle("q1", ("lineitem",), _Q1_COLS),
+        tags=("literal", "tpch", "exact"),
+        order_by="l_returnflag, l_linestatus",
+    )
+    def lit_tpch_q1_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q1 (THE float-sum text): four money sums + three avgs,
+        # all exact under the lane's quantization; avgs are exact sums /
+        # counts (one correctly-rounded division each engine).
+        return run_literal_sql(spark, sf_dir, "tpch_exact", "q1").toDF(*_Q1_COLS)
+
+    @query(
+        "lit_tpch_q5_exact_local_supplier",
+        oracle=_tpch_exact_oracle(
+            "q5",
+            ("customer", "orders", "lineitem", "supplier", "nation", "region"),
+            ("n_name", "revenue"),
+            date_shift_years=2,
+        ),
+        tags=("literal", "tpch", "exact", "join"),
+        order_by="revenue DESC",
+    )
+    def lit_tpch_q5_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q5 (+2y into the driver's 1995-2001 range): the 6-table
+        # local-supplier join; revenue sums are exact multiples of 2^-7.
+        # No LIMIT — the full ordered group set returns, so ties can't cut.
+        return run_literal_sql(
+            spark, sf_dir, "tpch_exact", "q5", date_shift_years=2
+        ).toDF("n_name", "revenue")
+
+    @query(
+        "lit_tpch_q6_exact_forecast",
+        oracle=_tpch_exact_oracle(
+            "q6", ("lineitem",), ("revenue",), date_shift_years=2
+        ),
+        tags=("literal", "tpch", "exact"),
+    )
+    def lit_tpch_q6_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q6 (+2y): BETWEEN 0.05 AND 0.07 keeps exactly the
+        # source-0.06 rows (quantized 0.0625) — populated AND selective.
+        return run_literal_sql(
+            spark, sf_dir, "tpch_exact", "q6", date_shift_years=2
+        ).toDF("revenue")
+
+    @query(
+        "lit_tpch_q14_exact_promo",
+        oracle=_tpch_exact_oracle(
+            "q14", ("lineitem", "part"), ("promo_revenue",)
+        ),
+        tags=("literal", "tpch", "exact"),
+    )
+    def lit_tpch_q14_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q14 (September 1995 is inside the driver date range):
+        # 100.00 * exact_sum / exact_sum — both engines evaluate the same
+        # two exact doubles through the same left-associated mul/div.
+        return run_literal_sql(spark, sf_dir, "tpch_exact", "q14").toDF(
+            "promo_revenue"
+        )
+
+    @query(
+        "lit_tpch_q17_exact_small_qty",
+        oracle=_tpch_exact_oracle(
+            "q17", ("lineitem", "part"), ("avg_yearly",)
+        ),
+        tags=("literal", "tpch", "exact", "correlated-subquery"),
+    )
+    def lit_tpch_q17_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q17: correlated scalar AVG per part; the 0.2*avg bound
+        # is one identical multiply of an exact-sum/count double, and the
+        # outer sum is whole-dollar exact / 7.0 (single division).
+        return run_literal_sql(spark, sf_dir, "tpch_exact", "q17").toDF(
+            "avg_yearly"
+        )
+
+    @query(
+        "lit_tpch_q19_exact_discounted",
+        oracle=_tpch_exact_oracle(
+            "q19", ("lineitem", "part"), ("revenue",)
+        ),
+        tags=("literal", "tpch", "exact", "disjunctive-join"),
+    )
+    def lit_tpch_q19_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q19: the three-armed disjunctive join predicate (brand x
+        # container x quantity bands); dateless, so no shift needed.
+        return run_literal_sql(spark, sf_dir, "tpch_exact", "q19").toDF(
+            "revenue"
+        )
