@@ -572,7 +572,20 @@ def near_dup_cluster_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.unpersist(blocking=False)
         return out
 
-    return slot_build_once(f"near_dup_clusters:{sf_dir}", spark, build)
+    # The cached frame is checkpoint-backed, and a localCheckpoint PRESERVES
+    # the build-time output partitioning — so a table built under different
+    # planning confs (the AQE-off sweep, a shuffle-partition override) would
+    # hand later same-session consumers a different join plan than the one
+    # their own mode would produce (caught by the plan-snapshot suite when
+    # test_aqe_off built the cache first). Keying the slot by the confs that
+    # shape the build keeps each planning mode's consumers deterministic —
+    # and matches production, where an AQE-off job materializes its own
+    # cluster table.
+    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    sp = spark.conf.get("spark.sql.shuffle.partitions", "")
+    return slot_build_once(
+        f"near_dup_clusters:{sf_dir}:aqe={aqe}:sp={sp}", spark, build
+    )
 
 
 @query("dd_dup_clusters", oracle=_cc_oracle(), tags=("dedup", "graph", "iterative"))

@@ -161,8 +161,14 @@ def test_multimodal_real_decode_dispatch():
     assert multimodal._fake_decode(b"plain text payload")[3] in (
         "png", "jpeg", "webp",
     )
-    with pytest.raises(NotImplementedError, match="PNG only"):
+    # JPEG signatures now dispatch to the REAL baseline codec (round 10),
+    # so a malformed jpeg-signature payload fails loudly in the decoder
+    # rather than falling back to the stand-in.
+    with pytest.raises(ValueError):
         multimodal._real_decode(b"\xff\xd8\xff\xe0 jpeg-ish")
+    # formats without a codec in this container stay environment-gated
+    with pytest.raises(NotImplementedError, match="webp"):
+        multimodal._real_decode(b"RIFF....WEBP")
 
 
 def test_pngimage_pixel_accessor():
