@@ -119,6 +119,29 @@ def view_definitions(
 
     if tpch_exact:
         _EP = "ROUND(l_extendedprice)"
+        # q8's selection predicate is the full spec p_type vocabulary
+        # ('ECONOMY ANODIZED STEEL'); the driver's p_type carries only the
+        # first word, so the conjunction is empty at every scale. The exact
+        # lane pads a deterministic 1-in-7 slice to the full three-word
+        # type (the dense-slice method: both engines read the identical
+        # derivation, so the differential stays meaningful). q14's PROMO%
+        # share shifts consistently in both engines.
+        # Two deterministic p_type slices give the spec-vocabulary
+        # predicates real selections: 1-in-7 rewrites to q8's exact
+        # 'ECONOMY ANODIZED STEEL'; the next 1-in-7 APPENDS ' PLATED BRASS'
+        # for q2's '%BRASS' suffix match (appending preserves q14's PROMO%
+        # prefix semantics on those rows).
+        _PTYPE = ("CASE WHEN p_partkey % 7 = 0 THEN 'ECONOMY ANODIZED STEEL' "
+                  "WHEN p_partkey % 7 = 1 THEN p_type || ' PLATED BRASS' "
+                  "ELSE p_type END")
+        # q22's NOT EXISTS(orders) selection is structurally empty on the
+        # driver data — the generator gives EVERY customer at least one
+        # order at every scale. The exact lane appends a deterministic
+        # order-less tail (one synthetic customer per 10 real ones, keys
+        # shifted by 1e7 so they can never match an o_custkey; +13 keeps
+        # about half above the acctbal average). Invisible to every other
+        # exact-lane text: all of them reach customer THROUGH a join to
+        # orders. Both engines read the identical derivation.
         _DISC = "(ROUND(l_discount * 128) / 128)"
         _TAX = "(ROUND(l_tax * 128) / 128)"
         _TOT = "ROUND(o_totalprice)"
@@ -130,6 +153,7 @@ def view_definitions(
         _TOT, _CBAL, _SBAL, _RETP = (
             "o_totalprice", "c_acctbal", "s_acctbal", "p_retailprice",
         )
+        _PTYPE = "p_type"
 
     def DA(col: str, days: str) -> str:  # date + N days
         # Spark's date_add takes an INT day count (BIGINT is rejected under
@@ -160,6 +184,21 @@ def view_definitions(
         else "(epoch_us(ts) // 1000000)"
     )
 
+    # Exact-lane order-less customer tail (see the q22 note above). Rendered
+    # here because it uses the per-engine S() cast.
+    _CUST_TAIL = (
+        f"""
+UNION ALL
+SELECT c_custkey + 10000000, 'Customer#' || {S("c_custkey + 10000000")},
+       c_nationkey, {_CBAL} + 13, c_mktsegment,
+       {S("10 + c_custkey % 25")} || '-555-' || {S("1000 + c_custkey % 9000")},
+       'Address ' || {S("c_custkey + 10000000")},
+       'silent customer'
+FROM {base("customer")} WHERE c_custkey % 10 = 0"""
+        if tpch_exact
+        else ""
+    )
+
     return {
         # ---- TPC-H: driver tables padded to the full spec column set ----
         "lineitem": f"""
@@ -187,7 +226,7 @@ SELECT c_custkey, c_name, c_nationkey, {_CBAL} AS c_acctbal, c_mktsegment,
        {S("10 + c_custkey % 25")} || '-555-' || {S("1000 + c_custkey % 9000")} AS c_phone,
        'Address ' || {S("c_custkey")} AS c_address,
        'customer note ' || {S("c_custkey % 11")} AS c_comment
-FROM {base("customer")}""",
+FROM {base("customer")}{_CUST_TAIL}""",
         "supplier": f"""
 SELECT s_suppkey, s_name, s_nationkey, {_SBAL} AS s_acctbal,
        'Depot ' || {S("s_suppkey")} AS s_address,
@@ -198,7 +237,7 @@ FROM {base("supplier")}""",
         "part": f"""
 SELECT p_partkey,
        {_pick("p_partkey * 23", _COLORS)} || ' ' || p_name AS p_name,
-       p_brand, p_type, p_size, {_RETP} AS p_retailprice,
+       p_brand, {_PTYPE} AS p_type, p_size, {_RETP} AS p_retailprice,
        'Manufacturer#' || {S("1 + p_partkey % 5")} AS p_mfgr,
        {_pick("p_partkey * 19", _CONTAINERS)} AS p_container,
        'part note ' || {S("p_partkey % 17")} AS p_comment
@@ -324,9 +363,9 @@ def register_spark_views(spark: SparkSession, sf_dir: str, suite: str) -> None:
     re-registered the bare views since (``_dds_active_views`` is the
     None this function left it as); ``load_tables(register=True)`` sets
     it to its sf_dir, which invalidates this cache too."""
-    key = (sf_dir.rstrip("/"), suite)
+    cache_key = (sf_dir.rstrip("/"), suite)
     if (
-        getattr(spark, "_dds_literal_views", None) == key
+        getattr(spark, "_dds_literal_views", None) == cache_key
         and getattr(spark, "_dds_active_views", "stale") is None
     ):
         return
@@ -337,9 +376,13 @@ def register_spark_views(spark: SparkSession, sf_dir: str, suite: str) -> None:
     prior = spark.conf.get("spark.sql.ansi.doubleQuotedIdentifiers", None)
     spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
     try:
-        for name, key in SUITE_VIEWS[suite]:
+        # NB: loop variables must not shadow cache_key — a prior spelling
+        # stored the LAST view's definition key as the cache token, so the
+        # "idempotent" early return never fired and every literal call
+        # re-ran the 24-view DDL (~100 ms each, minutes across the bench).
+        for name, def_key in SUITE_VIEWS[suite]:
             spark.sql(
-                f'CREATE OR REPLACE TEMPORARY VIEW "{name}" AS {defs[key]}'
+                f'CREATE OR REPLACE TEMPORARY VIEW "{name}" AS {defs[def_key]}'
             )
     finally:
         # Restore the caller's prior value rather than unconditionally
@@ -351,7 +394,7 @@ def register_spark_views(spark: SparkSession, sf_dir: str, suite: str) -> None:
     # Invalidate tables.load_tables view ownership: the next engine-native
     # query re-registers the unpadded bare views.
     setattr(spark, "_dds_active_views", None)
-    setattr(spark, "_dds_literal_views", key)
+    setattr(spark, "_dds_literal_views", cache_key)
 
 
 # Generated (non-parquet) tables DuckDB must see as TABLES, not views: its

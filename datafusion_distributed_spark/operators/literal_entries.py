@@ -1820,3 +1820,212 @@ if _os.path.isdir(REFERENCE_QUERIES):
         return run_literal_sql(spark, sf_dir, "tpch_exact", "q19").toDF(
             "revenue"
         )
+
+    # -- second exact-lane wave: the remaining no-LIMIT float-sum texts --
+
+    @query(
+        "lit_tpch_q3_exact_shipping_priority",
+        oracle=_tpch_exact_oracle(
+            "q3",
+            ("customer", "orders", "lineitem"),
+            ("l_orderkey", "revenue", "o_orderdate", "o_shippriority"),
+        ),
+        tags=("literal", "tpch", "exact", "join"),
+        order_by="revenue DESC, o_orderdate",
+    )
+    def lit_tpch_q3_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q3 (the reference's file carries NO LIMIT, so the full
+        # ordered group set returns — no tie cut); the 1995-03-15 pivot
+        # date sits inside the driver's range unshifted.
+        return run_literal_sql(spark, sf_dir, "tpch_exact", "q3").toDF(
+            "l_orderkey", "revenue", "o_orderdate", "o_shippriority"
+        )
+
+    @query(
+        "lit_tpch_q7_exact_volume_shipping",
+        oracle=_tpch_exact_oracle(
+            "q7",
+            ("supplier", "lineitem", "orders", "customer", "nation"),
+            ("supp_nation", "cust_nation", "l_year", "revenue"),
+        ),
+        tags=("literal", "tpch", "exact", "join"),
+        order_by="supp_nation, cust_nation, l_year",
+    )
+    def lit_tpch_q7_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q7: FRANCE<->GERMANY bilateral volumes (the view's
+        # official nation vocabulary on supplier-populated keys), 1995-1996
+        # dates unshifted; EXTRACT(YEAR) compares as canonical ints.
+        return run_literal_sql(spark, sf_dir, "tpch_exact", "q7").toDF(
+            "supp_nation", "cust_nation", "l_year", "revenue"
+        )
+
+    @query(
+        "lit_tpch_q8_exact_market_share",
+        oracle=_tpch_exact_oracle(
+            "q8",
+            ("part", "supplier", "lineitem", "orders", "customer",
+             "nation", "region"),
+            ("o_year", "mkt_share"),
+        ),
+        tags=("literal", "tpch", "exact", "join"),
+        order_by="o_year",
+    )
+    def lit_tpch_q8_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q8: the 8-table mkt-share join; populated through the
+        # exact lane's 1-in-7 'ECONOMY ANODIZED STEEL' p_type slice;
+        # mkt_share = exact-sum / exact-sum, one identical division.
+        return run_literal_sql(spark, sf_dir, "tpch_exact", "q8").toDF(
+            "o_year", "mkt_share"
+        )
+
+    @query(
+        "lit_tpch_q9_exact_product_profit",
+        oracle=_tpch_exact_oracle(
+            "q9",
+            ("part", "supplier", "lineitem", "partsupp", "orders", "nation"),
+            ("nation", "o_year", "sum_profit"),
+        ),
+        tags=("literal", "tpch", "exact", "join"),
+        order_by="nation, o_year DESC",
+    )
+    def lit_tpch_q9_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q9: profit = 2^-7-exact revenue minus integer
+        # supplycost*quantity — every amount an exact multiple of 2^-7;
+        # '%green%' selects through the color-prefixed p_name.
+        return run_literal_sql(spark, sf_dir, "tpch_exact", "q9").toDF(
+            "nation", "o_year", "sum_profit"
+        )
+
+    _TPCH_Q10_COLS = ("c_custkey", "c_name", "revenue", "c_acctbal", "n_name",
+                 "c_address", "c_phone", "c_comment")
+
+    @query(
+        "lit_tpch_q10_exact_returned_items",
+        oracle=_tpch_exact_oracle(
+            "q10",
+            ("customer", "orders", "lineitem", "nation"),
+            _TPCH_Q10_COLS,
+            date_shift_years=2,
+        ),
+        tags=("literal", "tpch", "exact", "join"),
+        order_by="revenue DESC",
+    )
+    def lit_tpch_q10_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q10 (+2y): returned-item revenue per customer; the
+        # reference file carries NO LIMIT, so the ordered set is complete.
+        return run_literal_sql(
+            spark, sf_dir, "tpch_exact", "q10", date_shift_years=2
+        ).toDF(*_TPCH_Q10_COLS)
+
+    @query(
+        "lit_tpch_q11_exact_important_stock",
+        oracle=_tpch_exact_oracle(
+            "q11", ("partsupp", "supplier", "nation"), ("ps_partkey", "value")
+        ),
+        tags=("literal", "tpch", "exact", "having"),
+        order_by="value DESC",
+    )
+    def lit_tpch_q11_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q11: all-integer supplycost*availqty sums; the 0.0001
+        # threshold multiple is one identical multiply of the same exact
+        # total in both engines.
+        return run_literal_sql(spark, sf_dir, "tpch_exact", "q11").toDF(
+            "ps_partkey", "value"
+        )
+
+    @query(
+        "lit_tpch_q20_exact_potential_promotion",
+        oracle=_tpch_exact_oracle(
+            "q20",
+            ("supplier", "nation", "partsupp", "part", "lineitem"),
+            ("s_name", "s_address"),
+            date_shift_years=2,
+        ),
+        tags=("literal", "tpch", "exact", "nested-in"),
+        order_by="s_name",
+    )
+    def lit_tpch_q20_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q20 (+2y): triple-nested IN with the 0.5*sum(l_quantity)
+        # availability bound (integer quantities — exact halves); 'forest%'
+        # selects through the color-prefixed p_name; CANADA is a
+        # supplier-populated nation key.
+        return run_literal_sql(
+            spark, sf_dir, "tpch_exact", "q20", date_shift_years=2
+        ).toDF("s_name", "s_address")
+
+    @query(
+        "lit_tpch_q22_exact_global_sales_opp",
+        oracle=_tpch_exact_oracle(
+            "q22", ("customer", "orders"), ("cntrycode", "numcust", "totacctbal")
+        ),
+        tags=("literal", "tpch", "exact", "anti-join"),
+        order_by="cntrycode",
+    )
+    def lit_tpch_q22_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q22: whole-dollar acctbal sums are exact; the avg bound
+        # is one identical exact-sum/count division. Selection profile
+        # matches the engine-native tpch_q22: 0 rows at sf0.01 (every
+        # country-coded customer has orders there), populated at sf0.1 —
+        # the multi-scale validate + vacuity escalation prove population.
+        return run_literal_sql(spark, sf_dir, "tpch_exact", "q22").toDF(
+            "cntrycode", "numcust", "totacctbal"
+        )
+
+    def _q15_oracle() -> str:
+        """q15 is a CREATE VIEW / SELECT / DROP VIEW script: splice the
+        view body in as a named-column CTE (revenue0(supplier_no,
+        total_revenue)) alongside the lit_ view CTEs, then run the SELECT
+        verbatim — statement-for-statement what both engines execute."""
+        from ..literal import load_literal_statements
+
+        stmts = load_literal_statements("tpch", "q15")
+        create, select = stmts[0], stmts[1]
+        m = _re.search(r"(?is)create\s+view\s+revenue0\s*\(([^)]*)\)\s+as\s+(.*)",
+                       create)
+        cols, body = m.group(1), m.group(2)
+        for t in ("lineitem", "supplier"):
+            pat = _re.compile(rf"\b{t}\b")
+            body = pat.sub(f"lit_{t}", body)
+            select = pat.sub(f"lit_{t}", select)
+        ctes = ",\n".join(
+            f"lit_{n} AS ({_EXACT_VIEW_DEFS[n]})" for n in ("lineitem", "supplier")
+        )
+        return (f"WITH {ctes},\nrevenue0({cols}) AS ({body})\n"
+                f"SELECT * FROM (\n{select}\n) AS _r(s_suppkey, s_name, "
+                f"s_address, s_phone, total_revenue)")
+
+    @query(
+        "lit_tpch_q15_exact_top_supplier",
+        oracle=_q15_oracle(),
+        tags=("literal", "tpch", "exact", "view-script"),
+        order_by="s_suppkey",
+    )
+    def lit_tpch_q15_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q15 SCRIPT (create view / select / drop view — the one
+        # multi-statement TPC-H text, exercised statement-for-statement
+        # through spark.sql's temp-view rewrite); revenue ties at max()
+        # would return multiple rows identically in both engines because
+        # the 2^-7-exact sums compare exactly.
+        return run_literal_sql(spark, sf_dir, "tpch_exact", "q15").toDF(
+            "s_suppkey", "s_name", "s_address", "s_phone", "total_revenue"
+        )
+
+    _TPCH_Q2_COLS = ("s_acctbal", "s_name", "n_name", "p_partkey", "p_mfgr",
+                "s_address", "s_phone", "s_comment")
+
+    @query(
+        "lit_tpch_q2_exact_min_cost_supplier",
+        oracle=_tpch_exact_oracle(
+            "q2", ("part", "supplier", "partsupp", "nation", "region"),
+            _TPCH_Q2_COLS,
+        ),
+        tags=("literal", "tpch", "exact", "correlated-subquery"),
+        order_by="s_acctbal DESC, n_name, s_name, p_partkey",
+    )
+    def lit_tpch_q2_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q2 (the last unpromoted TPC-H text): correlated
+        # min-supplycost subquery over whole-number costs (exact equality);
+        # populated through the exact lane's '%BRASS'-suffixed p_type slice
+        # (p_size = 15 x that slice is non-empty at every fixture scale);
+        # the reference file carries NO LIMIT, so no tie cut exists.
+        return run_literal_sql(spark, sf_dir, "tpch_exact", "q2").toDF(*_TPCH_Q2_COLS)
