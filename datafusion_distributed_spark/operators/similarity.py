@@ -1890,3 +1890,143 @@ def pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_from_pairs(
         _pq_adc_pairs(spark, sf_dir, with_vectors=True, codewords=codewords)
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation: MRR and AP@k of the exact cosine ranking
+# against label-match relevance — the metrics every RAG/retrieval pipeline
+# reports before shipping an index (complements the recall@k gates, which
+# grade an APPROXIMATE index against the exact ranking; this grades the
+# RANKING itself against ground truth). Relevance is deterministic ground
+# truth on the fixture: a corpus vector is relevant to a query iff their
+# `label` columns match.
+#
+# Exact-rational discipline (what makes the metrics hash-portable):
+# - reciprocal rank = 1.0 / first_rel_rank — ONE double division of an
+#   exact integer, identical in both engines;
+# - AP@10 is summed as INTEGERS scaled by lcm(1..10) = 2520: each relevant
+#   row at rank r <= 10 with running relevant-count i contributes
+#   i * (2520 / r) exactly (2520/r is an integer for every r in 1..10), so
+#   the sum is order-independent int64 arithmetic and the final
+#   ap_scaled / (2520 * n_rel_topk) is one correctly-rounded division.
+#   A naive Sum(i/r) of doubles would be summation-order-dependent.
+#
+# Scale shape: the same Q-bounded broadcast-queries x corpus pass as the
+# brute-force family (Q fixed, corpus-linear); the ranking window is
+# rank-only per q_id. Output is Q rows.
+# ---------------------------------------------------------------------------
+
+_AP_K = 10
+_AP_LCM = 2520  # lcm(1..10)
+
+
+def _mrr_ap_oracle() -> str:
+    return f"""
+WITH emb AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, label AS q_label, e AS qe FROM emb
+      WHERE vec_id < {_N_QUERIES}),
+c AS (SELECT vec_id, label, e FROM emb WHERE vec_id >= {_N_QUERIES}),
+flat AS (
+  SELECT q.q_id, q.q_label, c.vec_id, c.label,
+         unnest(q.qe) AS qv, unnest(c.e) AS cv
+  FROM q CROSS JOIN c
+),
+dots AS (
+  SELECT q_id, q_label, vec_id, label,
+         SUM(qv * cv) AS dot, SUM(qv * qv) AS qq, SUM(cv * cv) AS cc
+  FROM flat GROUP BY q_id, q_label, vec_id, label
+),
+ranked AS (
+  SELECT q_id, vec_id, (label = q_label) AS rel,
+         ROW_NUMBER() OVER (
+           PARTITION BY q_id
+           ORDER BY ROUND(dot / (SQRT(qq) * SQRT(cc)), 6) DESC, vec_id
+         ) AS rnk
+  FROM dots
+),
+rel_ranked AS (
+  SELECT q_id, rnk,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rnk) AS rel_i
+  FROM ranked WHERE rel
+),
+per_q AS (
+  SELECT q_id,
+         MIN(rnk) AS first_rel_rank,
+         CAST(SUM(CASE WHEN rnk <= {_AP_K} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel_topk,
+         CAST(SUM(CASE WHEN rnk <= {_AP_K}
+                       THEN rel_i * ({_AP_LCM} // rnk) ELSE 0 END) AS BIGINT)
+           AS ap_scaled
+  FROM rel_ranked GROUP BY q_id
+)
+SELECT q_id,
+       CAST(first_rel_rank AS BIGINT) AS first_rel_rank,
+       1.0 / first_rel_rank AS reciprocal_rank,
+       n_rel_topk,
+       CASE WHEN n_rel_topk > 0
+            THEN CAST(ap_scaled AS DOUBLE) / ({_AP_LCM}.0 * n_rel_topk)
+            ELSE 0.0 END AS ap_at_k
+FROM per_q
+"""
+
+
+@query(
+    "sim_retrieval_mrr_ap",
+    oracle=_mrr_ap_oracle(),
+    tags=("similarity", "evaluation", "retrieval"),
+)
+def retrieval_mrr_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir)["embeddings"].select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("e").alias("qe"),
+    )
+    c = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    cos = F.round(
+        _dot("e", "qe") / (F.sqrt(_dot("e", "e")) * F.sqrt(_dot("qe", "qe"))), 6
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "vec_id",
+        (F.col("label") == F.col("q_label")).alias("rel"),
+        cos.alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    ranked = scored.select(
+        "q_id", "rel", F.row_number().over(w).alias("rnk")
+    ).where(F.col("rel"))
+    w_rel = Window.partitionBy("q_id").orderBy("rnk")
+    rel_ranked = ranked.select(
+        "q_id", "rnk", F.row_number().over(w_rel).alias("rel_i")
+    )
+    in_k = F.col("rnk") <= _AP_K
+    per_q = rel_ranked.groupBy("q_id").agg(
+        F.min("rnk").cast("long").alias("first_rel_rank"),
+        F.sum(F.when(in_k, 1).otherwise(0)).cast("long").alias("n_rel_topk"),
+        F.sum(
+            F.when(
+                in_k,
+                F.col("rel_i") * (F.lit(_AP_LCM) / F.col("rnk")).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("ap_scaled"),
+    )
+    return per_q.select(
+        "q_id",
+        "first_rel_rank",
+        (F.lit(1.0) / F.col("first_rel_rank")).alias("reciprocal_rank"),
+        "n_rel_topk",
+        F.when(
+            F.col("n_rel_topk") > 0,
+            F.col("ap_scaled").cast("double")
+            / (F.lit(float(_AP_LCM)) * F.col("n_rel_topk")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ap_at_k"),
+    )

@@ -34,6 +34,7 @@ _CROSS_OK = {
     "sim_pq_adc_topk",  # broadcast query dist-tables × encoded corpus (PQ/ADC), by design
     "sim_pq_recall",  # same fused PQ pair frame scoring both rankings, by design
     "sim_pq_trained_recall",  # same fused pair frame, trained codebook, by design
+    "sim_retrieval_mrr_ap",  # broadcast queries × corpus, exact-ranking eval, by design
     "sim_cosine_range",  # broadcast queries × corpus, by design
     "sim_filtered_topk",  # broadcast queries × filtered corpus, by design
     "ds_weighted_mixture",  # 1-row global-min scalar joined onto 20-row dim
