@@ -993,3 +993,221 @@ def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("px_min").cast("int").alias("min_px"),
         F.max("px_max").cast("int").alias("max_px"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real 3-component (color) baseline JPEG decode: interleaved 4:4:4 MCUs with
+# per-component DC predictors, separate luma/chroma quantization and Huffman
+# table slots, and the JFIF YCbCr->RGB conversion — the parts of the codec
+# the grayscale entry cannot reach. Same proof shape: frequency-domain
+# fixture images, oracle recomputes every RGB sample from the coefficient
+# formulas through the same IDCT basis constants AND the same conversion
+# constants (repr-exact literals), floor(x+0.5) rounding, clamp.
+# ---------------------------------------------------------------------------
+
+from ..sources.jpeg import (  # noqa: E402  (module-late import keeps the diff local)
+    YCC_B_CB,
+    YCC_G_CB,
+    YCC_G_CR,
+    YCC_R_CR,
+    encode_jpeg_color,
+)
+
+_JPEG_CHROMA_QTABLE = [22] + [9 + (k * 5) % 13 for k in range(1, 64)]
+
+_JPEG_COLOR_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_mcus", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("min_px", IntegerType()),
+        StructField("max_px", IntegerType()),
+    ]
+)
+
+
+def _jpeg_color_geometry(doc_id: int) -> tuple[int, int]:
+    return 8 * (1 + doc_id % 2), 8
+
+
+def _jpeg_color_coeffs(doc_id: int, b: int) -> tuple[list, list, list]:
+    """Per-MCU (Y, Cb, Cr) quantized zigzag coefficients — mirrored in SQL.
+    comp index c in 1..3: DC magnitudes differ per component (luma wider),
+    one AC at a (b, c)-dependent zigzag position."""
+    out = []
+    for c in (1, 2, 3):
+        blk = [0] * 64
+        if c == 1:
+            blk[0] = ((doc_id * 5 + b * 11) % 160) - 80
+        else:
+            blk[0] = ((doc_id * (3 if c == 2 else 7) + b * (7 if c == 2 else 5)) % 120) - 60
+        blk[1 + ((b + c) % 6)] = ((doc_id + b + c) % 5) - 2
+        out.append(blk)
+    return tuple(out)
+
+
+def encode_jpeg_color_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        jpegs = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = _jpeg_color_geometry(d)
+            mcus = [_jpeg_color_coeffs(d, b) for b in range((w // 8) * (h // 8))]
+            jpegs.append(
+                encode_jpeg_color(w, h, mcus, _JPEG_QTABLE, _JPEG_CHROMA_QTABLE)
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "jpeg": jpegs})
+
+
+def jpeg_color_stats_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["jpeg"]):
+            img = decode_jpeg(
+                payload if isinstance(payload, bytes) else bytes(payload)
+            )
+            px = img.pixels
+            rows.append(
+                [
+                    doc_id, img.width, img.height, img.n_blocks,
+                    sum(px[0::3]), sum(px[1::3]), sum(px[2::3]),
+                    min(px), max(px),
+                ]
+            )
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "n_mcus",
+                "sum_r", "sum_g", "sum_b", "min_px", "max_px",
+            ],
+        )
+        yield out.astype(
+            {
+                "width": "int32", "height": "int32", "n_mcus": "int32",
+                "sum_r": "int64", "sum_g": "int64", "sum_b": "int64",
+                "min_px": "int32", "max_px": "int32",
+            }
+        )
+
+
+def _jpeg_color_oracle() -> str:
+    basis_rows = ", ".join(
+        f"({u}, {x}, {BASIS[u][x]!r})" for u in range(8) for x in range(8)
+    )
+    zig_rows = ", ".join(
+        f"({k}, {ZIGZAG[k] % 8}, {ZIGZAG[k] // 8})" for k in range(64)
+    )
+    q_rows = ", ".join(
+        f"(0, {k}, {_JPEG_QTABLE[k]})" for k in range(64)
+    ) + ", " + ", ".join(
+        f"(1, {k}, {_JPEG_CHROMA_QTABLE[k]})" for k in range(64)
+    )
+    return f"""
+WITH basis(u, x, bv) AS (VALUES {basis_rows}),
+zig(z, zu, zv) AS (VALUES {zig_rows}),
+qt(slot, z, q) AS (VALUES {q_rows}),
+geo AS (
+  SELECT doc_id, CAST(8 * (1 + doc_id % 2) AS INTEGER) AS w,
+         CAST(8 AS INTEGER) AS h
+  FROM documents
+),
+blk AS (
+  SELECT g.doc_id, g.w, g.h, bs.b
+  FROM geo g, LATERAL unnest(generate_series(0, (g.w // 8) - 1)) AS bs(b)
+),
+comps AS (
+  SELECT doc_id, w, h, b, cs.c,
+         CASE WHEN cs.c = 1 THEN 0 ELSE 1 END AS slot
+  FROM blk, LATERAL unnest(generate_series(1, 3)) AS cs(c)
+),
+coef AS (
+  SELECT doc_id, w, h, b, c, slot, 0 AS z,
+         CASE WHEN c = 1 THEN ((doc_id * 5 + b * 11) % 160) - 80
+              WHEN c = 2 THEN ((doc_id * 3 + b * 7) % 120) - 60
+              ELSE ((doc_id * 7 + b * 5) % 120) - 60 END AS val
+  FROM comps
+  UNION ALL
+  SELECT doc_id, w, h, b, c, slot, 1 + ((b + c) % 6),
+         ((doc_id + b + c) % 5) - 2
+  FROM comps
+),
+samp AS (
+  SELECT cf.doc_id, cf.w, cf.h, cf.b, cf.c, bu.x AS x, bv.x AS y,
+         SUM((cf.val * qt.q) * bu.bv * bv.bv) AS s
+  FROM coef cf
+  JOIN qt ON qt.slot = cf.slot AND qt.z = cf.z
+  JOIN zig ON zig.z = cf.z
+  JOIN basis bu ON bu.u = zig.zu
+  JOIN basis bv ON bv.u = zig.zv
+  GROUP BY cf.doc_id, cf.w, cf.h, cf.b, cf.c, bu.x, bv.x
+),
+ycc AS (
+  SELECT doc_id, w, h, b, x, y,
+         LEAST(GREATEST(CAST(FLOOR(MAX(CASE WHEN c = 1 THEN s END) + 0.5)
+                             AS BIGINT) + 128, 0), 255) AS yv,
+         LEAST(GREATEST(CAST(FLOOR(MAX(CASE WHEN c = 2 THEN s END) + 0.5)
+                             AS BIGINT) + 128, 0), 255) AS cbv,
+         LEAST(GREATEST(CAST(FLOOR(MAX(CASE WHEN c = 3 THEN s END) + 0.5)
+                             AS BIGINT) + 128, 0), 255) AS crv
+  FROM samp GROUP BY doc_id, w, h, b, x, y
+),
+rgb AS (
+  SELECT doc_id, w, h,
+         LEAST(GREATEST(CAST(FLOOR(
+           yv + {YCC_R_CR!r} * (crv - 128) + 0.5) AS BIGINT), 0), 255) AS r,
+         LEAST(GREATEST(CAST(FLOOR(
+           yv - {YCC_G_CB!r} * (cbv - 128) - {YCC_G_CR!r} * (crv - 128) + 0.5)
+           AS BIGINT), 0), 255) AS g,
+         LEAST(GREATEST(CAST(FLOOR(
+           yv + {YCC_B_CB!r} * (cbv - 128) + 0.5) AS BIGINT), 0), 255) AS bl
+  FROM ycc
+),
+stats AS (
+  SELECT doc_id, w, h, SUM(r) AS sum_r, SUM(g) AS sum_g, SUM(bl) AS sum_b,
+         LEAST(MIN(r), MIN(g), MIN(bl)) AS min_px,
+         GREATEST(MAX(r), MAX(g), MAX(bl)) AS max_px
+  FROM rgb GROUP BY doc_id, w, h
+)
+SELECT w AS width, COUNT(*) AS n_imgs,
+       CAST(SUM(w // 8) AS BIGINT) AS total_mcus,
+       CAST(SUM(sum_r) AS BIGINT) AS sum_r,
+       CAST(SUM(sum_g) AS BIGINT) AS sum_g,
+       CAST(SUM(sum_b) AS BIGINT) AS sum_b,
+       CAST(MIN(min_px) AS INTEGER) AS min_px,
+       CAST(MAX(max_px) AS INTEGER) AS max_px
+FROM stats GROUP BY w
+"""
+
+
+@query(
+    "mm_jpeg_color_stats",
+    oracle=_jpeg_color_oracle(),
+    tags=("multimodal", "pandas-udf", "jpeg", "color"),
+)
+def jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode-then-decode roundtrip through REAL color (3-component 4:4:4)
+    baseline JPEG bytes: interleaved MCUs, per-component DC prediction,
+    luma/chroma table slots, JFIF YCbCr->RGB. The oracle recomputes every
+    RGB sample from the coefficient formulas."""
+    docs = t(spark, sf_dir)["documents"].select("doc_id")
+    jpegs = docs.mapInPandas(encode_jpeg_color_batches, schema=_JPEG_SCHEMA)
+    stats = jpegs.mapInPandas(
+        jpeg_color_stats_batches, schema=_JPEG_COLOR_STATS_SCHEMA
+    )
+    return stats.groupBy("width").agg(
+        F.count(F.lit(1)).alias("n_imgs"),
+        F.sum("n_mcus").cast("bigint").alias("total_mcus"),
+        F.sum("sum_r").cast("bigint").alias("sum_r"),
+        F.sum("sum_g").cast("bigint").alias("sum_g"),
+        F.sum("sum_b").cast("bigint").alias("sum_b"),
+        F.min("min_px").cast("int").alias("min_px"),
+        F.max("max_px").cast("int").alias("max_px"),
+    )

@@ -12,10 +12,11 @@ A.6), dequantization, and the 2-D inverse DCT with level shift and clamping
 training-pipeline scope (multimodal binary columns).
 
 Scope (documented, checked):
-- DECODE: any baseline sequential (SOF0) single-component 8-bit JPEG with
-  one Huffman-coded scan and no restart markers. Progressive (SOF2),
-  multi-component, 12-bit, arithmetic coding, and DRI/RSTn are rejected
-  with a clear error, never silently wrong.
+- DECODE: any baseline sequential (SOF0) 8-bit JPEG with one Huffman-coded
+  scan and no restart markers — single-component grayscale, or 3-component
+  4:4:4 interleaved YCbCr converted to RGB with the JFIF (T.871) matrix.
+  Progressive (SOF2), chroma subsampling, 12-bit, arithmetic coding, and
+  DRI/RSTn are rejected with a clear error, never silently wrong.
 - ENCODE (the test harness, like the PNG encoder): images are DEFINED in
   the frequency domain — the caller supplies quantized coefficients per
   8x8 block and the encoder performs real entropy coding (canonical DHT
@@ -76,9 +77,10 @@ BASIS = [
 class JpegImage:
     width: int
     height: int
-    pixels: list  # row-major width*height 8-bit luma samples
-    n_blocks: int
-    coeffs: list  # per-block quantized coefficients, zigzag order (decode proof)
+    pixels: list  # row-major width*height*channels 8-bit samples (RGB interleaved when channels=3)
+    n_blocks: int  # MCU count (one block per component per MCU)
+    coeffs: list  # per-block quantized coefficients in decode order (proof of the entropy roundtrip)
+    channels: int = 1
 
 
 # ---------------------------------------------------------------------------
@@ -318,15 +320,64 @@ def _idct_block(coef_nat: list[int]) -> list[int]:
     return out
 
 
+#: JFIF YCbCr -> RGB constants (ITU-T T.871 / JFIF spec). Mirrored as
+#: repr-exact literals in the mm_jpeg_color oracle.
+YCC_R_CR = 1.402
+YCC_G_CB = 0.344136
+YCC_G_CR = 0.714136
+YCC_B_CB = 1.772
+
+
+def _decode_block(
+    reader: _BitReader,
+    dc_tab: dict[tuple[int, int], int],
+    ac_tab: dict[tuple[int, int], int],
+    pred: int,
+) -> tuple[list[int], int]:
+    """Entropy-decode one 8x8 block: zigzag quantized coefficients + the
+    updated DC predictor."""
+    zig = [0] * 64
+    size = _decode_symbol(reader, dc_tab)
+    diff = _extend(reader.read_bits(size), size)
+    pred += diff
+    zig[0] = pred
+    k = 1
+    while k < 64:
+        sym = _decode_symbol(reader, ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        k += run
+        if k > 63:
+            raise ValueError("jpeg: AC run past block end")
+        zig[k] = _extend(reader.read_bits(size), size)
+        k += 1
+    return zig, pred
+
+
+def _samples_from_zig(zig: list[int], q: list[int]) -> list[int]:
+    nat = [0] * 64
+    for kk in range(64):
+        nat[ZIGZAG[kk]] = zig[kk] * q[kk]
+    return _idct_block(nat)
+
+
 def decode_jpeg(data: bytes) -> JpegImage:
-    """Decode a baseline sequential single-component 8-bit JPEG."""
+    """Decode a baseline sequential 8-bit JPEG: single-component
+    (grayscale, channels=1) or 3-component 4:4:4 interleaved (YCbCr,
+    converted to interleaved RGB, channels=3)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
-    comp_q = comp_dc = comp_ac = 0
+    frame_comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    scan_tabs: dict[int, tuple[int, int]] = {}  # comp id -> (Td, Ta)
+    scan_order: list[int] = []
     scan_start = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -362,23 +413,32 @@ def decode_jpeg(data: bytes) -> JpegImage:
                 raise ValueError("jpeg: only 8-bit precision supported")
             height, width = struct.unpack(">HH", body[1:5])
             nf = body[5]
-            if nf != 1:
+            if nf not in (1, 3):
                 raise NotImplementedError(
-                    "jpeg: only single-component (grayscale) baseline supported"
+                    "jpeg: only 1-component (gray) or 3-component (YCbCr) "
+                    "baseline supported"
                 )
-            hv = body[7]
-            if hv != 0x11:
-                raise NotImplementedError("jpeg: subsampling not supported")
-            comp_q = body[8]
+            for ci in range(nf):
+                cid = body[6 + 3 * ci]
+                hv = body[7 + 3 * ci]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "jpeg: subsampling not supported (4:4:4 only)"
+                    )
+                frame_comps.append((cid, body[8 + 3 * ci]))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("jpeg: only baseline sequential (SOF0)")
         elif marker == 0xDD:
             raise NotImplementedError("jpeg: restart intervals not supported")
         elif marker == 0xDA:  # SOS
             ns = body[0]
-            if ns != 1:
-                raise NotImplementedError("jpeg: single-component scan only")
-            comp_dc, comp_ac = body[2] >> 4, body[2] & 0x0F
+            if ns != len(frame_comps):
+                raise NotImplementedError("jpeg: single interleaved scan only")
+            for ci in range(ns):
+                cid = body[1 + 2 * ci]
+                tt = body[2 + 2 * ci]
+                scan_tabs[cid] = (tt >> 4, tt & 0x0F)
+                scan_order.append(cid)
             scan_start = pos + 2 + seglen
             break
         pos += 2 + seglen
@@ -386,52 +446,165 @@ def decode_jpeg(data: bytes) -> JpegImage:
         raise ValueError("jpeg: missing SOF0/SOS")
     if width % 8 or height % 8:
         raise NotImplementedError("jpeg: partial edge blocks not supported")
-    q = qtables[comp_q]
-    dc_tab = htables[(0, comp_dc)]
-    ac_tab = htables[(1, comp_ac)]
+    comp_q = dict(frame_comps)
     # Entropy segment runs to the EOI marker.
     end = data.rfind(b"\xff\xd9")
     reader = _BitReader(data[scan_start:end])
 
     bw, bh = width // 8, height // 8
-    pixels = [0] * (width * height)
+    nch = 1 if len(frame_comps) == 1 else 3
+    pixels = [0] * (width * height * nch)
     coeffs: list[list[int]] = []
-    pred = 0
+    preds = {cid: 0 for cid in scan_order}
     for by in range(bh):
         for bx in range(bw):
-            zig = [0] * 64
-            size = _decode_symbol(reader, dc_tab)
-            diff = _extend(reader.read_bits(size), size)
-            pred += diff
-            zig[0] = pred
-            k = 1
-            while k < 64:
-                sym = _decode_symbol(reader, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                k += run
-                if k > 63:
-                    raise ValueError("jpeg: AC run past block end")
-                zig[k] = _extend(reader.read_bits(size), size)
-                k += 1
-            coeffs.append(list(zig))
-            nat = [0] * 64
-            for kk in range(64):
-                nat[ZIGZAG[kk]] = zig[kk] * q[kk]
-            samples = _idct_block(nat)
-            base = (by * 8) * width + bx * 8
-            for yy in range(8):
-                row = base + yy * width
-                srow = yy * 8
-                pixels[row : row + 8] = samples[srow : srow + 8]
+            comp_samples = []
+            for cid in scan_order:
+                td, ta = scan_tabs[cid]
+                zig, preds[cid] = _decode_block(
+                    reader, htables[(0, td)], htables[(1, ta)], preds[cid]
+                )
+                coeffs.append(list(zig))
+                comp_samples.append(_samples_from_zig(zig, qtables[comp_q[cid]]))
+            base = ((by * 8) * width + bx * 8) * nch
+            if nch == 1:
+                samples = comp_samples[0]
+                for yy in range(8):
+                    row = base + yy * width
+                    srow = yy * 8
+                    pixels[row : row + 8] = samples[srow : srow + 8]
+            else:
+                ys, cbs, crs = comp_samples
+                for yy in range(8):
+                    row = base + yy * width * 3
+                    for xx in range(8):
+                        si = yy * 8 + xx
+                        y, cb, cr = ys[si], cbs[si], crs[si]
+                        # JFIF conversion (T.871), floor(x+0.5) like the
+                        # IDCT; expression shapes mirrored in the oracle.
+                        r = y + YCC_R_CR * (cr - 128)
+                        g = y - YCC_G_CB * (cb - 128) - YCC_G_CR * (cr - 128)
+                        b = y + YCC_B_CB * (cb - 128)
+                        o = row + xx * 3
+                        pixels[o] = _clamp8(int(math.floor(r + 0.5)))
+                        pixels[o + 1] = _clamp8(int(math.floor(g + 0.5)))
+                        pixels[o + 2] = _clamp8(int(math.floor(b + 0.5)))
     return JpegImage(
         width=width,
         height=height,
         pixels=pixels,
         n_blocks=bw * bh,
         coeffs=coeffs,
+        channels=nch,
     )
+
+
+def encode_jpeg_color(
+    width: int,
+    height: int,
+    blocks: list[tuple[list[int], list[int], list[int]]],
+    q_luma: list[int],
+    q_chroma: list[int],
+) -> bytes:
+    """Real 3-component 4:4:4 baseline JPEG bytes from per-MCU quantized
+    (Y, Cb, Cr) coefficient triples in zigzag order. Component 1 uses
+    quant/huffman table slot 0; components 2-3 share slot 1 — the standard
+    luma/chroma table split."""
+    if width % 8 or height % 8:
+        raise ValueError("jpeg encoder: dimensions must be multiples of 8")
+    if len(blocks) != (width // 8) * (height // 8):
+        raise ValueError("jpeg encoder: wrong MCU count")
+
+    def _symbols(blks: list[list[int]], preds_seed: int = 0):
+        dc_syms: set[int] = set()
+        ac_syms: set[int] = set()
+        pred = preds_seed
+        for blk in blks:
+            dc_syms.add(_csize(blk[0] - pred))
+            pred = blk[0]
+            run = 0
+            for k in range(1, 64):
+                v = blk[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ac_syms.add(0xF0)
+                    run -= 16
+                ac_syms.add((run << 4) | _csize(v))
+                run = 0
+            if run:
+                ac_syms.add(0x00)
+        if not ac_syms:
+            ac_syms.add(0x00)
+        return dc_syms, ac_syms
+
+    y_blocks = [m[0] for m in blocks]
+    # Chroma components interleave but keep SEPARATE DC predictors; the
+    # symbol sweep mirrors that.
+    cb_blocks = [m[1] for m in blocks]
+    cr_blocks = [m[2] for m in blocks]
+    dc0, ac0 = _symbols(y_blocks)
+    dcb, acb = _symbols(cb_blocks)
+    dcr, acr = _symbols(cr_blocks)
+    dc1, ac1 = dcb | dcr, acb | acr
+
+    tables = {}
+    for slot, (dcs, acs) in ((0, (dc0, ac0)), (1, (dc1, ac1))):
+        db, dv = _single_length_table(sorted(dcs))
+        ab, av = _single_length_table(sorted(acs))
+        tables[slot] = (
+            (db, dv, _canonical_codes(db, dv)),
+            (ab, av, _canonical_codes(ab, av)),
+        )
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    for tq, qt in ((0, q_luma), (1, q_chroma)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(qt)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    out += bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    for slot in (0, 1):
+        (db, dv, _), (ab, av, _) = tables[slot]
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(dv))
+        out += bytes([slot]) + bytes(db) + bytes(dv)
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(av))
+        out += bytes([0x10 | slot]) + bytes(ab) + bytes(av)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    for mcu in blocks:
+        for ci, blk in enumerate(mcu):
+            slot = 0 if ci == 0 else 1
+            (_, _, dc_codes), (_, _, ac_codes) = tables[slot]
+            diff = blk[0] - preds[ci]
+            preds[ci] = blk[0]
+            size = _csize(diff)
+            code, length = dc_codes[size]
+            w.write(code, length)
+            if size:
+                w.write(_value_bits(diff, size), size)
+            run = 0
+            for k in range(1, 64):
+                v = blk[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]
+                    w.write(code, length)
+                    run -= 16
+                size = _csize(v)
+                code, length = ac_codes[(run << 4) | size]
+                w.write(code, length)
+                w.write(_value_bits(v, size), size)
+                run = 0
+            if run:
+                code, length = ac_codes[0x00]
+                w.write(code, length)
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)

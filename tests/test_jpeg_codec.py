@@ -3,9 +3,10 @@ the codec-level complement to the end-to-end mm_jpeg_pixel_stats oracle
 query. Covers: exact coefficient roundtrip through the entropy layer
 (JPEG's only lossy step is forward quantization, which the frequency-domain
 encoder skips), byte-stuffing, ZRL/EOB paths, DC prediction across blocks,
-the closed-form DC-only IDCT, clamping, and the unsupported-feature gates
-(progressive, multi-component, restart intervals fail loudly, never
-silently wrong — the PNG codec's scope discipline)."""
+the closed-form DC-only IDCT, clamping, 3-component color (interleaved
+4:4:4 MCUs, per-component DC predictors, JFIF YCbCr->RGB), and the
+unsupported-feature gates (progressive, subsampling, restart intervals
+fail loudly, never silently wrong — the PNG codec's scope discipline)."""
 
 from __future__ import annotations
 
@@ -166,3 +167,53 @@ def test_encoder_tables_never_use_all_ones_code():
         if marker == 0xDA:
             break
         pos += 2 + seglen
+
+
+def test_color_roundtrip_and_rgb_conversion():
+    """3-component 4:4:4: interleaved MCUs, separate DC predictors and
+    luma/chroma table slots, JFIF YCbCr->RGB with floor(x+0.5)."""
+    from datafusion_distributed_spark.sources.jpeg import (
+        YCC_B_CB, YCC_G_CB, YCC_G_CR, YCC_R_CR, encode_jpeg_color,
+    )
+
+    qc = [22] + [9 + (k * 5) % 13 for k in range(1, 64)]
+    mcus = [
+        (_blk(dc=40), _blk(dc=-20, z3=2), _blk(dc=30)),
+        (_blk(dc=-60, z5=-1), _blk(dc=10), _blk(dc=-10, z20=1)),
+    ]
+    img = decode_jpeg(encode_jpeg_color(16, 8, mcus, _Q, qc))
+    assert img.channels == 3 and img.n_blocks == 2
+    assert img.coeffs == [b for m in mcus for b in m]
+    # DC-only first MCU: flat YCbCr -> one flat RGB triple over 64 pixels
+    y = int(math.floor(40 * _Q[0] * BASIS[0][0] * BASIS[0][0] + 0.5)) + 128
+    cr = int(math.floor(30 * qc[0] * BASIS[0][0] * BASIS[0][0] + 0.5)) + 128
+    # Cb block has an AC term -> not flat; check a pixel where its basis
+    # contribution is recomputed exactly below instead: use the R channel,
+    # which depends only on Y and Cr (both DC-only in MCU 0).
+    r = max(0, min(255, int(math.floor(y + YCC_R_CR * (cr - 128) + 0.5))))
+    got_r = {img.pixels[(yy * 16 + xx) * 3] for yy in range(8) for xx in range(8)}
+    assert got_r == {r}
+
+
+def test_color_separate_dc_predictors():
+    from datafusion_distributed_spark.sources.jpeg import encode_jpeg_color
+
+    qc = [22] + [9 + (k * 5) % 13 for k in range(1, 64)]
+    mcus = [
+        (_blk(dc=100), _blk(dc=-100), _blk(dc=50)),
+        (_blk(dc=100), _blk(dc=-100), _blk(dc=50)),  # zero diffs per comp
+        (_blk(dc=0), _blk(dc=0), _blk(dc=0)),
+    ]
+    img = decode_jpeg(encode_jpeg_color(24, 8, mcus, _Q, qc))
+    assert [b[0] for b in img.coeffs] == [100, -100, 50, 100, -100, 50, 0, 0, 0]
+
+
+def test_color_rejects_subsampling():
+    from datafusion_distributed_spark.sources.jpeg import encode_jpeg_color
+
+    qc = [22] + [9 + (k * 5) % 13 for k in range(1, 64)]
+    data = bytearray(encode_jpeg_color(8, 8, [(_blk(dc=1), _blk(dc=1), _blk(dc=1))], _Q, qc))
+    sof = bytes(data).find(b"\xff\xc0")
+    data[sof + 11] = 0x22  # luma H=V=2 -> 4:2:0
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        decode_jpeg(bytes(data))
