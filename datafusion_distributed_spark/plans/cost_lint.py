@@ -131,16 +131,47 @@ def _cal_probe(spark: SparkSession, sf_dir: str):
     ).agg(F.sum("v").alias("s"))
 
 
+def _cal_probe_heavy(spark: SparkSession, sf_dir: str):
+    """Second calibration lane, matched to the SMALL-INPUT hash-heavy
+    profile (dd_simhash's class): chained md5 over the documents text.
+    The throughput probe above is a 600k-row codegen scan — it measures
+    sustained per-core THROUGHPUT and stays at factor 1.0 during host
+    bursts that inflate fixed scheduling/dispatch latency and short
+    CPU-heavy jobs 2x+ (observed r10: dd_simhash reproducibly 1.95s vs
+    its 0.83s budget while the throughput probe read load 1.00; the same
+    query passed minutes later). This probe's wall is dominated by the
+    same fixed overheads as the queries that flap, so its budget ratio IS
+    the burst factor for that class."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    h = F.col("text")
+    for i in range(4):
+        h = F.md5(F.concat(F.lit(str(i)), h))
+    return docs.select(F.length(h).alias("n")).agg(F.sum("n").alias("s"))
+
+
 def load_factor(spark: SparkSession, sf_dir: str, counts: dict[str, int]) -> float:
     """Measured ambient-load multiplier for the per-row budget (>= 1.0,
     clamped at MAX_LOAD_FACTOR so a pathological probe cannot neuter the
     lint — a storm lane is >3x the quiet budget, and under load the storm
-    slows by the same ambient factor the budget gains)."""
+    slows by the same ambient factor the budget gains). The factor is the
+    MAX of the two calibration lanes: sustained throughput (lineitem
+    codegen scan) and small-input fixed-overhead/hash (documents md5
+    chain) — each canonical workload is genuinely under-budget on a quiet
+    box, so whatever ratio it reads above its own budget is ambient."""
     rows = counts.get("lineitem", 0)
     if not rows:
         return 1.0
     elapsed = measure(lambda s, d: _cal_probe(s, d), spark, sf_dir)
-    return max(1.0, min(MAX_LOAD_FACTOR, (elapsed / rows) / CAL_NOMINAL_RATE))
+    tput = (elapsed / rows) / CAL_NOMINAL_RATE
+    heavy = 1.0
+    doc_rows = counts.get("documents", 0)
+    if doc_rows:
+        elapsed_h = measure(lambda s, d: _cal_probe_heavy(s, d), spark, sf_dir)
+        # Quiet-box reference: the probe's own narrow budget at factor 1.
+        heavy = elapsed_h / budget_seconds(doc_rows, 1.0)
+    return max(1.0, min(MAX_LOAD_FACTOR, max(tput, heavy)))
 
 
 def measure(df_builder, spark: SparkSession, sf_dir: str) -> float:
