@@ -1908,8 +1908,14 @@ def pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   row at rank r <= 10 with running relevant-count i contributes
 #   i * (2520 / r) exactly (2520/r is an integer for every r in 1..10), so
 #   the sum is order-independent int64 arithmetic and the final
-#   ap_scaled / (2520 * n_rel_topk) is one correctly-rounded division.
-#   A naive Sum(i/r) of doubles would be summation-order-dependent.
+#   ap_scaled / (2520 * min(k, n_rel_total)) is one correctly-rounded
+#   division. A naive Sum(i/r) of doubles would be summation-order-dependent.
+#   The denominator is the STANDARD AP@k normalizer min(k, total relevant
+#   for the query) — r10 shipped n_rel_topk (relevant found in top-k),
+#   which scores a 1-of-20-relevant-in-top-10 query the same as 1-of-1
+#   (ADVICE r10); queries with zero relevant candidates anywhere drop out
+#   of both engines alike (the relevance join is inner), so the
+#   denominator is always >= 1.
 #
 # Scale shape: the same Q-bounded broadcast-queries x corpus pass as the
 # brute-force family (Q fixed, corpus-linear); the ranking window is
@@ -1956,6 +1962,7 @@ per_q AS (
          MIN(rnk) AS first_rel_rank,
          CAST(SUM(CASE WHEN rnk <= {_AP_K} THEN 1 ELSE 0 END) AS BIGINT)
            AS n_rel_topk,
+         COUNT(*) AS n_rel_total,
          CAST(SUM(CASE WHEN rnk <= {_AP_K}
                        THEN rel_i * ({_AP_LCM} // rnk) ELSE 0 END) AS BIGINT)
            AS ap_scaled
@@ -1965,9 +1972,8 @@ SELECT q_id,
        CAST(first_rel_rank AS BIGINT) AS first_rel_rank,
        1.0 / first_rel_rank AS reciprocal_rank,
        n_rel_topk,
-       CASE WHEN n_rel_topk > 0
-            THEN CAST(ap_scaled AS DOUBLE) / ({_AP_LCM}.0 * n_rel_topk)
-            ELSE 0.0 END AS ap_at_k
+       CAST(ap_scaled AS DOUBLE)
+         / ({_AP_LCM}.0 * LEAST({_AP_K}, n_rel_total)) AS ap_at_k
 FROM per_q
 """
 
@@ -2008,6 +2014,7 @@ def retrieval_mrr_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_q = rel_ranked.groupBy("q_id").agg(
         F.min("rnk").cast("long").alias("first_rel_rank"),
         F.sum(F.when(in_k, 1).otherwise(0)).cast("long").alias("n_rel_topk"),
+        F.count(F.lit(1)).alias("n_rel_total"),
         F.sum(
             F.when(
                 in_k,
@@ -2022,11 +2029,11 @@ def retrieval_mrr_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_rel_rank",
         (F.lit(1.0) / F.col("first_rel_rank")).alias("reciprocal_rank"),
         "n_rel_topk",
-        F.when(
-            F.col("n_rel_topk") > 0,
+        (
             F.col("ap_scaled").cast("double")
-            / (F.lit(float(_AP_LCM)) * F.col("n_rel_topk")),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("ap_at_k"),
+            / (
+                F.lit(float(_AP_LCM))
+                * F.least(F.lit(_AP_K), F.col("n_rel_total"))
+            )
+        ).alias("ap_at_k"),
     )

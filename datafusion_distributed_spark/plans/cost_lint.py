@@ -119,6 +119,14 @@ def budget_seconds(rows: int, load: float = 1.0) -> float:
 # quiet modern box it runs at <= CAL_NOMINAL_RATE per scanned row (fixed job
 # overhead included); anything above that ratio is ambient machine load.
 CAL_NOMINAL_RATE = 1.0e-6
+# Quiet-box nominal for the HEAVY calibration lane (probe wall over its own
+# generic budget_seconds): measured 0.47 at sf0.1 on an unloaded box
+# (r11), pinned at 0.55 with headroom. Dividing the observed ratio by this
+# nominal means a legitimately near-budget probe on a quiet box reads
+# factor ~0.85 -> clamped to 1.0 instead of silently inflating every
+# budget (ADVICE r10); burst ratios amplify proportionally, which is the
+# calibration's purpose.
+CAL_HEAVY_QUIET_RATIO = 0.55
 MAX_LOAD_FACTOR = 6.0
 
 
@@ -169,8 +177,13 @@ def load_factor(spark: SparkSession, sf_dir: str, counts: dict[str, int]) -> flo
     doc_rows = counts.get("documents", 0)
     if doc_rows:
         elapsed_h = measure(lambda s, d: _cal_probe_heavy(s, d), spark, sf_dir)
-        # Quiet-box reference: the probe's own narrow budget at factor 1.
-        heavy = elapsed_h / budget_seconds(doc_rows, 1.0)
+        # Normalize by the PINNED quiet-box nominal (not the raw budget):
+        # the probe legitimately runs at ~0.47x its generic budget when
+        # unloaded, so the raw ratio would read a loaded box late and a
+        # busy-ish quiet box as inflation (ADVICE r10).
+        heavy = (
+            elapsed_h / budget_seconds(doc_rows, 1.0)
+        ) / CAL_HEAVY_QUIET_RATIO
     return max(1.0, min(MAX_LOAD_FACTOR, max(tput, heavy)))
 
 

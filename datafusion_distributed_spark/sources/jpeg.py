@@ -447,8 +447,13 @@ def decode_jpeg(data: bytes) -> JpegImage:
     if width % 8 or height % 8:
         raise NotImplementedError("jpeg: partial edge blocks not supported")
     comp_q = dict(frame_comps)
-    # Entropy segment runs to the EOI marker.
+    # Entropy segment runs to the EOI marker. A missing EOI must fail
+    # loudly: rfind's -1 would silently slice data[scan_start:-1] and
+    # surface as a confusing mid-stream "entropy data exhausted" (or a
+    # quietly truncated decode for a short final block).
     end = data.rfind(b"\xff\xd9")
+    if end < scan_start:
+        raise ValueError("jpeg: missing EOI marker")
     reader = _BitReader(data[scan_start:end])
 
     bw, bh = width // 8, height // 8

@@ -22,6 +22,8 @@ with early exit, so the populated majority costs one sf0.001 count each.
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 
 from .operators.registry import REGISTRY, _ensure_loaded
@@ -32,6 +34,23 @@ DEFAULT_SF_DIRS = (
     "/root/testdata/sf0.01",
     "/root/testdata/sf0.1",
 )
+
+
+def resolve_sf_dirs(
+    sf_dirs: tuple[str, ...] | None = None,
+) -> tuple[tuple[str, ...], tuple[str, ...]]:
+    """(usable, skipped) fixture dirs for the gate. Explicit argument wins;
+    else the SPARK_GRAFT_VACUITY_SF_DIRS env var (colon-separated); else
+    DEFAULT_SF_DIRS. Missing dirs are SKIPPED, not fatal — a box without
+    the sf0.1 fixture must not crash a validate run after every query
+    already passed (ADVICE r10); callers surface ``skipped`` in their
+    report so a silently narrowed gate is visible."""
+    if sf_dirs is None:
+        env = os.environ.get("SPARK_GRAFT_VACUITY_SF_DIRS")
+        sf_dirs = tuple(p for p in env.split(":") if p) if env else DEFAULT_SF_DIRS
+    usable = tuple(d for d in sf_dirs if os.path.isdir(d))
+    skipped = tuple(d for d in sf_dirs if d not in usable)
+    return usable, skipped
 
 
 def _register_views(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
@@ -51,11 +70,19 @@ def oracle_rowcount(
 
 def vacuous_queries(
     names: list[str] | None = None,
-    sf_dirs: tuple[str, ...] = DEFAULT_SF_DIRS,
+    sf_dirs: tuple[str, ...] | None = None,
     extra_oracles: dict[str, str] | None = None,
 ) -> dict[str, list[int]]:
     """Return {query_name: per-scale row counts} for every query that is
     empty at every scale in ``sf_dirs`` and not annotated ``expect_empty``.
+
+    ``sf_dirs=None`` resolves via resolve_sf_dirs (env override, missing
+    fixture dirs skipped); an explicit tuple is still filtered to existing
+    dirs rather than crashing mid-report. A query whose oracle ERRORS at a
+    scale records -1 for that scale and stays pending (an error is not
+    evidence of population); a query that errors at EVERY scale is
+    reported vacuous with its -1 trail so the failure is visible rather
+    than swallowed.
 
     ``extra_oracles`` lets tests plant a synthetic always-empty oracle to
     prove the gate trips. Queries are probed smallest scale first and
@@ -63,6 +90,7 @@ def vacuous_queries(
     cost is one cheap count per healthy query.
     """
     _ensure_loaded()
+    sf_dirs, _skipped = resolve_sf_dirs(sf_dirs)
     if names is None:
         names = sorted(REGISTRY)
     oracles: dict[str, str] = {}
@@ -86,9 +114,12 @@ def vacuous_queries(
             _register_views(con, sf_dir)
             survivors: dict[str, str] = {}
             for n, sql in pending.items():
-                c = oracle_rowcount(con, sql)
+                try:
+                    c = oracle_rowcount(con, sql)
+                except Exception:  # noqa: BLE001 — per-scale, not fatal
+                    c = -1
                 counts[n].append(c)
-                if c == 0:
+                if c <= 0:
                     survivors[n] = sql  # still possibly vacuous — probe next scale
             pending = survivors
         finally:

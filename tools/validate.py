@@ -93,7 +93,14 @@ def main():
         # scale; empty everywhere (and not expect_empty) is a FAILURE — the
         # r9 lesson (sim_filtered_topk / text_inverted_index were vacuously
         # green at every validated scale).
-        from datafusion_distributed_spark.vacuity import vacuous_queries
+        from datafusion_distributed_spark.vacuity import (
+            resolve_sf_dirs,
+            vacuous_queries,
+        )
+        _dirs, _skipped = resolve_sf_dirs()
+        if _skipped:
+            print(f"\nvacuity gate: fixture dirs missing, SKIPPED: "
+                  f"{list(_skipped)} (probing {list(_dirs)})")
         vac = vacuous_queries(names=empty_ok)
         for n, counts in sorted(vac.items()):
             bad.append((n, f"VACUOUS: 0 rows at every fixture scale {counts}"))
