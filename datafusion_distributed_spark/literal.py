@@ -322,6 +322,13 @@ SUITE_VIEWS = {
     # density raised so the SF>=1 texts (q24/q84/q85) populate below SF1
     # without touching the default lane's 93 value-checked texts.
     "tpcds_dense": TPCDS_SUITE_VIEWS,
+    # Exact-item lane (r11): the SAME 24 view names and verbatim texts,
+    # rendered with literal_tpcds.view_definitions(exact=True) — the item
+    # view's money columns quantized whole-dollar and i_item_desc made
+    # unique, so avg-of-price thresholds (q6) compare identical doubles
+    # and desc-keyed LIMIT cuts (q65) are total. Fact money was already
+    # order-exact on the default lane.
+    "tpcds_exact": TPCDS_SUITE_VIEWS,
     # Exact-summation lane (the dense-slice method applied to TPC-H float
     # sums): the SAME 8 view names and verbatim texts, money columns
     # rendered order-exact (whole-dollar prices, 1/128-dyadic rates — see
@@ -338,13 +345,19 @@ SUITE_VIEWS = {
 
 # Suites whose query TEXTS live under another suite's directory and whose
 # view keys are re-rendered rather than re-listed.
-_SUITE_TEXT_DIR = {"tpcds_dense": "tpcds", "tpch_exact": "tpch"}
+_SUITE_TEXT_DIR = {
+    "tpcds_dense": "tpcds",
+    "tpcds_exact": "tpcds",
+    "tpch_exact": "tpch",
+}
 
 
 def _suite_defs(engine: str, base, suite: str) -> dict[str, str]:
     defs = view_definitions(engine, base, tpch_exact=suite == "tpch_exact")
     if suite == "tpcds_dense":
         defs.update(_tpcds_view_definitions(engine, base, dense=True))
+    elif suite == "tpcds_exact":
+        defs.update(_tpcds_view_definitions(engine, base, exact=True))
     return defs
 
 
@@ -504,7 +517,7 @@ def run_literal_sql(
     stmts = load_literal_statements(suite, name, date_shift_years, year_shift)
     # clickbench quotes column identifiers; tpcds quotes aliases (q50/q62's
     # "30 days" buckets) — both need identifier-style double quotes.
-    quoted = suite in ("clickbench", "tpcds", "tpcds_dense")
+    quoted = suite in ("clickbench", "tpcds", "tpcds_dense", "tpcds_exact")
     prior = spark.conf.get("spark.sql.ansi.doubleQuotedIdentifiers", None)
     if quoted:
         spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")

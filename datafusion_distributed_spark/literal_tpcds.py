@@ -162,7 +162,9 @@ _T_SUB_SHIFTS = ["morning", "afternoon", "evening", "night"]
 _CAL_START, _CAL_END = "1992-01-01", "2003-12-31"
 
 
-def view_definitions(engine: str, base, dense: bool = False) -> dict[str, str]:
+def view_definitions(
+    engine: str, base, dense: bool = False, exact: bool = False
+) -> dict[str, str]:
     """Render every TPC-DS view's SELECT text for one engine ('spark' or
     'duck'); ``base(name)`` references a raw driver table. Merged into the
     literal lane's view set by literal.view_definitions.
@@ -215,7 +217,28 @@ def view_definitions(engine: str, base, dense: bool = False) -> dict[str, str]:
       i_current_price BETWEEN 65 AND 74 covers ~10/16 of items under the
       fold, vs ~9% under the default [0.10, 99.09] spread — needed
       because q64 further intersects 6 colors and a two-year store
-      conjunction. q24 reads the column only as a projection."""
+      conjunction. q24 reads the column only as a projection.
+
+    ``exact=True`` renders the EXACT-ITEM lane (r11, the TPC-H tpch_exact
+    order-exact method generalized to the TPC-DS dimension that still
+    carried inexact doubles): the fact money columns are already
+    order-exact (integer-valued FLOOR doubles, above), so the residual
+    inexactness lives in the ITEM view. Orthogonal to ``dense`` (the
+    registered gate suite 'tpcds_exact' renders exact WITHOUT dense, so
+    q6's 1.2x-of-category-average price threshold keeps a real above-
+    threshold tail — the dense [64,80) band has max/avg ~1.11 < 1.2 and
+    would empty it):
+    - i_current_price quantizes to WHOLE DOLLARS (integer-valued double):
+      sums and avg = exact-sum/count become order-exact, so q6's
+      `i_current_price > 1.2 * avg(i_current_price per category)` compares
+      the identical double in both engines;
+    - i_wholesale_cost = FLOOR(price * 0.6) (one shared double op on an
+      identical input, then an exact integer-valued result);
+    - i_item_desc gets a ' #<partkey>' suffix, making it UNIQUE: q65 cuts
+      at LIMIT 100 under ORDER BY (s_store_name, i_item_desc) with revenue
+      columns outside the sort key — unique desc makes the (store, item)
+      sort total so the cut is deterministic (the driver p_name collides
+      across parts)."""
     sp = engine == "spark"
 
     def S(x: str) -> str:  # integer -> string
@@ -564,18 +587,32 @@ FROM {SEQI(0, 86399, "t")} tt"""
 
     # Dense: fold prices into [64, 80) so q64's BETWEEN 65 AND 74 band
     # covers ~10/16 of items (default spread [0.10, 99.09] gives ~9%).
-    price_num = (
-        "6400 + (p_partkey * 83) % 1600" if dense
-        else "(p_partkey * 83) % 9900 + 10"
-    )
+    # Exact: whole-dollar prices (same band when dense, same [1, 99]
+    # spread when not) so price sums/averages are order-exact doubles.
+    if exact:
+        price_num = (
+            "64 + (p_partkey * 3) % 16" if dense
+            else "(p_partkey * 83) % 99 + 1"
+        )
+        price_expr = f"CAST({price_num} AS DOUBLE)"
+        wholesale_expr = f"CAST(FLOOR(CAST({price_num} AS DOUBLE) * 0.6) AS DOUBLE)"
+        desc_expr = f"p_name || ' #' || {S('p_partkey')}"
+    else:
+        price_num = (
+            "6400 + (p_partkey * 83) % 1600" if dense
+            else "(p_partkey * 83) % 9900 + 10"
+        )
+        price_expr = f"CAST({price_num} AS DOUBLE) / 100"
+        wholesale_expr = f"CAST({price_num} AS DOUBLE) / 100 * 0.6"
+        desc_expr = "p_name"
     views["item"] = f"""
 SELECT p_partkey AS i_item_sk,
        'item_' || {S("p_partkey")} AS i_item_id,
        CAST('1997-10-27' AS DATE) AS i_rec_start_date,
        CAST(NULL AS DATE) AS i_rec_end_date,
-       p_name AS i_item_desc,
-       CAST({price_num} AS DOUBLE) / 100 AS i_current_price,
-       CAST({price_num} AS DOUBLE) / 100 * 0.6 AS i_wholesale_cost,
+       {desc_expr} AS i_item_desc,
+       {price_expr} AS i_current_price,
+       {wholesale_expr} AS i_wholesale_cost,
        CAST(p_partkey % 1000 AS {INT}) AS i_brand_id,
        {_pick("p_partkey * 27", _I_BRANDS)} AS i_brand,
        CAST(1 + p_partkey % 16 AS {INT}) AS i_class_id,

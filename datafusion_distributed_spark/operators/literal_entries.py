@@ -200,12 +200,15 @@ def _tpcds_oracle(
     renames: tuple[str, ...],
     date_shift_years: int = 0,
     year_shift: int = 0,
+    suite: str = "tpcds",
 ) -> str:
     """DuckDB oracle for a verbatim TPC-DS text: lit_ CTEs + name rewrite +
     positional column renames (the driver compares by column NAME, and the
     texts leave aggregates unaliased with engine-specific auto-names).
     Shift parameters mirror run_literal_sql's — the SAME rewritten text
-    feeds both engines (the lit_tpch_*_shifted contract)."""
+    feeds both engines (the lit_tpch_*_shifted contract). ``suite`` picks
+    the view-derivation lane the CTEs render ('tpcds', 'tpcds_dense',
+    'tpcds_exact' — same keys as run_literal_sql's suite)."""
     text = load_literal_text(
         "tpcds", qname, date_shift_years=date_shift_years, year_shift=year_shift
     )
@@ -227,10 +230,11 @@ def _tpcds_oracle(
     # and picks catastrophic join orders (q72 over an inlined lit_inventory:
     # >120 s at sf0.01; materialized: 4 s) — the CTE twin of the
     # literal.register_duck_views _DUCK_MATERIALIZED rule.
+    defs = _suite_view_defs(suite)
     ctes = ",\n".join(
-        f"lit_{n} AS MATERIALIZED ({_VIEW_DEFS[n]})"
+        f"lit_{n} AS MATERIALIZED ({defs[n]})"
         if n in _DUCK_MATERIALIZED_CTES
-        else f"lit_{n} AS ({_VIEW_DEFS[n]})"
+        else f"lit_{n} AS ({defs[n]})"
         for n in tables
     )
     return f"WITH {ctes}\nSELECT * FROM (\n{text}\n) AS _r({cols})"
@@ -239,9 +243,25 @@ def _tpcds_oracle(
 _DUCK_MATERIALIZED_CTES = {"inventory", "time_dim", "household_demographics"}
 
 
-_VIEW_DEFS = view_definitions("duck", lambda n: n)
-# TPC-DS's `customer` view key is `tpcds_customer` in the shared defs.
-_VIEW_DEFS["customer"] = _VIEW_DEFS["tpcds_customer"]
+def _suite_view_defs(suite: str) -> dict[str, str]:
+    """DuckDB-dialect view SELECT texts for one TPC-DS derivation lane,
+    memoized (each render walks the full 24-view set)."""
+    cached = _SUITE_VIEW_DEFS_CACHE.get(suite)
+    if cached is None:
+        from ..literal_tpcds import view_definitions as _ds_defs
+
+        base = view_definitions("duck", lambda n: n)
+        if suite == "tpcds_dense":
+            base.update(_ds_defs("duck", lambda n: n, dense=True))
+        elif suite == "tpcds_exact":
+            base.update(_ds_defs("duck", lambda n: n, exact=True))
+        # TPC-DS's `customer` view key is `tpcds_customer` in the shared defs.
+        base["customer"] = base["tpcds_customer"]
+        cached = _SUITE_VIEW_DEFS_CACHE[suite] = base
+    return cached
+
+
+_SUITE_VIEW_DEFS_CACHE: dict[str, dict[str, str]] = {}
 
 if _os.path.isdir(REFERENCE_QUERIES):
 
@@ -2029,3 +2049,159 @@ if _os.path.isdir(REFERENCE_QUERIES):
         # (p_size = 15 x that slice is non-empty at every fixture scale);
         # the reference file carries NO LIMIT, so no tie cut exists.
         return run_literal_sql(spark, sf_dir, "tpch_exact", "q2").toDF(*_TPCH_Q2_COLS)
+
+
+# ---------------------------------------------------------------------------
+# Round-11 seventh wave: the 29 remaining TPC-DS texts re-adjudicated under
+# a full bit-exact screen at all three fixture scales (tools/tpcds_screen.py
+# — driver canon: repr-level floats, str-level decimals).
+#
+# PROMOTED, three groups:
+# 1. Identical-tuple ties are multiset-safe (default lane). The r9 sweep
+#    rejected q47/q57/q89/q53/q63 for "rank-boundary ties at the LIMIT
+#    cut", but in all five the ORDER BY keys contain (a permutation of)
+#    EVERY output column — q47 spells `ORDER BY diff, 1..10`, q89
+#    `diff, s_store_name, 1,2,3,5,6,7,8` — so rows tying at the cut are
+#    IDENTICAL tuples: both engines keep all strictly-smaller rows (equal
+#    counts) and fill the remainder with copies of the same tuple. The
+#    multiset is deterministic even with the cut reached (verified: cut
+#    reached at sf0.01 AND sf0.1, hash-identical). Sums are the views'
+#    integer-valued-double exact sums; window avg = exact sum / count;
+#    the >0.1 deviation filters divide exact doubles identically.
+# 2. Dense-lane registrations (suite='tpcds_dense', the r8/r9 density
+#    derivations, year shifts from tests' _DENSE_PROOFS): q23/q24/q54/
+#    q84/q85 — their only defect was SF>=1 conjunction density. q54's
+#    round(revenue/50) is deterministic across engines: integer/50 always
+#    has an exact <=2-decimal expansion, the only rounding tie is x.5
+#    which is dyadic (representable), and DuckDB rounds doubles half-AWAY
+#    (probe: round(2.5::DOUBLE)=3) = Spark HALF_UP on positives. q64 was
+#    screened green too but is NOT promoted: its dense-fold cross-year
+#    self-join output grows superlinearly (152 rows at sf0.001 -> 16.7k at
+#    sf0.01 -> 1.70M rows / 164 s at sf0.1) — unusable as a per-round
+#    battery entry; it stays value-proven in the pytest dense tier.
+# 3. Exact-item lane (suite='tpcds_exact', literal_tpcds exact=True):
+#    q6 (whole-dollar i_current_price makes the per-category avg an exact
+#    sum/count, so the 1.2x threshold compares identical doubles; 16 rows
+#    at sf0.01, 20 at sf0.1), q65 (unique i_item_desc makes the
+#    (s_store_name, i_item_desc) LIMIT-100 sort total; cut reached at
+#    both gate scales), q37 (the sf0.1-only tier under the default lane
+#    populates at sf0.01 under exact prices: 1 row; output is dimension
+#    strings + the quantized price).
+#
+# REJECTIONS CONFIRMED with fresh repr evidence (all are DuckDB-vs-Spark
+# TYPE-RULE divergence, unfixable by any shared view derivation):
+# - q18 (AVG(DECIMAL(12,2)): Spark DECIMAL(16,6) '26.269231' vs DuckDB
+#   DOUBLE '26.26923076923077');
+# - q49/q61/q83 (decimal division: Spark keeps DECIMAL with scale 19-20,
+#   DuckDB returns DOUBLE — '1.00000000000000000000' vs '1.0');
+# - q78 (round(decimal,2): Spark DECIMAL(,2) '1.00' vs DuckDB DOUBLE
+#   '1.0');
+# - q2: vacuously empty at EVERY fixture scale at shift 0 (its
+#   d_week_seq+53 year-pair straddle), and at -1 it lands on the r9
+#   ROUND(ratio,2) shortest-repr midpoint divergence — stays rejected;
+# - q17/q39 (stddev partition-order), q14 (shift-only), q41 (sf0.1-only
+#   tier), q72 (probe-OOM), q75 (ANSI transient zero divisor),
+#   q34/q46/q68 (ticket-size-bound: 15-20-items-per-ticket bands are
+#   structurally unreachable with <= 7-line orders) — unchanged.
+# ---------------------------------------------------------------------------
+
+_R11_WAVE = [
+    # (qnum, suite, year_shift, slug, renames, order_by, note)
+    ("q47", "tpcds", 0, "store_monthly_outliers",
+     ("i_category", "i_brand", "s_store_name", "s_company_name", "d_year",
+      "d_moy", "avg_monthly_sales", "sum_sales", "psum", "nsum"),
+     "sum_sales - avg_monthly_sales, i_category, i_brand, s_store_name, "
+     "s_company_name, d_year, d_moy, avg_monthly_sales, sum_sales, psum, nsum",
+     "lag/lead month chain vs running avg; ORDER BY diff + ALL 10 output "
+     "columns -> cut ties are identical tuples (multiset-safe)"),
+    ("q57", "tpcds", 0, "callcenter_monthly_outliers",
+     ("i_category", "i_brand", "cc_name", "d_year", "d_moy",
+      "avg_monthly_sales", "sum_sales", "psum", "nsum"),
+     "sum_sales - avg_monthly_sales NULLS FIRST, i_category, i_brand, "
+     "cc_name, d_year, d_moy, avg_monthly_sales, sum_sales, psum, nsum",
+     "q47's call-center sibling; ORDER BY diff + all 9 columns"),
+    ("q89", "tpcds", 0, "class_monthly_deviations",
+     ("i_category", "i_class", "i_brand", "s_store_name", "s_company_name",
+      "d_moy", "sum_sales", "avg_monthly_sales"),
+     "sum_sales - avg_monthly_sales, s_store_name, i_category, i_class, "
+     "i_brand, s_company_name, d_moy, sum_sales, avg_monthly_sales",
+     "in-year class deviation; ORDER BY diff + all 8 columns"),
+    ("q53", "tpcds", 0, "manufact_quarterly_deviations",
+     ("i_manufact_id", "sum_sales", "avg_quarterly_sales"),
+     "avg_quarterly_sales, sum_sales, i_manufact_id",
+     "ORDER BY is a permutation of the full 3-column output tuple"),
+    ("q63", "tpcds", 0, "manager_monthly_deviations",
+     ("i_manager_id", "sum_sales", "avg_monthly_sales"),
+     "i_manager_id, avg_monthly_sales, sum_sales",
+     "q53's manager sibling; full-tuple ORDER"),
+    ("q23", "tpcds_dense", -3, "frequent_best_customer_sales",
+     ("c_last_name", "c_first_name", "sales"),
+     "c_last_name NULLS FIRST, c_first_name NULLS FIRST, sales NULLS FIRST",
+     "frequent-item x best-customer month slice (dense item fold makes "
+     ">4-same-day repeats exist); full-tuple ORDER; cut reached at sf0.1"),
+    ("q24", "tpcds_dense", 0, "same_zip_return_paid",
+     ("c_last_name", "c_first_name", "s_store_name", "paid"),
+     "c_last_name, c_first_name, s_store_name",
+     "store/customer zip-pair peach returns over 0.05*avg(netpaid); NO "
+     "LIMIT; threshold = one scalar multiply of an exact sum/count avg"),
+    ("q54", "tpcds_dense", -1, "revenue_segment_histogram",
+     ("segment", "num_customers", "segment_base"),
+     "segment NULLS FIRST, num_customers NULLS FIRST, segment_base",
+     "acquisition-cohort month-window revenue segments; round(revenue/50) "
+     "is tie-safe (x.5 midpoints are dyadic; DuckDB half-away = Spark "
+     "HALF_UP on positives); full-tuple ORDER"),
+    ("q84", "tpcds_dense", 0, "income_band_city_customers",
+     ("customer_id", "customername"),
+     "customer_id NULLS FIRST",
+     "income-band/city/demographics chain; customername is functionally "
+     "dependent on customer_id so cut ties are identical tuples"),
+    ("q85", "tpcds_dense", -3, "web_return_reason_profile",
+     ("r_reason_prefix", "avg_quantity", "avg_refunded_cash", "avg_fee"),
+     "r_reason_prefix, avg_quantity, avg_refunded_cash, avg_fee",
+     "3-band demographics/address web-return reasons; avgs are exact "
+     "sum/count; ORDER BY = the full 4-column tuple"),
+    ("q6", "tpcds_exact", 0, "state_premium_item_customers",
+     ("state", "cnt"),
+     "cnt NULLS FIRST, state NULLS FIRST",
+     "customers buying items priced > 1.2x their category average in one "
+     "month; whole-dollar prices make the avg threshold exact; 20 states "
+     "< LIMIT 100"),
+    ("q65", "tpcds_exact", 0, "store_underperforming_items",
+     ("s_store_name", "i_item_desc", "revenue", "i_current_price",
+      "i_wholesale_cost", "i_brand"),
+     "s_store_name, i_item_desc",
+     "items under 0.1x the store's average item revenue; unique item_desc "
+     "makes the LIMIT-100 (store, desc) sort total; cut reached at both "
+     "gate scales"),
+    ("q37", "tpcds_exact", 0, "inventory_price_band_items",
+     ("i_item_id", "i_item_desc", "i_current_price"),
+     "i_item_id",
+     "manufact/price-band items in a 100-500 inventory window with catalog "
+     "presence; populates at sf0.01 under exact prices (default-lane tier "
+     "was sf0.1-only); <= 8 manufact-band items, never cuts"),
+]
+
+if _os.path.isdir(REFERENCE_QUERIES):
+
+    def _register_r11_entry(qnum, suite, yshift, slug, renames, order_by, note):
+        tables = _tables_in_text(qnum)
+
+        def fn(spark: SparkSession, sf_dir: str, _q=qnum, _s=suite,
+               _y=yshift, _r=renames):
+            return run_literal_sql(
+                spark, sf_dir, _s, _q, year_shift=_y
+            ).toDF(*_r)
+
+        fn.__name__ = f"lit_tpcds_{qnum}"
+        fn.__doc__ = f"Verbatim TPC-DS {qnum} ({suite} lane): {note}."
+        query(
+            f"lit_tpcds_{qnum}_{slug}",
+            oracle=_tpcds_oracle(
+                qnum, tables, renames, year_shift=yshift, suite=suite
+            ),
+            tags=("literal", "tpcds", "r11", suite),
+            order_by=order_by,
+        )(fn)
+
+    for _row in _R11_WAVE:
+        _register_r11_entry(*_row)

@@ -58,6 +58,8 @@ _CROSS_OK = {
     "lit_tpcds_q28_list_price_band_buckets",  # six 1-row band aggregates crossed
     "lit_tpcds_q70_state_profit_rollup_rank",  # NLJ-semi over the <=20-state top-5 set
     "lit_tpcds_q77_channel_profit_rollup",  # cross of 1-row channel aggregates
+    "lit_tpcds_q23_frequent_best_customer_sales",  # 1-row 0.95*max(csales) scalar broadcast
+    "lit_tpcds_q54_revenue_segment_histogram",  # 1-row d_month_seq+1/+3 bound scalars broadcast
 }
 
 _ALL = sorted(REGISTRY)
