@@ -184,6 +184,37 @@ def view_definitions(
         else "(epoch_us(ts) // 1000000)"
     )
 
+    # Trailing-zero bucket: geometric key-frequency generator for the
+    # clickbench_unique lane. For e uniform over [0, 2^17), bucket k has
+    # probability 2^-(k+1) (k <= 16; the ELSE arm catches e = 0 at 2^-17)
+    # — a Zipf-shaped frequency profile, derived with pure integer ops
+    # that evaluate bit-identically in both engines. Real ClickBench
+    # traffic is heavy-tailed; the default lane's UNIFORM picks produce
+    # the degenerate rank-boundary count ties that rejected q8/q9/q11/
+    # q14/q15 from the gate — geometric frequencies separate top-k counts
+    # by ~2x per rank so the cuts are empirically total at every fixture
+    # scale (screened, and asserted per-entry).
+    def TZ(e: str) -> str:
+        arms = " ".join(
+            f"WHEN ({e}) % {2 ** (k + 1)} = {2 ** k} THEN {k}" for k in range(17)
+        )
+        return f"CASE {arms} ELSE 17 END"
+
+    # Lane hashes: modulus BEFORE multiply keeps products in BIGINT range
+    # at any scale (the inventory-spike lesson — Spark wraps silently
+    # where DuckDB raises).
+    _HU = "(((event_id % 100000) * 2654435761) % 2097152)"   # heavy split
+    _HR = "(((event_id % 100000) * 1103515245) % 131072)"    # region
+    _HP = "(((user_id % 100000) * 48271) % 655360)"          # phrase
+    _HM = "(((user_id % 100000) * 7919) % 655360)"           # phone model
+    _HL = "(((event_id % 100000) * 179426549) % 1703936)"    # URL
+    _HT = "(((event_id % 100000) * 15485863) % 1441792)"     # title
+    def IDIV(a: str, b: int) -> str:    # exact integer floor division (a >= 0)
+        return f"(({a}) DIV {b})" if sp else f"(({a}) // {b})"
+
+    _HEAVY = f"{_HU} % 16 = 0"          # 1-in-16 rows are heavy-entity rows
+    _HB = TZ(IDIV(_HU, 16))             # heavy bucket (aligned across cols)
+
     # Exact-lane order-less customer tail (see the q22 note above). Rendered
     # here because it uses the per-engine S() cast.
     _CUST_TAIL = (
@@ -297,6 +328,65 @@ SELECT event_id AS "WatchID",
        CAST(600 + (user_id % 13) * 50 AS INT) AS "WindowClientWidth",
        CAST(400 + (user_id % 11) * 40 AS INT) AS "WindowClientHeight"
 FROM {base("events")}""",
+        # ---- ClickBench unique/Zipf lane (r11): same table, key columns
+        # re-derived with geometric (trailing-zero-bucket) frequencies and
+        # a UNIQUE EventTime so the rank-boundary-tied texts' top-k cuts
+        # become deterministic. RegionID/SearchPhrase/MobilePhoneModel
+        # vocabularies are capped at 9 values (TZ over a mod-256 domain),
+        # so the q8/q9/q11/q14 LIMIT-10 cuts are UNREACHABLE at any scale
+        # (the q12 vocabulary-bound trick composed with geometric sizes —
+        # with <= 9 groups the cut never fires, so group-count ties are
+        # irrelevant). UserID gets the same <= 9-value geometric cap: a
+        # two-ladder heavy/tail split was screened first and its ladders
+        # collided at the q15 rank-10 boundary at sf0.1 (per-user tail
+        # counts are ~constant ~90 at every scale and overtake the deep
+        # heavy buckets); with 9 users q15's LIMIT 10 never cuts, and
+        # UserID magnitudes are bounded (~1e6) so q3's AVG sum stays far
+        # from int64 range at any scale (the r8 q3 overflow class).
+        # WatchID/ClientIP keep a heavy/tail split — their texts
+        # (q30/q31/q32/q35) stay REJECTED: the heavy-pair ladder needs
+        # ~sf0.1 row counts to rise above the count-1 tail wall, so the
+        # rank-10 boundary ties at the smaller gate scales (screened).
+        "hits_unique": f"""
+SELECT CASE WHEN {_HEAVY} THEN 5000000000 + {_HB}
+            ELSE event_id END AS "WatchID",
+       1000000 + {TZ(f"{_HU} % 256")} AS "UserID",
+       CASE WHEN ((event_id % 100000) * 2654435761) % 100 < 5
+            THEN CAST(event_id % 17 + 1 AS INT) ELSE 0 END AS "AdvEngineID",
+       CAST(800 + (event_id % 20) * 60 AS INT) AS "ResolutionWidth",
+       CAST({TZ(f"{_HR} % 256")} AS INT) AS "RegionID",
+       CASE WHEN {_HP} % 5 = 0
+            THEN 'phrase ' || {S(TZ(f"{IDIV(_HP, 5)} % 256"))}
+            ELSE '' END AS "SearchPhrase",
+       CASE WHEN {_HL} % 13 = 0
+            THEN 'http://google.com/search?q=' || {S(TZ(IDIV(_HL, 13)))}
+            ELSE 'http://example.com/page/' || {S(TZ(IDIV(_HL, 13)))}
+            END AS "URL",
+       CAST(event_id % 2 AS INT) AS "IsRefresh",
+       CAST((event_id * 41) % 100 AS INT) AS "CounterID",
+       CAST(ts AS DATE) AS "EventDate",
+       946684800 + event_id AS "EventTime",
+       CAST({TZ(f"{IDIV(_HM, 5)} % 256")} % 4 AS INT) AS "MobilePhone",
+       CASE WHEN {_HM} % 5 < 2 THEN 'Model ' || {S(TZ(f"{IDIV(_HM, 5)} % 256"))}
+            ELSE '' END AS "MobilePhoneModel",
+       CAST(CASE WHEN {_HP} % 5 = 0 THEN {TZ(f"{IDIV(_HP, 5)} % 256")} % 6
+                 ELSE 0 END AS INT) AS "SearchEngineID",
+       CASE WHEN {_HT} % 11 < 3 THEN 'Google Search ' || {S(TZ(IDIV(_HT, 11)))}
+            ELSE 'Page Title ' || {S(TZ(IDIV(_HT, 11)))} END AS "Title",
+       CASE WHEN {_HEAVY} THEN 3000 + {_HB}
+            ELSE ((user_id % 100000) * 48271) % 1000000 END AS "ClientIP",
+       CASE WHEN event_id % 7 < 3
+            THEN 'http://ref.example.com/' || {S("event_id % 200")}
+            ELSE '' END AS "Referer",
+       CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS "IsLink",
+       CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END AS "IsDownload",
+       CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END AS "DontCountHits",
+       CAST(event_id % 9 - 1 AS INT) AS "TraficSourceID",
+       ((event_id % 100000) * 2654435761) % 4294967296 AS "URLHash",
+       ((event_id % 100000) * 1103515245) % 4294967296 AS "RefererHash",
+       CAST(600 + (user_id % 13) * 50 AS INT) AS "WindowClientWidth",
+       CAST(400 + (user_id % 11) * 40 AS INT) AS "WindowClientHeight"
+FROM {base("events")}""",
         # ---- TPC-DS: the full 24-table star schema lives in its own
         # module (round-7 widening) and is merged here so _lit_ctes and the
         # registries see one flat namespace.
@@ -341,6 +431,10 @@ SUITE_VIEWS = {
         )
     ],
     "clickbench": [("hits", "hits")],
+    # Unique/Zipf lane (r11): same verbatim texts, hits re-derived with
+    # geometric key frequencies + unique EventTime (see the hits_unique
+    # definition) so rank-boundary-tied top-k texts cut deterministically.
+    "clickbench_unique": [("hits", "hits_unique")],
 }
 
 # Suites whose query TEXTS live under another suite's directory and whose
@@ -349,6 +443,7 @@ _SUITE_TEXT_DIR = {
     "tpcds_dense": "tpcds",
     "tpcds_exact": "tpcds",
     "tpch_exact": "tpch",
+    "clickbench_unique": "clickbench",
 }
 
 
@@ -426,7 +521,7 @@ def register_duck_views(con, sf_dir: str, suite: str) -> None:
             con.execute(f'CREATE OR REPLACE TEMP TABLE "{name}" AS {defs[key]}')
         else:
             con.execute(f'CREATE OR REPLACE VIEW "{name}" AS {defs[key]}')
-    if suite == "clickbench":
+    if suite.startswith("clickbench"):
         # Adaptation (documented, applied to both engines): q18/q42 call the
         # DataFusion-dialect to_timestamp_seconds(); register the equivalent
         # in each engine (DuckDB macro here, Spark SQL UDF in
@@ -517,7 +612,9 @@ def run_literal_sql(
     stmts = load_literal_statements(suite, name, date_shift_years, year_shift)
     # clickbench quotes column identifiers; tpcds quotes aliases (q50/q62's
     # "30 days" buckets) — both need identifier-style double quotes.
-    quoted = suite in ("clickbench", "tpcds", "tpcds_dense", "tpcds_exact")
+    quoted = suite in (
+        "clickbench", "clickbench_unique", "tpcds", "tpcds_dense", "tpcds_exact"
+    )
     prior = spark.conf.get("spark.sql.ansi.doubleQuotedIdentifiers", None)
     if quoted:
         spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
@@ -525,7 +622,7 @@ def run_literal_sql(
         result = None
         for stmt in stmts:
             stmt_sp = _CREATE_VIEW_RE.sub("CREATE OR REPLACE TEMPORARY VIEW", stmt)
-            if suite == "clickbench":
+            if suite.startswith("clickbench"):
                 # Per-engine spellings of two DataFusion tokens (same
                 # adaptation contract as the date shift; DuckDB runs the
                 # verbatim text via its own backreference dialect / macro):
