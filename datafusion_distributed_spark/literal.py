@@ -514,7 +514,14 @@ _DUCK_MATERIALIZED = {"inventory", "time_dim", "household_demographics"}
 
 
 def register_duck_views(con, sf_dir: str, suite: str) -> None:
-    base = lambda n: f"read_parquet('{sf_dir.rstrip('/')}/{n}.parquet')"
+    def base(n: str) -> str:
+        # Driver fixtures are single parquet FILES; Spark-written layouts
+        # (the 10x scale-probe replica) are DIRECTORIES of part files —
+        # DuckDB needs the explicit glob for those.
+        path = f"{sf_dir.rstrip('/')}/{n}.parquet"
+        if os.path.isdir(path) and not os.path.isfile(path):
+            return f"read_parquet('{path}/*.parquet')"
+        return f"read_parquet('{path}')"
     defs = _suite_defs("duck", base, suite)
     for name, key in SUITE_VIEWS[suite]:
         if name in _DUCK_MATERIALIZED:

@@ -1788,64 +1788,269 @@ def pq_train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TRAINED_CW_CACHE: dict[tuple[str, str], list[list[float]]] = {}
+# ---------------------------------------------------------------------------
+# Lloyd training to convergence (r10 VERDICT item 5): the one-step fit
+# above is kept as the minimal training entry; the TRAINED lane below runs
+# a FIXED _PQ_TRAIN_STEPS-step Lloyd chain (fixed so the DuckDB oracle can
+# unroll the identical iterations as chained CTEs — a dynamic stopping rule
+# cannot be mirrored in one static SQL text). Convergence itself is proven
+# two ways: the registered sim_pq_train_convergence entry OUTPUTS the
+# per-step assignment distortion (Lloyd guarantees the sequence is
+# monotone non-increasing — visible in the gated result), and
+# tests/test_pq_training.py iterates past the fixed horizon until the
+# relative improvement drops under epsilon, pinning that the chain
+# converges on the fixture within a small step budget.
+#
+# K now SCALES with corpus size instead of being fixture-fixed: K =
+# 8 / 16 / 32 at corpus >= 0 / 1024 / 16384 (a capped power-of-2 ~n^(1/2)
+# ladder; production PQ fixes K=256 and scales M — this exercises the
+# codebook machinery at multiple K across the fixtures: 8 at sf0.001/0.01,
+# 16 at sf0.1, 32 on the 10x probe layout). Both engines derive K from
+# the SAME corpus count: Spark counts then inlines literals; the oracle
+# derives it in a scalar CTE, so the codeword sets match by construction.
+#
+# Scale shape per step: one corpus scan encoding against K*M*D literal
+# codewords in whole-stage codegen (zero joins), one 512-3072-group
+# map-combinable aggregate, one metadata-scale (K*64 doubles) collect for
+# the next step's literals — T steps = T linear scans, no quadratic term.
+# ---------------------------------------------------------------------------
+
+_PQ_TRAIN_STEPS = 3
 
 
-def _trained_codewords(spark: SparkSession, sf_dir: str) -> list[list[float]]:
-    """The trained codebook as K full-width vectors (subspace slices filled
-    from the Lloyd-step means, seed values where a cell is empty), collected
-    once per (session, sf_dir) — 512 doubles, metadata-scale."""
-    cache_key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
-    hit = _TRAINED_CW_CACHE.get(cache_key)
+def _pq_k_for(n_corpus: int) -> int:
+    if n_corpus >= 16384:
+        return 32
+    if n_corpus >= 1024:
+        return 16
+    return 8
+
+
+_PQ_K_SQL = ("CASE WHEN COUNT(*) >= 16384 THEN 32 "
+             "WHEN COUNT(*) >= 1024 THEN 16 ELSE 8 END")
+
+
+def _pq_chain_ctes(steps: int) -> str:
+    """Oracle CTE chain: grid_0 = seed codebook (K scaled by corpus count),
+    then per step t: micro-distance encode vs grid_{t-1} (sub_t), per-cell
+    argmin assignment (codes_t), exact member means (tcw_t), and the next
+    codebook grid_t = means coalesced onto grid_{t-1} (empty cells keep
+    their previous centroid, the Spark side's fallback)."""
+    k0 = _IVF_FIRST_CENTROID
+    parts = [f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+kk AS (SELECT {_PQ_K_SQL} AS k FROM emb WHERE vec_id >= {_N_QUERIES}),
+grid_0 AS (
+  SELECT w.vec_id - {k0} + 1 AS c, g.m, g.d,
+         w.e[(g.m - 1) * {_PQ_D} + g.d] AS val
+  FROM emb w, kk
+  CROSS JOIN (SELECT mm.m, dd.d
+              FROM unnest(generate_series(1, {_PQ_M})) AS mm(m)
+              CROSS JOIN unnest(generate_series(1, {_PQ_D})) AS dd(d)) g
+  WHERE w.vec_id BETWEEN {k0} AND {k0} + kk.k - 1
+)"""]
+    for step in range(1, steps + 1):
+        prev = step - 1
+        parts.append(f""",
+sq_{step} AS (
+  SELECT v.vec_id, cg.c, cg.m,
+         (v.e[(cg.m - 1) * {_PQ_D} + cg.d] - cg.val)
+         * (v.e[(cg.m - 1) * {_PQ_D} + cg.d] - cg.val) AS s
+  FROM emb v CROSS JOIN grid_{prev} cg
+),
+sub_{step} AS (
+  SELECT vec_id, c, m, CAST(ROUND(SUM(s) * 1000000.0, 0) AS BIGINT) AS d2u
+  FROM sq_{step} GROUP BY vec_id, c, m
+),
+best_{step} AS (
+  SELECT vec_id, m, MIN(d2u) AS bd FROM sub_{step}
+  WHERE vec_id >= {_N_QUERIES} GROUP BY vec_id, m
+),
+codes_{step} AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT vec_id, m, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2u, c) AS rn
+    FROM sub_{step} WHERE vec_id >= {_N_QUERIES}
+  ) WHERE rn = 1
+),
+tcw_{step} AS (
+  SELECT cd.m, cd.code, g.d AS dim,
+         COUNT(*) AS n_members,
+         CAST(SUM(CAST(ROUND(v.e[(cd.m - 1) * {_PQ_D} + g.d] * 1000000)
+                       AS BIGINT)) AS DOUBLE)
+           / (1000000.0 * COUNT(*)) AS mean_val
+  FROM codes_{step} cd JOIN emb v ON v.vec_id = cd.vec_id
+  CROSS JOIN unnest(generate_series(1, {_PQ_D})) AS g(d)
+  GROUP BY cd.m, cd.code, g.d
+),
+grid_{step} AS (
+  SELECT g.c, g.m, g.d, COALESCE(t.mean_val, g.val) AS val
+  FROM grid_{prev} g
+  LEFT JOIN tcw_{step} t ON t.m = g.m AND t.code = g.c AND t.dim = g.d
+)""")
+    return "".join(parts)
+
+
+def _pq_convergence_oracle(steps: int = _PQ_TRAIN_STEPS) -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS step, "
+        f"CAST(SUM(bd) AS BIGINT) AS distortion_micro, "
+        f"COUNT(*) AS n_subvectors FROM best_{t}"
+        for t in range(1, steps + 1)
+    )
+    return f"{_pq_chain_ctes(steps)}\nSELECT * FROM ({selects})"
+
+
+_LLOYD_CB_CACHE: dict[tuple[str, str, int], list[list[list[float]]]] = {}
+
+
+def _lloyd_stats(
+    spark: SparkSession, sf_dir: str, codewords: list[list[float]]
+) -> DataFrame:
+    """(m, code, dim) -> exact member mean + count of the corpus assignment
+    against ``codewords`` — _trained_stats generalized to an arbitrary
+    codebook (the chain feeds each step's collected means back in)."""
+    emb = t(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    darrs = [_pq_dist_micro_arr("e", codewords, m) for m in range(_PQ_M)]
+    codes = [
+        F.array_position(d, F.array_min(d)).cast("int").alias(f"code_{m + 1}")
+        for m, d in enumerate(darrs)
+    ]
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select("e", *codes)
+    m_of = (F.col("pos") / _PQ_D).cast("int") + 1
+    ex = corpus.select(
+        F.posexplode("e").alias("pos", "val"),
+        F.array(*[F.col(f"code_{m + 1}") for m in range(_PQ_M)]).alias("carr"),
+    ).select(
+        m_of.cast("int").alias("m"),
+        F.element_at("carr", m_of).alias("code"),
+        (F.pmod(F.col("pos"), F.lit(_PQ_D)) + 1).cast("int").alias("dim"),
+        "val",
+    )
+    return ex.groupBy("m", "code", "dim").agg(
+        (
+            F.sum(F.round(F.col("val") * 1000000, 0).cast("long")).cast("double")
+            / (F.lit(1000000.0) * F.count(F.lit(1)))
+        ).alias("mean_val"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+def _lloyd_codebooks(
+    spark: SparkSession, sf_dir: str, steps: int = _PQ_TRAIN_STEPS
+) -> list[list[list[float]]]:
+    """[C_0 .. C_steps]: the seed codebook and each Lloyd update, K scaled
+    by corpus count; cached per (session, sf_dir, steps) — each codebook is
+    K x 64 doubles, metadata-scale."""
+    cache_key = (
+        spark.sparkContext.applicationId, sf_dir.rstrip("/"), steps,
+    )
+    hit = _LLOYD_CB_CACHE.get(cache_key)
     if hit is not None:
         return hit
     emb = t(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    seed = _centroids(spark, emb, sf_dir)[:_PQ_K]
-    trained = [list(c) for c in seed]  # empty-cell fallback = seed values
-    for r in _trained_stats(spark, sf_dir).collect():
-        trained[r.code - 1][(r.m - 1) * _PQ_D + (r.dim - 1)] = float(r.mean_val)
-    _TRAINED_CW_CACHE[cache_key] = trained
-    return trained
+    n_corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).count()
+    k = _pq_k_for(n_corpus)
+    k0 = _IVF_FIRST_CENTROID
+    seed_rows = (
+        emb.filter(F.col("vec_id").between(k0, k0 + k - 1))
+        .orderBy("vec_id")
+        .collect()
+    )
+    chain = [[list(r.e) for r in seed_rows]]
+    for _ in range(steps):
+        nxt = [list(c) for c in chain[-1]]  # empty cells keep prev centroid
+        for r in _lloyd_stats(spark, sf_dir, chain[-1]).collect():
+            nxt[r.code - 1][(r.m - 1) * _PQ_D + (r.dim - 1)] = float(r.mean_val)
+        chain.append(nxt)
+    _LLOYD_CB_CACHE[cache_key] = chain
+    return chain
+
+
+def _distortion_frame(
+    spark: SparkSession, sf_dir: str, codewords: list[list[float]], step: int
+) -> DataFrame:
+    """1-row frame: total corpus assignment distortion (exact int64 micro
+    sum — order-independent) against ``codewords``."""
+    emb = t(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    darrs = [_pq_dist_micro_arr("e", codewords, m) for m in range(_PQ_M)]
+    best = sum(F.array_min(d) for d in darrs)
+    return (
+        emb.filter(F.col("vec_id") >= _N_QUERIES)
+        .agg(
+            F.sum(best).alias("distortion_micro"),
+            (F.count(F.lit(1)) * _PQ_M).alias("n_subvectors"),
+        )
+        .select(
+            F.lit(step).cast("long").alias("step"),
+            "distortion_micro",
+            "n_subvectors",
+        )
+    )
+
+
+@query(
+    "sim_pq_train_convergence",
+    oracle=_pq_convergence_oracle(),
+    tags=("similarity", "pq", "kmeans", "training", "convergence"),
+    order_by="step",
+)
+def pq_train_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step assignment distortion of the _PQ_TRAIN_STEPS-step Lloyd
+    chain (step t scores the corpus against codebook C_{t-1}) — Lloyd
+    guarantees the gated sequence is monotone non-increasing, so the
+    convergence trajectory itself is behind the bit-exact hash gate."""
+    chain = _lloyd_codebooks(spark, sf_dir)
+    frames = [
+        _distortion_frame(spark, sf_dir, chain[t - 1], t)
+        for t in range(1, _PQ_TRAIN_STEPS + 1)
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _trained_codewords(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """The CONVERGED codebook: the final entry of the Lloyd chain (r10
+    shipped one step from seeds; the chain now runs _PQ_TRAIN_STEPS exact
+    mean updates with corpus-scaled K)."""
+    return _lloyd_codebooks(spark, sf_dir)[-1]
 
 
 def _pq_trained_recall_oracle(topk: int = _PQ_TOPK) -> str:
-    # cwgrid: the coalesced trained codebook (mean where the cell has
-    # members, seed subvector value otherwise) — then the encode / query-
-    # table / ADC / recall pipeline re-runs verbatim against it.
-    return f"""{_pq_cte_prefix()},{_pq_tcw_cte()},
-cwgrid AS (
-  SELECT w.c, g.m, g.d,
-         COALESCE(t.mean_val, w.ce[(g.m - 1) * {_PQ_D} + g.d]) AS val
-  FROM cw w
-  CROSS JOIN (SELECT mm.m, dd.d
-              FROM unnest(generate_series(1, {_PQ_M})) AS mm(m)
-              CROSS JOIN unnest(generate_series(1, {_PQ_D})) AS dd(d)) g
-  LEFT JOIN tcw t ON t.m = g.m AND t.code = w.c AND t.dim = g.d
-),
-sq2 AS (
+    # The full Lloyd chain (grid_{steps} = the converged codebook), then a
+    # fresh encode / query-table / ADC / recall pipeline against it.
+    T = _PQ_TRAIN_STEPS
+    return f"""{_pq_chain_ctes(T)},
+sq_f AS (
   SELECT v.vec_id, cg.c, cg.m,
          (v.e[(cg.m - 1) * {_PQ_D} + cg.d] - cg.val)
          * (v.e[(cg.m - 1) * {_PQ_D} + cg.d] - cg.val) AS s
-  FROM emb v CROSS JOIN cwgrid cg
+  FROM emb v CROSS JOIN grid_{T} cg
 ),
-sub2 AS (
+sub_f AS (
   SELECT vec_id, c, m, CAST(ROUND(SUM(s) * 1000000.0, 0) AS BIGINT) AS d2u
-  FROM sq2 GROUP BY vec_id, c, m
+  FROM sq_f GROUP BY vec_id, c, m
 ),
-codes2 AS (
+codes_f AS (
   SELECT vec_id, m, c AS code FROM (
     SELECT vec_id, m, c,
            ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2u, c) AS rn
-    FROM sub2 WHERE vec_id >= {_N_QUERIES}
+    FROM sub_f WHERE vec_id >= {_N_QUERIES}
   ) WHERE rn = 1
 ),
-qtab2 AS (SELECT vec_id AS q_id, m, c, d2u FROM sub2 WHERE vec_id < {_N_QUERIES}),
+qtab2 AS (SELECT vec_id AS q_id, m, c, d2u FROM sub_f WHERE vec_id < {_N_QUERIES}),
 adc2 AS (
   SELECT t.q_id, cd.vec_id AS neighbor_id,
          CAST(SUM(t.d2u) AS BIGINT) AS adc_micro
-  FROM codes2 cd JOIN qtab2 t ON t.m = cd.m AND t.c = cd.code
+  FROM codes_f cd JOIN qtab2 t ON t.m = cd.m AND t.c = cd.code
   GROUP BY t.q_id, cd.vec_id
 ),
 tru AS (
@@ -1884,8 +2089,9 @@ def pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of the TRAINED-codebook PQ/ADC ranking vs the exact
     full-precision ranking — the acceptance gate run after fitting, before
     swapping the trained codebook in. Identical machinery to sim_pq_recall
-    (one fused pair frame scores both distances) with the one-Lloyd-step
-    codebook substituted for the seed slices."""
+    (one fused pair frame scores both distances) with the CONVERGED
+    _PQ_TRAIN_STEPS-step Lloyd codebook (corpus-scaled K) substituted for
+    the seed slices."""
     codewords = _trained_codewords(spark, sf_dir)
     return _recall_from_pairs(
         _pq_adc_pairs(spark, sf_dir, with_vectors=True, codewords=codewords)

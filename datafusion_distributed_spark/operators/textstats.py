@@ -1778,3 +1778,182 @@ def _tfidf_pairs_frames(
         .where(F.col("cos_sim") >= tau)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (r10 VERDICT item 7): the tokenizer-TRAINING loop —
+# iteratively find the corpus's most frequent adjacent symbol pair and merge
+# it — as a distributed operator. text_bpe_token_stats above only counts
+# tokens under a FIXED regex tokenization; this learns the merge table
+# itself (Sennrich et al. 2016, the subword-tokenizer training step every
+# LLM data pipeline runs).
+#
+# Scale design (the shape real distributed BPE trainers use): the corpus
+# scan happens ONCE, into a (word, freq) VOCABULARY table — at 100 TB the
+# vocab is ~1e7 rows while the corpus is ~1e12, so the T merge iterations
+# run over the small table. Each step is one map-side-combinable pair-count
+# aggregate over the vocab plus a 1-row argmax collect (the merge decision
+# is a scalar, the same driver-state class as sim_kmeans_step's centroid
+# fetch and the Lloyd chain's codebook).
+#
+# Symbolization is a SPACE-separated string (' h e l l o ' -> after
+# merging (l,l) -> ' h e ll o '); words are restricted to 2-16 chars of
+# [a-z] so the separator can never collide. A merge (L, R) is applied as
+# replace(sym, ' L R ', ' LR ') repeated _BPE_PASSES times: a single
+# left-to-right replace consumes the shared trailing separator, so
+# adjacent chains (e.g. 'a a a a' merging (a,a)) merge one pair per pass
+# — 8 passes cover the worst chain a 16-char word can hold. The multipass
+# fixpoint equals greedy leftmost-first BPE (merging (a,b) can never
+# create a new (a,b) adjacency), and BOTH engines evaluate the identical
+# replace chain, so symbolizations match bit-for-bit by construction.
+#
+# The oracle replays the SAME loop as chained CTEs: each step's argmax is
+# a 1-row CTE (ORDER BY cnt DESC, l, r LIMIT 1 — the deterministic
+# tiebreak both sides use) cross-joined into the next re-symbolization,
+# so the data-dependent merge decisions flow through one static SQL text.
+# ---------------------------------------------------------------------------
+
+_BPE_STEPS = 6
+_BPE_PASSES = 8
+_BPE_WORD_RE = "^[a-z]{2,16}$"
+
+
+def _bpe_vocab_sql() -> str:
+    """DuckDB vocab CTE: (word, freq, sym) with char-level symbolization."""
+    return f"""
+words AS (
+  SELECT w AS word, COUNT(*) AS freq,
+         ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS sym
+  FROM (SELECT unnest({_TOK_SQL}) AS w FROM documents)
+  WHERE regexp_matches(w, '{_BPE_WORD_RE}')
+  GROUP BY w
+)"""
+
+
+def _bpe_pairs_sql(src: str) -> str:
+    """Pair-count body over a (word, freq, sym) relation named ``src``."""
+    return f"""
+  SELECT a[i] AS l, a[i + 1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, string_split(trim(sym), ' ') AS a FROM {src}),
+       unnest(generate_series(1, len(a) - 1)) AS g(i)
+  GROUP BY a[i], a[i + 1]"""
+
+
+def _bpe_oracle(steps: int = _BPE_STEPS) -> str:
+    parts = [f"WITH {_bpe_vocab_sql()}"]
+    prev = "words"
+    for st in range(1, steps + 1):
+        parts.append(f""",
+m{st} AS (
+  SELECT l, r, cnt FROM ({_bpe_pairs_sql(prev)})
+  ORDER BY cnt DESC, l, r LIMIT 1
+)""")
+        if st < steps:
+            sym = "sym"
+            for _ in range(_BPE_PASSES):
+                sym = (f"replace({sym}, ' ' || m{st}.l || ' ' || m{st}.r || ' ', "
+                       f"' ' || m{st}.l || m{st}.r || ' ')")
+            parts.append(f""",
+v{st} AS (SELECT word, freq, {sym} AS sym FROM {prev}, m{st})""")
+            prev = f"v{st}"
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({st} AS BIGINT) AS step, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, cnt AS pair_count FROM m{st}"
+        for st in range(1, steps + 1)
+    )
+    return "".join(parts) + f"\nSELECT * FROM ({selects})"
+
+
+_BPE_MERGE_CACHE: dict[tuple[str, str], list[tuple[str, str, int]]] = {}
+
+
+def _bpe_vocab_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir)["documents"]
+    w = F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("w")
+    return (
+        docs.select(w)
+        .where(F.col("w").rlike(_BPE_WORD_RE))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.col("w").alias("word"),
+            "freq",
+            F.concat(
+                F.lit(" "),
+                F.trim(F.regexp_replace("w", "(.)", "$1 ")),
+                F.lit(" "),
+            ).alias("sym"),
+        )
+    )
+
+
+def _bpe_apply_merge(sym, left: str, right: str):
+    pat = F.lit(f" {left} {right} ")
+    rep = F.lit(f" {left}{right} ")
+    for _ in range(_BPE_PASSES):
+        sym = F.replace(sym, pat, rep)
+    return sym
+
+
+def _bpe_learned_merges(
+    spark: SparkSession, sf_dir: str, steps: int = _BPE_STEPS
+) -> list[tuple[str, str, int]]:
+    """[(left, right, pair_count)] for each learned merge, cached per
+    (session, sf_dir): T aggregate jobs over the vocab table, one 3-value
+    scalar collect each."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    hit = _BPE_MERGE_CACHE.get(cache_key)
+    if hit is not None and len(hit) >= steps:
+        return hit[:steps]
+    vocab = _bpe_vocab_frame(spark, sf_dir)
+    merges: list[tuple[str, str, int]] = []
+    sym = F.col("sym")
+    for _ in range(steps):
+        a = F.split(F.trim(sym), " ")
+        pairs = (
+            vocab.select(
+                "freq",
+                F.posexplode(
+                    F.arrays_zip(
+                        F.slice(a, 1, F.size(a) - 1),
+                        F.slice(a, 2, F.size(a) - 1),
+                    )
+                ).alias("i", "pr"),
+            )
+            .select(
+                F.col("pr")["0"].alias("l"),
+                F.col("pr")["1"].alias("r"),
+                "freq",
+            )
+            .groupBy("l", "r")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()[0]
+        merges.append((top.l, top.r, int(top.cnt)))
+        sym = _bpe_apply_merge(sym, top.l, top.r)
+    _BPE_MERGE_CACHE[cache_key] = merges
+    return merges
+
+
+@query(
+    "text_bpe_learn_merges",
+    oracle=_bpe_oracle(),
+    tags=("text", "tokenizer", "training", "bpe"),
+    order_by="step",
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table: _BPE_STEPS iterations of
+    count-pairs -> argmax -> merge over the corpus vocabulary. The returned
+    frame is assembled from the T collected argmax scalars (each one the
+    output of a distributed map-combinable aggregate — the same
+    iterative-algorithm driver-state pattern as sim_kmeans_step)."""
+    merges = _bpe_learned_merges(spark, sf_dir)
+    rows = [
+        (st + 1, left, right, left + right, cnt)
+        for st, (left, right, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "step: bigint, left_sym: string, right_sym: string, "
+        "merged: string, pair_count: bigint",
+    )

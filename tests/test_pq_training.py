@@ -1,17 +1,23 @@
-"""PQ codebook training (sim_pq_train_codebook / sim_pq_trained_recall):
-the quality claims behind the trained lane, proven rather than asserted.
+"""PQ codebook training (sim_pq_train_codebook / sim_pq_train_convergence /
+sim_pq_trained_recall): the quality claims behind the trained lane, proven
+rather than asserted.
 
-1. Lloyd monotonicity: one k-means step per subspace (assign to nearest
-   seed codeword, recompute codewords as member means) can only DECREASE
-   total quantization distortion — the mean minimizes within-cell SSE. If
-   the trained codebook's distortion exceeded the seed's, the "training"
-   would be noise, not a fit.
-2. The training is non-trivial: the trained codebook actually differs from
-   the seed slices (a no-op fit would satisfy (1) vacuously).
+1. Lloyd monotonicity: every k-means step (assign to nearest codeword,
+   recompute codewords as member means) can only DECREASE total
+   quantization distortion — the mean minimizes within-cell SSE. The
+   _PQ_TRAIN_STEPS-step chain's distortion sequence must be monotone
+   non-increasing, with a strict drop from the seed assignment.
+2. The chain CONVERGES on the fixture: iterating past the fixed horizon,
+   the relative per-step improvement drops under epsilon within a small
+   step budget (the fixed-T registered entry is not cut off mid-descent).
+3. The training is non-trivial: the converged codebook actually differs
+   from the seed slices (a no-op fit would satisfy (1) vacuously).
+4. K scales with corpus size (r10 VERDICT item 5): the ladder maps the
+   fixture sizes to different K.
 
-Both checks run oracle-side (DuckDB over the same parquet), reusing the
-registered queries' own CTE builders so the test can never drift from what
-the entries execute.
+Distortion checks run oracle-side (DuckDB over the same parquet), reusing
+the registered queries' own CTE builders so the test can never drift from
+what the entries execute.
 """
 
 from __future__ import annotations
@@ -20,17 +26,16 @@ import duckdb
 import pytest
 
 from datafusion_distributed_spark.operators.similarity import (
-    _N_QUERIES,
     _PQ_D,
-    _PQ_K,
     _PQ_M,
-    _centroids,
-    _pq_cte_prefix,
-    _pq_tcw_cte,
+    _PQ_TRAIN_STEPS,
+    _lloyd_codebooks,
+    _pq_chain_ctes,
+    _pq_convergence_oracle,
+    _pq_k_for,
     _pq_trained_recall_oracle,
     _trained_codewords,
 )
-from datafusion_distributed_spark.tables import load_tables
 
 from .conftest import SF_DIR
 
@@ -46,65 +51,74 @@ def pq_duck():
     con.close()
 
 
-def _total_distortion_seed(con) -> int:
-    sql = f"""{_pq_cte_prefix()}
-    SELECT CAST(SUM(md) AS BIGINT) FROM (
-      SELECT vec_id, m, MIN(d2u) AS md
-      FROM sub WHERE vec_id >= {_N_QUERIES} GROUP BY vec_id, m
-    )"""
-    return con.sql(sql).fetchone()[0]
+def _distortions(con, steps: int) -> list[int]:
+    rows = con.sql(
+        f"SELECT step, distortion_micro FROM ({_pq_convergence_oracle(steps)})"
+        " ORDER BY step"
+    ).fetchall()
+    assert [r[0] for r in rows] == list(range(1, steps + 1))
+    return [r[1] for r in rows]
 
 
-def _total_distortion_trained(con) -> int:
-    # The trained recall oracle's own CTE chain through sub2 (encode vs the
-    # coalesced trained codebook); distortion = per-(vec, m) min, summed.
-    full = _pq_trained_recall_oracle()
-    head = full[: full.index("codes2 AS")].rstrip().rstrip(",")
-    sql = f"""{head}
-    SELECT CAST(SUM(md) AS BIGINT) FROM (
-      SELECT vec_id, m, MIN(d2u) AS md
-      FROM sub2 WHERE vec_id >= {_N_QUERIES} GROUP BY vec_id, m
-    )"""
-    return con.sql(sql).fetchone()[0]
+def test_lloyd_chain_monotone(pq_duck):
+    d = _distortions(pq_duck, _PQ_TRAIN_STEPS)
+    for t in range(1, len(d)):
+        assert d[t] <= d[t - 1], (
+            f"Lloyd step {t + 1} INCREASED distortion ({d[t - 1]} -> {d[t]}"
+            " micro-units) — the chain is broken"
+        )
+    # Strictly better than the seed assignment on this corpus: seed
+    # codewords are arbitrary vectors, so the member means genuinely move.
+    assert d[-1] < d[0]
 
 
-def test_lloyd_step_reduces_distortion(pq_duck):
-    seed = _total_distortion_seed(pq_duck)
-    trained = _total_distortion_trained(pq_duck)
-    assert trained <= seed, (
-        f"one Lloyd step INCREASED total distortion ({seed} -> {trained} "
-        "micro-units) — the training step is broken"
-    )
-    # And strictly better on this corpus: seed codewords are arbitrary
-    # vectors, so the member means genuinely move.
-    assert trained < seed
+def test_lloyd_chain_converges(pq_duck):
+    """Past the fixed horizon the relative improvement collapses: within 8
+    steps it drops under epsilon = 2e-3 — the registered fixed-T entry
+    captures the bulk of the descent (measured sf0.001 sequence: 31.1%,
+    2.0%, 0.9%, 0.45%, 0.25%, 0.20%, 0.15% per step), not a truncated
+    middle of it."""
+    d = _distortions(pq_duck, 8)
+    rel = [(d[t - 1] - d[t]) / d[t - 1] for t in range(1, len(d))]
+    eps = 2e-3
+    assert min(rel) < eps, f"no step under epsilon within 8: {rel}"
+    assert rel[-1] < eps, f"still descending at step 8: {rel}"
 
 
 def test_trained_codebook_differs_from_seed(spark):
-    emb_tables = load_tables(spark, SF_DIR)
-    emb = emb_tables["embeddings"].selectExpr(
-        "vec_id", "cast(embedding as array<double>) as e"
-    )
-    seed = _centroids(spark, emb, SF_DIR)[:_PQ_K]
-    trained = _trained_codewords(spark, SF_DIR)
-    assert len(trained) == _PQ_K
+    chain = _lloyd_codebooks(spark, SF_DIR)
+    assert len(chain) == _PQ_TRAIN_STEPS + 1
+    seed, trained = chain[0], chain[-1]
+    k = len(seed)
+    assert len(trained) == k
     assert all(len(c) == _PQ_M * _PQ_D for c in trained)
+    assert trained == _trained_codewords(spark, SF_DIR)
     changed = sum(
         1
-        for c in range(_PQ_K)
+        for c in range(k)
         for d in range(_PQ_M * _PQ_D)
         if trained[c][d] != seed[c][d]
     )
     # Every populated (code, subspace) cell rewrites its 16 dims; only
-    # empty cells keep seed values. Expect the vast majority to move.
-    assert changed > (_PQ_K * _PQ_M * _PQ_D) // 2, (
-        f"only {changed} of {_PQ_K * _PQ_M * _PQ_D} codeword entries "
+    # empty cells keep prior values. Expect the vast majority to move.
+    assert changed > (k * _PQ_M * _PQ_D) // 2, (
+        f"only {changed} of {k * _PQ_M * _PQ_D} codeword entries "
         "changed — the fit looks like a no-op"
     )
 
 
-def test_tcw_cte_is_shared_between_entries():
+def test_k_scales_with_corpus():
+    assert _pq_k_for(490) == 8       # sf0.001 / sf0.01 corpus
+    assert _pq_k_for(1990) == 16     # sf0.1 corpus
+    assert _pq_k_for(19990) == 32    # 10x probe layout
+    assert _pq_k_for(10**9) == 32    # capped
+
+
+def test_chain_ctes_shared_between_entries():
     """Both trained-lane oracles must derive the codebook from the SAME CTE
-    text — a drift between the training query's codebook and the recall
-    gate's would silently grade a different codebook than it trains."""
-    assert _pq_tcw_cte() in _pq_trained_recall_oracle()
+    chain text — a drift between the convergence query's chain and the
+    recall gate's would silently grade a different codebook than it
+    trains."""
+    chain = _pq_chain_ctes(_PQ_TRAIN_STEPS)
+    assert chain in _pq_convergence_oracle()
+    assert chain in _pq_trained_recall_oracle()

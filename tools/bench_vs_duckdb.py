@@ -51,7 +51,15 @@ SUITE_QUERIES = {
     # differential — the rollup-over-empty divergence is irrelevant to wall)
     "tpcds": [f"q{i}" for i in range(1, 100)],
 }
-SCALES = [("/root/testdata/sf0.01", "sf0.01"), ("/root/testdata/sf0.1", "sf0.1")]
+# Known scale labels -> fixture dirs. 'sf1eq' is the scale probe's
+# 10x-replica layout (distribution-preserving replication of sf0.1 — see
+# tools/scale_probe.py; run it once to materialize) — the same-box SF~1
+# anchor mirroring the reference's published SF1 row (README.md:54).
+SCALE_DIRS = {
+    "sf0.01": "/root/testdata/sf0.01",
+    "sf0.1": "/root/testdata/sf0.1",
+    "sf1eq": "/root/repo/.scale_probe/sf1eq",
+}
 
 
 def _median_wall(fn, runs: int) -> float:
@@ -72,14 +80,20 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--out", default=None)
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument(
+        "--scales", default="sf0.01,sf0.1",
+        help="comma list of scale labels (known: %s)" % ",".join(SCALE_DIRS),
+    )
     args = ap.parse_args()
+    scales = [(SCALE_DIRS[s], s) for s in args.scales.split(",")]
     out_path = args.out or f"tools/bench_vs_duckdb_{args.suite}.json"
 
     spark = build_session(app_name="bench-vs-duckdb", master=f"local[{args.cpus}]")
     out: dict = {
-        "suite": args.suite, "runs": args.runs, "cpus": args.cpus, "queries": {},
+        "suite": args.suite, "runs": args.runs, "cpus": args.cpus,
+        "scales": [s for _, s in scales], "queries": {},
     }
-    for sf_dir, sf_label in SCALES:
+    for sf_dir, sf_label in scales:
         con = duckdb.connect()
         con.execute(f"PRAGMA threads={args.cpus}")
         register_duck_views(con, sf_dir, args.suite)
@@ -101,11 +115,11 @@ def main() -> None:
             print(f"{q} {sf_label}: spark {sp:.3f}s duck {dk:.3f}s", flush=True)
         con.close()
 
-    # Totals over queries that succeeded at BOTH scales, so the growth
+    # Totals over queries that succeeded at EVERY scale, so the growth
     # factor compares identical batteries.
     ok = [
         q for q, r in out["queries"].items()
-        if all("err" not in r.get(sf, {"err": 1}) for _, sf in SCALES)
+        if all("err" not in r.get(sf, {"err": 1}) for _, sf in scales)
     ]
     tot = {
         sf: {
@@ -114,24 +128,24 @@ def main() -> None:
             )
             for eng in ("spark", "duck")
         }
-        for _, sf in SCALES
+        for _, sf in scales
     }
     out["totals"] = tot
     out["n_ok"] = len(ok)
+    first, last = scales[0][1], scales[-1][1]
     out["growth_10x"] = {
-        eng: round(tot["sf0.1"][eng] / tot["sf0.01"][eng], 3)
+        eng: round(tot[last][eng] / tot[first][eng], 3)
         for eng in ("spark", "duck")
     }
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
 
-    print("\n| engine | sf0.01 battery | sf0.1 battery | growth for 10x data |")
-    print("|---|---|---|---|")
+    labels = " | ".join(f"{s} battery" for _, s in scales)
+    print(f"\n| engine | {labels} | growth {first} -> {last} |")
+    print("|---" * (len(scales) + 2) + "|")
     for eng in ("spark", "duck"):
-        print(
-            f"| {eng} | {tot['sf0.01'][eng]:.2f} s | {tot['sf0.1'][eng]:.2f} s "
-            f"| {out['growth_10x'][eng]:.2f}x |"
-        )
+        cells = " | ".join(f"{tot[s][eng]:.2f} s" for _, s in scales)
+        print(f"| {eng} | {cells} | {out['growth_10x'][eng]:.2f}x |")
 
 
 if __name__ == "__main__":
