@@ -33,6 +33,7 @@ from pyspark.sql.types import (
 )
 
 from ..sources.jpeg import BASIS, ZIGZAG, decode_jpeg, encode_jpeg_gray
+from ..sources.webp import decode_webp_lossless, encode_webp_lossless
 from ..sources.png import PNG_SIGNATURE, decode_png, encode_png
 from ..sources.wav import decode_wav, encode_wav
 from ..sources.y4m import decode_y4m, encode_y4m
@@ -88,23 +89,29 @@ _DECODE_SCHEMA = StructType(
     ]
 )
 
-REAL_DECODE = False  # no webp/compressed-video codecs in this container
+REAL_DECODE = False  # no lossy-webp/compressed-video codecs in this container
 
 
 def _real_decode(payload: bytes) -> tuple[int, int, int, str]:
     """Real decode for the formats the repo carries a codec for: PNG via
     the pure-Python spec implementation (sources/png.py, stdlib zlib — the
-    Avro-decoder playbook) and baseline JPEG (sources/jpeg.py, pure spec).
-    Only webp and compressed video remain environment-gated."""
+    Avro-decoder playbook), baseline JPEG (sources/jpeg.py, pure spec),
+    and lossless webp / VP8L (sources/webp.py, r11). Only LOSSY webp (the
+    VP8 predictive transform codec) and compressed video remain
+    environment-gated."""
     if payload[:8] == PNG_SIGNATURE:
         img = decode_png(payload)
         return img.width, img.height, 1, "png"
     if payload[:2] == b"\xff\xd8":
         jimg = decode_jpeg(payload)
         return jimg.width, jimg.height, 1, "jpeg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        wimg = decode_webp_lossless(payload)  # VP8 (lossy) rejects inside
+        return wimg.width, wimg.height, 1, "webp"
     raise NotImplementedError(
-        "real decode implemented for PNG and baseline JPEG; webp and "
-        "compressed-video codecs are not available in this container"
+        "real decode implemented for PNG, baseline JPEG and lossless webp "
+        "(VP8L); lossy-webp and compressed-video codecs are not available "
+        "in this container"
     )
 
 
@@ -112,8 +119,12 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
     """Deterministic stand-in for an image/video decode — except PNG/JPEG
     payloads, which take the REAL decode path (signature-dispatched; the
     synthetic payloads here are UTF-8 text bytes, which can never start
-    with 0x89PNG or 0xFFD8)."""
-    if payload[:8] == PNG_SIGNATURE or payload[:2] == b"\xff\xd8":
+    with 0x89PNG, 0xFFD8 or RIFF/WEBP)."""
+    if (
+        payload[:8] == PNG_SIGNATURE
+        or payload[:2] == b"\xff\xd8"
+        or (payload[:4] == b"RIFF" and payload[8:12] == b"WEBP")
+    ):
         return _real_decode(payload)
     if REAL_DECODE:  # pragma: no cover
         return _real_decode(payload)
@@ -1205,6 +1216,354 @@ def jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.groupBy("width").agg(
         F.count(F.lit(1)).alias("n_imgs"),
         F.sum("n_mcus").cast("bigint").alias("total_mcus"),
+        F.sum("sum_r").cast("bigint").alias("sum_r"),
+        F.sum("sum_g").cast("bigint").alias("sum_g"),
+        F.sum("sum_b").cast("bigint").alias("sum_b"),
+        F.min("min_px").cast("int").alias("min_px"),
+        F.max("max_px").cast("int").alias("max_px"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real 4:2:0 subsampled JPEG decode with restart intervals (r10 VERDICT item
+# 6 — what real-world JPEGs actually use): each MCU carries FOUR Y blocks
+# and one Cb/Cr pair; chroma upsamples by 2x2 sample replication (the JFIF
+# nearest-neighbor convention), and the fixture encodes with DRI = 1 so
+# every multi-MCU image exercises the RSTn re-sync + predictor-reset state
+# machine (half the corpus is 32x16 = 2 MCUs). Same proof shape as the
+# gray/color entries: frequency-domain fixtures, oracle recomputes every
+# RGB sample THROUGH THE UPSAMPLING PATH from the coefficient formulas.
+# ---------------------------------------------------------------------------
+
+from ..sources.jpeg import encode_jpeg_subsampled  # noqa: E402
+
+_JPEG_SUB_STATS_SCHEMA = _JPEG_COLOR_STATS_SCHEMA
+
+
+def _jpeg_sub_geometry(doc_id: int) -> tuple[int, int]:
+    return 16 * (1 + doc_id % 2), 16
+
+
+def _jpeg_sub_mcu(doc_id: int, b: int):
+    """(4 Y blocks, Cb, Cr) quantized zigzag coefficients — mirrored in
+    SQL. Y blocks vary per raster position j; chroma reuses the color
+    entry's c-indexed formulas."""
+    ys = []
+    for j in range(4):
+        blk = [0] * 64
+        blk[0] = ((doc_id * 5 + b * 11 + j * 17) % 160) - 80
+        blk[1 + ((b + j) % 5)] = ((doc_id + b + j) % 5) - 2
+        ys.append(blk)
+    chroma = []
+    for c in (2, 3):
+        blk = [0] * 64
+        blk[0] = ((doc_id * (3 if c == 2 else 7) + b * (7 if c == 2 else 5)) % 120) - 60
+        blk[1 + ((b + c) % 6)] = ((doc_id + b + c) % 5) - 2
+        chroma.append(blk)
+    return ys, chroma[0], chroma[1]
+
+
+def encode_jpeg_sub_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        jpegs = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = _jpeg_sub_geometry(d)
+            mcus = [_jpeg_sub_mcu(d, b) for b in range((w // 16) * (h // 16))]
+            jpegs.append(
+                encode_jpeg_subsampled(
+                    w, h, mcus, _JPEG_QTABLE, _JPEG_CHROMA_QTABLE,
+                    restart_interval=1,
+                )
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "jpeg": jpegs})
+
+
+def _jpeg_sub_oracle() -> str:
+    basis_rows = ", ".join(
+        f"({u}, {x}, {BASIS[u][x]!r})" for u in range(8) for x in range(8)
+    )
+    zig_rows = ", ".join(
+        f"({k}, {ZIGZAG[k] % 8}, {ZIGZAG[k] // 8})" for k in range(64)
+    )
+    q_rows = ", ".join(
+        f"(0, {k}, {_JPEG_QTABLE[k]})" for k in range(64)
+    ) + ", " + ", ".join(
+        f"(1, {k}, {_JPEG_CHROMA_QTABLE[k]})" for k in range(64)
+    )
+    return f"""
+WITH basis(u, x, bv) AS (VALUES {basis_rows}),
+zig(z, zu, zv) AS (VALUES {zig_rows}),
+qt(slot, z, q) AS (VALUES {q_rows}),
+geo AS (
+  SELECT doc_id, CAST(16 * (1 + doc_id % 2) AS INTEGER) AS w,
+         CAST(16 AS INTEGER) AS h
+  FROM documents
+),
+mcu AS (
+  SELECT g.doc_id, g.w, bs.b
+  FROM geo g, LATERAL unnest(generate_series(0, (g.w // 16) - 1)) AS bs(b)
+),
+ycoef AS (
+  SELECT doc_id, w, b, js.j, 0 AS z,
+         ((doc_id * 5 + b * 11 + js.j * 17) % 160) - 80 AS val
+  FROM mcu, LATERAL unnest(generate_series(0, 3)) AS js(j)
+  UNION ALL
+  SELECT doc_id, w, b, js.j, 1 + ((b + js.j) % 5),
+         ((doc_id + b + js.j) % 5) - 2
+  FROM mcu, LATERAL unnest(generate_series(0, 3)) AS js(j)
+),
+ccoef AS (
+  SELECT doc_id, w, b, cs.c, 0 AS z,
+         CASE WHEN cs.c = 2 THEN ((doc_id * 3 + b * 7) % 120) - 60
+              ELSE ((doc_id * 7 + b * 5) % 120) - 60 END AS val
+  FROM mcu, LATERAL unnest(generate_series(2, 3)) AS cs(c)
+  UNION ALL
+  SELECT doc_id, w, b, cs.c, 1 + ((b + cs.c) % 6),
+         ((doc_id + b + cs.c) % 5) - 2
+  FROM mcu, LATERAL unnest(generate_series(2, 3)) AS cs(c)
+),
+ysamp AS (
+  SELECT cf.doc_id, cf.w, cf.b,
+         (cf.j % 2) * 8 + bu.x AS px, (cf.j // 2) * 8 + bv.x AS py,
+         LEAST(GREATEST(CAST(FLOOR(SUM((cf.val * qt.q) * bu.bv * bv.bv) + 0.5)
+                             AS BIGINT) + 128, 0), 255) AS yv
+  FROM ycoef cf
+  JOIN qt ON qt.slot = 0 AND qt.z = cf.z
+  JOIN zig ON zig.z = cf.z
+  JOIN basis bu ON bu.u = zig.zu
+  JOIN basis bv ON bv.u = zig.zv
+  GROUP BY cf.doc_id, cf.w, cf.b, cf.j, bu.x, bv.x
+),
+csamp AS (
+  SELECT cf.doc_id, cf.b, cf.c, bu.x AS cx, bv.x AS cy,
+         LEAST(GREATEST(CAST(FLOOR(SUM((cf.val * qt.q) * bu.bv * bv.bv) + 0.5)
+                             AS BIGINT) + 128, 0), 255) AS cv
+  FROM ccoef cf
+  JOIN qt ON qt.slot = 1 AND qt.z = cf.z
+  JOIN zig ON zig.z = cf.z
+  JOIN basis bu ON bu.u = zig.zu
+  JOIN basis bv ON bv.u = zig.zv
+  GROUP BY cf.doc_id, cf.b, cf.c, bu.x, bv.x
+),
+cup AS (
+  -- 2x2 nearest-neighbor upsample: each chroma sample covers four pixels.
+  SELECT doc_id, b, c, 2 * cx + dd.dx AS px, 2 * cy + ee.dy AS py, cv
+  FROM csamp,
+       LATERAL unnest(generate_series(0, 1)) AS dd(dx),
+       LATERAL unnest(generate_series(0, 1)) AS ee(dy)
+),
+ycc AS (
+  SELECT y.doc_id, y.w, y.b, y.px, y.py, y.yv,
+         MAX(CASE WHEN u.c = 2 THEN u.cv END) AS cbv,
+         MAX(CASE WHEN u.c = 3 THEN u.cv END) AS crv
+  FROM ysamp y
+  JOIN cup u ON u.doc_id = y.doc_id AND u.b = y.b
+            AND u.px = y.px AND u.py = y.py
+  GROUP BY y.doc_id, y.w, y.b, y.px, y.py, y.yv
+),
+rgb AS (
+  SELECT doc_id, w,
+         LEAST(GREATEST(CAST(FLOOR(
+           yv + {YCC_R_CR!r} * (crv - 128) + 0.5) AS BIGINT), 0), 255) AS r,
+         LEAST(GREATEST(CAST(FLOOR(
+           yv - {YCC_G_CB!r} * (cbv - 128) - {YCC_G_CR!r} * (crv - 128) + 0.5)
+           AS BIGINT), 0), 255) AS g,
+         LEAST(GREATEST(CAST(FLOOR(
+           yv + {YCC_B_CB!r} * (cbv - 128) + 0.5) AS BIGINT), 0), 255) AS bl
+  FROM ycc
+),
+stats AS (
+  SELECT doc_id, w, SUM(r) AS sum_r, SUM(g) AS sum_g, SUM(bl) AS sum_b,
+         LEAST(MIN(r), MIN(g), MIN(bl)) AS min_px,
+         GREATEST(MAX(r), MAX(g), MAX(bl)) AS max_px
+  FROM rgb GROUP BY doc_id, w
+)
+SELECT w AS width, COUNT(*) AS n_imgs,
+       CAST(SUM(w // 16) AS BIGINT) AS total_mcus,
+       CAST(SUM(sum_r) AS BIGINT) AS sum_r,
+       CAST(SUM(sum_g) AS BIGINT) AS sum_g,
+       CAST(SUM(sum_b) AS BIGINT) AS sum_b,
+       CAST(MIN(min_px) AS INTEGER) AS min_px,
+       CAST(MAX(max_px) AS INTEGER) AS max_px
+FROM stats GROUP BY w
+"""
+
+
+@query(
+    "mm_jpeg_subsampled_stats",
+    oracle=_jpeg_sub_oracle(),
+    tags=("multimodal", "pandas-udf", "jpeg", "subsampling", "restart"),
+)
+def jpeg_subsampled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode-then-decode roundtrip through REAL 4:2:0 JPEG bytes with
+    restart intervals (DRI=1): per-(width) aggregate of the decoded RGB
+    sums/extrema. The oracle recomputes every pixel from the coefficient
+    formulas through the chroma 2x2-replication upsample and the JFIF
+    conversion — one wrong bit in the RSTn re-sync, the predictor resets,
+    the 4-blocks-per-MCU interleave order, or the upsample indexing breaks
+    the hash."""
+    docs = t(spark, sf_dir)["documents"].select("doc_id")
+    jpegs = docs.mapInPandas(encode_jpeg_sub_batches, schema=_JPEG_SCHEMA)
+    stats = jpegs.mapInPandas(
+        jpeg_color_stats_batches, schema=_JPEG_SUB_STATS_SCHEMA
+    )
+    return stats.groupBy("width").agg(
+        F.count(F.lit(1)).alias("n_imgs"),
+        F.sum("n_mcus").cast("bigint").alias("total_mcus"),
+        F.sum("sum_r").cast("bigint").alias("sum_r"),
+        F.sum("sum_g").cast("bigint").alias("sum_g"),
+        F.sum("sum_b").cast("bigint").alias("sum_b"),
+        F.min("min_px").cast("int").alias("min_px"),
+        F.max("max_px").cast("int").alias("max_px"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real WebP-lossless (VP8L) decode (r10 VERDICT item 8): per-document
+# fixture images with PERIODIC rows, encoded as real VP8L bytes whose rows
+# 2..h ride ONE LZ77 backward reference (distance = row stride) and whose
+# repeated colors hit the color cache — so the entry drives prefix-code
+# construction, the code-length code, backref copying AND cache hashing on
+# every payload. Lossless means the decoded samples equal the closed-form
+# pixel formulas, which the oracle recomputes directly; any decoder-layer
+# bit error breaks the hash. Same Arrow-batched zero-shuffle shape as the
+# PNG/JPEG entries.
+# ---------------------------------------------------------------------------
+
+_WEBP_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("webp", BinaryType())]
+)
+
+_WEBP_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("min_px", IntegerType()),
+        StructField("max_px", IntegerType()),
+    ]
+)
+
+_WEBP_H = 4
+
+
+def _webp_geometry(doc_id: int) -> tuple[int, int]:
+    return 4 * (1 + doc_id % 3), _WEBP_H
+
+
+def _webp_row_rgba(doc_id: int, w: int) -> list[int]:
+    """One row of RGBA samples — mirrored in SQL. Alpha fixed at 255."""
+    row = []
+    for x in range(w):
+        row.extend(
+            (
+                (doc_id * 7 + x * 13) % 256,
+                (doc_id * 11 + x * 5) % 256,
+                (doc_id * 3 + x * 17) % 256,
+                255,
+            )
+        )
+    return row
+
+
+def encode_webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        blobs = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = _webp_geometry(d)
+            rgba = _webp_row_rgba(d, w) * h
+            blobs.append(
+                encode_webp_lossless(
+                    w, h, rgba,
+                    backrefs=[(w, w * (h - 1), w)],  # rows 2..h copy row 1
+                    cache_bits=4,
+                )
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "webp": blobs})
+
+
+def webp_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["webp"]):
+            img = decode_webp_lossless(
+                payload if isinstance(payload, bytes) else bytes(payload)
+            )
+            px = img.pixels
+            rows.append(
+                [
+                    doc_id, img.width, img.height,
+                    sum(px[0::4]), sum(px[1::4]), sum(px[2::4]),
+                    min(px[0::4] + px[1::4] + px[2::4]),
+                    max(px[0::4] + px[1::4] + px[2::4]),
+                ]
+            )
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height",
+                "sum_r", "sum_g", "sum_b", "min_px", "max_px",
+            ],
+        )
+        yield out.astype(
+            {
+                "width": "int32", "height": "int32",
+                "sum_r": "int64", "sum_g": "int64", "sum_b": "int64",
+                "min_px": "int32", "max_px": "int32",
+            }
+        )
+
+
+_WEBP_ORACLE = f"""
+WITH geo AS (
+  SELECT doc_id, CAST(4 * (1 + doc_id % 3) AS INTEGER) AS w FROM documents
+),
+px AS (
+  SELECT g.doc_id, g.w,
+         (g.doc_id * 7 + xs.x * 13) % 256 AS r,
+         (g.doc_id * 11 + xs.x * 5) % 256 AS gg,
+         (g.doc_id * 3 + xs.x * 17) % 256 AS b
+  FROM geo g, LATERAL unnest(generate_series(0, g.w - 1)) AS xs(x)
+),
+stats AS (
+  SELECT doc_id, w,
+         {_WEBP_H} * SUM(r) AS sum_r, {_WEBP_H} * SUM(gg) AS sum_g,
+         {_WEBP_H} * SUM(b) AS sum_b,
+         LEAST(MIN(r), MIN(gg), MIN(b)) AS min_px,
+         GREATEST(MAX(r), MAX(gg), MAX(b)) AS max_px
+  FROM px GROUP BY doc_id, w
+)
+SELECT w AS width, COUNT(*) AS n_imgs,
+       CAST(SUM(sum_r) AS BIGINT) AS sum_r,
+       CAST(SUM(sum_g) AS BIGINT) AS sum_g,
+       CAST(SUM(sum_b) AS BIGINT) AS sum_b,
+       CAST(MIN(min_px) AS INTEGER) AS min_px,
+       CAST(MAX(max_px) AS INTEGER) AS max_px
+FROM stats GROUP BY w
+"""
+
+
+@query(
+    "mm_webp_lossless_stats",
+    oracle=_WEBP_ORACLE,
+    tags=("multimodal", "pandas-udf", "webp", "vp8l"),
+)
+def webp_lossless_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode-then-decode roundtrip through REAL VP8L bytes (backward
+    reference per image + color cache); per-width aggregate of decoded RGB
+    sums/extrema, hash-matched against the closed-form pixel formulas."""
+    docs = t(spark, sf_dir)["documents"].select("doc_id")
+    blobs = docs.mapInPandas(encode_webp_batches, schema=_WEBP_SCHEMA)
+    stats = blobs.mapInPandas(webp_stats_batches, schema=_WEBP_STATS_SCHEMA)
+    return stats.groupBy("width").agg(
+        F.count(F.lit(1)).alias("n_imgs"),
         F.sum("sum_r").cast("bigint").alias("sum_r"),
         F.sum("sum_g").cast("bigint").alias("sum_g"),
         F.sum("sum_b").cast("bigint").alias("sum_b"),

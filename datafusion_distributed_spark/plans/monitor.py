@@ -22,9 +22,49 @@ cluster.
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark import SparkContext
+
+# Conf key / env var carrying the user-defined worker version string — the
+# ``Worker::with_version()`` analogue. Free-form; deployments typically set
+# it from a commit hash at submit time. Unset reports "" exactly like a
+# reference worker that never called with_version().
+WORKER_VERSION_CONF = "spark.datafusion_distributed_spark.worker.version"
+WORKER_VERSION_ENV = "DDS_WORKER_VERSION"
+
+
+def worker_info(sc: SparkContext) -> dict:
+    """The reference's ``GetWorkerInfo`` endpoint mapped to Spark
+    (/root/reference/docs/source/advanced/07-worker-versioning.md: workers
+    report a user-defined version string plus runtime metadata so a
+    coordinator can route around incompatible code during rolling
+    deploys). On Spark the executors all run the ONE version the cluster
+    manager shipped with the application, so worker identity collapses to
+    the application runtime: framework version, the user-defined version
+    string (conf key first, env var fallback, '' when unset — the
+    reference's default), and the runtime identity fields its console
+    prints."""
+    try:
+        version = sc.getConf().get(
+            WORKER_VERSION_CONF, os.environ.get(WORKER_VERSION_ENV, "")
+        )
+    except Exception:
+        version = os.environ.get(WORKER_VERSION_ENV, "")
+    info = {
+        "worker_version": version or "",
+        "spark_version": sc.version,
+        "app_id": sc.applicationId,
+        "master": sc.master,
+    }
+    try:
+        info["java_version"] = str(
+            sc._jvm.java.lang.System.getProperty("java.version")
+        )
+    except Exception:
+        info["java_version"] = ""
+    return info
 
 
 def snapshot(sc: SparkContext) -> dict:
@@ -68,6 +108,7 @@ def snapshot(sc: SparkContext) -> dict:
         "active_jobs": list(tracker.getActiveJobsIds()),
         "active_stages": stages,
         "executors": executors,
+        "worker_info": worker_info(sc),
     }
 
 
@@ -89,6 +130,13 @@ def render(snap: dict) -> str:
             + (f", {s['n_failed']} FAILED" if s["n_failed"] else "")
         )
     lines.append("workers:")
+    wi = snap.get("worker_info", {})
+    if wi:
+        ver = wi.get("worker_version") or "(unversioned)"
+        lines.append(
+            f"  runtime: spark {wi.get('spark_version', '?')}, "
+            f"java {wi.get('java_version', '?')}, worker version {ver}"
+        )
     for e in snap["executors"]:
         mem_gb = e["max_memory_bytes"] / (1 << 30)
         lines.append(

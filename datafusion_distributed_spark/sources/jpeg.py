@@ -13,10 +13,13 @@ training-pipeline scope (multimodal binary columns).
 
 Scope (documented, checked):
 - DECODE: any baseline sequential (SOF0) 8-bit JPEG with one Huffman-coded
-  scan and no restart markers — single-component grayscale, or 3-component
-  4:4:4 interleaved YCbCr converted to RGB with the JFIF (T.871) matrix.
-  Progressive (SOF2), chroma subsampling, 12-bit, arithmetic coding, and
-  DRI/RSTn are rejected with a clear error, never silently wrong.
+  scan — single-component grayscale, or 3-component interleaved YCbCr
+  converted to RGB with the JFIF (T.871) matrix at 4:4:4 OR 4:2:0 (chroma
+  upsampled by 2x2 sample replication, the JFIF nearest-neighbor
+  convention; r11), with restart intervals honored (DRI + modulo-8 RSTn
+  re-sync and predictor reset, T.81 F.2.1.3.1; r11). Progressive (SOF2),
+  other sampling layouts (4:2:2/4:1:1), 12-bit, and arithmetic coding are
+  rejected with a clear error, never silently wrong.
 - ENCODE (the test harness, like the PNG encoder): images are DEFINED in
   the frequency domain — the caller supplies quantized coefficients per
   8x8 block and the encoder performs real entropy coding (canonical DHT
@@ -170,6 +173,20 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def sync_restart(self, n: int) -> None:
+        """Consume an RSTn marker at a restart boundary (T.81 F.2.1.3.1):
+        discard the current byte's padding bits, then require the exact
+        expected modulo-8 marker — a wrong or missing RSTn means the
+        entropy stream lost sync and must fail loudly."""
+        self._nbits = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + n
+        ):
+            raise ValueError(f"jpeg: expected RST{n} marker at {self.pos}")
+        self.pos += 2
 
 
 def _decode_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
@@ -367,18 +384,24 @@ def _samples_from_zig(zig: list[int], q: list[int]) -> list[int]:
 
 def decode_jpeg(data: bytes) -> JpegImage:
     """Decode a baseline sequential 8-bit JPEG: single-component
-    (grayscale, channels=1) or 3-component 4:4:4 interleaved (YCbCr,
-    converted to interleaved RGB, channels=3)."""
+    (grayscale, channels=1) or 3-component interleaved YCbCr converted to
+    interleaved RGB (channels=3) at 4:4:4 (all 1x1 sampling) or 4:2:0
+    (Y 2x2, chroma 1x1 — the dominant real-world layout; chroma upsampled
+    by 2x2 sample replication, JFIF's nearest-neighbor convention).
+    Restart intervals (DRI + RSTn, T.81 F.2.1.3.1) are honored: predictors
+    reset and the reader re-syncs at every expected modulo-8 marker."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
-    frame_comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    # (component id, h sampling, v sampling, quant table id)
+    frame_comps: list[tuple[int, int, int, int]] = []
     scan_tabs: dict[int, tuple[int, int]] = {}  # comp id -> (Td, Ta)
     scan_order: list[int] = []
     scan_start = None
+    restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
@@ -421,15 +444,23 @@ def decode_jpeg(data: bytes) -> JpegImage:
             for ci in range(nf):
                 cid = body[6 + 3 * ci]
                 hv = body[7 + 3 * ci]
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        "jpeg: subsampling not supported (4:4:4 only)"
-                    )
-                frame_comps.append((cid, body[8 + 3 * ci]))
+                frame_comps.append(
+                    (cid, hv >> 4, hv & 0x0F, body[8 + 3 * ci])
+                )
+            factors = tuple((h, v) for _, h, v, _ in frame_comps)
+            if factors not in (
+                ((1, 1),),                          # grayscale
+                ((1, 1), (1, 1), (1, 1)),           # 4:4:4
+                ((2, 2), (1, 1), (1, 1)),           # 4:2:0
+            ):
+                raise NotImplementedError(
+                    f"jpeg: unsupported sampling layout {factors} "
+                    "(gray, 4:4:4 or 4:2:0 only)"
+                )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("jpeg: only baseline sequential (SOF0)")
-        elif marker == 0xDD:
-            raise NotImplementedError("jpeg: restart intervals not supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             ns = body[0]
             if ns != len(frame_comps):
@@ -444,9 +475,13 @@ def decode_jpeg(data: bytes) -> JpegImage:
         pos += 2 + seglen
     if width is None or scan_start is None:
         raise ValueError("jpeg: missing SOF0/SOS")
-    if width % 8 or height % 8:
-        raise NotImplementedError("jpeg: partial edge blocks not supported")
-    comp_q = dict(frame_comps)
+    comp_hv = {cid: (h, v) for cid, h, v, _ in frame_comps}
+    comp_q = {cid: tq for cid, _h, _v, tq in frame_comps}
+    hmax = max(h for _, h, _v, _ in frame_comps)
+    vmax = max(v for _, _h, v, _ in frame_comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    if width % mcu_w or height % mcu_h:
+        raise NotImplementedError("jpeg: partial edge MCUs not supported")
     # Entropy segment runs to the EOI marker. A missing EOI must fail
     # loudly: rfind's -1 would silently slice data[scan_start:-1] and
     # surface as a confusing mid-stream "entropy data exhausted" (or a
@@ -456,35 +491,57 @@ def decode_jpeg(data: bytes) -> JpegImage:
         raise ValueError("jpeg: missing EOI marker")
     reader = _BitReader(data[scan_start:end])
 
-    bw, bh = width // 8, height // 8
+    mw, mh = width // mcu_w, height // mcu_h
     nch = 1 if len(frame_comps) == 1 else 3
     pixels = [0] * (width * height * nch)
     coeffs: list[list[int]] = []
     preds = {cid: 0 for cid in scan_order}
-    for by in range(bh):
-        for bx in range(bw):
-            comp_samples = []
+    mcu_index = 0
+    for by in range(mh):
+        for bx in range(mw):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                reader.sync_restart((mcu_index // restart_interval - 1) % 8)
+                preds = {cid: 0 for cid in scan_order}
+            # comp id -> its (8h x 8v) MCU sample plane, row-major.
+            planes: dict[int, list[int]] = {}
             for cid in scan_order:
                 td, ta = scan_tabs[cid]
-                zig, preds[cid] = _decode_block(
-                    reader, htables[(0, td)], htables[(1, ta)], preds[cid]
-                )
-                coeffs.append(list(zig))
-                comp_samples.append(_samples_from_zig(zig, qtables[comp_q[cid]]))
-            base = ((by * 8) * width + bx * 8) * nch
+                h, v = comp_hv[cid]
+                plane = [0] * (8 * h * 8 * v)
+                for sv in range(v):
+                    for sh in range(h):
+                        zig, preds[cid] = _decode_block(
+                            reader, htables[(0, td)], htables[(1, ta)],
+                            preds[cid],
+                        )
+                        coeffs.append(list(zig))
+                        samples = _samples_from_zig(zig, qtables[comp_q[cid]])
+                        for yy in range(8):
+                            row = (sv * 8 + yy) * (8 * h) + sh * 8
+                            plane[row : row + 8] = samples[yy * 8 : yy * 8 + 8]
+                planes[cid] = plane
+
+            def comp_at(cid: int, x: int, y: int) -> int:
+                # Subsampled components replicate each sample over the
+                # (hmax/h x vmax/v) pixel cell (nearest-neighbor upsample).
+                h, v = comp_hv[cid]
+                return planes[cid][((y * v) // vmax) * (8 * h) + (x * h) // hmax]
+
+            base_y, base_x = by * mcu_h, bx * mcu_w
             if nch == 1:
-                samples = comp_samples[0]
-                for yy in range(8):
-                    row = base + yy * width
-                    srow = yy * 8
-                    pixels[row : row + 8] = samples[srow : srow + 8]
+                cid = scan_order[0]
+                for yy in range(mcu_h):
+                    row = (base_y + yy) * width + base_x
+                    for xx in range(mcu_w):
+                        pixels[row + xx] = comp_at(cid, xx, yy)
             else:
-                ys, cbs, crs = comp_samples
-                for yy in range(8):
-                    row = base + yy * width * 3
-                    for xx in range(8):
-                        si = yy * 8 + xx
-                        y, cb, cr = ys[si], cbs[si], crs[si]
+                c_y, c_cb, c_cr = scan_order
+                for yy in range(mcu_h):
+                    row = ((base_y + yy) * width + base_x) * 3
+                    for xx in range(mcu_w):
+                        y = comp_at(c_y, xx, yy)
+                        cb = comp_at(c_cb, xx, yy)
+                        cr = comp_at(c_cr, xx, yy)
                         # JFIF conversion (T.871), floor(x+0.5) like the
                         # IDCT; expression shapes mirrored in the oracle.
                         r = y + YCC_R_CR * (cr - 128)
@@ -494,11 +551,12 @@ def decode_jpeg(data: bytes) -> JpegImage:
                         pixels[o] = _clamp8(int(math.floor(r + 0.5)))
                         pixels[o + 1] = _clamp8(int(math.floor(g + 0.5)))
                         pixels[o + 2] = _clamp8(int(math.floor(b + 0.5)))
+            mcu_index += 1
     return JpegImage(
         width=width,
         height=height,
         pixels=pixels,
-        n_blocks=bw * bh,
+        n_blocks=mw * mh,
         coeffs=coeffs,
         channels=nch,
     )
@@ -609,6 +667,129 @@ def encode_jpeg_color(
             if run:
                 code, length = ac_codes[0x00]
                 w.write(code, length)
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_subsampled(
+    width: int,
+    height: int,
+    mcus: list[tuple[list[list[int]], list[int], list[int]]],
+    q_luma: list[int],
+    q_chroma: list[int],
+    restart_interval: int = 0,
+) -> bytes:
+    """Real 4:2:0 baseline JPEG bytes: each MCU is (four Y blocks in raster
+    order, one Cb block, one Cr block), all as quantized zigzag coefficient
+    lists. ``restart_interval`` > 0 emits a DRI segment and injects the
+    modulo-8 RSTn markers every that-many MCUs (T.81 F.2.1.3.1): the writer
+    pads to a byte boundary with 1-bits and every DC predictor resets —
+    exactly the state machine decode_jpeg's sync_restart verifies."""
+    if width % 16 or height % 16:
+        raise ValueError("jpeg encoder: 4:2:0 dimensions must be multiples of 16")
+    if len(mcus) != (width // 16) * (height // 16):
+        raise ValueError("jpeg encoder: wrong MCU count")
+    for ys, _cb, _cr in mcus:
+        if len(ys) != 4:
+            raise ValueError("jpeg encoder: each 4:2:0 MCU needs 4 Y blocks")
+
+    def _sweep_symbols():
+        """Collect the exact DC/AC symbol sets the writing loop will emit,
+        including restart-boundary predictor resets."""
+        dc: dict[int, set[int]] = {0: set(), 1: set()}
+        ac: dict[int, set[int]] = {0: set(), 1: set()}
+        preds = [0, 0, 0]
+        for i, (ys, cb, cr) in enumerate(mcus):
+            if restart_interval and i and i % restart_interval == 0:
+                preds = [0, 0, 0]
+            for slot, ci, blks in ((0, 0, ys), (1, 1, [cb]), (1, 2, [cr])):
+                for blk in blks:
+                    dc[slot].add(_csize(blk[0] - preds[ci]))
+                    preds[ci] = blk[0]
+                    run = 0
+                    for k in range(1, 64):
+                        v = blk[k]
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            ac[slot].add(0xF0)
+                            run -= 16
+                        ac[slot].add((run << 4) | _csize(v))
+                        run = 0
+                    if run:
+                        ac[slot].add(0x00)
+        for slot in (0, 1):
+            if not ac[slot]:
+                ac[slot].add(0x00)
+        return dc, ac
+
+    dc_syms, ac_syms = _sweep_symbols()
+    tables = {}
+    for slot in (0, 1):
+        db, dv = _single_length_table(sorted(dc_syms[slot]))
+        ab, av = _single_length_table(sorted(ac_syms[slot]))
+        tables[slot] = (_canonical_codes(db, dv), _canonical_codes(ab, av),
+                        db, dv, ab, av)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    for tq, qt in ((0, q_luma), (1, q_chroma)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(qt)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    out += bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])  # Y 2x2, Cb/Cr 1x1
+    for slot in (0, 1):
+        _, _, db, dv, ab, av = tables[slot]
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(dv))
+        out += bytes([slot]) + bytes(db) + bytes(dv)
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(av))
+        out += bytes([0x10 | slot]) + bytes(ab) + bytes(av)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    rst_n = 0
+    for i, (ys, cb, cr) in enumerate(mcus):
+        if restart_interval and i and i % restart_interval == 0:
+            w.flush()
+            out += w.out
+            out += bytes([0xFF, 0xD0 + rst_n])
+            rst_n = (rst_n + 1) % 8
+            w = _BitWriter()
+            preds = [0, 0, 0]
+        for slot, ci, blks in ((0, 0, ys), (1, 1, [cb]), (1, 2, [cr])):
+            dc_codes, ac_codes = tables[slot][0], tables[slot][1]
+            for blk in blks:
+                diff = blk[0] - preds[ci]
+                preds[ci] = blk[0]
+                size = _csize(diff)
+                code, length = dc_codes[size]
+                w.write(code, length)
+                if size:
+                    w.write(_value_bits(diff, size), size)
+                run = 0
+                for k in range(1, 64):
+                    v = blk[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_codes[0xF0]
+                        w.write(code, length)
+                        run -= 16
+                    size = _csize(v)
+                    code, length = ac_codes[(run << 4) | size]
+                    w.write(code, length)
+                    w.write(_value_bits(v, size), size)
+                    run = 0
+                if run:
+                    code, length = ac_codes[0x00]
+                    w.write(code, length)
     w.flush()
     out += w.out
     out += b"\xff\xd9"

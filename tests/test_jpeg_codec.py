@@ -124,10 +124,10 @@ def test_rejects_non_baseline_and_malformed():
     progressive = good[:sof0 + 1] + b"\xc2" + good[sof0 + 2 :]
     with pytest.raises(NotImplementedError):
         decode_jpeg(progressive)
-    # DRI (restart interval) must be rejected.
+    # DRI (restart interval) is SUPPORTED since r11: an interval the
+    # stream never reaches (8 > MCU count 1) decodes to identical pixels.
     dri = good[:2] + b"\xff\xdd" + struct.pack(">HH", 4, 8) + good[2:]
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(dri)
+    assert decode_jpeg(dri).pixels == decode_jpeg(good).pixels
 
 
 def test_canonical_code_generation_matches_annex_c():
@@ -208,12 +208,65 @@ def test_color_separate_dc_predictors():
     assert [b[0] for b in img.coeffs] == [100, -100, 50, 100, -100, 50, 0, 0, 0]
 
 
-def test_color_rejects_subsampling():
+def test_color_rejects_unsupported_sampling_layouts():
+    """4:4:4 and 4:2:0 are in scope since r11; anything else (4:2:2 here)
+    still rejects loudly."""
     from datafusion_distributed_spark.sources.jpeg import encode_jpeg_color
 
     qc = [22] + [9 + (k * 5) % 13 for k in range(1, 64)]
     data = bytearray(encode_jpeg_color(8, 8, [(_blk(dc=1), _blk(dc=1), _blk(dc=1))], _Q, qc))
     sof = bytes(data).find(b"\xff\xc0")
-    data[sof + 11] = 0x22  # luma H=V=2 -> 4:2:0
-    with pytest.raises(NotImplementedError, match="subsampling"):
+    data[sof + 11] = 0x21  # luma H=2, V=1 -> 4:2:2
+    with pytest.raises(NotImplementedError, match="sampling layout"):
         decode_jpeg(bytes(data))
+
+
+def test_subsampled_roundtrip_with_restarts():
+    """4:2:0 + DRI/RSTn (r11): coefficients round-trip exactly through the
+    entropy layer across restart boundaries; chroma upsamples by 2x2
+    replication; a corrupted RSTn index fails loudly."""
+    from datafusion_distributed_spark.sources.jpeg import (
+        encode_jpeg_subsampled,
+    )
+
+    qc = [22] + [9 + (k * 5) % 13 for k in range(1, 64)]
+
+    def mcu(b):
+        ys = []
+        for j in range(4):
+            blk = [0] * 64
+            blk[0] = (b * 11 + j * 17) % 160 - 80
+            blk[1 + ((b + j) % 5)] = ((b + j) % 5) - 2
+            ys.append(blk)
+        cb = [0] * 64
+        cb[0] = (b * 7) % 120 - 60
+        cr = [0] * 64
+        cr[0] = (b * 5) % 120 - 60
+        return (ys, cb, cr)
+
+    mcus = [mcu(b) for b in range(4)]  # 64x16: 3 restart boundaries
+    data = encode_jpeg_subsampled(64, 16, mcus, _Q, qc, restart_interval=1)
+    assert data.count(b"\xff\xd0") + data.count(b"\xff\xd1") + data.count(
+        b"\xff\xd2"
+    ) >= 3
+    img = decode_jpeg(data)
+    assert (img.width, img.height, img.channels, img.n_blocks) == (64, 16, 3, 4)
+    flat = []
+    for ys, cb, cr in mcus:
+        flat.extend(ys + [cb, cr])
+    assert img.coeffs == flat  # exact entropy roundtrip across restarts
+
+    # chroma replication: DC-only chroma means each 2x2 pixel cell shares
+    # its Cb/Cr, so R of the four pixels in a cell is identical when Y's
+    # AC terms cancel at matching positions — check a flat MCU instead:
+    flat_mcu = ([[0] * 64 for _ in range(4)], [0] * 64, [0] * 64)
+    flat_img = decode_jpeg(
+        encode_jpeg_subsampled(16, 16, [flat_mcu], _Q, qc, restart_interval=0)
+    )
+    assert len(set(flat_img.pixels)) <= 3  # one RGB triple everywhere
+
+    # Wrong RSTn modulo index must fail loudly.
+    i = data.find(b"\xff\xd0")
+    corrupted = data[:i + 1] + b"\xd5" + data[i + 2 :]
+    with pytest.raises(ValueError, match="RST"):
+        decode_jpeg(corrupted)

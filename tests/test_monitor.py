@@ -105,3 +105,35 @@ def test_watch_drains_to_idle(spark):
     assert len(snaps) >= 2  # needed idle_polls consecutive idle frames
     assert len(frames) == len(snaps)
     assert all("stages:" in f for f in frames)
+
+
+def test_worker_info_surface(spark):
+    """GetWorkerInfo analogue (reference
+    docs/source/advanced/07-worker-versioning.md): runtime/version metadata
+    must be present in both the standalone call and every snapshot; the
+    user-defined version string defaults to '' (a worker that never called
+    with_version) and follows the conf key when set."""
+    from datafusion_distributed_spark.plans.monitor import (
+        WORKER_VERSION_ENV,
+        snapshot,
+        worker_info,
+    )
+
+    sc = spark.sparkContext
+    info = worker_info(sc)
+    assert info["spark_version"] == sc.version
+    assert info["app_id"] == sc.applicationId
+    assert info["master"].startswith("local")
+    assert info["java_version"]  # jvm reachable in tests
+    assert info["worker_version"] == ""  # unset -> reference default
+
+    snap = snapshot(sc)
+    assert snap["worker_info"]["spark_version"] == sc.version
+
+    import os
+
+    os.environ[WORKER_VERSION_ENV] = "r11-test-build"
+    try:
+        assert worker_info(sc)["worker_version"] == "r11-test-build"
+    finally:
+        del os.environ[WORKER_VERSION_ENV]
