@@ -1957,3 +1957,66 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step: bigint, left_sym: string, right_sym: string, "
         "merged: string, pair_count: bigint",
     )
+
+
+def _bpe_tokenize_oracle(steps: int = _BPE_STEPS) -> str:
+    """Corpus tokenization stats under the LEARNED merges: the same chain
+    as _bpe_oracle extended one step so v{steps} carries the symbolization
+    after ALL merges, then weighted symbol/char totals over the vocab."""
+    parts = [f"WITH {_bpe_vocab_sql()}"]
+    prev = "words"
+    for st in range(1, steps + 1):
+        parts.append(f""",
+m{st} AS (
+  SELECT l, r, cnt FROM ({_bpe_pairs_sql(prev)})
+  ORDER BY cnt DESC, l, r LIMIT 1
+)""")
+        sym = "sym"
+        for _ in range(_BPE_PASSES):
+            sym = (f"replace({sym}, ' ' || m{st}.l || ' ' || m{st}.r || ' ', "
+                   f"' ' || m{st}.l || m{st}.r || ' ')")
+        parts.append(f""",
+v{st} AS (SELECT word, freq, {sym} AS sym FROM {prev}, m{st})""")
+        prev = f"v{st}"
+    return "".join(parts) + f"""
+SELECT CAST(SUM(freq) AS BIGINT) AS n_words,
+       CAST(SUM(freq * len(word)) AS BIGINT) AS n_chars,
+       CAST(SUM(freq * len(string_split(trim(sym), ' '))) AS BIGINT)
+         AS n_tokens,
+       CAST(SUM(freq * len(string_split(trim(sym), ' '))) AS DOUBLE)
+         / SUM(freq * len(word)) AS tokens_per_char,
+       CAST(SUM(freq * len(string_split(trim(sym), ' '))) AS DOUBLE)
+         / SUM(freq) AS tokens_per_word
+FROM {prev}
+"""
+
+
+@query(
+    "text_bpe_tokenize_stats",
+    oracle=_bpe_tokenize_oracle(),
+    tags=("text", "tokenizer", "bpe"),
+)
+def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization statistics under the LEARNED merge table (the
+    application half of the tokenizer-training corner: text_bpe_learn_merges
+    learns the merges, this measures the fertility they buy). Weighted over
+    the vocabulary table — token totals are exact integers; the fertility
+    ratios are single divisions of exact sums."""
+    merges = _bpe_learned_merges(spark, sf_dir)
+    sym = F.col("sym")
+    for left, right, _cnt in merges:
+        sym = _bpe_apply_merge(sym, left, right)
+    n_syms = F.size(F.split(F.trim(sym), " "))
+    vocab = _bpe_vocab_frame(spark, sf_dir)
+    return vocab.agg(
+        F.sum("freq").cast("long").alias("n_words"),
+        F.sum(F.col("freq") * F.length("word")).cast("long").alias("n_chars"),
+        F.sum(F.col("freq") * n_syms).cast("long").alias("n_tokens"),
+        (
+            dbl(F.sum(F.col("freq") * n_syms))
+            / F.sum(F.col("freq") * F.length("word"))
+        ).alias("tokens_per_char"),
+        (dbl(F.sum(F.col("freq") * n_syms)) / F.sum("freq")).alias(
+            "tokens_per_word"
+        ),
+    )
