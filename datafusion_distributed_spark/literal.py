@@ -212,9 +212,6 @@ def view_definitions(
     def IDIV(a: str, b: int) -> str:    # exact integer floor division (a >= 0)
         return f"(({a}) DIV {b})" if sp else f"(({a}) // {b})"
 
-    _HEAVY = f"{_HU} % 16 = 0"          # 1-in-16 rows are heavy-entity rows
-    _HB = TZ(IDIV(_HU, 16))             # heavy bucket (aligned across cols)
-
     # Exact-lane order-less customer tail (see the q22 note above). Rendered
     # here because it uses the per-engine S() cast.
     _CUST_TAIL = (
@@ -336,20 +333,23 @@ FROM {base("events")}""",
         # so the q8/q9/q11/q14 LIMIT-10 cuts are UNREACHABLE at any scale
         # (the q12 vocabulary-bound trick composed with geometric sizes —
         # with <= 9 groups the cut never fires, so group-count ties are
-        # irrelevant). UserID gets the same <= 9-value geometric cap: a
-        # two-ladder heavy/tail split was screened first and its ladders
-        # collided at the q15 rank-10 boundary at sf0.1 (per-user tail
-        # counts are ~constant ~90 at every scale and overtake the deep
-        # heavy buckets); with 9 users q15's LIMIT 10 never cuts, and
-        # UserID magnitudes are bounded (~1e6) so q3's AVG sum stays far
-        # from int64 range at any scale (the r8 q3 overflow class).
-        # WatchID/ClientIP keep a heavy/tail split — their texts
-        # (q30/q31/q32/q35) stay REJECTED: the heavy-pair ladder needs
-        # ~sf0.1 row counts to rise above the count-1 tail wall, so the
-        # rank-10 boundary ties at the smaller gate scales (screened).
+        # irrelevant). UserID/WatchID/ClientIP get the same <= 9-value
+        # geometric cap, sharing ONE bucket (aligned entity identity), so
+        # pair groupings like q31/q32's (WatchID, ClientIP) are 1:1 with
+        # the bucket — 9 groups, cut unreachable. Heavy/tail splits were
+        # screened first and REJECTED twice over: per-user tails' ~90
+        # constant counts collided with the deep heavy ladder at q15's
+        # rank-10 boundary at sf0.1, and count-1 tails tied q31/q32/q35's
+        # boundaries at the smaller gate scales. UserID magnitudes are
+        # bounded (~1e6) so q3's AVG sum stays far from int64 range at
+        # any scale (the r8 q3 overflow class). Independent-hash product
+        # counts (q16/q30's (engine, ip)-style pairings, q18's
+        # (user, minute, phrase)) stay REJECTED: geometric x geometric
+        # products tie structurally (2^-a * 2^-b equal whenever a+b is),
+        # and q19's literal UserID cannot be planted without re-breaking
+        # q3's sum bound.
         "hits_unique": f"""
-SELECT CASE WHEN {_HEAVY} THEN 5000000000 + {_HB}
-            ELSE event_id END AS "WatchID",
+SELECT 5000000000 + {TZ(f"{_HU} % 256")} AS "WatchID",
        1000000 + {TZ(f"{_HU} % 256")} AS "UserID",
        CASE WHEN ((event_id % 100000) * 2654435761) % 100 < 5
             THEN CAST(event_id % 17 + 1 AS INT) ELSE 0 END AS "AdvEngineID",
@@ -373,8 +373,7 @@ SELECT CASE WHEN {_HEAVY} THEN 5000000000 + {_HB}
                  ELSE 0 END AS INT) AS "SearchEngineID",
        CASE WHEN {_HT} % 11 < 3 THEN 'Google Search ' || {S(TZ(IDIV(_HT, 11)))}
             ELSE 'Page Title ' || {S(TZ(IDIV(_HT, 11)))} END AS "Title",
-       CASE WHEN {_HEAVY} THEN 3000 + {_HB}
-            ELSE ((user_id % 100000) * 48271) % 1000000 END AS "ClientIP",
+       3000 + {TZ(f"{_HU} % 256")} AS "ClientIP",
        CASE WHEN event_id % 7 < 3
             THEN 'http://ref.example.com/' || {S("event_id % 200")}
             ELSE '' END AS "Referer",

@@ -2290,6 +2290,30 @@ _CB_R11 = [
     ("q34", "clickbench_unique", "top_urls_with_const",
      ("one", "url", "c"), None,
      "q33 + constant grouping column"),
+    # Second wave (same round): WatchID/ClientIP switched from a
+    # heavy/tail split to the shared <= 9-value bucket — (WatchID,
+    # ClientIP) pair groupings become 1:1 with the bucket, so the q31/
+    # q32/q35 cuts are UNREACHABLE at any scale (9 groups < LIMIT 10; the
+    # heavy/tail variant's count-1 tails tied their boundaries at small
+    # scales). q30 stays rejected: its (SearchEngineID, ClientIP) pairs
+    # mix two INDEPENDENT geometric hashes whose product counts tie
+    # structurally (2^-a * 2^-b equal whenever a+b is; observed at
+    # sf0.001). q16's (UserID, SearchPhrase) pairs share the dominant ''
+    # phrase lane, and its rank-10 boundary screened cut-clean at all
+    # three fixture scales.
+    ("q16", "clickbench_unique", "user_phrase_counts",
+     ("user_id_h", "search_phrase", "c"), None,
+     "(9 users x phrases, '' lane dominant); boundary screened clean at "
+     "all three scales"),
+    ("q31", "clickbench_unique", "watch_ip_phrase_profile",
+     ("watch_id", "client_ip", "c", "sum_refresh", "avg_width"), None,
+     "(WatchID, ClientIP) 1:1 with the 9-value bucket: cut unreachable"),
+    ("q32", "clickbench_unique", "watch_ip_profile",
+     ("watch_id", "client_ip", "c", "sum_refresh", "avg_width"), None,
+     "q31 without the phrase filter; 9 groups < LIMIT"),
+    ("q35", "clickbench_unique", "ip_arithmetic_counts",
+     ("client_ip", "ip1", "ip2", "ip3", "c"), None,
+     "9 ClientIP values < LIMIT 10: cut unreachable"),
 ]
 
 if _os.path.isdir(REFERENCE_QUERIES):
