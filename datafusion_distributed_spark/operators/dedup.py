@@ -1302,3 +1302,194 @@ def dup_doc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans, with the threshold keep/drop verdict a cleaning pipeline
     actually enforces. One row per document, zero-span docs included."""
     return dup_doc_filter_frames(t(spark, sf_dir)["documents"], _SPAN_W)
+
+
+# ---------------------------------------------------------------------------
+# Incremental-ingest dedup (r11): the PRODUCTION shape the batch-global
+# family above doesn't cover — a NEW shard arrives and must be deduplicated
+# AGAINST THE EXISTING CORPUS without re-pairing the corpus with itself.
+# The new side's bands join the corpus band table (in production a
+# maintained index); cost is |new| x bucket-overlap, never corpus x corpus.
+# Corpus-side bucket membership is capped (the dd_minhash_lsh_pairs_capped
+# bound, deterministic lowest-doc_id members) so one hot band can never
+# quadratically explode a batch. Candidates verify with EXACT Jaccard over
+# the per-row shingle sets; every arriving doc gets a verdict row (keep
+# when its best corpus match is below the 0.5 near-dup threshold),
+# including docs with zero candidates.
+# ---------------------------------------------------------------------------
+
+_INGEST_MOD = 10   # doc_id % 10 == 0 -> the arriving shard (a 10% "day")
+_INGEST_CAP = 128  # corpus-side band-bucket cap
+
+
+def _ingest_oracle() -> str:
+    sig_cols = ",\n    ".join(
+        f"MIN(substring(m, {8 * i + 1}, 8)) AS h{i}" for i in range(_N_HASHES)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, "
+        f"md5(h{b * _ROWS_PER_BAND} || '|' || h{b * _ROWS_PER_BAND + 1}) "
+        f"AS band_hash FROM sigs"
+        for b in range(_N_BANDS)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS w FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+  FROM words WHERE len(w) >= 3
+),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh FROM idx
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+mh AS (
+  SELECT doc_id, {_MD5_CONCAT_SQL} AS m FROM shingles
+),
+sigs AS (
+  SELECT doc_id,
+    {sig_cols}
+  FROM mh GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+new_bands AS (SELECT * FROM bands WHERE doc_id % {_INGEST_MOD} = 0),
+old_capped AS (
+  SELECT doc_id, band_idx, band_hash FROM (
+    SELECT doc_id, band_idx, band_hash,
+           ROW_NUMBER() OVER (PARTITION BY band_idx, band_hash
+                              ORDER BY doc_id) AS rn
+    FROM bands WHERE doc_id % {_INGEST_MOD} <> 0
+  ) WHERE rn <= {_INGEST_CAP}
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM new_bands n JOIN old_capped o
+    ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+),
+inter AS (
+  SELECT c.new_id, c.old_id, COUNT(*) AS n_common
+  FROM cand c
+  JOIN shingles sn ON sn.doc_id = c.new_id
+  JOIN shingles so ON so.doc_id = c.old_id AND so.sh = sn.sh
+  GROUP BY c.new_id, c.old_id
+),
+jac AS (
+  SELECT i.new_id, i.old_id,
+         CAST(i.n_common AS DOUBLE)
+           / (zn.n_sh + zo.n_sh - i.n_common) AS jaccard
+  FROM inter i
+  JOIN sizes zn ON zn.doc_id = i.new_id
+  JOIN sizes zo ON zo.doc_id = i.old_id
+),
+best AS (
+  SELECT new_id, old_id, jaccard FROM (
+    SELECT new_id, old_id, jaccard,
+           ROW_NUMBER() OVER (PARTITION BY new_id
+                              ORDER BY jaccard DESC, old_id) AS rn
+    FROM jac
+  ) WHERE rn = 1
+),
+counts AS (SELECT new_id, COUNT(*) AS n_candidates FROM jac GROUP BY new_id)
+SELECT s.doc_id,
+       COALESCE(c.n_candidates, 0) AS n_candidates,
+       b.old_id AS best_match_id,
+       b.jaccard AS best_jaccard,
+       CAST(CASE WHEN COALESCE(b.jaccard, 0) >= 0.5 THEN 0 ELSE 1 END
+            AS INTEGER) AS keep
+FROM sizes s
+LEFT JOIN counts c ON c.new_id = s.doc_id
+LEFT JOIN best b ON b.new_id = s.doc_id
+WHERE s.doc_id % {_INGEST_MOD} = 0
+"""
+
+
+@query(
+    "dd_incremental_ingest",
+    oracle=_ingest_oracle(),
+    tags=("dedup", "minhash", "incremental"),
+    order_by="doc_id",
+)
+def incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup verdicts for an arriving shard against the existing corpus:
+    new-side LSH bands join the (capped) corpus band table, candidates
+    verify with exact per-row-set Jaccard, and every arriving document
+    (with >= 3 words — the shingling floor both engines share) gets a
+    keep/drop row."""
+    docs = t(spark, sf_dir)["documents"]
+    arrs = _shingle_arrays(docs)
+    bands = lsh_bands(_signatures_from_arrays(arrs))
+    is_new = F.col("doc_id") % _INGEST_MOD == 0
+    new_bands = bands.filter(is_new)
+    w = Window.partitionBy("band_idx", "band_hash").orderBy("doc_id")
+    old_capped = (
+        bands.filter(~is_new)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _INGEST_CAP)
+        .drop("rn")
+    )
+    cand = (
+        new_bands.alias("n")
+        .join(
+            old_capped.alias("o"),
+            (F.col("n.band_idx") == F.col("o.band_idx"))
+            & (F.col("n.band_hash") == F.col("o.band_hash")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id")
+        )
+        .distinct()
+    )
+    an = arrs.select(
+        F.col("doc_id").alias("_kn"),
+        F.col("sh_arr").alias("sn"),
+        F.size("sh_arr").alias("n_n"),
+    )
+    ao = arrs.select(
+        F.col("doc_id").alias("_ko"),
+        F.col("sh_arr").alias("so"),
+        F.size("sh_arr").alias("n_o"),
+    )
+    n_common = F.size(F.array_intersect(F.col("sn"), F.col("so")))
+    jac = (
+        cand.join(an, F.col("new_id") == F.col("_kn"))
+        .join(ao, F.col("old_id") == F.col("_ko"))
+        .select(
+            "new_id",
+            "old_id",
+            (
+                n_common.cast("double")
+                / (F.col("n_n") + F.col("n_o") - n_common)
+            ).alias("jaccard"),
+        )
+    )
+    wb = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("old_id"))
+    best = (
+        jac.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "new_id",
+            F.col("old_id").alias("best_match_id"),
+            F.col("jaccard").alias("best_jaccard"),
+        )
+    )
+    counts = jac.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+    new_docs = arrs.filter(is_new).select("doc_id")
+    return (
+        new_docs.join(counts, new_docs.doc_id == counts.new_id, "left")
+        .drop("new_id")
+        .join(best, new_docs.doc_id == best.new_id, "left")
+        .drop("new_id")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_candidates"), F.lit(0)).alias("n_candidates"),
+            "best_match_id",
+            "best_jaccard",
+            F.when(F.coalesce(F.col("best_jaccard"), F.lit(0.0)) >= 0.5, 0)
+            .otherwise(1)
+            .cast("int")
+            .alias("keep"),
+        )
+    )
