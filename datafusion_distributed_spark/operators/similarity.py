@@ -2243,3 +2243,83 @@ def retrieval_mrr_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ap_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA power-iteration step (r11): the whitening / dimensionality-reduction
+# fit that production vector pipelines run BEFORE building an ANN index
+# (OPQ-style rotation fits, covariance whitening) — as one distributed
+# matrix-vector step. u = X^T (X v0) for the deterministic seed direction
+# v0 = all-ones: each row contributes (x . v0) * x, so the step is a pure
+# per-row computation into a 64-group map-side-combinable aggregate (zero
+# joins, one shuffle carrying 64 partial rows per task — the Lloyd-chain
+# shape). Repeated application converges to the top principal direction of
+# the UNCENTERED second-moment matrix; one step is registered (the same
+# fixed-horizon reasoning as the PQ chain), with the exact components
+# driver-gated.
+#
+# Exact-arithmetic discipline: components quantize to round(x * 1e6)
+# BIGINTs; the row dot and the per-dimension contribution products are
+# integer; sums accumulate in DECIMAL(38,0) (the text_tfidf dot
+# discipline — products reach ~2.6e14 per row, beyond safe int64 headroom
+# at probe scale), so every emitted value is an exact integer identical
+# in both engines regardless of partitioning or summation order.
+# ---------------------------------------------------------------------------
+
+_PCA_SCALE = 1000000
+
+
+def _pca_power_oracle() -> str:
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id >= {_N_QUERIES}
+),
+q AS (
+  SELECT vec_id, g.d AS dim,
+         CAST(ROUND(e[g.d] * {_PCA_SCALE}) AS BIGINT) AS xq
+  FROM emb CROSS JOIN unnest(generate_series(1, {_PQ_M * _PQ_D})) AS g(d)
+),
+dots AS (
+  SELECT vec_id, CAST(SUM(xq) AS BIGINT) AS dotq FROM q GROUP BY vec_id
+)
+SELECT q.dim,
+       CAST(SUM(CAST(q.xq AS DECIMAL(38,0)) * d.dotq) AS DECIMAL(38,0))
+         AS component_q,
+       COUNT(*) AS n_vecs
+FROM q JOIN dots d ON d.vec_id = q.vec_id
+GROUP BY q.dim
+"""
+
+
+@query(
+    "sim_pca_power_step",
+    oracle=_pca_power_oracle(),
+    tags=("similarity", "pca", "training", "linear-algebra"),
+    order_by="dim",
+)
+def pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact power-iteration step u = X^T (X v0), v0 = all-ones, over
+    the corpus embeddings: 64 rows of integer-exact (quantized) component
+    sums. Per-row dot in whole-stage codegen, one 64-group aggregate."""
+    emb = t(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    xq = F.expr(
+        f"transform(e, x -> cast(round(x * {_PCA_SCALE}) as bigint))"
+    )
+    dotq = F.expr(
+        "aggregate(xq, cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    rows = corpus.select(xq.alias("xq")).select("xq", dotq.alias("dotq"))
+    ex = rows.select(
+        F.posexplode("xq").alias("pos", "x"), F.col("dotq")
+    ).select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        (F.col("x").cast("decimal(38,0)") * F.col("dotq")).alias("contrib"),
+    )
+    return ex.groupBy("dim").agg(
+        F.sum("contrib").cast("decimal(38,0)").alias("component_q"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
