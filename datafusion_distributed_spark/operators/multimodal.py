@@ -1484,6 +1484,7 @@ def encode_webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                     w, h, rgba,
                     backrefs=[(w, w * (h - 1), w)],  # rows 2..h copy row 1
                     cache_bits=4,
+                    subtract_green=True,  # exercises the inverse transform
                 )
             )
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "webp": blobs})

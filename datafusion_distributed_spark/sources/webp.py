@@ -11,14 +11,14 @@ its 0x1e35a7bd multiplicative hash. The reference engine has no image
 path; this is additive training-pipeline scope.
 
 Scope (documented, checked — the JPEG codec's discipline):
-- DECODE: VP8L streams with no transforms and no meta prefix image (one
-  prefix-code group), any mix of literals, color-cache hits, and backward
-  references with ABSOLUTE distance codes (> 120). The 120-entry
-  near-distance pixel-offset table is NOT implemented — dist codes <= 120
-  reject loudly (the table is a literal spec constant; guessing it risks
-  silently-wrong pixels, the one failure mode this gate bans). The four
-  transforms (predictor / color / subtract-green / palette), meta prefix
-  codes, and lossy VP8 payloads also reject loudly.
+- DECODE: VP8L streams with the SUBTRACT_GREEN transform or none, no meta
+  prefix image (one prefix-code group), any mix of literals, color-cache
+  hits, and backward references with ABSOLUTE distance codes (> 120). The
+  120-entry near-distance pixel-offset table is NOT implemented — dist
+  codes <= 120 reject loudly (the table is a literal spec constant;
+  guessing it risks silently-wrong pixels, the one failure mode this gate
+  bans). The predictor / color / palette transforms, meta prefix codes,
+  and lossy VP8 payloads also reject loudly.
 - ENCODE (the test/fixture harness): real VP8L bytes for arbitrary ARGB
   pixels — real canonical prefix codes described via the NORMAL path
   (code-length code + canonical build), optional color cache, optional
@@ -218,10 +218,15 @@ def decode_webp_lossless(data: bytes) -> WebpImage:
     br.read_bits(1)  # alpha hint (informational)
     if br.read_bits(3) != 0:
         raise ValueError("vp8l: unsupported version")
+    subtract_green = False
     while br.read_bits(1):
         ttype = br.read_bits(2)
+        if ttype == 2:  # SUBTRACT_GREEN: r -= g, b -= g at encode time
+            subtract_green = True
+            continue
         raise NotImplementedError(
-            f"vp8l: transforms not supported (got transform type {ttype})"
+            f"vp8l: transform type {ttype} not supported "
+            "(subtract-green only)"
         )
     cache_bits = 0
     if br.read_bits(1):
@@ -273,9 +278,11 @@ def decode_webp_lossless(data: bytes) -> WebpImage:
             argb.append(cache[idx])  # cache hit re-inserts the same value
     pixels: list[int] = []
     for px in argb:
-        pixels.extend(
-            ((px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF, (px >> 24) & 0xFF)
-        )
+        r, g, b, a = (px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF, (px >> 24) & 0xFF
+        if subtract_green:  # inverse transform: add green back (mod 256)
+            r = (r + g) & 0xFF
+            b = (b + g) & 0xFF
+        pixels.extend((r, g, b, a))
     return WebpImage(width=width, height=height, pixels=pixels)
 
 
@@ -383,6 +390,7 @@ def encode_webp_lossless(
     rgba: list[int],
     backrefs: list[tuple[int, int, int]] | None = None,
     cache_bits: int = 0,
+    subtract_green: bool = False,
 ) -> bytes:
     """Real VP8L bytes for row-major RGBA samples. ``backrefs`` optionally
     replaces runs with LZ77 copies: (pixel_index, length, distance) —
@@ -393,13 +401,14 @@ def encode_webp_lossless(
     n = width * height
     if len(rgba) != 4 * n:
         raise ValueError("webp encoder: wrong sample count")
-    argb = [
-        (rgba[4 * i + 3] << 24)
-        | (rgba[4 * i] << 16)
-        | (rgba[4 * i + 1] << 8)
-        | rgba[4 * i + 2]
-        for i in range(n)
-    ]
+    def _px(i: int) -> int:
+        r, g, b, a = rgba[4 * i], rgba[4 * i + 1], rgba[4 * i + 2], rgba[4 * i + 3]
+        if subtract_green:  # forward transform: store r-g, b-g (mod 256)
+            r = (r - g) & 0xFF
+            b = (b - g) & 0xFF
+        return (a << 24) | (r << 16) | (g << 8) | b
+
+    argb = [_px(i) for i in range(n)]
     ref_at = {}
     for start, length, dist in backrefs or ():
         for k in range(length):
@@ -466,7 +475,10 @@ def encode_webp_lossless(
     bw.write_bits(height - 1, 14)
     bw.write_bits(1, 1)  # alpha hint
     bw.write_bits(0, 3)  # version
-    bw.write_bits(0, 1)  # no transforms
+    if subtract_green:
+        bw.write_bits(1, 1)  # one transform follows
+        bw.write_bits(2, 2)  # SUBTRACT_GREEN
+    bw.write_bits(0, 1)  # no (more) transforms
     if cache_bits:
         bw.write_bits(1, 1)
         bw.write_bits(cache_bits, 4)

@@ -110,3 +110,19 @@ def test_container_layout():
     (riff_len,) = struct.unpack("<I", data[4:8])
     assert riff_len == len(data) - 8
     assert data[20] == 0x2F
+
+
+def test_subtract_green_transform_roundtrip():
+    rng = random.Random(21)
+    for _ in range(15):
+        w, h = rng.randint(1, 8), rng.randint(1, 6)
+        rgba = [rng.randint(0, 255) for _ in range(4 * w * h)]
+        data = encode_webp_lossless(w, h, rgba, subtract_green=True)
+        img = decode_webp_lossless(data)
+        assert img.pixels == rgba
+    # the transform genuinely changes the stored stream for non-gray pixels
+    rgba = [200, 10, 55, 255] * 4
+    a = encode_webp_lossless(2, 2, rgba)
+    b = encode_webp_lossless(2, 2, rgba, subtract_green=True)
+    assert a != b
+    assert decode_webp_lossless(a).pixels == decode_webp_lossless(b).pixels
