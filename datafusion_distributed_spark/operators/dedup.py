@@ -1410,7 +1410,6 @@ WHERE s.doc_id % {_INGEST_MOD} = 0
     "dd_incremental_ingest",
     oracle=_ingest_oracle(),
     tags=("dedup", "minhash", "incremental"),
-    order_by="doc_id",
 )
 def incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup verdicts for an arriving shard against the existing corpus:

@@ -2296,7 +2296,6 @@ GROUP BY q.dim
     "sim_pca_power_step",
     oracle=_pca_power_oracle(),
     tags=("similarity", "pca", "training", "linear-algebra"),
-    order_by="dim",
 )
 def pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One exact power-iteration step u = X^T (X v0), v0 = all-ones, over
