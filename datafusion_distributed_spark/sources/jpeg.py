@@ -14,12 +14,13 @@ training-pipeline scope (multimodal binary columns).
 Scope (documented, checked):
 - DECODE: any baseline sequential (SOF0) 8-bit JPEG with one Huffman-coded
   scan — single-component grayscale, or 3-component interleaved YCbCr
-  converted to RGB with the JFIF (T.871) matrix at 4:4:4 OR 4:2:0 (chroma
-  upsampled by 2x2 sample replication, the JFIF nearest-neighbor
-  convention; r11), with restart intervals honored (DRI + modulo-8 RSTn
-  re-sync and predictor reset, T.81 F.2.1.3.1; r11). Progressive (SOF2),
-  other sampling layouts (4:2:2/4:1:1), 12-bit, and arithmetic coding are
-  rejected with a clear error, never silently wrong.
+  converted to RGB with the JFIF (T.871) matrix at 4:4:4, 4:2:2 or 4:2:0
+  (chroma upsampled by sample replication over the 2x1 / 2x2 cell, the
+  JFIF nearest-neighbor convention; r11), with restart intervals honored
+  (DRI + modulo-8 RSTn re-sync and predictor reset, T.81 F.2.1.3.1; r11).
+  Progressive (SOF2), other sampling layouts (4:1:1), 12-bit, and
+  arithmetic coding are rejected with a clear error, never silently
+  wrong.
 - ENCODE (the test harness, like the PNG encoder): images are DEFINED in
   the frequency domain — the caller supplies quantized coefficients per
   8x8 block and the encoder performs real entropy coding (canonical DHT
@@ -452,10 +453,11 @@ def decode_jpeg(data: bytes) -> JpegImage:
                 ((1, 1),),                          # grayscale
                 ((1, 1), (1, 1), (1, 1)),           # 4:4:4
                 ((2, 2), (1, 1), (1, 1)),           # 4:2:0
+                ((2, 1), (1, 1), (1, 1)),           # 4:2:2
             ):
                 raise NotImplementedError(
                     f"jpeg: unsupported sampling layout {factors} "
-                    "(gray, 4:4:4 or 4:2:0 only)"
+                    "(gray, 4:4:4, 4:2:2 or 4:2:0 only)"
                 )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("jpeg: only baseline sequential (SOF0)")
@@ -680,20 +682,32 @@ def encode_jpeg_subsampled(
     q_luma: list[int],
     q_chroma: list[int],
     restart_interval: int = 0,
+    factors: tuple[int, int] = (2, 2),
 ) -> bytes:
-    """Real 4:2:0 baseline JPEG bytes: each MCU is (four Y blocks in raster
-    order, one Cb block, one Cr block), all as quantized zigzag coefficient
-    lists. ``restart_interval`` > 0 emits a DRI segment and injects the
-    modulo-8 RSTn markers every that-many MCUs (T.81 F.2.1.3.1): the writer
-    pads to a byte boundary with 1-bits and every DC predictor resets —
-    exactly the state machine decode_jpeg's sync_restart verifies."""
-    if width % 16 or height % 16:
-        raise ValueError("jpeg encoder: 4:2:0 dimensions must be multiples of 16")
-    if len(mcus) != (width // 16) * (height // 16):
+    """Real subsampled baseline JPEG bytes: each MCU is (the luma blocks
+    in raster order — fh*fv of them for luma ``factors`` (fh, fv): 4 for
+    4:2:0, 2 for 4:2:2 — one Cb block, one Cr block), all as quantized
+    zigzag coefficient lists. ``restart_interval`` > 0 emits a DRI segment
+    and injects the modulo-8 RSTn markers every that-many MCUs (T.81
+    F.2.1.3.1): the writer pads to a byte boundary with 1-bits and every
+    DC predictor resets — exactly the state machine decode_jpeg's
+    sync_restart verifies."""
+    fh, fv = factors
+    if factors not in ((2, 2), (2, 1)):
+        raise ValueError("jpeg encoder: luma factors must be 2x2 or 2x1")
+    mcu_w, mcu_h = 8 * fh, 8 * fv
+    n_luma = fh * fv
+    if width % mcu_w or height % mcu_h:
+        raise ValueError(
+            f"jpeg encoder: dimensions must be multiples of {mcu_w}x{mcu_h}"
+        )
+    if len(mcus) != (width // mcu_w) * (height // mcu_h):
         raise ValueError("jpeg encoder: wrong MCU count")
     for ys, _cb, _cr in mcus:
-        if len(ys) != 4:
-            raise ValueError("jpeg encoder: each 4:2:0 MCU needs 4 Y blocks")
+        if len(ys) != n_luma:
+            raise ValueError(
+                f"jpeg encoder: each MCU needs {n_luma} Y blocks"
+            )
 
     def _sweep_symbols():
         """Collect the exact DC/AC symbol sets the writing loop will emit,
@@ -741,7 +755,7 @@ def encode_jpeg_subsampled(
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
-    out += bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])  # Y 2x2, Cb/Cr 1x1
+    out += bytes([1, (fh << 4) | fv, 0, 2, 0x11, 1, 3, 0x11, 1])
     for slot in (0, 1):
         _, _, db, dv, ab, av = tables[slot]
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(dv))

@@ -209,14 +209,14 @@ def test_color_separate_dc_predictors():
 
 
 def test_color_rejects_unsupported_sampling_layouts():
-    """4:4:4 and 4:2:0 are in scope since r11; anything else (4:2:2 here)
-    still rejects loudly."""
+    """4:4:4, 4:2:2 and 4:2:0 are in scope since r11; anything else
+    (4:1:1 here) still rejects loudly."""
     from datafusion_distributed_spark.sources.jpeg import encode_jpeg_color
 
     qc = [22] + [9 + (k * 5) % 13 for k in range(1, 64)]
     data = bytearray(encode_jpeg_color(8, 8, [(_blk(dc=1), _blk(dc=1), _blk(dc=1))], _Q, qc))
     sof = bytes(data).find(b"\xff\xc0")
-    data[sof + 11] = 0x21  # luma H=2, V=1 -> 4:2:2
+    data[sof + 11] = 0x41  # luma H=4, V=1 -> 4:1:1
     with pytest.raises(NotImplementedError, match="sampling layout"):
         decode_jpeg(bytes(data))
 
@@ -270,3 +270,45 @@ def test_subsampled_roundtrip_with_restarts():
     corrupted = data[:i + 1] + b"\xd5" + data[i + 2 :]
     with pytest.raises(ValueError, match="RST"):
         decode_jpeg(corrupted)
+
+
+def test_422_subsampled_roundtrip():
+    """4:2:2 (luma 2x1): the generalized MCU loop's horizontal-only
+    upsample path, with restart markers."""
+    from datafusion_distributed_spark.sources.jpeg import (
+        encode_jpeg_subsampled,
+    )
+
+    qc = [22] + [9 + (k * 5) % 13 for k in range(1, 64)]
+
+    def mcu(b):
+        ys = []
+        for j in range(2):
+            blk = [0] * 64
+            blk[0] = (b * 13 + j * 19) % 160 - 80
+            blk[2 + ((b + j) % 4)] = ((b + j) % 5) - 2
+            ys.append(blk)
+        cb = [0] * 64
+        cb[0] = (b * 7) % 120 - 60
+        cr = [0] * 64
+        cr[0] = (b * 5) % 120 - 60
+        return (ys, cb, cr)
+
+    mcus = [mcu(b) for b in range(6)]  # 48x16 = 3x2 MCUs of 16x8
+    data = encode_jpeg_subsampled(
+        48, 16, mcus, _Q, qc, restart_interval=2, factors=(2, 1)
+    )
+    img = decode_jpeg(data)
+    assert (img.width, img.height, img.channels, img.n_blocks) == (48, 16, 3, 6)
+    flat = []
+    for ys, cb, cr in mcus:
+        flat.extend(ys + [cb, cr])
+    assert img.coeffs == flat
+    # horizontal 2x replication: a flat MCU yields one RGB triple
+    flat_img = decode_jpeg(
+        encode_jpeg_subsampled(
+            16, 8, [([[0] * 64] * 2, [0] * 64, [0] * 64)], _Q, qc,
+            factors=(2, 1),
+        )
+    )
+    assert len(set(flat_img.pixels)) <= 3
