@@ -1802,10 +1802,14 @@ def _tfidf_pairs_frames(
 # replace(sym, ' L R ', ' LR ') repeated _BPE_PASSES times: a single
 # left-to-right replace consumes the shared trailing separator, so
 # adjacent chains (e.g. 'a a a a' merging (a,a)) merge one pair per pass
-# — 8 passes cover the worst chain a 16-char word can hold. The multipass
-# fixpoint equals greedy leftmost-first BPE (merging (a,b) can never
-# create a new (a,b) adjacency), and BOTH engines evaluate the identical
-# replace chain, so symbolizations match bit-for-bit by construction.
+# — 8 passes cover the worst chain a 16-char word can hold. NB (ADVICE
+# r11): the multipass fixpoint is NOT canonical greedy leftmost-first BPE
+# on every input — an odd run of >= 5 identical symbols diverges
+# (' a a a a a ' -> 'aa a aa' here vs greedy's 'aa aa a'), which can
+# shift later pair counts and thus learned merges vs reference Sennrich
+# BPE on long same-char runs. What the gate proves is Spark/DuckDB
+# BIT-PARITY: both engines evaluate the identical replace chain, so
+# symbolizations and merge decisions match by construction.
 #
 # The oracle replays the SAME loop as chained CTEs: each step's argmax is
 # a 1-row CTE (ORDER BY cnt DESC, l, r LIMIT 1 — the deterministic

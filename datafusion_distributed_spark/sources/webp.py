@@ -269,6 +269,12 @@ def decode_webp_lossless(data: bytes) -> WebpImage:
             dist = dist_code - 120
             if dist > len(argb):
                 raise ValueError("vp8l: backward reference before image start")
+            if len(argb) + length > n:
+                # Fail loudly (ADVICE r11): a malformed stream whose final
+                # copy extends past width*height must not silently yield an
+                # oversized pixel list — this decode gate sees arbitrary
+                # external payloads.
+                raise ValueError("vp8l: backward reference past image end")
             for _ in range(length):
                 push(argb[-dist])
         else:
@@ -537,7 +543,10 @@ def encode_webp_lossless(
             put(g_codes, _NUM_LITERALS + _NUM_LENGTH_CODES + payload[0])
 
     payload = bytes([0x2F]) + bytes(bw.out)
-    if len(payload) % 2:
-        payload += b"\x00"
-    riff = b"WEBP" + b"VP8L" + struct.pack("<I", len(payload)) + payload
+    # RIFF convention: the chunk size field excludes the odd-length pad
+    # byte; the pad is appended AFTER the sized payload (ADVICE r11 — the
+    # previous spelling counted the pad inside the size, which strict
+    # external muxer parsers would read as bitstream data).
+    pad = b"\x00" if len(payload) % 2 else b""
+    riff = b"WEBP" + b"VP8L" + struct.pack("<I", len(payload)) + payload + pad
     return b"RIFF" + struct.pack("<I", len(riff)) + riff

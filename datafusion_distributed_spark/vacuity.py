@@ -91,6 +91,14 @@ def vacuous_queries(
     """
     _ensure_loaded()
     sf_dirs, _skipped = resolve_sf_dirs(sf_dirs)
+    if not sf_dirs:
+        # ALL fixture dirs missing (typo'd SPARK_GRAFT_VACUITY_SF_DIRS, or a
+        # box with no fixtures): with zero probes the loop below would report
+        # EVERY query vacuous with an empty counts trail — inverting the
+        # documented "missing dirs are skipped, not fatal" intent (ADVICE
+        # r11). No evidence either way = gate skipped, not mass failure;
+        # callers see the narrowed gate via resolve_sf_dirs' skipped list.
+        return {}
     if names is None:
         names = sorted(REGISTRY)
     oracles: dict[str, str] = {}
