@@ -90,6 +90,15 @@ _COLORS = [
 ]
 
 
+# 16-way replica generator for the clickbench_dense lane (the tpcds
+# inventory generate_series precedent): each engine's spelling of a 16-row
+# series table whose column is ``rep``.
+_REPS16 = {
+    "spark": "(SELECT explode(sequence(0, 15)) AS rep) reps",
+    "duck": "(SELECT unnest(generate_series(0, 15)) AS rep) reps",
+}
+
+
 def view_definitions(
     engine: str, base, tpch_exact: bool = False
 ) -> dict[str, str]:
@@ -386,6 +395,91 @@ SELECT 5000000000 + {TZ(f"{_HU} % 256")} AS "WatchID",
        CAST(600 + (user_id % 13) * 50 AS INT) AS "WindowClientWidth",
        CAST(400 + (user_id % 11) * 40 AS INT) AS "WindowClientHeight"
 FROM {base("events")}""",
+        # ---- ClickBench density lane (r12): the tpcds_dense move applied
+        # to ClickBench — the verbatim texts whose HAVING COUNT(*)>100000
+        # floors and OFFSET 100..10000 windows are unreachable over 100 K
+        # driver events get a 16x-replicated hits variant with ENGINEERED
+        # group-count structure. All derivations are integer-exact and
+        # bit-identical across engines; every LIMIT/OFFSET boundary is
+        # tie-free BY CONSTRUCTION (not just screened):
+        # - global row index r = event_id*16 + rep is contiguous [0, 16N);
+        #   j = r%4 splits counters 3:1 (62 heavy / 41), block-local
+        #   indexes q = 3*(r DIV 4) + j and m = r DIV 4 stay contiguous;
+        # - the staircase g = floor((sqrt(8q+1)-1)/2) (inverse triangular;
+        #   IEEE sqrt is correctly rounded, so both engines floor the same
+        #   double) gives URL/Title/(SE,IP)/q39-tuple groups count g+1 —
+        #   ALL DISTINCT — so top-10 cuts (q36/q37/q30) and the OFFSET-1000
+        #   windows (q38/q39, reachable once G >= 1011 at sf0.1) never tie;
+        # - q40/q41 plant the official texts' RefererHash/URLHash literals
+        #   on exact index ranges shaped two-tier: OFFSET-many count-2
+        #   groups + <= 5 count-1 singles, so the skipped prefix is exactly
+        #   the tied count-2 block and the returned tail is whole;
+        # - q27/q28's >100000 floors: counter/domain groups are 12N/4N rows
+        #   (N = events rows) with CONSTANT per-group URL/Referer lengths,
+        #   so AVG(length(...)) is an exact integer in double;
+        # - EventTime = contiguous seconds over 2013-07-14/15 makes q42's
+        #   ORDER-BY-minute (the group key itself) total with >= 1010
+        #   distinct minutes from sf0.01 up; EventDate stays inside the
+        #   texts' July-2013 window;
+        # - UserID is 2-valued {the q19 text's official literal, 1000000}
+        #   and SearchPhrase 4-valued functionally paired, so q17's
+        #   un-ORDERed LIMIT 10 sees 8 = ALL groups (the q12 bound trick);
+        #   the literal lives on a FIXED 2000-row slice (r even, < 4000) so
+        #   q19's returned multiset stays gate-sized at every scale.
+        "hits_dense": f"""
+SELECT CAST(r AS BIGINT) AS "WatchID",
+       CASE WHEN r % 2 = 0 AND r < 4000 THEN 435090932899640449
+            ELSE 1000000 END AS "UserID",
+       CAST(CASE WHEN j < 3 THEN g % 3 ELSE 0 END AS INT) AS "AdvEngineID",
+       CAST(CASE WHEN j < 3 THEN 800 + (g % 20) * 60 ELSE 1024 END AS INT)
+           AS "ResolutionWidth",
+       CAST(1 AS INT) AS "RegionID",
+       'phrase ' || {S(f"{IDIV('r', 2)} % 4")} AS "SearchPhrase",
+       CASE WHEN j < 3 THEN 'http://example.com/page/' || LPAD({S("g")}, 9, '0')
+            ELSE 'http://example.org/p/' || LPAD({S("m")}, 9, '0') END AS "URL",
+       CAST(0 AS INT) AS "IsRefresh",
+       CAST(CASE WHEN j < 3 THEN 62 ELSE 41 END AS INT) AS "CounterID",
+       {DA("DATE '2013-07-14'", IDIV("(ix % 172800)", 86400))} AS "EventDate",
+       1373760000 + (ix % 172800) AS "EventTime",
+       CAST(0 AS INT) AS "MobilePhone",
+       '' AS "MobilePhoneModel",
+       CAST(CASE WHEN j < 3 THEN g % 4 ELSE 9 END AS INT) AS "SearchEngineID",
+       CASE WHEN j < 3 THEN 'T62 ' || LPAD({S("g")}, 9, '0')
+            ELSE 'T41 ' || LPAD({S("m")}, 9, '0') END AS "Title",
+       CASE WHEN j < 3 THEN 3000 + g ELSE 99999 END AS "ClientIP",
+       CASE WHEN j < 3 THEN 'https://go62.example.com/r/' || LPAD({S("g")}, 9, '0')
+            ELSE 'http://r41.example.net/q/' || LPAD({S("m")}, 9, '0')
+            END AS "Referer",
+       CAST(1 AS INT) AS "IsLink",
+       CAST(0 AS INT) AS "IsDownload",
+       CAST(0 AS INT) AS "DontCountHits",
+       CAST(CASE WHEN j < 3 THEN -1 + 7 * (g % 2) ELSE -1 END AS INT)
+           AS "TraficSourceID",
+       CASE WHEN j < 3 AND q < 20005 THEN 2868770270353813622
+            WHEN j < 3 AND q >= 30000 AND q < 30205
+                 THEN 7000000000000 + (CASE WHEN q < 30200
+                                            THEN {IDIV("(q - 30000)", 2)}
+                                            ELSE q - 30100 END)
+            ELSE ((r % 100000) * 2654435761) % 4294967296 END AS "URLHash",
+       CASE WHEN j < 3 AND q >= 30000 AND q < 30205 THEN 3594120000172545465
+            ELSE ((r % 100000) * 1103515245) % 4294967296 END AS "RefererHash",
+       CAST(CASE WHEN j < 3 THEN 400 + p % 128 ELSE 1 END AS INT)
+           AS "WindowClientWidth",
+       CAST(CASE WHEN j < 3 THEN 300 + {IDIV("p", 128)} ELSE 1 END AS INT)
+           AS "WindowClientHeight"
+FROM (
+  SELECT r, j, m, q,
+         CAST(FLOOR((SQRT(CAST(8 * q + 1 AS DOUBLE)) - 1) / 2) AS BIGINT) AS g,
+         CASE WHEN j < 3 THEN q ELSE m END AS ix,
+         CASE WHEN q < 20000 THEN {IDIV("q", 2)}
+              WHEN q < 20005 THEN q - 10000 ELSE q END AS p
+  FROM (
+    SELECT r, r % 4 AS j, {IDIV("r", 4)} AS m,
+           3 * {IDIV("r", 4)} + r % 4 AS q
+    FROM (SELECT event_id * 16 + rep AS r
+          FROM {base("events")} CROSS JOIN {_REPS16[engine]}) raw
+  ) idx
+) t""",
         # ---- TPC-DS: the full 24-table star schema lives in its own
         # module (round-7 widening) and is merged here so _lit_ctes and the
         # registries see one flat namespace.
@@ -434,6 +528,10 @@ SUITE_VIEWS = {
     # geometric key frequencies + unique EventTime (see the hits_unique
     # definition) so rank-boundary-tied top-k texts cut deterministically.
     "clickbench_unique": [("hits", "hits_unique")],
+    # Density lane (r12): same verbatim texts, hits 16x-replicated with
+    # engineered group counts so the HAVING>100000 / OFFSET 100..10000
+    # texts become reachable and tie-free (see the hits_dense definition).
+    "clickbench_dense": [("hits", "hits_dense")],
 }
 
 # Suites whose query TEXTS live under another suite's directory and whose
@@ -443,6 +541,7 @@ _SUITE_TEXT_DIR = {
     "tpcds_exact": "tpcds",
     "tpch_exact": "tpch",
     "clickbench_unique": "clickbench",
+    "clickbench_dense": "clickbench",
 }
 
 
@@ -619,7 +718,8 @@ def run_literal_sql(
     # clickbench quotes column identifiers; tpcds quotes aliases (q50/q62's
     # "30 days" buckets) — both need identifier-style double quotes.
     quoted = suite in (
-        "clickbench", "clickbench_unique", "tpcds", "tpcds_dense", "tpcds_exact"
+        "clickbench", "clickbench_unique", "clickbench_dense",
+        "tpcds", "tpcds_dense", "tpcds_exact",
     )
     prior = spark.conf.get("spark.sql.ansi.doubleQuotedIdentifiers", None)
     if quoted:

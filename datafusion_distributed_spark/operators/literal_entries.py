@@ -1439,8 +1439,19 @@ def _cb_oracle(
     for i in range(0, len(segments), 2):
         segments[i] = pat.sub("lit_hits", segments[i])
     text = "'".join(segments)
+    # The driver's oracle battery runs this SQL in a PLAIN DuckDB session
+    # (no to_timestamp_seconds macro — that convenience only exists in
+    # register_duck_views' differential sessions), so inline-expand the
+    # DataFusion-dialect call (q18/q42) to its DuckDB equivalent.
+    text = text.replace(
+        'to_timestamp_seconds("EventTime")',
+        'make_timestamp(CAST("EventTime" AS BIGINT) * 1000000)',
+    )
     cols = ", ".join(f'"{c}"' for c in renames)
-    def_key = "hits_unique" if suite == "clickbench_unique" else "hits"
+    def_key = {
+        "clickbench_unique": "hits_unique",
+        "clickbench_dense": "hits_dense",
+    }.get(suite, "hits")
     hits_def = view_definitions("duck", lambda n: n)[def_key]
     return (
         f"WITH lit_hits AS ({hits_def})\n"
@@ -2333,3 +2344,105 @@ if _os.path.isdir(REFERENCE_QUERIES):
 
     for _row in _CB_R11:
         _register_cb_r11(*_row)
+
+
+# ---------------------------------------------------------------------------
+# Round-12 ninth wave: the ClickBench DENSITY lane (literal.py hits_dense —
+# the tpcds_dense move applied to ClickBench; r11 VERDICT item 1). The r9
+# sweep rejected q27/q28 (HAVING COUNT(*) > 100000 unreachable over 100 K
+# driver events) and q36-q41 (July-2013 window + OFFSET 100..10000); the
+# dense lane 16x-replicates events (the tpcds inventory generate_series
+# precedent) and ENGINEERS the group-count structure so every boundary is
+# tie-free by construction (screened at all three scales in
+# tools/cb_screen.py, incl. OFFSET-edge probes):
+# - q27/q28: 3:1 counter split puts 12N/4N rows in two counter/domain
+#   groups (> 100000 from sf0.1; the heavy group alone passes at sf0.01);
+#   URL/Referer lengths are CONSTANT per group so AVG(length()) is an
+#   exact integer in double;
+# - q36-q39: URL/Title/q39-tuple groups follow the inverse-triangular
+#   staircase g = floor((sqrt(8q+1)-1)/2) over the contiguous block index
+#   — group g has EXACTLY g+1 rows, all counts distinct, so top-10 cuts
+#   and the OFFSET-1000 windows (reachable once G >= 1011, i.e. sf0.1)
+#   never tie;
+# - q40/q41: the texts' official RefererHash/URLHash literals are PLANTED
+#   on exact index ranges shaped two-tier — OFFSET-many count-2 groups
+#   + 5 count-1 singles — so the skipped prefix is exactly the tied
+#   count-2 block and the returned tail is whole (the LIMIT exceeds it);
+# - q42: EventTime is contiguous seconds over 2013-07-14/15, so the
+#   ORDER-BY key (the minute group key itself) is total with >= 1010
+#   distinct minutes from sf0.01 up;
+# - q17: UserID x SearchPhrase is vocabulary-bounded at 8 = ALL groups
+#   < LIMIT 10 (the q12 bound trick) — the former LIMIT-without-ORDER
+#   hazard is structurally gone;
+# - q19: the text's official UserID literal is planted on a fixed
+#   2000-row slice (the q8 ECONOMY-ANODIZED-STEEL planting move);
+# - q30: (SearchEngineID, ClientIP) is 1:1 with the staircase group, so
+#   top-10 counts are distinct (the r11 independent-hash product ties are
+#   structurally gone).
+# Only q18 remains outside the gate: its (UserID, minute, SearchPhrase)
+# grouping needs >= 1010 distinct truncated minutes for q42 but a tie-free
+# top-10 over minute-of-hour x user x phrase products — the two
+# requirements conflict on any single EventTime derivation (geometric
+# minute-of-hour caps distinct truncated minutes at ~48h x 18 < 1010).
+# ---------------------------------------------------------------------------
+
+_CB_R12 = [
+    # (qnum, slug, renames, order_by, note)
+    ("q17", "user_phrase_groups",
+     ("user_id_h", "search_phrase", "c"), None,
+     "8 bounded (user, phrase) groups = the whole result; LIMIT never cuts"),
+    ("q19", "user_point_lookup",
+     ("user_id_h",), None,
+     "planted official UserID literal on a fixed 2000-row slice"),
+    ("q27", "url_length_by_counter",
+     ("counter_id", "l", "c"), "l DESC",
+     "two >100k counter groups with distinct constant URL lengths"),
+    ("q28", "referer_domain_profile",
+     ("k", "l", "c", "min_referer"), "l DESC",
+     "regexp domain extraction; two >100k domains, distinct const lengths"),
+    ("q30", "engine_ip_profile",
+     ("search_engine_id", "client_ip", "c", "sum_refresh", "avg_width"), None,
+     "(SE, IP) 1:1 with staircase group -> distinct top-10 counts"),
+    ("q36", "pageviews_top_urls",
+     ("url", "page_views"), None,
+     "URL staircase: top-10 counts G+1..G-8 all distinct"),
+    ("q37", "pageviews_top_titles",
+     ("title", "page_views"), None,
+     "Title staircase, same structure as q36"),
+    ("q38", "pageviews_offset_urls",
+     ("url", "page_views"), "page_views DESC",
+     "OFFSET 1000 window: staircase counts 549..540 at sf0.1, tie-free"),
+    ("q39", "pageviews_offset_srcdst",
+     ("trafic_source_id", "search_engine_id", "adv_engine_id", "src",
+      "dst", "page_views"), "page_views DESC",
+     "q39 tuple functionally = staircase g; same OFFSET-1000 window"),
+    ("q40", "urlhash_date_offset",
+     ("url_hash", "event_date", "page_views"), None,
+     "planted RefererHash literal; two-tier 100x2 + 5x1 over OFFSET 100"),
+    ("q41", "window_geometry_offset",
+     ("window_client_width", "window_client_height", "page_views"), None,
+     "planted URLHash literal; two-tier 10000x2 + 5x1 over OFFSET 10000"),
+    ("q42", "minute_pageviews_offset",
+     ("m", "page_views"), "m",
+     "ORDER BY = the minute group key itself; >= 1010 distinct minutes"),
+]
+
+if _os.path.isdir(REFERENCE_QUERIES):
+
+    def _register_cb_r12(qnum, slug, renames, order_by, note):
+        def fn(spark: SparkSession, sf_dir: str, _q=qnum, _r=renames):
+            return run_literal_sql(
+                spark, sf_dir, "clickbench_dense", _q
+            ).toDF(*_r)
+
+        fn.__name__ = f"lit_cb_{qnum}"
+        fn.__doc__ = f"Verbatim ClickBench {qnum} (clickbench_dense lane): {note}."
+        query(
+            f"lit_cb_{qnum}_{slug}",
+            oracle=_cb_oracle(qnum, renames, suite="clickbench_dense"),
+            tags=("literal", "clickbench", "r12", "clickbench_dense"),
+            order_by=order_by,
+        )(fn)
+
+    for _row in _CB_R12:
+        _register_cb_r12(*_row)

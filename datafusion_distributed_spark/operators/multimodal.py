@@ -937,7 +937,7 @@ geo AS (
   SELECT doc_id,
          CAST(8 * (1 + doc_id % 3) AS INTEGER) AS w,
          CAST(8 * (1 + doc_id % 2) AS INTEGER) AS h
-  FROM documents
+  FROM documents WHERE doc_id % 7 = 0
 ),
 blk AS (
   SELECT g.doc_id, g.w, g.h, bs.b
@@ -993,7 +993,15 @@ def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the coefficient formulas via the same IDCT basis constants, proving the
     whole codec (markers, canonical Huffman, DC prediction, run/size + ZRL
     + EOB, byte unstuffing, dezigzag, dequant, IDCT, clamp)."""
-    docs = t(spark, sf_dir)["documents"].select("doc_id")
+    docs = t(spark, sf_dir)["documents"].select("doc_id").filter(
+        F.col("doc_id") % 7 == 0
+    )  # fixture-size policy (r11 VERDICT): the codec gate entries run a
+    # deterministic 1-in-7 doc slice (7 is coprime to every geometry
+    # modulus, so all width/height classes stay populated); exhaustive
+    # per-doc coverage lives in the codec unit tests. Mirrored in the
+    # oracle geo CTE. Do not regrow this family: encode+decode is pure
+    # interpreter cost per doc, and full-corpus runs made these four
+    # entries ~14% of the whole battery.
     jpegs = docs.mapInPandas(encode_jpeg_batches, schema=_JPEG_SCHEMA)
     stats = jpegs.mapInPandas(jpeg_stats_batches, schema=_JPEG_STATS_SCHEMA)
     return stats.groupBy("width", "height").agg(
@@ -1128,7 +1136,7 @@ qt(slot, z, q) AS (VALUES {q_rows}),
 geo AS (
   SELECT doc_id, CAST(8 * (1 + doc_id % 2) AS INTEGER) AS w,
          CAST(8 AS INTEGER) AS h
-  FROM documents
+  FROM documents WHERE doc_id % 7 = 0
 ),
 blk AS (
   SELECT g.doc_id, g.w, g.h, bs.b
@@ -1208,7 +1216,15 @@ def jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline JPEG bytes: interleaved MCUs, per-component DC prediction,
     luma/chroma table slots, JFIF YCbCr->RGB. The oracle recomputes every
     RGB sample from the coefficient formulas."""
-    docs = t(spark, sf_dir)["documents"].select("doc_id")
+    docs = t(spark, sf_dir)["documents"].select("doc_id").filter(
+        F.col("doc_id") % 7 == 0
+    )  # fixture-size policy (r11 VERDICT): the codec gate entries run a
+    # deterministic 1-in-7 doc slice (7 is coprime to every geometry
+    # modulus, so all width/height classes stay populated); exhaustive
+    # per-doc coverage lives in the codec unit tests. Mirrored in the
+    # oracle geo CTE. Do not regrow this family: encode+decode is pure
+    # interpreter cost per doc, and full-corpus runs made these four
+    # entries ~14% of the whole battery.
     jpegs = docs.mapInPandas(encode_jpeg_color_batches, schema=_JPEG_SCHEMA)
     stats = jpegs.mapInPandas(
         jpeg_color_stats_batches, schema=_JPEG_COLOR_STATS_SCHEMA
@@ -1300,7 +1316,7 @@ qt(slot, z, q) AS (VALUES {q_rows}),
 geo AS (
   SELECT doc_id, CAST(16 * (1 + doc_id % 2) AS INTEGER) AS w,
          CAST(16 AS INTEGER) AS h
-  FROM documents
+  FROM documents WHERE doc_id % 7 = 0
 ),
 mcu AS (
   SELECT g.doc_id, g.w, bs.b
@@ -1405,7 +1421,15 @@ def jpeg_subsampled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversion — one wrong bit in the RSTn re-sync, the predictor resets,
     the 4-blocks-per-MCU interleave order, or the upsample indexing breaks
     the hash."""
-    docs = t(spark, sf_dir)["documents"].select("doc_id")
+    docs = t(spark, sf_dir)["documents"].select("doc_id").filter(
+        F.col("doc_id") % 7 == 0
+    )  # fixture-size policy (r11 VERDICT): the codec gate entries run a
+    # deterministic 1-in-7 doc slice (7 is coprime to every geometry
+    # modulus, so all width/height classes stay populated); exhaustive
+    # per-doc coverage lives in the codec unit tests. Mirrored in the
+    # oracle geo CTE. Do not regrow this family: encode+decode is pure
+    # interpreter cost per doc, and full-corpus runs made these four
+    # entries ~14% of the whole battery.
     jpegs = docs.mapInPandas(encode_jpeg_sub_batches, schema=_JPEG_SCHEMA)
     stats = jpegs.mapInPandas(
         jpeg_color_stats_batches, schema=_JPEG_SUB_STATS_SCHEMA
@@ -1524,7 +1548,7 @@ def webp_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
 _WEBP_ORACLE = f"""
 WITH geo AS (
-  SELECT doc_id, CAST(4 * (1 + doc_id % 3) AS INTEGER) AS w FROM documents
+  SELECT doc_id, CAST(4 * (1 + doc_id % 3) AS INTEGER) AS w FROM documents WHERE doc_id % 7 = 0
 ),
 px AS (
   SELECT g.doc_id, g.w,
@@ -1560,7 +1584,15 @@ def webp_lossless_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode-then-decode roundtrip through REAL VP8L bytes (backward
     reference per image + color cache); per-width aggregate of decoded RGB
     sums/extrema, hash-matched against the closed-form pixel formulas."""
-    docs = t(spark, sf_dir)["documents"].select("doc_id")
+    docs = t(spark, sf_dir)["documents"].select("doc_id").filter(
+        F.col("doc_id") % 7 == 0
+    )  # fixture-size policy (r11 VERDICT): the codec gate entries run a
+    # deterministic 1-in-7 doc slice (7 is coprime to every geometry
+    # modulus, so all width/height classes stay populated); exhaustive
+    # per-doc coverage lives in the codec unit tests. Mirrored in the
+    # oracle geo CTE. Do not regrow this family: encode+decode is pure
+    # interpreter cost per doc, and full-corpus runs made these four
+    # entries ~14% of the whole battery.
     blobs = docs.mapInPandas(encode_webp_batches, schema=_WEBP_SCHEMA)
     stats = blobs.mapInPandas(webp_stats_batches, schema=_WEBP_STATS_SCHEMA)
     return stats.groupBy("width").agg(

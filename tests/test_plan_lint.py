@@ -60,6 +60,22 @@ _CROSS_OK = {
     "lit_tpcds_q77_channel_profit_rollup",  # cross of 1-row channel aggregates
     "lit_tpcds_q23_frequent_best_customer_sales",  # 1-row 0.95*max(csales) scalar broadcast
     "lit_tpcds_q54_revenue_segment_histogram",  # 1-row d_month_seq+1/+3 bound scalars broadcast
+    # clickbench_dense lane (r12): the hits_dense view 16x-replicates events
+    # via a CONSTANT 16-row explode(sequence(0,15)) broadcast cross join —
+    # fixed-size fan-out, never SF-growing (the tpcds inventory
+    # generate_series precedent).
+    "lit_cb_q17_user_phrase_groups",
+    "lit_cb_q19_user_point_lookup",
+    "lit_cb_q27_url_length_by_counter",
+    "lit_cb_q28_referer_domain_profile",
+    "lit_cb_q30_engine_ip_profile",
+    "lit_cb_q36_pageviews_top_urls",
+    "lit_cb_q37_pageviews_top_titles",
+    "lit_cb_q38_pageviews_offset_urls",
+    "lit_cb_q39_pageviews_offset_srcdst",
+    "lit_cb_q40_urlhash_date_offset",
+    "lit_cb_q41_window_geometry_offset",
+    "lit_cb_q42_minute_pageviews_offset",
 }
 
 _ALL = sorted(REGISTRY)

@@ -44,9 +44,26 @@ CANDIDATES = [
     ("q33", "clickbench_unique", [1], "URL page ids geometric"),
     ("q34", "clickbench_unique", [2], "q33 + constant col"),
     ("q35", "clickbench_unique", [4], "heavy ClientIP geometric"),
+    # r12 density-lane wave: engineered staircase / two-tier counts make
+    # the HAVING>100000 and OFFSET windows reachable and tie-free.
+    ("q17", "clickbench_dense", None, "8 (user,phrase) groups < LIMIT 10"),
+    ("q19", "clickbench_dense", None, "planted official UserID literal"),
+    ("q27", "clickbench_dense", [2], "two >100k counters, distinct const lens"),
+    ("q28", "clickbench_dense", [2], "two >100k domains, distinct const lens"),
+    ("q30", "clickbench_dense", [3], "(SE,IP) = staircase -> distinct counts"),
+    ("q36", "clickbench_dense", [2], "URL staircase top-10 distinct"),
+    ("q37", "clickbench_dense", [2], "Title staircase top-10 distinct"),
+    ("q38", "clickbench_dense", [2], "staircase G>=1011 at sf0.1; OFFSET 1000"),
+    ("q39", "clickbench_dense", [6], "q39 tuple = f(staircase g); OFFSET 1000"),
+    ("q40", "clickbench_dense", [3], "two-tier 100x2+5x1 planted RefererHash"),
+    ("q41", "clickbench_dense", [3], "two-tier 10000x2+5x1 planted URLHash"),
+    ("q42", "clickbench_dense", [1], "ORDER BY = minute group key; OFFSET 1000"),
 ]
 
 _LIMIT_RE = re.compile(r"\bLIMIT\s+(\d+)\s*;?\s*$", re.IGNORECASE)
+_LIMIT_OFFSET_RE = re.compile(
+    r"\bLIMIT\s+(\d+)\s+OFFSET\s+(\d+)\s*;?\s*$", re.IGNORECASE
+)
 
 
 def canon(v):
@@ -80,11 +97,37 @@ def screen(spark, sf_dir: str):
                 status = "EMPTY (agree)"
             else:
                 status = f"OK rows={len(s_set)}"
-                # LIMIT-boundary tie probe (duck only)
+                # LIMIT/OFFSET boundary tie probes (duck only): at each
+                # window edge (rank OFFSET/OFFSET+1 and, when the window is
+                # full, rank OFFSET+LIMIT/OFFSET+LIMIT+1) the sort keys
+                # must differ, else the window's multiset is engine-order
+                # dependent.
                 if tie_cols:
                     text = load_literal_text("clickbench", qname)
-                    m = _LIMIT_RE.search(text)
-                    if m and len(s_set) >= int(m.group(1)):
+                    mo = _LIMIT_OFFSET_RE.search(text)
+                    m = None if mo else _LIMIT_RE.search(text)
+                    if mo:
+                        k, off = int(mo.group(1)), int(mo.group(2))
+                        boundaries = [off]
+                        if len(s_set) >= k:
+                            boundaries.append(off + k)
+                        notes = []
+                        for b in boundaries:
+                            pair = con.sql(
+                                _LIMIT_OFFSET_RE.sub(
+                                    f"LIMIT 2 OFFSET {b - 1}", text
+                                )
+                            ).fetchall()
+                            if len(pair) == 2:
+                                tied = all(
+                                    canon(pair[0][c - 1]) == canon(pair[1][c - 1])
+                                    for c in tie_cols
+                                )
+                                notes.append(
+                                    f"TIE@{b}" if tied else f"clean@{b}"
+                                )
+                        status += " " + (",".join(notes) or "edge-short")
+                    elif m and len(s_set) >= int(m.group(1)):
                         k = int(m.group(1))
                         probe = _LIMIT_RE.sub(f"LIMIT {k + 3}", text)
                         rows = con.sql(probe).fetchall()
