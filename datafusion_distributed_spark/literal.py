@@ -512,6 +512,10 @@ SUITE_VIEWS = {
     # and desc-keyed LIMIT cuts (q65) are total. Fact money was already
     # order-exact on the default lane.
     "tpcds_exact": TPCDS_SUITE_VIEWS,
+    # q64-taming sub-lane (r12): dense rendering + four fold overrides that
+    # bring the cross-year self-join's output to gate scale (see
+    # literal_tpcds.view_definitions dense64 notes).
+    "tpcds_dense64": TPCDS_SUITE_VIEWS,
     # Exact-summation lane (the dense-slice method applied to TPC-H float
     # sums): the SAME 8 view names and verbatim texts, money columns
     # rendered order-exact (whole-dollar prices, 1/128-dyadic rates — see
@@ -539,6 +543,7 @@ SUITE_VIEWS = {
 _SUITE_TEXT_DIR = {
     "tpcds_dense": "tpcds",
     "tpcds_exact": "tpcds",
+    "tpcds_dense64": "tpcds",
     "tpch_exact": "tpch",
     "clickbench_unique": "clickbench",
     "clickbench_dense": "clickbench",
@@ -551,6 +556,8 @@ def _suite_defs(engine: str, base, suite: str) -> dict[str, str]:
         defs.update(_tpcds_view_definitions(engine, base, dense=True))
     elif suite == "tpcds_exact":
         defs.update(_tpcds_view_definitions(engine, base, exact=True))
+    elif suite == "tpcds_dense64":
+        defs.update(_tpcds_view_definitions(engine, base, dense64=True))
     return defs
 
 
@@ -719,7 +726,7 @@ def run_literal_sql(
     # "30 days" buckets) — both need identifier-style double quotes.
     quoted = suite in (
         "clickbench", "clickbench_unique", "clickbench_dense",
-        "tpcds", "tpcds_dense", "tpcds_exact",
+        "tpcds", "tpcds_dense", "tpcds_exact", "tpcds_dense64",
     )
     prior = spark.conf.get("spark.sql.ansi.doubleQuotedIdentifiers", None)
     if quoted:

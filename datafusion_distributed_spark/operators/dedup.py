@@ -1322,7 +1322,8 @@ _INGEST_MOD = 10   # doc_id % 10 == 0 -> the arriving shard (a 10% "day")
 _INGEST_CAP = 128  # corpus-side band-bucket cap
 
 
-def _ingest_oracle() -> str:
+def _ingest_cte_prefix() -> str:
+    """Shared WITH-body prefix (words .. bands) for the ingest oracles."""
     sig_cols = ",\n    ".join(
         f"MIN(substring(m, {8 * i + 1}, 8)) AS h{i}" for i in range(_N_HASHES)
     )
@@ -1354,7 +1355,46 @@ sigs AS (
 ),
 bands AS (
 {band_selects}
+)"""
+
+
+def _ingest_step_ctes(tag: str, new_src: str, index_src: str) -> str:
+    """One ingest step as suffixed CTEs: candidates (new x index), exact
+    Jaccard, best match, candidate counts."""
+    return f"""
+cand{tag} AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM {new_src} n JOIN {index_src} o
+    ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
 ),
+inter{tag} AS (
+  SELECT c.new_id, c.old_id, COUNT(*) AS n_common
+  FROM cand{tag} c
+  JOIN shingles sn ON sn.doc_id = c.new_id
+  JOIN shingles so ON so.doc_id = c.old_id AND so.sh = sn.sh
+  GROUP BY c.new_id, c.old_id
+),
+jac{tag} AS (
+  SELECT i.new_id, i.old_id,
+         CAST(i.n_common AS DOUBLE)
+           / (zn.n_sh + zo.n_sh - i.n_common) AS jaccard
+  FROM inter{tag} i
+  JOIN sizes zn ON zn.doc_id = i.new_id
+  JOIN sizes zo ON zo.doc_id = i.old_id
+),
+best{tag} AS (
+  SELECT new_id, old_id, jaccard FROM (
+    SELECT new_id, old_id, jaccard,
+           ROW_NUMBER() OVER (PARTITION BY new_id
+                              ORDER BY jaccard DESC, old_id) AS rn
+    FROM jac{tag}
+  ) WHERE rn = 1
+),
+counts{tag} AS (SELECT new_id, COUNT(*) AS n_candidates FROM jac{tag} GROUP BY new_id)"""
+
+
+def _ingest_oracle() -> str:
+    return f"""{_ingest_cte_prefix()},
 new_bands AS (SELECT * FROM bands WHERE doc_id % {_INGEST_MOD} = 0),
 old_capped AS (
   SELECT doc_id, band_idx, band_hash FROM (
@@ -1422,17 +1462,37 @@ def incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = lsh_bands(_signatures_from_arrays(arrs))
     is_new = F.col("doc_id") % _INGEST_MOD == 0
     new_bands = bands.filter(is_new)
+    old_capped = _capped_band_index(bands.filter(~is_new))
+    return _ingest_verdicts(
+        arrs, new_bands, old_capped, arrs.filter(is_new).select("doc_id")
+    )
+
+
+def _capped_band_index(bands: DataFrame, cap: int = _INGEST_CAP) -> DataFrame:
+    """Corpus-side band index with the per-bucket membership cap (ordered
+    by doc_id — deterministic in both engines)."""
     w = Window.partitionBy("band_idx", "band_hash").orderBy("doc_id")
-    old_capped = (
-        bands.filter(~is_new)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _INGEST_CAP)
+    return (
+        bands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
         .drop("rn")
     )
+
+
+def _ingest_verdicts(
+    arrs: DataFrame,
+    new_bands: DataFrame,
+    index_bands: DataFrame,
+    new_docs: DataFrame,
+) -> DataFrame:
+    """Shared ingest-verdict pipeline (r12 refactor, shared by the
+    recompute and maintained-index entries): new-side bands x the band
+    index -> distinct candidates -> exact-Jaccard verification -> one
+    keep/drop row per arriving doc."""
     cand = (
         new_bands.alias("n")
         .join(
-            old_capped.alias("o"),
+            index_bands.alias("o"),
             (F.col("n.band_idx") == F.col("o.band_idx"))
             & (F.col("n.band_hash") == F.col("o.band_hash")),
         )
@@ -1475,7 +1535,6 @@ def incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counts = jac.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_candidates"))
-    new_docs = arrs.filter(is_new).select("doc_id")
     return (
         new_docs.join(counts, new_docs.doc_id == counts.new_id, "left")
         .drop("new_id")
@@ -1491,4 +1550,131 @@ def incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("keep"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAINTAINED incremental-ingest index (r12, VERDICT item 6 — the full
+# production ingestion loop): dd_incremental_ingest recomputes the corpus
+# band table per run; this entry runs TWO arriving shards where the second
+# joins the MAINTAINED index — the base band table with shard 1's KEEPERS
+# already folded in (exactly what a sinks.merge_upsert of the keeper bands
+# onto the persisted index produces; tests/test_maintained_ingest.py proves
+# the merge_upsert-persisted index equals the from-scratch rebuild).
+# Shards: doc_id % 10 == 1 is day 1, % 10 == 0 is day 2, the rest is the
+# standing corpus. A day-2 doc can therefore match a day-1 KEEPER (its
+# near-dup was admitted yesterday), and a day-1 near-dup that was DROPPED
+# never pollutes the index — the two behaviors a recompute-per-run design
+# cannot express.
+#
+# 100 TB shape: identical to dd_incremental_ingest per step (|new| x
+# bucket-overlap candidates, capped index buckets, candidate-proportional
+# verification); the index update adds ONE band-table append of keeper
+# bands (merge_upsert's key-hash join at persistence time), never a corpus
+# x corpus pass. The in-plan composition here re-derives day 1's keepers
+# from the same frame — at production scale that arm is the previous run's
+# persisted output, which is what the test pins.
+# ---------------------------------------------------------------------------
+
+
+def _maintained_oracle() -> str:
+    cap_sql = """
+  SELECT doc_id, band_idx, band_hash FROM (
+    SELECT doc_id, band_idx, band_hash,
+           ROW_NUMBER() OVER (PARTITION BY band_idx, band_hash
+                              ORDER BY doc_id) AS rn
+    FROM {src}
+  ) WHERE rn <= {cap}"""
+    return f"""{_ingest_cte_prefix()},
+base_bands AS (SELECT * FROM bands WHERE doc_id % {_INGEST_MOD} NOT IN (0, 1)),
+s1_bands AS (SELECT * FROM bands WHERE doc_id % {_INGEST_MOD} = 1),
+s2_bands AS (SELECT * FROM bands WHERE doc_id % {_INGEST_MOD} = 0),
+i0 AS ({cap_sql.format(src="base_bands", cap=_INGEST_CAP)}
+),{_ingest_step_ctes("1", "s1_bands", "i0")},
+keep1 AS (
+  SELECT s.doc_id FROM sizes s
+  LEFT JOIN best1 b ON b.new_id = s.doc_id
+  WHERE s.doc_id % {_INGEST_MOD} = 1 AND COALESCE(b.jaccard, 0) < 0.5
+),
+i1_src AS (
+  SELECT * FROM base_bands
+  UNION ALL
+  SELECT sb.* FROM s1_bands sb JOIN keep1 k ON k.doc_id = sb.doc_id
+),
+i1 AS ({cap_sql.format(src="i1_src", cap=_INGEST_CAP)}
+),{_ingest_step_ctes("2", "s2_bands", "i1")}
+SELECT s.doc_id,
+       COALESCE(c.n_candidates, 0) AS n_candidates,
+       b.old_id AS best_match_id,
+       b.jaccard AS best_jaccard,
+       CAST(CASE WHEN COALESCE(b.jaccard, 0) >= 0.5 THEN 0 ELSE 1 END
+            AS INTEGER) AS keep,
+       CAST(CASE WHEN b.old_id % {_INGEST_MOD} = 1 THEN 1 ELSE 0 END
+            AS INTEGER) AS matched_day1
+FROM sizes s
+LEFT JOIN counts2 c ON c.new_id = s.doc_id
+LEFT JOIN best2 b ON b.new_id = s.doc_id
+WHERE s.doc_id % {_INGEST_MOD} = 0
+"""
+
+
+def _maintained_index_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(arrs, base_bands, shard1_bands, shard2_bands) for the maintained
+    loop — shared by the entry and the merge_upsert equivalence test."""
+    docs = t(spark, sf_dir)["documents"]
+    arrs = _shingle_arrays(docs)
+    bands = lsh_bands(_signatures_from_arrays(arrs))
+    m = F.col("doc_id") % _INGEST_MOD
+    return (
+        arrs,
+        bands.filter(~m.isin(0, 1)),
+        bands.filter(m == 1),
+        bands.filter(m == 0),
+    )
+
+
+def _day1_keeper_bands(
+    arrs: DataFrame, base_bands: DataFrame, s1_bands: DataFrame
+) -> DataFrame:
+    """Shard 1's keeper bands: day 1 verdicts against the base index, near
+    dups dropped."""
+    v1 = _ingest_verdicts(
+        arrs,
+        s1_bands,
+        _capped_band_index(base_bands),
+        arrs.filter(F.col("doc_id") % _INGEST_MOD == 1).select("doc_id"),
+    )
+    keep1 = v1.filter(F.col("keep") == 1).select("doc_id")
+    return s1_bands.join(keep1, "doc_id", "left_semi")
+
+
+@query(
+    "dd_maintained_ingest",
+    oracle=_maintained_oracle(),
+    tags=("dedup", "minhash", "incremental", "maintained-index"),
+)
+def maintained_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 near-dup verdicts against the MAINTAINED band index (base
+    corpus + day-1 keepers): each arriving doc reports its candidate
+    count, best match (which may be a day-1 keeper — matched_day1), and
+    keep/drop verdict."""
+    arrs, base_bands, s1_bands, s2_bands = _maintained_index_frames(
+        spark, sf_dir
+    )
+    i1 = _capped_band_index(
+        base_bands.unionByName(_day1_keeper_bands(arrs, base_bands, s1_bands))
+    )
+    v2 = _ingest_verdicts(
+        arrs,
+        s2_bands,
+        i1,
+        arrs.filter(F.col("doc_id") % _INGEST_MOD == 0).select("doc_id"),
+    )
+    return v2.withColumn(
+        "matched_day1",
+        F.when(F.col("best_match_id") % _INGEST_MOD == 1, 1)
+        .otherwise(0)
+        .cast("int"),
     )

@@ -201,6 +201,7 @@ def _tpcds_oracle(
     date_shift_years: int = 0,
     year_shift: int = 0,
     suite: str = "tpcds",
+    materialize: frozenset | None = None,
 ) -> str:
     """DuckDB oracle for a verbatim TPC-DS text: lit_ CTEs + name rewrite +
     positional column renames (the driver compares by column NAME, and the
@@ -231,9 +232,15 @@ def _tpcds_oracle(
     # >120 s at sf0.01; materialized: 4 s) — the CTE twin of the
     # literal.register_duck_views _DUCK_MATERIALIZED rule.
     defs = _suite_view_defs(suite)
+    # ``materialize`` overrides the default set per entry: q64's 18-table
+    # join needs the OPPOSITE treatment (materialize NOTHING — an AS
+    # MATERIALIZED CTE hides its cardinality from the outer planner, and
+    # q64 inlined runs 0.9 s where any materialization ran > 170 s at
+    # sf0.01), while q72 needs inventory materialized. Both measured.
+    mat = _DUCK_MATERIALIZED_CTES if materialize is None else materialize
     ctes = ",\n".join(
         f"lit_{n} AS MATERIALIZED ({defs[n]})"
-        if n in _DUCK_MATERIALIZED_CTES
+        if n in mat
         else f"lit_{n} AS ({defs[n]})"
         for n in tables
     )
@@ -255,6 +262,8 @@ def _suite_view_defs(suite: str) -> dict[str, str]:
             base.update(_ds_defs("duck", lambda n: n, dense=True))
         elif suite == "tpcds_exact":
             base.update(_ds_defs("duck", lambda n: n, exact=True))
+        elif suite == "tpcds_dense64":
+            base.update(_ds_defs("duck", lambda n: n, dense64=True))
         # TPC-DS's `customer` view key is `tpcds_customer` in the shared defs.
         base["customer"] = base["tpcds_customer"]
         cached = _SUITE_VIEW_DEFS_CACHE[suite] = base
@@ -2222,6 +2231,42 @@ if _os.path.isdir(REFERENCE_QUERIES):
 
     for _row in _R11_WAVE:
         _register_r11_entry(*_row)
+
+    # ---------------------------------------------------------------------
+    # Round-12: q64 promoted via the 'tpcds_dense64' taming sub-lane (r11
+    # VERDICT item 2). The r11 note above stands for the PLAIN dense lane
+    # (1.70 M rows / 164 s at sf0.1 — unusable); dense64 keeps every
+    # semantic the text exercises (cd1<>cd2 partner shift, cs_ui partial-
+    # refund HAVING, cross-year same-store match) and folds ONLY the
+    # cross_sales GROUP BY's customer-side cardinality (addresses -> 2
+    # keys, first-sale/shipto dates -> 2 values, one fact-reachable item
+    # passing the 6-color filter): 13/83/86 rows at the three scales,
+    # screened bit-exact. No LIMIT in the text, so no cut hazard; measures
+    # are FLOOR-integer-valued double sums (order-exact).
+    # ---------------------------------------------------------------------
+
+    _Q64_COLS = (
+        "product_name", "store_name", "store_zip", "b_street_number",
+        "b_street_name", "b_city", "b_zip", "c_street_number",
+        "c_street_name", "c_city", "c_zip", "cs1syear", "cs1cnt",
+        "s11", "s21", "s31", "s12", "s22", "s32", "syear", "cnt",
+    )
+
+    @query(
+        "lit_tpcds_q64_cross_year_store_sales",
+        oracle=_tpcds_oracle(
+            "q64", _tables_in_text("q64"), _Q64_COLS, suite="tpcds_dense64",
+            materialize=frozenset(),
+        ),
+        tags=("literal", "tpcds", "r12", "tpcds_dense64", "self-join"),
+    )
+    def lit_tpcds_q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q64 over the dense64 lane: cs_ui partial-refund HAVING,
+        # 18-table cross_sales star, 1999/2000 same-item-same-store
+        # self-join with cd1 <> cd2 and cnt ordering.
+        return run_literal_sql(
+            spark, sf_dir, "tpcds_dense64", "q64"
+        ).toDF(*_Q64_COLS)
 
 
 # ---------------------------------------------------------------------------

@@ -1509,6 +1509,11 @@ def encode_webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                     backrefs=[(w, w * (h - 1), w)],  # rows 2..h copy row 1
                     cache_bits=4,
                     subtract_green=True,  # exercises the inverse transform
+                    # r12: the row-stride copy now rides the spec's
+                    # near-distance window codes ((0,1) at these widths)
+                    # instead of absolute codes; decoded stats — and thus
+                    # the gate hashes — are unchanged (lossless).
+                    near_codes=True,
                 )
             )
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "webp": blobs})
@@ -1594,6 +1599,117 @@ def webp_lossless_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreter cost per doc, and full-corpus runs made these four
     # entries ~14% of the whole battery.
     blobs = docs.mapInPandas(encode_webp_batches, schema=_WEBP_SCHEMA)
+    stats = blobs.mapInPandas(webp_stats_batches, schema=_WEBP_STATS_SCHEMA)
+    return stats.groupBy("width").agg(
+        F.count(F.lit(1)).alias("n_imgs"),
+        F.sum("sum_r").cast("bigint").alias("sum_r"),
+        F.sum("sum_g").cast("bigint").alias("sum_g"),
+        F.sum("sum_b").cast("bigint").alias("sum_b"),
+        F.min("min_px").cast("int").alias("min_px"),
+        F.max("max_px").cast("int").alias("max_px"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# VP8L PREDICTOR transform decode (r12, closing the r11 scope rejection
+# alongside the near-distance table): per-document fixtures whose pixels
+# vary in BOTH x and y, encoded with a real PREDICTOR_TRANSFORM — a
+# doc-cycled mode (all 14 modes across the corpus), a real entropy-coded
+# mode sub-image, and the w=12 class carrying a 2-block mode grid whose
+# TR-using modes hit the rightmost-column wrap rule. Lossless, so the
+# oracle recomputes the closed-form pixel formulas directly; one wrong bit
+# in any predictor mode, the border rules, or the mode-grid decode breaks
+# the hash.
+# ---------------------------------------------------------------------------
+
+_WEBP_PRED_H = 4
+
+
+def _webp_pred_geometry(doc_id: int) -> int:
+    return 4 * (1 + doc_id % 3)
+
+
+def _webp_pred_rgba(doc_id: int, w: int) -> list[int]:
+    """Row-major RGBA samples varying in x AND y — mirrored in SQL."""
+    out = []
+    for y in range(_WEBP_PRED_H):
+        for x in range(w):
+            out.extend(
+                (
+                    (doc_id * 7 + x * 13 + y * 29) % 256,
+                    (doc_id * 11 + x * 5 + y * 3) % 256,
+                    (doc_id * 3 + x * 17 + y * 7) % 256,
+                    255,
+                )
+            )
+    return out
+
+
+def encode_webp_pred_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        blobs = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w = _webp_pred_geometry(d)
+            mw = (w + 7) >> 3  # size_bits 3 -> 8-px blocks; h=4 -> 1 row
+            blobs.append(
+                encode_webp_lossless(
+                    w, _WEBP_PRED_H, _webp_pred_rgba(d, w),
+                    predictor_size_bits=3,
+                    predictor_modes=[(d + 3 * k) % 14 for k in range(mw)],
+                )
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "webp": blobs})
+
+
+_WEBP_PRED_ORACLE = f"""
+WITH geo AS (
+  SELECT doc_id, CAST(4 * (1 + doc_id % 3) AS INTEGER) AS w
+  FROM documents WHERE doc_id % 7 = 0
+),
+px AS (
+  SELECT g.doc_id, g.w,
+         (g.doc_id * 7 + xs.x * 13 + ys.y * 29) % 256 AS r,
+         (g.doc_id * 11 + xs.x * 5 + ys.y * 3) % 256 AS gg,
+         (g.doc_id * 3 + xs.x * 17 + ys.y * 7) % 256 AS b
+  FROM geo g,
+       LATERAL unnest(generate_series(0, g.w - 1)) AS xs(x),
+       LATERAL unnest(generate_series(0, {_WEBP_PRED_H} - 1)) AS ys(y)
+),
+stats AS (
+  SELECT doc_id, w,
+         SUM(r) AS sum_r, SUM(gg) AS sum_g, SUM(b) AS sum_b,
+         LEAST(MIN(r), MIN(gg), MIN(b)) AS min_px,
+         GREATEST(MAX(r), MAX(gg), MAX(b)) AS max_px
+  FROM px GROUP BY doc_id, w
+)
+SELECT w AS width, COUNT(*) AS n_imgs,
+       CAST(SUM(sum_r) AS BIGINT) AS sum_r,
+       CAST(SUM(sum_g) AS BIGINT) AS sum_g,
+       CAST(SUM(sum_b) AS BIGINT) AS sum_b,
+       CAST(MIN(min_px) AS INTEGER) AS min_px,
+       CAST(MAX(max_px) AS INTEGER) AS max_px
+FROM stats GROUP BY w
+"""
+
+
+@query(
+    "mm_webp_predictor_stats",
+    oracle=_WEBP_PRED_ORACLE,
+    tags=("multimodal", "pandas-udf", "webp", "vp8l", "predictor"),
+)
+def webp_predictor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode-then-decode roundtrip through REAL VP8L bytes carrying a
+    PREDICTOR_TRANSFORM (doc-cycled modes 0..13, entropy-coded mode grid,
+    rightmost-column TR wrap on the 2-block class): per-width aggregate of
+    decoded RGB sums/extrema vs the closed-form pixel formulas. Runs the
+    codec family's 1-in-7 doc slice (fixture-size policy)."""
+    docs = t(spark, sf_dir)["documents"].select("doc_id").filter(
+        F.col("doc_id") % 7 == 0
+    )
+    blobs = docs.mapInPandas(encode_webp_pred_batches, schema=_WEBP_SCHEMA)
     stats = blobs.mapInPandas(webp_stats_batches, schema=_WEBP_STATS_SCHEMA)
     return stats.groupBy("width").agg(
         F.count(F.lit(1)).alias("n_imgs"),

@@ -370,9 +370,37 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines, ties break on centroid index, so cell assignment is portable.
 # ---------------------------------------------------------------------------
 
-_IVF_K = 8
 _IVF_FIRST_CENTROID = 10  # centroids = vec_id 10 .. 10+K-1
 _IVF_N_PROBE = 2
+
+
+def _ivf_k_for(n_corpus: int) -> int:
+    """Cell count ladder (r12, closing the last fixture-fixed index
+    parameter): the PQ trainer's capped power-of-2 ~n^(1/2) ladder applied
+    to IVF — 8 / 16 / 32 cells at corpus >= 0 / 1024 / 16384 (8 at
+    sf0.001/0.01, 16 at sf0.1, 32 on the 10x probe layout). Production IVF
+    scales K ~ N/target_cell_size; the ladder exercises the cell-count
+    machinery across fixtures while centroids stay the deterministic
+    stand-in rows vec_id 10..10+K-1. Both engines derive K from the SAME
+    corpus count (Spark counts then inlines; oracles use _IVF_K_SQL)."""
+    if n_corpus >= 16384:
+        return 32
+    if n_corpus >= 1024:
+        return 16
+    return 8
+
+
+_IVF_K_SQL = ("CASE WHEN COUNT(*) >= 16384 THEN 32 "
+              "WHEN COUNT(*) >= 1024 THEN 16 ELSE 8 END")
+
+
+def _ivf_cent_ctes() -> str:
+    """Shared oracle CTE pair: the corpus-scaled cell count (kk) and the
+    centroid rows (cent) — the DuckDB side of _ivf_k_for/_centroids."""
+    k0 = _IVF_FIRST_CENTROID
+    return f"""kk AS (SELECT {_IVF_K_SQL} AS k FROM emb WHERE vec_id >= {_N_QUERIES}),
+cent AS (SELECT vec_id - {k0} + 1 AS k, e AS ce
+         FROM emb, kk WHERE vec_id BETWEEN {k0} AND {k0} + kk.k - 1)"""
 
 
 def _ivf_cell_expr(centroids: list[list[float]], vec_col: str = "e"):
@@ -398,10 +426,9 @@ def _ivf_cell_expr(centroids: list[list[float]], vec_col: str = "e"):
 
 
 def _ivf_oracle() -> str:
-    k0, k1 = _IVF_FIRST_CENTROID, _IVF_FIRST_CENTROID + _IVF_K - 1
     return f"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-cent AS (SELECT vec_id - {k0} + 1 AS k, e AS ce FROM emb WHERE vec_id BETWEEN {k0} AND {k1}),
+{_ivf_cent_ctes()},
 dflat AS (
   SELECT m.vec_id, c.k, unnest(m.e) AS mv, unnest(c.ce) AS cv
   FROM emb m CROSS JOIN cent c
@@ -460,8 +487,11 @@ def _centroids(spark: SparkSession, emb: DataFrame, sf_dir: str) -> list[list[fl
     cache_key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     centroids = _CENTROID_CACHE.get(cache_key)
     if centroids is None:
+        # K scales with the corpus count (r12 — see _ivf_k_for); one count
+        # + one K-row collect per (session, sf_dir), both metadata-scale.
+        k = _ivf_k_for(emb.filter(F.col("vec_id") >= _N_QUERIES).count())
         cent_rows = (
-            emb.filter(F.col("vec_id").between(k0, k0 + _IVF_K - 1))
+            emb.filter(F.col("vec_id").between(k0, k0 + k - 1))
             .orderBy("vec_id")
             .collect()
         )
@@ -601,10 +631,9 @@ def int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_oracle() -> str:
-    k0, k1 = _IVF_FIRST_CENTROID, _IVF_FIRST_CENTROID + _IVF_K - 1
     return f"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-cent AS (SELECT vec_id - {k0} + 1 AS k, e AS ce FROM emb WHERE vec_id BETWEEN {k0} AND {k1}),
+{_ivf_cent_ctes()},
 dflat AS (
   SELECT m.vec_id, c.k, unnest(m.e) AS mv, unnest(c.ce) AS cv
   FROM emb m CROSS JOIN cent c WHERE m.vec_id >= {_N_QUERIES}
@@ -971,8 +1000,9 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # within-cell self-join, so the pair count is sum(|cell|^2), bounded by the
 # cluster granularity — in a real fit K scales with the corpus
 # (K ~ N/target_cell_size, SemDeDup used 50k clusters for LAION) keeping
-# cells constant-sized; K=8 here only because the deterministic stand-in
-# centroids are 8 fixed rows. The final per-duplicate aggregate is
+# cells constant-sized; since r12 K rides the _ivf_k_for corpus ladder
+# (8/16/32 across the fixtures), so the sum(|cell|^2) bound genuinely
+# tightens as the corpus grows. The final per-duplicate aggregate is
 # map-side combinable.
 #
 # Reference parity: the reference has no ANN/dedup operators — this extends
@@ -985,10 +1015,9 @@ _SEMDEDUP_TAU = 0.40  # inside the synthetic corpus' cosine range (max ~0.49)
 
 
 def _semdedup_oracle(tau: float = _SEMDEDUP_TAU) -> str:
-    k0, k1 = _IVF_FIRST_CENTROID, _IVF_FIRST_CENTROID + _IVF_K - 1
     return f"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-cent AS (SELECT vec_id - {k0} + 1 AS k, e AS ce FROM emb WHERE vec_id BETWEEN {k0} AND {k1}),
+{_ivf_cent_ctes()},
 dflat AS (
   SELECT m.vec_id, c.k, unnest(m.e) AS mv, unnest(c.ce) AS cv
   FROM emb m CROSS JOIN cent c

@@ -126,3 +126,150 @@ def test_subtract_green_transform_roundtrip():
     b = encode_webp_lossless(2, 2, rgba, subtract_green=True)
     assert a != b
     assert decode_webp_lossless(a).pixels == decode_webp_lossless(b).pixels
+
+
+# ---------------------------------------------------------------------------
+# r12: near-distance codes + predictor transform
+# ---------------------------------------------------------------------------
+
+from datafusion_distributed_spark.sources.webp import (  # noqa: E402
+    _clamp_add_subtract_half,
+    _near_code_distance,
+    _near_distance_table,
+    _predict,
+    _select_predict,
+)
+
+# The spec's explicit 120-entry near-distance listing ((dx, dy) pairs),
+# transcribed INDEPENDENTLY of the generation rule in sources/webp.py —
+# the whole point of this pin: two separate encodings of the constant
+# must agree exactly, so a rule error cannot pass silently.
+_SPEC_NEAR_TABLE = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+
+
+def test_near_distance_table_matches_spec_listing():
+    got = _near_distance_table()
+    assert len(got) == 120
+    assert got == _SPEC_NEAR_TABLE
+
+
+def test_near_code_distance_clamp():
+    # (1, 0) -> distance 1 at any width; (0, 1) -> the row stride;
+    # (-7, 1) at width 4 gives 4 - 7 = -3 -> clamped to 1 (spec rule).
+    w4 = 4
+    assert _near_code_distance(2, w4) == 1          # (1, 0)
+    assert _near_code_distance(1, w4) == 4          # (0, 1)
+    neg_code = _SPEC_NEAR_TABLE.index((-7, 1)) + 1
+    assert _near_code_distance(neg_code, w4) == 1   # clamped
+
+
+def test_near_code_backref_roundtrip():
+    rng = random.Random(7)
+    for w, h in [(4, 4), (8, 5), (12, 3)]:
+        row = [rng.randint(0, 255) for _ in range(4 * w)]
+        rgba = row * h
+        refs = [(w * y, w, w) for y in range(1, h)]
+        near = encode_webp_lossless(w, h, rgba, backrefs=refs, near_codes=True)
+        absolute = encode_webp_lossless(w, h, rgba, backrefs=refs)
+        assert decode_webp_lossless(near).pixels == rgba
+        assert decode_webp_lossless(absolute).pixels == rgba
+        # near coding produced a genuinely different stream
+        assert near != absolute
+
+
+def test_predictor_all_modes_roundtrip():
+    rng = random.Random(13)
+    for mode in range(14):
+        w, h = 16, 8
+        rgba = [rng.randint(0, 255) for _ in range(4 * w * h)]
+        data = encode_webp_lossless(
+            w, h, rgba, predictor_size_bits=4, predictor_modes=[mode]
+        )
+        assert decode_webp_lossless(data).pixels == rgba, f"mode {mode}"
+
+
+def test_predictor_multiblock_and_rightmost_tr():
+    # width NOT a multiple of the block size, and mode 3/9 (TR-using)
+    # blocks covering the rightmost column -> exercises the spec's
+    # leftmost-pixel-of-current-row TR substitution.
+    rng = random.Random(29)
+    w, h = 13, 9  # size_bits 3 -> grid 2 x 2
+    rgba = [rng.randint(0, 255) for _ in range(4 * w * h)]
+    data = encode_webp_lossless(
+        w, h, rgba, predictor_size_bits=3, predictor_modes=[3, 9, 5, 10]
+    )
+    assert decode_webp_lossless(data).pixels == rgba
+
+
+def test_predictor_with_subtract_green_and_cache():
+    rng = random.Random(31)
+    w, h = 20, 10
+    rgba = [rng.randint(0, 255) for _ in range(4 * w * h)]
+    data = encode_webp_lossless(
+        w, h, rgba, predictor_size_bits=3,
+        predictor_modes=[11, 12, 13, 7, 2, 6],
+        subtract_green=True, cache_bits=3,
+    )
+    assert decode_webp_lossless(data).pixels == rgba
+
+
+def test_clamp_add_subtract_half_truncates_toward_zero():
+    # Per spec (C semantics), (a - TL) / 2 truncates toward zero:
+    # L=100 T=100 TL=255 -> a=100, d=-155, half=-77 (not floor's -78),
+    # channel = clamp(23) = 23.
+    left = 0xFF000000 | (100 << 16)
+    top = 0xFF000000 | (100 << 16)
+    topleft = 0xFF000000 | (255 << 16)
+    out = _clamp_add_subtract_half(left, top, topleft)
+    assert (out >> 16) & 0xFF == 23
+    # alpha channel: a=255, d=0 -> stays 255
+    assert (out >> 24) & 0xFF == 255
+
+
+def test_select_predict_strict_less_picks_left():
+    # Equal Manhattan distances -> NOT strictly less -> returns TOP.
+    l_px = 0xFF000000 | (10 << 16)
+    t_px = 0xFF000000 | (20 << 16)
+    tl = 0xFF000000 | (15 << 16)
+    # pred_r = 10+20-15 = 15; |15-10| == |15-20| -> tie -> top
+    assert _select_predict(l_px, t_px, tl) == t_px
+    # make left strictly closer
+    tl2 = 0xFF000000 | (19 << 16)  # pred_r = 11; dL=1 < dT=9
+    assert _select_predict(l_px, t_px, tl2) == l_px
+
+
+def test_predictor_border_rules():
+    # 1x1 image: the only pixel predicts 0xff000000 regardless of mode ->
+    # residual a-channel = a - 255; roundtrip must restore exactly.
+    for mode in (0, 5, 12):
+        rgba = [7, 8, 9, 200]
+        data = encode_webp_lossless(
+            1, 1, rgba, predictor_size_bits=3, predictor_modes=[mode]
+        )
+        assert decode_webp_lossless(data).pixels == rgba
+    # single row (all L-predicted) and single column (all T-predicted)
+    rgba_row = [1, 2, 3, 255, 4, 5, 6, 255, 7, 8, 9, 255]
+    data = encode_webp_lossless(
+        3, 1, rgba_row, predictor_size_bits=3, predictor_modes=[13]
+    )
+    assert decode_webp_lossless(data).pixels == rgba_row
+    data = encode_webp_lossless(
+        1, 3, rgba_row, predictor_size_bits=3, predictor_modes=[13]
+    )
+    assert decode_webp_lossless(data).pixels == rgba_row

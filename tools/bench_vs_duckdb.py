@@ -84,8 +84,16 @@ def main() -> None:
         "--scales", default="sf0.01,sf0.1",
         help="comma list of scale labels (known: %s)" % ",".join(SCALE_DIRS),
     )
+    ap.add_argument(
+        "--exclude", default="",
+        help="comma list of query names to skip (e.g. q72 at sf1eq: its "
+        "date x item inventory grid materializes ~28M rows per executor "
+        "thread on this box — a documented memory blocker, not an engine "
+        "comparison)",
+    )
     args = ap.parse_args()
     scales = [(SCALE_DIRS[s], s) for s in args.scales.split(",")]
+    excluded = {q for q in args.exclude.split(",") if q}
     out_path = args.out or f"tools/bench_vs_duckdb_{args.suite}.json"
 
     spark = build_session(app_name="bench-vs-duckdb", master=f"local[{args.cpus}]")
@@ -98,6 +106,8 @@ def main() -> None:
         con.execute(f"PRAGMA threads={args.cpus}")
         register_duck_views(con, sf_dir, args.suite)
         for q in SUITE_QUERIES[args.suite]:
+            if q in excluded:
+                continue
             rec = out["queries"].setdefault(q, {})
             try:
                 sp = _median_wall(
@@ -132,6 +142,7 @@ def main() -> None:
     }
     out["totals"] = tot
     out["n_ok"] = len(ok)
+    out["excluded"] = sorted(excluded)
     first, last = scales[0][1], scales[-1][1]
     out["growth_10x"] = {
         eng: round(tot[last][eng] / tot[first][eng], 3)
