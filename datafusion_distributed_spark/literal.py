@@ -516,6 +516,10 @@ SUITE_VIEWS = {
     # bring the cross-year self-join's output to gate scale (see
     # literal_tpcds.view_definitions dense64 notes).
     "tpcds_dense64": TPCDS_SUITE_VIEWS,
+    # Ticket lane (r12): x4 store_sales line replication + per-order
+    # purchase addresses — makes q34's 15-20-line ticket band and
+    # q46/q68's bought-city <> current-city conjunctions reachable.
+    "tpcds_dense34": TPCDS_SUITE_VIEWS,
     # Exact-summation lane (the dense-slice method applied to TPC-H float
     # sums): the SAME 8 view names and verbatim texts, money columns
     # rendered order-exact (whole-dollar prices, 1/128-dyadic rates — see
@@ -544,6 +548,7 @@ _SUITE_TEXT_DIR = {
     "tpcds_dense": "tpcds",
     "tpcds_exact": "tpcds",
     "tpcds_dense64": "tpcds",
+    "tpcds_dense34": "tpcds",
     "tpch_exact": "tpch",
     "clickbench_unique": "clickbench",
     "clickbench_dense": "clickbench",
@@ -558,6 +563,8 @@ def _suite_defs(engine: str, base, suite: str) -> dict[str, str]:
         defs.update(_tpcds_view_definitions(engine, base, exact=True))
     elif suite == "tpcds_dense64":
         defs.update(_tpcds_view_definitions(engine, base, dense64=True))
+    elif suite == "tpcds_dense34":
+        defs.update(_tpcds_view_definitions(engine, base, dense34=True))
     return defs
 
 
@@ -727,6 +734,7 @@ def run_literal_sql(
     quoted = suite in (
         "clickbench", "clickbench_unique", "clickbench_dense",
         "tpcds", "tpcds_dense", "tpcds_exact", "tpcds_dense64",
+        "tpcds_dense34",
     )
     prior = spark.conf.get("spark.sql.ansi.doubleQuotedIdentifiers", None)
     if quoted:

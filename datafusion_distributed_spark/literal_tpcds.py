@@ -164,7 +164,7 @@ _CAL_START, _CAL_END = "1992-01-01", "2003-12-31"
 
 def view_definitions(
     engine: str, base, dense: bool = False, exact: bool = False,
-    dense64: bool = False,
+    dense64: bool = False, dense34: bool = False,
 ) -> dict[str, str]:
     """Render every TPC-DS view's SELECT text for one engine ('spark' or
     'duck'); ``base(name)`` references a raw driver table. Merged into the
@@ -252,6 +252,20 @@ def view_definitions(
     # item (key 7) passes q64's 6-color filter. Registered as its own suite
     # ('tpcds_dense64') so the 83 promoted dense-lane hashes are untouched.
     if dense64:
+        dense = True
+    # dense34 (r12): the TICKET lane — q34/q46/q68 were rejected as
+    # structurally unreachable: q34's cnt BETWEEN 15 AND 20 needs
+    # 15-20-line tickets (driver orders carry <= 7 lines), and q46/q68's
+    # current_addr.ca_city <> bought_city is ALWAYS false when
+    # ss_addr_sk = o_custkey = c_current_addr_sk (every lane until now).
+    # Two overrides fix both classes: store_sales lines replicate x4
+    # (identical rows — COUNT(*) per ticket becomes 4x surviving lines, so
+    # 4-5-line tickets land in [16, 20]), and the purchase address becomes
+    # a PER-ORDER key (o_orderkey % 4 + 1) decoupled from the customer's
+    # current address, so bought_city genuinely differs. Registered as its
+    # own suite ('tpcds_dense34'); ORDER-BY totality for all three texts
+    # comes from ss_ticket_number (unique per output row) in the sort key.
+    if dense34:
         dense = True
     sp = engine == "spark"
 
@@ -397,7 +411,11 @@ def view_definitions(
     # address rows exist for every custkey (customer_address maps c_custkey).
     # dense64 folds the purchase address to 2 keys (custkeys 1/2 always
     # exist) so q64's ad1 group block collapses.
-    addr = "o.o_custkey % 2 + 1" if dense64 else "o.o_custkey"
+    addr = (
+        "o.o_custkey % 2 + 1" if dense64
+        else "(o.o_orderkey % 4) + 1" if dense34
+        else "o.o_custkey"
+    )
 
     views: dict[str, str] = {}
 
@@ -413,7 +431,7 @@ SELECT {SOLD_SK} AS ss_sold_date_sk,
             ELSE CAST(l.l_suppkey % 10 + 1 AS {INT}) END AS ss_store_sk,
        l.l_orderkey % 30 AS ss_promo_sk,
        l.l_orderkey AS ss_ticket_number,{fact_cols("ss_")}
-FROM {LO}
+FROM {LO}{f" CROSS JOIN {SEQI(0, 3, 'rep')} r34" if dense34 else ""}
 WHERE o.o_orderkey % 12 <> 11"""
 
     views["store_returns"] = f"""
@@ -639,12 +657,18 @@ SELECT p_partkey AS i_item_sk,
         else _pick("p_partkey", _I_CATEGORIES)} AS i_category,
        CAST(p_partkey % 1000 AS {INT}) AS i_manufact_id,
        'Manufact#' || {S("p_partkey % 25")} AS i_manufact,
-       {_pick("p_partkey * 29", _I_SIZES)} AS i_size,
+       {"CASE WHEN p_partkey % 10 = 7 THEN 'medium' ELSE "
+         + _pick("p_partkey * 29", _I_SIZES) + " END" if dense34
+        else _pick("p_partkey * 29", _I_SIZES)} AS i_size,
        'formulation ' || {S("p_partkey % 37")} AS i_formulation,
        {"CASE WHEN p_partkey = 7 THEN 'purple' ELSE 'smoke' END" if dense64
+        else "CASE WHEN p_partkey % 10 = 7 THEN 'powder' ELSE "
+         + _pick("p_partkey", _DENSE_COLORS) + " END" if dense34
         else _pick("p_partkey", _DENSE_COLORS) if dense
         else _pick("p_partkey * 29", _I_COLORS)} AS i_color,
-       {_pick("p_partkey * 41", _I_UNITS)} AS i_units,
+       {"CASE WHEN p_partkey % 10 = 7 THEN 'Ounce' ELSE "
+         + _pick("p_partkey * 41", _I_UNITS) + " END" if dense34
+        else _pick("p_partkey * 41", _I_UNITS)} AS i_units,
        p_type AS i_container,
        CAST(p_partkey % 100 AS {INT}) AS i_manager_id,
        'product_' || {S("p_partkey")} AS i_product_name

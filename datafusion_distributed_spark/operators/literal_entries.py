@@ -264,6 +264,8 @@ def _suite_view_defs(suite: str) -> dict[str, str]:
             base.update(_ds_defs("duck", lambda n: n, exact=True))
         elif suite == "tpcds_dense64":
             base.update(_ds_defs("duck", lambda n: n, dense64=True))
+        elif suite == "tpcds_dense34":
+            base.update(_ds_defs("duck", lambda n: n, dense34=True))
         # TPC-DS's `customer` view key is `tpcds_customer` in the shared defs.
         base["customer"] = base["tpcds_customer"]
         cached = _SUITE_VIEW_DEFS_CACHE[suite] = base
@@ -2106,6 +2108,8 @@ if _os.path.isdir(REFERENCE_QUERIES):
 #    sf0.01 -> 1.70M rows / 164 s at sf0.1) — unusable as a per-round
 #    battery entry; it stays value-proven in the pytest dense tier.
 # 3. Exact-item lane (suite='tpcds_exact', literal_tpcds exact=True):
+#    (r12: promoted after all via the 'tpcds_dense64' taming sub-lane —
+#    see the lit_tpcds_q64 block below.)
 #    q6 (whole-dollar i_current_price makes the per-category avg an exact
 #    sum/count, so the 1.2x threshold compares identical doubles; 16 rows
 #    at sf0.01, 20 at sf0.1), q65 (unique i_item_desc makes the
@@ -2128,7 +2132,9 @@ if _os.path.isdir(REFERENCE_QUERIES):
 # - q17/q39 (stddev partition-order), q14 (shift-only), q41 (sf0.1-only
 #   tier), q72 (probe-OOM), q75 (ANSI transient zero divisor),
 #   q34/q46/q68 (ticket-size-bound: 15-20-items-per-ticket bands are
-#   structurally unreachable with <= 7-line orders) — unchanged.
+#   structurally unreachable with <= 7-line orders) — r12: promoted after
+#   all via the 'tpcds_dense34' ticket lane (x4 line replication +
+#   per-order purchase addresses; see the _DENSE34 block below).
 # ---------------------------------------------------------------------------
 
 _R11_WAVE = [
@@ -2252,6 +2258,78 @@ if _os.path.isdir(REFERENCE_QUERIES):
         "s11", "s21", "s31", "s12", "s22", "s32", "syear", "cnt",
     )
 
+    # ---------------------------------------------------------------------
+    # Round-12: the TICKET lane ('tpcds_dense34') promotes q34/q46/q68 —
+    # the last members of the r9 "ticket-size-bound" rejection class. Two
+    # targeted folds (literal_tpcds dense34 notes): store_sales lines
+    # replicate x4 so q34's cnt BETWEEN 15 AND 20 lands on 4-5-line
+    # tickets, and ss_addr_sk becomes a PER-ORDER key so q46/q68's
+    # current_addr.ca_city <> bought_city — structurally FALSE in every
+    # prior lane (purchase addr == customer's current addr by construction)
+    # — genuinely fires. All three ORDER BYs contain ss_ticket_number,
+    # which is unique per output row (one group per ticket: customer, addr
+    # and city are per-order constants), so the sorts are total and the
+    # q46/q68 LIMIT-100 cuts are deterministic. Measures are FLOOR-integer
+    # double sums (order-exact); q34's ratio filter (hd_dep*1.000)/hd_veh
+    # > 1.2 has no exact-boundary members (veh in {3,4} -> 1.2*veh is
+    # never an integer).
+    # ---------------------------------------------------------------------
+
+    _DENSE34 = [
+        ("q34", "bulk_ticket_customers",
+         ("c_last_name", "c_first_name", "c_salutation",
+          "c_preferred_cust_flag", "ss_ticket_number", "cnt"),
+         "c_last_name NULLS FIRST, c_first_name NULLS FIRST, "
+         "c_salutation NULLS FIRST, c_preferred_cust_flag DESC NULLS FIRST, "
+         "ss_ticket_number NULLS FIRST",
+         "15-20-line tickets on month-edge shopping days"),
+        ("q46", "out_of_town_ticket_profit",
+         ("c_last_name", "c_first_name", "ca_city", "bought_city",
+          "ss_ticket_number", "amt", "profit"),
+         "c_last_name NULLS FIRST, c_first_name NULLS FIRST, "
+         "ca_city NULLS FIRST, bought_city NULLS FIRST, "
+         "ss_ticket_number NULLS FIRST",
+         "weekend tickets bought outside the customer's current city"),
+        ("q68", "out_of_town_ticket_prices",
+         ("c_last_name", "c_first_name", "ca_city", "bought_city",
+          "ss_ticket_number", "extended_price", "extended_tax",
+          "list_price"),
+         "c_last_name NULLS FIRST, ss_ticket_number NULLS FIRST",
+         "month-start tickets, price/tax/list sums, out-of-town filter"),
+        # q41 rides the same lane via an ITEM plant (the ticket folds don't
+        # touch item, and q34/q46/q68 never read it): the 1-in-10 part
+        # slice carries one of the text's exact attribute quadruples
+        # (Women/powder/Ounce/medium), so the correlated manufact count
+        # fires for the five planted manufact classes. Populates at both
+        # gate scales (16 rows at sf0.01, the LIMIT-100 cut at sf0.1);
+        # ORDER BY = the UNIQUE product_name, so the cut is total. This
+        # was the last sf0.1-only-tier text.
+        ("q41", "manufact_attribute_items",
+         ("i_product_name",),
+         "i_product_name",
+         "correlated same-manufact attribute-combo count over a price band"),
+    ]
+
+    def _register_dense34_entry(qnum, slug, renames, order_by, note):
+        def fn(spark: SparkSession, sf_dir: str, _q=qnum, _r=renames):
+            return run_literal_sql(
+                spark, sf_dir, "tpcds_dense34", _q
+            ).toDF(*_r)
+
+        fn.__name__ = f"lit_tpcds_{qnum}"
+        fn.__doc__ = f"Verbatim TPC-DS {qnum} (tpcds_dense34 lane): {note}."
+        query(
+            f"lit_tpcds_{qnum}_{slug}",
+            oracle=_tpcds_oracle(
+                qnum, _tables_in_text(qnum), renames, suite="tpcds_dense34"
+            ),
+            tags=("literal", "tpcds", "r12", "tpcds_dense34"),
+            order_by=order_by,
+        )(fn)
+
+    for _row in _DENSE34:
+        _register_dense34_entry(*_row)
+
     @query(
         "lit_tpcds_q64_cross_year_store_sales",
         oracle=_tpcds_oracle(
@@ -2273,7 +2351,9 @@ if _os.path.isdir(REFERENCE_QUERIES):
 # Round-11 eighth wave: ClickBench rank-boundary re-adjudication. The r9
 # sweep rejected q8/q9/q11/q14/q15 (count-DESC rank-10 ties), q16/q30-q35
 # (count-1 tie walls), q23/q24/q26 (derived EventTime non-unique at sf0.01+)
-# and q3 (bigint-sum overflow). Promotions, via the 'clickbench_unique'
+# and q3 (bigint-sum overflow). (r12: the density lane later promoted
+# q17/q19/q27/q28/q30/q36-q42 — see the _CB_R12 block; only q18 remains
+# outside the gate.) Promotions, via the 'clickbench_unique'
 # Zipf lane (literal.py hits_unique — geometric trailing-zero-bucket key
 # frequencies, <= 9-value capped vocabularies, unique EventTime, bounded
 # UserID) or the identical-tuple argument on the default lane:

@@ -28,7 +28,10 @@ texts fire at sf0.001, 8 more at sf0.01 (_SF001_CASES), q41/q91 at sf0.1
 sf0.01 through the DENSE-SLICE view lane (_DENSE_PROOFS — suite
 'tpcds_dense', identical texts, density-tuned derivations fed to both
 engines); the default-lane both-engines-agree-at-sf0.1 evidence is retained
-(_SPARSE_NOTES); q34/q46/q68 are ticket-size-bound at any scale.
+(_SPARSE_NOTES). (r12: q34/q46/q68 — formerly ticket-size-bound at any
+scale — are now gate entries on the 'tpcds_dense34' ticket lane, and q64
+is a gate entry on the 'tpcds_dense64' taming lane; see
+operators/literal_entries.py.)
 
 Plan-shape gate: every literal plan is asserted free of cartesian products,
 and the star-join texts must broadcast their dimension sides — the same
