@@ -380,7 +380,8 @@ def view_definitions(
         return f"""
        CAST((l.l_orderkey * 104729 + l.l_linenumber * 7919) % 86400 AS {INT}) AS {p}returned_time_sk,
        CAST((l.l_orderkey * 3 + l.l_linenumber) % 35 + 1 AS {INT}) AS {p}reason_sk,
-       CAST(l.l_quantity AS {INT}) AS {p}return_quantity,
+       CAST({IDIV("CAST(l.l_quantity AS BIGINT)", "2") if dense34
+             else "l.l_quantity"} AS {INT}) AS {p}return_quantity,
        CAST(FLOOR({ext} * (1 - {disc})) AS DOUBLE) AS {p}{amt_name},
        CAST(FLOOR({ext} * (1 - {disc}) * {tax}) AS DOUBLE) AS {p}return_tax,
        CAST(FLOOR({ext} * (1 - {disc}) * (1 + {tax})) AS DOUBLE) AS {p}return_amt_inc_tax,
@@ -539,15 +540,26 @@ WHERE o.o_orderkey % 3 = 2 AND l.l_returnflag = 'R'"""
     # without it the whole 42M-row grid generated on 1-2 tasks (measured
     # ~4.4 s of q22's 4.7 s). Shuffling the tiny part table first is
     # negligible; explicit-count repartitions are not AQE-coalesced.
+    # dense34 caps the inventory grid's part side: the dense fact item
+    # fold concentrates every fact join on item keys 1..20, so a 500-key
+    # dimension keeps q72's joins fully meaningful while the week span trims to the texts' 1999-filter margin and the grid stays
+    # ~0.5M rows FLAT at any scale — the unbounded grid (parts x 5 x 417
+    # weeks) is what OOM'd the 10x probe and kept q72 out of the gate.
+    _part_side = (
+        f"(SELECT * FROM {base('part')} WHERE p_partkey <= 500)"
+        if dense34 else base("part")
+    )
+    _wk0, _wk1 = ("1998-01-01", "2001-12-31") if dense34 else (
+        "1995-01-01", "2002-12-31")
     _GRID = (
-        f"(SELECT /*+ REPARTITION(32) */ * FROM {base('part')}) p\n"
+        f"(SELECT /*+ REPARTITION(32) */ * FROM {_part_side}) p\n"
         "LATERAL VIEW explode(sequence(1, 5)) wh AS w\n"
-        "LATERAL VIEW explode(sequence(DATE '1995-01-01', "
-        "DATE '2002-12-31', interval 7 day)) w AS wk"
+        f"LATERAL VIEW explode(sequence(DATE '{_wk0}', "
+        f"DATE '{_wk1}', interval 7 day)) w AS wk"
         if sp
-        else f"{base('part')} p\n"
+        else f"{_part_side} p\n"
         f"CROSS JOIN {SEQI(1, 5, 'w')} wh\n"
-        f"CROSS JOIN {SEQD('1995-01-01', '2002-12-31', 7, 'wk')} w"
+        f"CROSS JOIN {SEQD(_wk0, _wk1, 7, 'wk')} w"
     )
 
     views["inventory"] = f"""

@@ -2330,6 +2330,67 @@ if _os.path.isdir(REFERENCE_QUERIES):
     for _row in _DENSE34:
         _register_dense34_entry(*_row)
 
+    # q72 (r12): the r9 probe-OOM rejection closed by the dense34 grid cap
+    # (literal_tpcds _GRID notes): the unbounded inventory grid (parts x 5
+    # warehouses x 417 weeks — 417M rows on the 10x layout) shrinks to 500
+    # parts x 5 x 209 weeks = ~0.5M rows FLAT at any scale; the dense fact
+    # item fold (keys 1..20) means every fact join was always inside the
+    # cap, so q72's week-matched low-inventory semantics are untouched.
+    # ORDER BY = total_cnt + the FULL group key, so the LIMIT-100 cut is
+    # total. DuckDB's wall on this join is ~26 s at sf0.1 (2.6 s at the
+    # sf0.01 gate scale) — the known-heaviest oracle; the default
+    # materialization set (inventory/time_dim/hd) measured fastest
+    # (all-inline and all-materialized are 5-10x worse).
+    _Q72_COLS = ("i_item_desc", "w_warehouse_name", "d_week_seq",
+                 "no_promo", "promo", "total_cnt")
+
+    @query(
+        "lit_tpcds_q72_low_inventory_promo_split",
+        oracle=_tpcds_oracle(
+            "q72", _tables_in_text("q72"), _Q72_COLS, suite="tpcds_dense34"
+        ),
+        tags=("literal", "tpcds", "r12", "tpcds_dense34", "inventory"),
+        order_by="total_cnt DESC NULLS FIRST, i_item_desc NULLS FIRST, "
+                 "w_warehouse_name NULLS FIRST, d_week_seq NULLS FIRST",
+    )
+    def lit_tpcds_q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q72: catalog sales x week-matched inventory shortfall
+        # with demographics filters and a promo/no-promo split.
+        return run_literal_sql(
+            spark, sf_dir, "tpcds_dense34", "q72"
+        ).toDF(*_Q72_COLS)
+
+    # q75 (r12): the r9 ANSI-transient-zero-divisor rejection closed by a
+    # dense34 fold — returns in this lane restock HALF the units
+    # (return_quantity = l_quantity DIV 2), so every net unit count is
+    # >= ceil(q/2) >= 1 and the text's CAST(cnt)/CAST(prev_cnt) < 0.9
+    # predicate can never meet a zero divisor in EITHER engine — the
+    # Spark-ANSI-throws-where-DuckDB's-join-order-never-evaluates edge is
+    # structurally gone (return AMOUNTS stay real, so net dollars still
+    # exercise the COALESCE/LEFT JOIN path). Year pair shifted -1 onto the
+    # populated horizon (the lit_tpch_*_shifted contract). 2 rows at every
+    # scale — the >10 % year-over-year unit decline is rare in uniform
+    # driver data — so the LIMIT-100 cut never fires (no tie hazard).
+    _Q75_COLS = ("prev_year", "year_", "i_brand_id", "i_class_id",
+                 "i_category_id", "i_manufact_id", "prev_yr_cnt",
+                 "curr_yr_cnt", "sales_cnt_diff", "sales_amt_diff")
+
+    @query(
+        "lit_tpcds_q75_brand_unit_decline",
+        oracle=_tpcds_oracle(
+            "q75", _tables_in_text("q75"), _Q75_COLS, year_shift=-1,
+            suite="tpcds_dense34",
+        ),
+        tags=("literal", "tpcds", "r12", "tpcds_dense34", "three-channel"),
+    )
+    def lit_tpcds_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Verbatim q75 under -1: three-channel net-of-returns UNION,
+        # year-over-year brand-tuple self-join, decimal-ratio decline
+        # filter.
+        return run_literal_sql(
+            spark, sf_dir, "tpcds_dense34", "q75", year_shift=-1
+        ).toDF(*_Q75_COLS)
+
     @query(
         "lit_tpcds_q64_cross_year_store_sales",
         oracle=_tpcds_oracle(
