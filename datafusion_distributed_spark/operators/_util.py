@@ -203,6 +203,31 @@ def slot_persist(key: str, df, eager: bool = False) -> "DataFrame":
     return df
 
 
+def kgram_concat_sql(arr: str, idx: str, k: int, base: int = 1) -> str:
+    """SQL text for the k-token window of ``arr`` starting at position
+    ``idx`` (``base``=1: 1-based loop var; ``base``=0: 0-based), joined by
+    single spaces — the codegen-cheap spelling of
+    ``concat_ws(' ', slice(arr, idx, k))``.
+
+    ``arr[j]`` is an O(1) GetArrayItem with no per-window array allocation,
+    while slice() materializes a k-element array that concat_ws then walks
+    (measured: text_gopher_filters' shingle projection 1.02 s -> 0.68 s at
+    sf0.1). Equivalent ONLY for full windows of non-null tokens: an
+    out-of-range index yields NULL and concat PROPAGATES null where
+    concat_ws skips it — every caller guards size(arr) >= k so windows are
+    always full, and split()-produced tokens are never null."""
+    parts = []
+    for j in range(k):
+        off = j - base
+        if off < 0:
+            parts.append(f"{arr}[{idx} - {-off}]")
+        elif off == 0:
+            parts.append(f"{arr}[{idx}]")
+        else:
+            parts.append(f"{arr}[{idx} + {off}]")
+    return "concat(" + ", ' ', ".join(parts) + ")"
+
+
 def _fan_out(df: DataFrame) -> DataFrame:
     """Spread rows across all cores before CPU-heavy per-row transforms —
     but ONLY when the scan is actually under-split.

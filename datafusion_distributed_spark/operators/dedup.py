@@ -23,7 +23,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ._util import _fan_out, release_local_checkpoint, slot_build_once, t
+from ._util import (
+    _fan_out,
+    kgram_concat_sql,
+    release_local_checkpoint,
+    slot_build_once,
+    slot_local_checkpoint,
+    t,
+)
 from .registry import query
 
 # MinHash parameters: 8 bands x 2 rows = 16 hash functions.
@@ -111,7 +118,7 @@ def _shingle_arrays(docs: DataFrame) -> DataFrame:
     )
     sh_arr = F.expr(
         "array_distinct(transform(sequence(1, size(w) - 2),"
-        " i -> concat_ws(' ', slice(w, i, 3))))"
+        f" i -> {kgram_concat_sql('w', 'i', 3)}))"
     )
     return words.filter(F.size("w") >= 3).select("doc_id", sh_arr.alias("sh_arr"))
 
@@ -705,7 +712,7 @@ def _shingle5(docs: DataFrame) -> DataFrame:
     )
     sh_arr = F.expr(
         "array_distinct(transform(sequence(1, size(w) - 4),"
-        " i -> concat_ws(' ', slice(w, i, 5))))"
+        f" i -> {kgram_concat_sql('w', 'i', 5)}))"
     )
     return words.filter(F.size("w") >= 5).select("doc_id", sh_arr.alias("sh_arr"))
 
@@ -1141,9 +1148,9 @@ def substring_spans_frames(docs: DataFrame, k: int = _SPAN_W) -> DataFrame:
         .select(
             "doc_id",
             F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ts") - k),
-                    lambda i: F.array_join(F.slice("ts", i + 1, k), " "),
+                F.expr(
+                    f"transform(sequence(0, size(ts) - {k}),"
+                    f" i -> {kgram_concat_sql('ts', 'i', k, base=0)})"
                 )
             ).alias("pos0", "win"),
         )
@@ -1458,8 +1465,24 @@ def incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (with >= 3 words — the shingling floor both engines share) gets a
     keep/drop row."""
     docs = t(spark, sf_dir)["documents"]
-    arrs = _shingle_arrays(docs)
-    bands = lsh_bands(_signatures_from_arrays(arrs))
+    # Materialize the shingle-set frame and the band table ONCE per
+    # invocation (guide §5: reuse beats recompute when the lineage is the
+    # md5-signature pipeline): the verdict pipeline consumes arrs three
+    # times (both Jaccard sides + the verdict row source) and bands twice
+    # (new/old shard filters) — unmaterialized, each consumer re-ran the
+    # 16-salted-md5 signature pass (no shared exchange for filters, so
+    # ReuseExchange never fires here; measured 5.2 s -> 2.8 s at sf0.1).
+    # localCheckpoint, NOT persist: a persisted frame registers with the
+    # session CacheManager and silently substitutes into any OTHER query
+    # whose plan embeds the same lineage (order-dependent plan pollution —
+    # caught by the plan-snapshot suite); checkpoint blocks are invisible
+    # to plan matching. In production these ARE materialized tables: the
+    # corpus band index is the maintained artifact and the shingle sets
+    # ride with the shard.
+    arrs = slot_local_checkpoint("dd_ingest_arrs", _shingle_arrays(docs))
+    bands = slot_local_checkpoint(
+        "dd_ingest_bands", lsh_bands(_signatures_from_arrays(arrs))
+    )
     is_new = F.col("doc_id") % _INGEST_MOD == 0
     new_bands = bands.filter(is_new)
     old_capped = _capped_band_index(bands.filter(~is_new))
@@ -1627,6 +1650,15 @@ def _maintained_index_frames(
     arrs = _shingle_arrays(docs)
     bands = lsh_bands(_signatures_from_arrays(arrs))
     m = F.col("doc_id") % _INGEST_MOD
+    # Same materialize-once rationale (and same checkpoint-not-persist
+    # cache-pollution rule) as dd_incremental_ingest, amplified: the
+    # maintained loop consumes bands via FIVE distinct sub-frames (base x2
+    # for the two index builds, shard1 x2, shard2) and arrs via five more —
+    # unmaterialized, the md5 signature pass ran ~6x per invocation
+    # (measured 14.8 s -> 5.7 s at sf0.1; the index/keeper arms are
+    # persisted tables in the production loop this entry models).
+    arrs = slot_local_checkpoint("dd_maint_arrs", arrs)
+    bands = slot_local_checkpoint("dd_maint_bands", bands)
     return (
         arrs,
         bands.filter(~m.isin(0, 1)),

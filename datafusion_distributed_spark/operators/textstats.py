@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ._util import dbl, slot_persist, t
+from ._util import dbl, kgram_concat_sql, slot_persist, t
 from .registry import query
 
 # Spark: split(trim(lower(text)), ' +')  <=>  DuckDB: string_split_regex(...)
@@ -234,7 +234,7 @@ def gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(
                 F.expr(
                     "transform(sequence(1, size(w) - 2),"
-                    " i -> concat_ws(' ', slice(w, i, 3)))"
+                    f" i -> {kgram_concat_sql('w', 'i', 3)})"
                 )
             )
         ),
@@ -456,9 +456,9 @@ def boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BACKWARDS, yielding [1, 0, ...]); short docs get an empty gram list.
     grams = F.when(
         n >= _PHRASE_N,
-        F.transform(
-            F.sequence(F.lit(1), n - (_PHRASE_N - 1)),
-            lambda i: F.array_join(F.slice(w, i, _PHRASE_N), " "),
+        F.expr(
+            f"transform(sequence(1, size(w) - {_PHRASE_N - 1}),"
+            f" i -> {kgram_concat_sql('w', 'i', _PHRASE_N)})"
         ),
     ).otherwise(F.array().cast("array<string>"))
     exploded = wordsdf.select(
@@ -797,7 +797,7 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(
                 F.expr(
                     "transform(sequence(1, size(w) - 2),"
-                    " i -> concat_ws(' ', slice(w, i, 3)))"
+                    f" i -> {kgram_concat_sql('w', 'i', 3)})"
                 )
             )
         ).alias("tok"),
@@ -1459,19 +1459,21 @@ ORDER BY source
 def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir)["documents"]
     toks = F.split(F.trim(F.lower(F.col("text"))), " +")
-    # Array-level bigram derivation: zip the token list against itself
-    # shifted by one — no posexplode self-join; slice length is clamped so
-    # 0/1-token docs yield an empty list (and thus no rows after explode).
-    bigrams = F.zip_with(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+    # Array-level bigram derivation — indexed-concat spelling (see
+    # _util.kgram_concat_sql): the zip_with(slice, slice) form re-sliced two
+    # arrays and ran an interpreted lambda per element. The size guard keeps
+    # 0/1-token docs at an empty list (sequence() would step BACKWARDS for
+    # start > stop), exactly like the old clamped slice.
+    words = docs.select("doc_id", "source", toks.alias("w"))
+    bigrams = F.when(
+        F.size("w") >= 2,
         F.expr(
-            "slice(split(trim(lower(text)), ' +'), 2,"
-            " greatest(size(split(trim(lower(text)), ' +')) - 1, 0))"
+            "transform(sequence(1, size(w) - 1),"
+            f" i -> {kgram_concat_sql('w', 'i', 2)})"
         ),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     tf = (
-        docs.select("doc_id", "source", F.explode(bigrams).alias("bg"))
+        words.select("doc_id", "source", F.explode(bigrams).alias("bg"))
         .groupBy("doc_id", "source", "bg")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -1716,7 +1718,7 @@ def _tfidf_pairs_frames(
     ).filter(F.size("w") >= 3)
     shingle = F.expr(
         "explode(transform(sequence(1, size(w) - 2),"
-        " i -> concat_ws(' ', slice(w, i, 3))))"
+        f" i -> {kgram_concat_sql('w', 'i', 3)}))"
     )
     tf = (
         words.select("doc_id", shingle.alias("tok"))
