@@ -50,6 +50,16 @@ def _dot(a: str, b: str):
     )
 
 
+def _with_nrm(df: DataFrame, vec: str, out: str) -> DataFrame:
+    """Attach sqrt(dot(vec, vec)) ONCE per row BEFORE a pair join: the pair
+    expression then evaluates one interpreted 64-element fold per pair
+    instead of three (HOF folds are CodegenFallback; the dominant per-pair
+    cost in every crossJoin-cosine plan). Value-identical — same fold, same
+    order, same sqrt as the per-pair spelling (the _semdedup_members parity
+    note), so oracles written either way hash-match."""
+    return df.withColumn(out, F.sqrt(_dot(vec, vec)))
+
+
 def pair_cos(ae: str = "ae", be: str = "be", a_nrm: str = "a_nrm", b_nrm: str = "b_nrm"):
     """round6 cosine of a pair from precomputed per-vector norms: ONE fold
     per pair; nrm columns are the same float the per-pair sqrt-spelling
@@ -96,14 +106,16 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    q = _with_nrm(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+        ),
+        "qe",
+        "qnrm",
     )
-    c = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    c = _with_nrm(emb.filter(F.col("vec_id") >= _N_QUERIES), "e", "nrm")
     joined = c.crossJoin(F.broadcast(q))
-    cos = _dot("e", "qe") / (
-        F.sqrt(_dot("e", "e")) * F.sqrt(_dot("qe", "qe"))
-    )
+    cos = _dot("e", "qe") / (F.col("nrm") * F.col("qnrm"))
     scored = joined.select(
         "q_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -315,14 +327,21 @@ def _neardup_frames(
         .filter(F.col("rn") <= cap)
         .drop("rn")
     )
+    capped = _with_nrm(capped, "e", "nrm")
     a = capped.select(
-        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), "bucket"
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+        "bucket",
     )
     b = capped.select(
-        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), "bucket"
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
     )
     joined = a.join(b, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
-    cos = _dot("ea", "eb") / (F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb")))
+    cos = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
     # coalesce() keeps InferFiltersFromConstraints from pushing a derived
     # isnotnull(<plane-dot expression>) into the scans (see ngram_jaccard).
     return joined.select(
@@ -335,9 +354,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    bucketed = emb.select("vec_id", "e", _bucket_expr_spark().alias("bucket"))
+    bucketed = _with_nrm(
+        emb.select("vec_id", "e", _bucket_expr_spark().alias("bucket")),
+        "e",
+        "nrm",
+    )
     q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), "bucket"
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        "bucket",
     )
     c = bucketed.filter(F.col("vec_id") >= _N_QUERIES)
     # Equi-join on bucket with the tiny query side broadcast: the corpus
@@ -346,7 +372,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast hint and this becomes a bucket-co-partitioned shuffle join —
     # same plan shape the reference would produce.
     joined = c.join(F.broadcast(q), "bucket")
-    cos = _dot("e", "qe") / (F.sqrt(_dot("e", "e")) * F.sqrt(_dot("qe", "qe")))
+    cos = _dot("e", "qe") / (F.col("nrm") * F.col("qnrm"))
     scored = joined.select(
         "q_id", F.col("vec_id").alias("neighbor_id"), F.round(cos, 6).alias("cos_sim")
     )
@@ -403,26 +429,39 @@ cent AS (SELECT vec_id - {k0} + 1 AS k, e AS ce
          FROM emb, kk WHERE vec_id BETWEEN {k0} AND {k0} + kk.k - 1)"""
 
 
-def _ivf_cell_expr(centroids: list[list[float]], vec_col: str = "e"):
-    """1-based index of the nearest centroid (rounded L2^2, tie -> lowest)."""
-    dists = F.array(
+def _cell_dists(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """(vec_id, darr array<double>[K]): rounded (6-dp) L2^2 of every vector
+    to each centroid — the posexplode+codegen reshape of the per-row
+    K*64-element interpreted HOF argmin (same move as _pq_subspace_dists,
+    same rounding-boundary note: the oracle's dists CTE is an equally
+    unordered SUM..GROUP BY). One map-side-combinable (vec_id) aggregate;
+    K whole-stage-codegen squared-diff terms per exploded dim row."""
+    cw_lits = [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    ex = emb.select("vec_id", F.posexplode("e").alias("pos", "val"))
+    per_dim = ex.select(
+        "vec_id",
         *[
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            )
-            for c in centroids
-        ]
+            (
+                (F.col("val") - F.element_at(cw, F.col("pos") + 1))
+                * (F.col("val") - F.element_at(cw, F.col("pos") + 1))
+            ).alias(f"s{c}")
+            for c, cw in enumerate(cw_lits)
+        ],
     )
-    return F.array_position(dists, F.array_min(dists))
+    agg = per_dim.groupBy("vec_id").agg(
+        *[F.sum(f"s{c}").alias(f"t{c}") for c in range(len(centroids))]
+    )
+    darr = F.array(
+        *[F.round(F.col(f"t{c}"), 6) for c in range(len(centroids))]
+    )
+    return agg.select("vec_id", darr.alias("darr"))
+
+
+def _cell_of():
+    """1-based index of the nearest centroid from a darr distance array
+    (tie -> lowest index) — the same array_position-of-min contract as the
+    old per-row _ivf_cell_expr."""
+    return F.array_position(F.col("darr"), F.array_min("darr"))
 
 
 def _ivf_oracle() -> str:
@@ -506,41 +545,35 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     centroids = _centroids(spark, emb, sf_dir)
-    cell = _ivf_cell_expr(centroids)
-    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
-        "vec_id", "e", cell.alias("cell")
-    )
-    # query probes: N_PROBE nearest centroids each
-    dists = F.array(
-        *[
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("e"),
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            )
-            for c in centroids
-        ]
+    # Cell assignment + query probe distances from ONE shared
+    # posexplode+codegen frame (see _cell_dists); per-side norms attached
+    # once so the bucket join evaluates one fold per pair (_with_nrm note).
+    cells = _cell_dists(emb, centroids)
+    corpus = (
+        _with_nrm(emb.filter(F.col("vec_id") >= _N_QUERIES), "e", "nrm")
+        .join(cells, "vec_id")
+        .select("vec_id", "e", "nrm", _cell_of().alias("cell"))
     )
     # probe cells = first N_PROBE entries of the (distance, k)-sorted centroid
-    # list, taken by slice — pure per-row array algebra, no window needed
+    # list, taken by slice — pure per-row array algebra over the K-element
+    # distance array (Q rows), no window needed
     probe_cells = F.expr(
         "transform(slice(array_sort(zip_with(d, sequence(1, size(d)),"
         f" (dd, kk) -> struct(dd as d, kk as k))), 1, {_IVF_N_PROBE}), s -> s.k)"
     )
     qd = (
-        emb.filter(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), dists.alias("d"))
-        .select("q_id", "qe", F.explode(probe_cells).alias("cell"))
+        _with_nrm(emb.filter(F.col("vec_id") < _N_QUERIES), "e", "qnrm")
+        .join(cells, "vec_id")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("e").alias("qe"),
+            "qnrm",
+            F.col("darr").alias("d"),
+        )
+        .select("q_id", "qe", "qnrm", F.explode(probe_cells).alias("cell"))
     )
     joined = corpus.join(F.broadcast(qd), "cell")
-    cos = _dot("e", "qe") / (F.sqrt(_dot("e", "e")) * F.sqrt(_dot("qe", "qe")))
+    cos = _dot("e", "qe") / (F.col("nrm") * F.col("qnrm"))
     scored = joined.select(
         "q_id", F.col("vec_id").alias("neighbor_id"), F.round(cos, 6).alias("cos_sim")
     )
@@ -666,9 +699,16 @@ def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     centroids = _centroids(spark, emb, sf_dir)
-    cell = _ivf_cell_expr(centroids)
-    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
-        cell.cast("int").alias("cell"), "e"
+    # Cell assignment via the shared posexplode+codegen frame (_cell_dists)
+    # instead of the per-row K*64 interpreted HOF argmin; the assignment
+    # joins back to the member rows at vector grain (broadcast-scale).
+    cells = _cell_dists(
+        emb.filter(F.col("vec_id") >= _N_QUERIES), centroids
+    ).select("vec_id", _cell_of().cast("int").alias("cell"))
+    corpus = (
+        emb.filter(F.col("vec_id") >= _N_QUERIES)
+        .join(cells, "vec_id")
+        .select("cell", "e")
     )
     ex = corpus.select("cell", F.posexplode("e").alias("pos", "val"))
     return ex.groupBy("cell", (F.col("pos") + 1).cast("int").alias("dim")).agg(
@@ -769,13 +809,15 @@ def cosine_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    q = _with_nrm(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+        ),
+        "qe",
+        "qnrm",
     )
-    c = emb.filter(F.col("vec_id") >= _N_QUERIES)
-    cos = F.round(
-        _dot("e", "qe") / (F.sqrt(_dot("e", "e")) * F.sqrt(_dot("qe", "qe"))), 6
-    )
+    c = _with_nrm(emb.filter(F.col("vec_id") >= _N_QUERIES), "e", "nrm")
+    cos = F.round(_dot("e", "qe") / (F.col("nrm") * F.col("qnrm")), 6)
     return (
         c.crossJoin(F.broadcast(q))
         .select("q_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
@@ -858,13 +900,21 @@ def filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id")
     )
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    q = _with_nrm(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+        ),
+        "qe",
+        "qnrm",
     )
-    c = emb.filter(F.col("vec_id") >= _N_QUERIES).join(
-        keep, emb["vec_id"] == keep["doc_id"]
+    c = _with_nrm(
+        emb.filter(F.col("vec_id") >= _N_QUERIES).join(
+            keep, emb["vec_id"] == keep["doc_id"]
+        ),
+        "e",
+        "nrm",
     )
-    cos = _dot("e", "qe") / (F.sqrt(_dot("e", "e")) * F.sqrt(_dot("qe", "qe")))
+    cos = _dot("e", "qe") / (F.col("nrm") * F.col("qnrm"))
     scored = c.crossJoin(F.broadcast(q)).select(
         "q_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -933,15 +983,20 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    bucketed = emb.select("vec_id", "e", _bucket_expr_spark().alias("bucket"))
+    bucketed = _with_nrm(
+        emb.select("vec_id", "e", _bucket_expr_spark().alias("bucket")),
+        "e",
+        "nrm",
+    )
     q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
         F.col("bucket").alias("qbucket"),
     )
     c = bucketed.filter(F.col("vec_id") >= _N_QUERIES)
     joined = c.crossJoin(F.broadcast(q))
-    cos = _dot("e", "qe") / (F.sqrt(_dot("e", "e")) * F.sqrt(_dot("qe", "qe")))
+    cos = _dot("e", "qe") / (F.col("nrm") * F.col("qnrm"))
     scored = joined.select(
         "q_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -1069,9 +1124,14 @@ def _semdedup_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     centroids = _centroids(spark, emb, sf_dir)
-    cell = _ivf_cell_expr(centroids)
+    # Cell assignment via the shared posexplode+codegen frame (_cell_dists,
+    # joined back at vector grain) instead of the per-row K*64 interpreted
+    # HOF argmin.
+    cells = _cell_dists(emb, centroids).select(
+        "vec_id", _cell_of().alias("cell")
+    )
     # cosine to the OWN cell's centroid: index the broadcast centroid matrix
-    # by the assigned cell — per-row array algebra, no join.
+    # by the assigned cell — per-row array algebra, no extra join.
     cent_mat = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
     )
@@ -1097,7 +1157,7 @@ def _semdedup_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONCE per row and ccos reuses the column (HOF folds are CodegenFallback;
     # same dedup-the-fold rationale as the pair scoring below).
     return (
-        emb.select("vec_id", "e", cell.alias("cell"))
+        emb.join(cells, "vec_id")
         .select(
             "vec_id",
             "e",
@@ -1411,31 +1471,57 @@ _PQ_K = 8  # codewords per subspace (the seed vectors' subvectors)
 _PQ_TOPK = 5
 
 
-def _pq_dist_micro_arr(vec_col: str, codewords: list[list[float]], m: int):
-    """Array of K integer-micro L2^2 distances from the row's m-th subvector
-    to each codeword's m-th subvector (m is 0-based)."""
-    lo = m * _PQ_D
-    sub = F.slice(F.col(vec_col), lo + 1, _PQ_D)
-    return F.array(
+def _pq_subspace_dists(emb: DataFrame, codewords: list[list[float]]) -> DataFrame:
+    """(vec_id, m [1-based], d2u array<long>[K]): integer-micro L2^2 of each
+    row's m-th subvector against every codeword — the pq_distortion
+    posexplode+codegen shape (see its formulation note), generalized to an
+    arbitrary codebook and shared by the encode / query-table / training /
+    distortion lanes. Replaces the K*M*D-per-row interpreted HOF encode
+    (CodegenFallback lambdas; measured sim_pq_adc_topk 7.6 s,
+    sim_pq_train_convergence 8.7 s at sf0.1 on the r12 baseline box) with K
+    whole-stage-codegen squared-diff terms per exploded dim row and ONE
+    map-side-combinable (vec, m) aggregate — M small rows per vector cross
+    the shuffle, same as pq_distortion. Same rounding-boundary assumption
+    as pq_distortion's note: per-subspace double sums accumulate in
+    shuffle-group order before the round-to-micro (the oracle's SUM..GROUP
+    BY is equally unordered)."""
+    cw_lits = [F.array(*[F.lit(float(x)) for x in c]) for c in codewords]
+    ex = emb.select("vec_id", F.posexplode("e").alias("pos", "val"))
+    per_dim = ex.select(
+        "vec_id",
+        (F.col("pos") / _PQ_D).cast("int").alias("m0"),
         *[
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        sub,
-                        F.array(
-                            *[F.lit(float(c[lo + j])) for j in range(_PQ_D)]
-                        ),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                * 1000000.0,
-                0,
-            ).cast("long")
-            for c in codewords
+            (
+                (F.col("val") - F.element_at(cw, F.col("pos") + 1))
+                * (F.col("val") - F.element_at(cw, F.col("pos") + 1))
+            ).alias(f"s{c}")
+            for c, cw in enumerate(cw_lits)
+        ],
+    )
+    per_sub = per_dim.groupBy("vec_id", "m0").agg(
+        *[F.sum(f"s{c}").alias(f"t{c}") for c in range(len(codewords))]
+    )
+    d2u = F.array(
+        *[
+            F.round(F.col(f"t{c}") * 1000000.0, 0).cast("long")
+            for c in range(len(codewords))
         ]
     )
+    return per_sub.select(
+        "vec_id", (F.col("m0") + 1).cast("int").alias("m"), d2u.alias("d2u")
+    )
+
+
+def _pq_code():
+    """1-based argmin code over a d2u array (tie -> lowest code) — the
+    encoder's array_position-of-min contract."""
+    return F.array_position(F.col("d2u"), F.array_min("d2u")).cast("int")
+
+
+def _first_m(m: int, col):
+    """The (vec_id, m)-grain frame pivoted wide: exactly one row per
+    (vec_id, m), so first(ignorenulls) is deterministic."""
+    return F.first(F.when(F.col("m") == m, col), ignorenulls=True)
 
 
 def _pq_cte_prefix() -> str:
@@ -1526,22 +1612,45 @@ def _pq_adc_pairs(
     )
     if codewords is None:
         codewords = _centroids(spark, emb, sf_dir)[:_PQ_K]
-    # Encode: per subspace, argmin over the K micro-distances (tie -> lowest
-    # code, the array_position-of-min contract the IVF cell expr uses).
-    darrs = [_pq_dist_micro_arr("e", codewords, m) for m in range(_PQ_M)]
-    codes = [
-        F.array_position(d, F.array_min(d)).cast("int").alias(f"code_{m + 1}")
-        for m, d in enumerate(darrs)
-    ]
-    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
-        "vec_id", *codes, *(["e"] if with_vectors else [])
+    # Encode via the shared posexplode+codegen subspace-distance frame
+    # (_pq_subspace_dists): per subspace, argmin over the K micro-distances
+    # (tie -> lowest code, the array_position-of-min contract the IVF cell
+    # expr uses); the query side keeps the K-entry arrays as its distance
+    # tables. Pivoting the (vec, m) grain wide is a tiny second aggregate
+    # over M rows per vector.
+    sub = _pq_subspace_dists(emb, codewords)
+    corpus = (
+        sub.filter(F.col("vec_id") >= _N_QUERIES)
+        .groupBy("vec_id")
+        .agg(
+            *[
+                _first_m(m + 1, _pq_code()).alias(f"code_{m + 1}")
+                for m in range(_PQ_M)
+            ]
+        )
     )
-    # Query distance tables: the K-entry micro-distance array per subspace.
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        *[d.alias(f"qt_{m + 1}") for m, d in enumerate(darrs)],
-        *([F.col("e").alias("qe")] if with_vectors else []),
+    q = (
+        sub.filter(F.col("vec_id") < _N_QUERIES)
+        .groupBy("vec_id")
+        .agg(
+            *[
+                _first_m(m + 1, F.col("d2u")).alias(f"qt_{m + 1}")
+                for m in range(_PQ_M)
+            ]
+        )
+        .withColumnRenamed("vec_id", "q_id")
     )
+    if with_vectors:
+        corpus = corpus.join(
+            emb.filter(F.col("vec_id") >= _N_QUERIES).select("vec_id", "e"),
+            "vec_id",
+        )
+        q = q.join(
+            emb.filter(F.col("vec_id") < _N_QUERIES).select(
+                F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+            ),
+            "q_id",
+        )
     adc = sum(
         F.element_at(F.col(f"qt_{m + 1}"), F.col(f"code_{m + 1}"))
         for m in range(_PQ_M)
@@ -1777,29 +1886,7 @@ def _trained_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     seed = _centroids(spark, emb, sf_dir)[:_PQ_K]
-    darrs = [_pq_dist_micro_arr("e", seed, m) for m in range(_PQ_M)]
-    codes = [
-        F.array_position(d, F.array_min(d)).cast("int").alias(f"code_{m + 1}")
-        for m, d in enumerate(darrs)
-    ]
-    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select("e", *codes)
-    m_of = (F.col("pos") / _PQ_D).cast("int") + 1
-    ex = corpus.select(
-        F.posexplode("e").alias("pos", "val"),
-        F.array(*[F.col(f"code_{m + 1}") for m in range(_PQ_M)]).alias("carr"),
-    ).select(
-        m_of.cast("int").alias("m"),
-        F.element_at("carr", m_of).alias("code"),
-        (F.pmod(F.col("pos"), F.lit(_PQ_D)) + 1).cast("int").alias("dim"),
-        "val",
-    )
-    return ex.groupBy("m", "code", "dim").agg(
-        (
-            F.sum(F.round(F.col("val") * 1000000, 0).cast("long")).cast("double")
-            / (F.lit(1000000.0) * F.count(F.lit(1)))
-        ).alias("mean_val"),
-        F.count(F.lit(1)).alias("n_members"),
-    )
+    return _lloyd_stats(spark, sf_dir, seed)
 
 
 @query(
@@ -1942,21 +2029,33 @@ def _lloyd_stats(
     emb = t(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    darrs = [_pq_dist_micro_arr("e", codewords, m) for m in range(_PQ_M)]
-    codes = [
-        F.array_position(d, F.array_min(d)).cast("int").alias(f"code_{m + 1}")
-        for m, d in enumerate(darrs)
-    ]
-    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select("e", *codes)
+    # Assignment codes from the shared posexplode+codegen frame (see
+    # _pq_subspace_dists — replaces the per-row interpreted HOF encode),
+    # attached back to the exploded dim rows by a broadcast-scale join
+    # (codes are one row per corpus vector).
+    sub = _pq_subspace_dists(emb, codewords).filter(
+        F.col("vec_id") >= _N_QUERIES
+    )
+    codes_w = sub.groupBy("vec_id").agg(
+        *[
+            _first_m(m + 1, _pq_code()).alias(f"code_{m + 1}")
+            for m in range(_PQ_M)
+        ]
+    )
     m_of = (F.col("pos") / _PQ_D).cast("int") + 1
-    ex = corpus.select(
-        F.posexplode("e").alias("pos", "val"),
-        F.array(*[F.col(f"code_{m + 1}") for m in range(_PQ_M)]).alias("carr"),
-    ).select(
-        m_of.cast("int").alias("m"),
-        F.element_at("carr", m_of).alias("code"),
-        (F.pmod(F.col("pos"), F.lit(_PQ_D)) + 1).cast("int").alias("dim"),
-        "val",
+    ex = (
+        emb.filter(F.col("vec_id") >= _N_QUERIES)
+        .select("vec_id", F.posexplode("e").alias("pos", "val"))
+        .join(codes_w, "vec_id")
+        .select(
+            m_of.cast("int").alias("m"),
+            F.element_at(
+                F.array(*[F.col(f"code_{m + 1}") for m in range(_PQ_M)]),
+                m_of,
+            ).alias("code"),
+            (F.pmod(F.col("pos"), F.lit(_PQ_D)) + 1).cast("int").alias("dim"),
+            "val",
+        )
     )
     return ex.groupBy("m", "code", "dim").agg(
         (
@@ -2008,13 +2107,18 @@ def _distortion_frame(
     emb = t(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    darrs = [_pq_dist_micro_arr("e", codewords, m) for m in range(_PQ_M)]
-    best = sum(F.array_min(d) for d in darrs)
+    # Shared posexplode+codegen frame; per-(vec, m) best = the array min,
+    # total = exact int64 micro sum over all corpus (vec, m) rows —
+    # identical to the per-row sum-of-subspace-minima (order-independent
+    # integer addition), with n_subvectors = the (vec, m) row count =
+    # n_corpus * M exactly as before.
+    sub = _pq_subspace_dists(emb, codewords).filter(
+        F.col("vec_id") >= _N_QUERIES
+    )
     return (
-        emb.filter(F.col("vec_id") >= _N_QUERIES)
-        .agg(
-            F.sum(best).alias("distortion_micro"),
-            (F.count(F.lit(1)) * _PQ_M).alias("n_subvectors"),
+        sub.agg(
+            F.sum(F.array_min("d2u")).alias("distortion_micro"),
+            F.count(F.lit(1)).alias("n_subvectors"),
         )
         .select(
             F.lit(step).cast("long").alias("step"),
@@ -2222,15 +2326,17 @@ def retrieval_mrr_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir)["embeddings"].select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("label").alias("q_label"),
-        F.col("e").alias("qe"),
+    q = _with_nrm(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("e").alias("qe"),
+        ),
+        "qe",
+        "qnrm",
     )
-    c = emb.filter(F.col("vec_id") >= _N_QUERIES)
-    cos = F.round(
-        _dot("e", "qe") / (F.sqrt(_dot("e", "e")) * F.sqrt(_dot("qe", "qe"))), 6
-    )
+    c = _with_nrm(emb.filter(F.col("vec_id") >= _N_QUERIES), "e", "nrm")
+    cos = F.round(_dot("e", "qe") / (F.col("nrm") * F.col("qnrm")), 6)
     scored = c.crossJoin(F.broadcast(q)).select(
         "q_id",
         "vec_id",

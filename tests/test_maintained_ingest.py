@@ -85,5 +85,10 @@ def test_entry_verdicts_match_persisted_index(spark, tmp_path):
         "matched_day1",
         F.when(F.col("best_match_id") % 10 == 1, 1).otherwise(0).cast("int"),
     )
+    # Consume from_disk BEFORE invoking the registry entry: the entry's
+    # checkpoint slots (see _maintained_index_frames) release the previous
+    # invocation's blocks, invalidating frames still derived from them —
+    # the documented consume-then-reinvoke slot contract.
+    from_disk_rows = _rowset(from_disk)
     entry = REGISTRY["dd_maintained_ingest"].fn(spark, SF_DIR)
-    assert _rowset(from_disk) == _rowset(entry)
+    assert from_disk_rows == _rowset(entry)

@@ -76,6 +76,14 @@ _CROSS_OK = {
     "lit_cb_q40_urlhash_date_offset",
     "lit_cb_q41_window_geometry_offset",
     "lit_cb_q42_minute_pageviews_offset",
+    # tpcds_dense34 ticket lane (r12): its store_sales view 4x-replicates
+    # lineitem via a CONSTANT `CROSS JOIN explode(sequence(0, 3))` fan-out
+    # (see literal_tpcds.py dense34) — fixed-size, never SF-growing; same
+    # precedent as the hits_dense 16x lane above.
+    "lit_tpcds_q34_bulk_ticket_customers",
+    "lit_tpcds_q46_out_of_town_ticket_profit",
+    "lit_tpcds_q68_out_of_town_ticket_prices",
+    "lit_tpcds_q75_brand_unit_decline",
 }
 
 _ALL = sorted(REGISTRY)
