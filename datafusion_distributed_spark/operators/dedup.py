@@ -1547,21 +1547,33 @@ def _ingest_verdicts(
             ).alias("jaccard"),
         )
     )
+    # best match AND candidate count from ONE window pass over jac (r12 §F):
+    # the separate best-window + counts-groupBy consumed jac twice, re-running
+    # the whole candidate+verification lineage per consumer (and, in the
+    # maintained entry, the embedded day-1 chain with it). A full-partition
+    # COUNT rides the same new_id shuffle the row_number already pays; every
+    # new_id in jac has exactly one rn=1 row, so the fused frame carries the
+    # identical (best_match_id, best_jaccard, n_candidates) triple.
     wb = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("old_id"))
+    wc = Window.partitionBy("new_id")
     best = (
-        jac.withColumn("rn", F.row_number().over(wb))
+        jac.select(
+            "new_id",
+            "old_id",
+            "jaccard",
+            F.row_number().over(wb).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n_cand"),
+        )
         .filter(F.col("rn") == 1)
         .select(
             "new_id",
             F.col("old_id").alias("best_match_id"),
             F.col("jaccard").alias("best_jaccard"),
+            F.col("n_cand").alias("n_candidates"),
         )
     )
-    counts = jac.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_candidates"))
     return (
-        new_docs.join(counts, new_docs.doc_id == counts.new_id, "left")
-        .drop("new_id")
-        .join(best, new_docs.doc_id == best.new_id, "left")
+        new_docs.join(best, new_docs.doc_id == best.new_id, "left")
         .drop("new_id")
         .select(
             "doc_id",

@@ -2099,32 +2099,72 @@ def _lloyd_codebooks(
     return chain
 
 
-def _distortion_frame(
-    spark: SparkSession, sf_dir: str, codewords: list[list[float]], step: int
+def _chain_distortion_frame(
+    spark: SparkSession, sf_dir: str, chain: list[list[list[float]]]
 ) -> DataFrame:
-    """1-row frame: total corpus assignment distortion (exact int64 micro
-    sum — order-independent) against ``codewords``."""
+    """T-row frame (step, distortion_micro, n_subvectors): per-step corpus
+    assignment distortion of the Lloyd chain — step t against chain[t-1] —
+    computed in ONE scan/posexplode/aggregate pass (r12 §F: the per-step
+    union re-ran the identical explode + (vec, m) shuffle T times; every
+    step shares the exploded corpus, only the K codegen squared-diff terms
+    differ, so all T*K sums ride one map-side-combinable aggregate). Each
+    step's per-(vec, m) double sums accumulate in the same partial-agg
+    order as the single-step frame (same grouping, same input order) before
+    the round-to-micro; the per-step totals are then exact int64 micro sums
+    of array minima — order-independent, identical to the per-row
+    sum-of-subspace-minima, with n_subvectors = the (vec, m) row count =
+    n_corpus * M exactly as before."""
     emb = t(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    # Shared posexplode+codegen frame; per-(vec, m) best = the array min,
-    # total = exact int64 micro sum over all corpus (vec, m) rows —
-    # identical to the per-row sum-of-subspace-minima (order-independent
-    # integer addition), with n_subvectors = the (vec, m) row count =
-    # n_corpus * M exactly as before.
-    sub = _pq_subspace_dists(emb, codewords).filter(
-        F.col("vec_id") >= _N_QUERIES
+    n_steps = len(chain)
+    cw_lits = [
+        [F.array(*[F.lit(float(x)) for x in c]) for c in cb] for cb in chain
+    ]
+    ex = (
+        emb.filter(F.col("vec_id") >= _N_QUERIES)
+        .select("vec_id", F.posexplode("e").alias("pos", "val"))
     )
-    return (
-        sub.agg(
-            F.sum(F.array_min("d2u")).alias("distortion_micro"),
-            F.count(F.lit(1)).alias("n_subvectors"),
-        )
-        .select(
-            F.lit(step).cast("long").alias("step"),
-            "distortion_micro",
-            "n_subvectors",
-        )
+    per_dim = ex.select(
+        "vec_id",
+        (F.col("pos") / _PQ_D).cast("int").alias("m0"),
+        *[
+            (
+                (F.col("val") - F.element_at(cw, F.col("pos") + 1))
+                * (F.col("val") - F.element_at(cw, F.col("pos") + 1))
+            ).alias(f"s{ti}_{c}")
+            for ti, cws in enumerate(cw_lits)
+            for c, cw in enumerate(cws)
+        ],
+    )
+    per_sub = per_dim.groupBy("vec_id", "m0").agg(
+        *[
+            F.sum(f"s{ti}_{c}").alias(f"t{ti}_{c}")
+            for ti, cws in enumerate(cw_lits)
+            for c in range(len(cws))
+        ]
+    )
+    mins = [
+        F.array_min(
+            F.array(
+                *[
+                    F.round(F.col(f"t{ti}_{c}") * 1000000.0, 0).cast("long")
+                    for c in range(len(cw_lits[ti]))
+                ]
+            )
+        ).alias(f"min{ti}")
+        for ti in range(n_steps)
+    ]
+    glob = per_sub.select(*mins).agg(
+        *[F.sum(f"min{ti}").alias(f"dist{ti}") for ti in range(n_steps)],
+        F.count(F.lit(1)).alias("n_sub"),
+    )
+    stack_args = ", ".join(
+        f"CAST({ti + 1} AS BIGINT), dist{ti}, n_sub" for ti in range(n_steps)
+    )
+    return glob.selectExpr(
+        f"stack({n_steps}, {stack_args})"
+        " AS (step, distortion_micro, n_subvectors)"
     )
 
 
@@ -2140,14 +2180,9 @@ def pq_train_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantees the gated sequence is monotone non-increasing, so the
     convergence trajectory itself is behind the bit-exact hash gate."""
     chain = _lloyd_codebooks(spark, sf_dir)
-    frames = [
-        _distortion_frame(spark, sf_dir, chain[t - 1], t)
-        for t in range(1, _PQ_TRAIN_STEPS + 1)
-    ]
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    return _chain_distortion_frame(
+        spark, sf_dir, chain[: _PQ_TRAIN_STEPS]
+    )
 
 
 def _trained_codewords(spark: SparkSession, sf_dir: str) -> list[list[float]]:

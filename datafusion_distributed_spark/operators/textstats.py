@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ._util import dbl, kgram_concat_sql, slot_persist, t
+from ._util import dbl, kgram_concat_sql, slot_local_checkpoint, slot_persist, t
 from .registry import query
 
 # Spark: split(trim(lower(text)), ' +')  <=>  DuckDB: string_split_regex(...)
@@ -1744,8 +1744,21 @@ def _tfidf_pairs_frames(
     # largest vocabulary slice of a real corpus. No pinned broadcast; the
     # tok-keyed shuffle join is the scale-safe shape and AQE may still
     # broadcast at small scale.
-    w = tf.join(idf, "tok").select(
-        "doc_id", "tok", (F.col("tf") * F.col("idf_micro")).alias("w")
+    # Materialize the pruned postings ONCE per invocation (r12 §F, the §B
+    # slot-checkpoint move): `w` is consumed by THREE sub-frames (norms +
+    # both self-join sides) and `tf` by two (idf + w), so the lazy lineage
+    # re-ran the scan->explode->tf aggregate 12x per run (12 parquet scans
+    # in the pre-change plan; ReuseExchange cannot unify them across the
+    # join/agg boundaries). The checkpointed frame is the tiny rare-term
+    # postings list (df<=maxdf rows per term) — in production this IS the
+    # materialized inverted-index slice the Bayardo family builds first.
+    # localCheckpoint, not persist: CacheManager substitution would leak
+    # this lineage into other queries' plans (the §B order-dependence note).
+    w = slot_local_checkpoint(
+        "tfidf_w",
+        tf.join(idf, "tok").select(
+            "doc_id", "tok", (F.col("tf") * F.col("idf_micro")).alias("w")
+        ),
     )
     wd = F.col("w").cast("decimal(38,0)")
     norms = w.groupBy("doc_id").agg(F.sum(wd * wd).alias("n2"))

@@ -20,12 +20,15 @@ is a normal partial/final JVM hash aggregate.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, LongType, StringType
 
+from ..plans.costing import input_bytes
 from ._util import C, t, unscale
 from .registry import query
 
@@ -182,12 +185,21 @@ def udf_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the SAME ASOF LEFT JOIN SQL that checks the window-based
 # cb_asof_view_purchase — so the Python path is proven bit-identical to
 # both the JVM window formulation and DuckDB. Scale: ONE co-shuffle on a
-# 256-way hash bucket of user_id (not the raw key: one Python call per
-# BUCKET, merge_asof's by= resolves users inside the batch — per-user
-# grouping would pay interpreter overhead per user), Arrow-batched, per
-# task memory bounded by a bucket's events. At corpus scale raise the
-# bucket count with the cluster: the envelope is |events|/n_buckets.
+# hash bucket of user_id (not the raw key: one Python call per BUCKET,
+# merge_asof's by= resolves users inside the batch — per-user grouping
+# would pay interpreter overhead per user), Arrow-batched. The bucket
+# count is INPUT-SIZE-DERIVED (r12 §F; guide §2 scale-adaptive
+# partitioning): ~16 MB of events parquet per bucket, floor 8, so the
+# per-task envelope |events|/n_buckets stays bounded at 100 TB while the
+# bench scales don't pay hundreds of near-empty Python round-trips (the
+# previous constant 256 was tuned for neither — measured below). Results
+# are bucket-count-invariant: every user lands wholly in one bucket and
+# merge_asof resolves per user.
 # ---------------------------------------------------------------------------
+
+_ASOF_BUCKET_BYTES = 16 << 20
+_ASOF_MIN_BUCKETS = 8
+_ASOF_MAX_BUCKETS = 1 << 20
 
 _COGROUP_ASOF_SCHEMA = (
     "event_id long, user_id long, purchase_ts string, last_view_ts string"
@@ -240,7 +252,12 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
 )
 def udf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = t(spark, sf_dir)["events"]
-    bucket = F.pmod(F.hash("user_id"), F.lit(256)).alias("bucket")
+    ev_bytes = input_bytes(os.path.join(sf_dir, "events.parquet"))
+    n_buckets = max(
+        _ASOF_MIN_BUCKETS,
+        min(_ASOF_MAX_BUCKETS, -(-ev_bytes // _ASOF_BUCKET_BYTES)),
+    )
+    bucket = F.pmod(F.hash("user_id"), F.lit(n_buckets)).alias("bucket")
     views = events.filter(F.col("event_type") == "view").select(
         "user_id", "ts", bucket
     )
