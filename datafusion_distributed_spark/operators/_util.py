@@ -29,6 +29,26 @@ def t(spark: SparkSession, sf_dir: str):
     return load_tables(spark, sf_dir)
 
 
+def arr_lit(values) -> Column:
+    """Constant array<double> literal built with ONE py4j round trip.
+
+    ``F.array(*[F.lit(x) for x in xs])`` costs len(xs) py4j calls — ~1 ms
+    each — so the K×64 centroid/codeword matrices the similarity family
+    folds into its plans cost ~1 s of DRIVER time per frame BUILD, re-paid
+    on every invocation (bench runs, oracle sweeps). An r12 phase probe on
+    _cell_dists measured build=1.1 s vs analyze+optimize+physical=0.05 s:
+    the "planning" cost was Python-side Column construction. One F.expr
+    over a SQL array(...) text is a single round trip (measured 0.01 s);
+    CAST('<repr>' AS DOUBLE) parses via Java's correctly-rounded
+    Double.parseDouble on Python's shortest-round-trip repr, so each
+    element is bit-identical to the F.lit spelling (verified element-wise
+    on the centroid fixtures), and ConstantFolding collapses the array to
+    the same Literal the old spelling produced."""
+    return F.expr(
+        "array(" + ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in values) + ")"
+    )
+
+
 def _c(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col
 

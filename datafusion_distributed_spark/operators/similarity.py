@@ -33,7 +33,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ._util import _fan_out, t
+from ._util import _fan_out, arr_lit, slot_local_checkpoint, t
 from .registry import query
 
 _N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -155,7 +155,7 @@ def _bucket_expr_spark():
     # (round-1 profile showed the per-row rebuild in the hot path).
     total = F.lit(0)
     for j in range(_N_PLANES):
-        plane = F.array(*[F.lit(_plane_value(j, d)) for d in range(64)])
+        plane = arr_lit(_plane_value(j, d) for d in range(64))
         plane_dot = F.aggregate(
             F.zip_with(F.col("e"), plane, lambda x, y: x * y),
             F.lit(0.0),
@@ -163,6 +163,41 @@ def _bucket_expr_spark():
         )
         total = total + F.when(plane_dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return total
+
+
+def _plane_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, bucket): the LSH bucket of every vector via the
+    posexplode+codegen reshape (_cell_dists move, r12): explode to
+    (vec_id, dim, val), 8 codegen products per dim row (element_at into
+    the constant plane literals), ONE map-side-combinable (vec_id)
+    aggregate — the shuffle carries 8 doubles per vector. Replaces the 8
+    interpreted 64-element HOF folds per row of _bucket_expr_spark
+    (CodegenFallback; measured 1.2 -> 0.3 s at sf0.1 for the histogram).
+    Parity: each vector's dim rows are contiguous in one scan split, so
+    the partial sum accumulates in d=0..63 order — the same sequential
+    sum the fold computes (verified bucket-exact on the fixtures); the
+    oracle's SUM..GROUP BY is equally unordered (§D rounding note)."""
+    planes = [
+        arr_lit(_plane_value(j, d) for d in range(64))
+        for j in range(_N_PLANES)
+    ]
+    ex = emb.select("vec_id", F.posexplode("e").alias("pos", "val"))
+    per_dim = ex.select(
+        "vec_id",
+        *[
+            (F.col("val") * F.element_at(p, F.col("pos") + 1)).alias(f"p{j}")
+            for j, p in enumerate(planes)
+        ],
+    )
+    dots = per_dim.groupBy("vec_id").agg(
+        *[F.sum(f"p{j}").alias(f"d{j}") for j in range(_N_PLANES)]
+    )
+    total = F.lit(0)
+    for j in range(_N_PLANES):
+        total = total + F.when(F.col(f"d{j}") > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+    return dots.select("vec_id", total.cast("bigint").alias("bucket"))
 
 
 def _lsh_oracle() -> str:
@@ -200,7 +235,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     return (
-        emb.select("vec_id", _bucket_expr_spark().cast("bigint").alias("bucket"))
+        _plane_buckets(emb)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
     )
@@ -436,7 +471,7 @@ def _cell_dists(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     same rounding-boundary note: the oracle's dists CTE is an equally
     unordered SUM..GROUP BY). One map-side-combinable (vec_id) aggregate;
     K whole-stage-codegen squared-diff terms per exploded dim row."""
-    cw_lits = [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    cw_lits = [arr_lit(c) for c in centroids]
     ex = emb.select("vec_id", F.posexplode("e").alias("pos", "val"))
     per_dim = ex.select(
         "vec_id",
@@ -623,7 +658,11 @@ def int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir)["embeddings"].select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    maxabs = F.array_max(F.expr("transform(v, x -> abs(x))"))
+    # max|x| = max(max(x), -min(x)): array_max/array_min are plain codegen
+    # collection functions, so this kills the interpreted transform(abs)
+    # pass (CodegenFallback) — value-identical for any array (r12; ~15%
+    # off the query with the fused fold below).
+    maxabs = F.greatest(F.array_max("v"), -F.array_min("v"))
     m = emb.select("label", "v", maxabs.alias("maxabs")).filter(
         F.col("maxabs") > 0
     )
@@ -633,12 +672,23 @@ def int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(v, x -> cast(round(x * 127.0D / maxabs) as bigint))"
         ).alias("qv"),
     )
-    qsum = F.expr("aggregate(qv, 0L, (a, x) -> a + x)")
-    ql1 = F.expr("aggregate(qv, 0L, (a, x) -> a + abs(x))")
-    sat = F.when(
-        F.array_max(F.expr("transform(qv, x -> abs(x))")) == 127, 1
-    ).otherwise(0)
-    per_vec = q.select("label", qsum.alias("s"), ql1.alias("l1"), sat.alias("sat"))
+    # ONE struct-accumulator fold computes sum / L1 / max-abs in a single
+    # array traversal instead of three (aggregate/transform HOFs are
+    # CodegenFallback — three passes paid ~3x the interpreted per-element
+    # cost; measured ~0.98 -> 0.84 s p50 at sf0.1, r12). All three
+    # accumulators are exact integer ops, so the fusion is order-free and
+    # bit-identical to the separate folds.
+    fused = F.expr(
+        "aggregate(qv, struct(0L as s, 0L as l, 0L as m), "
+        "(a, x) -> struct(a.s + x, a.l + abs(x), "
+        "if(abs(x) > a.m, abs(x), a.m)))"
+    )
+    per_vec = q.select("label", fused.alias("f")).select(
+        "label",
+        F.col("f.s").alias("s"),
+        F.col("f.l").alias("l1"),
+        F.when(F.col("f.m") == 127, 1).otherwise(0).alias("sat"),
+    )
     return per_vec.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum("s").cast("bigint").alias("q_sum"),
@@ -1133,7 +1183,7 @@ def _semdedup_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cosine to the OWN cell's centroid: index the broadcast centroid matrix
     # by the assigned cell — per-row array algebra, no extra join.
     cent_mat = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        *[arr_lit(c) for c in centroids]
     )
     ce = F.element_at(cent_mat, F.col("cell").cast("int"))
     ccos_num = F.aggregate(
@@ -1181,7 +1231,11 @@ def _semdedup_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semdedup_frames(
     spark: SparkSession, sf_dir: str, tau: float = _SEMDEDUP_TAU
 ) -> DataFrame:
-    members = _semdedup_members(spark, sf_dir)
+    # Same one-derivation move as _semdedup_capped_frames (distinct slot:
+    # the differential suite holds frames from both variants at once).
+    members = slot_local_checkpoint(
+        "sim_semdedup_members_uncapped", _semdedup_members(spark, sf_dir)
+    )
     a = members.select(
         F.col("vec_id").alias("a_id"),
         F.col("e").alias("ae"),
@@ -1304,7 +1358,17 @@ def _semdedup_capped_frames(
     tau: float = _SEMDEDUP_TAU,
     cap: int = _SEMDEDUP_CAP,
 ) -> DataFrame:
-    members = _semdedup_members(spark, sf_dir)
+    # Materialize the members frame ONCE: it is consumed by BOTH sides of
+    # the dominance join (the capped dominator window and the full member
+    # side), and its lineage embeds the _cell_dists posexplode aggregate —
+    # lazily re-derived per consumer that doubled the plan's exchanges
+    # (r12 mid-bench regression: 10 -> 18 Exchange, 4.40 -> 5.77 s). The
+    # slot-checkpoint cuts it to one derivation, the same §B/§F move as
+    # the ingest and tfidf frames. In production this IS the cluster-
+    # assignment table a SemDeDup pipeline materializes before scoring.
+    members = slot_local_checkpoint(
+        "sim_semdedup_members", _semdedup_members(spark, sf_dir)
+    )
     w = Window.partitionBy("cell").orderBy(F.asc("ccos"), F.asc("vec_id"))
     dominators = (
         members.withColumn("rn", F.row_number().over(w))
@@ -1328,10 +1392,35 @@ def _semdedup_capped_frames(
         (F.col("a_ccos") == F.col("b_ccos")) & (F.col("a_id") < F.col("b_id"))
     )
     pairs = _fan_out(b).join(dominators, "cell").where(dominance)
-    cos_ab = pair_cos()
-    dups = pairs.select("b_id", "cell", cos_ab.alias("cos_ab")).where(
-        F.col("cos_ab") >= tau
+    # Pair scoring via the pair-grain posexplode reshape (r12: the
+    # _cell_dists move applied AFTER the join): explode the dominator
+    # vector, one codegen product per (pair, dim) row against
+    # element_at(be, pos+1), ONE map-side-combinable (a_id, b_id)
+    # aggregate. Each pair's dim rows are contiguous in its join task, so
+    # the partial sum accumulates in d=0..63 order — the identical
+    # sequential sum pair_cos()'s fold computes — before the same round6.
+    # Replaces one interpreted 64-element HOF fold per pair
+    # (CodegenFallback; measured 1.13 -> 0.74 s for the scoring stage).
+    ex = pairs.select(
+        "a_id", "b_id", "cell", "a_nrm", "b_nrm",
+        F.posexplode("ae").alias("pos", "av"),
+        "be",
     )
+    dots = (
+        ex.select(
+            "a_id", "b_id", "cell", "a_nrm", "b_nrm",
+            (F.col("av") * F.element_at("be", F.col("pos") + 1)).alias("prod"),
+        )
+        .groupBy("a_id", "b_id", "cell", "a_nrm", "b_nrm")
+        .agg(F.sum("prod").alias("dot"))
+    )
+    dups = dots.select(
+        "b_id",
+        "cell",
+        F.round(F.col("dot") / (F.col("a_nrm") * F.col("b_nrm")), 6).alias(
+            "cos_ab"
+        ),
+    ).where(F.col("cos_ab") >= tau)
     return (
         dups.groupBy(F.col("b_id").alias("vec_id"), "cell")
         .agg(
@@ -1485,7 +1574,7 @@ def _pq_subspace_dists(emb: DataFrame, codewords: list[list[float]]) -> DataFram
     as pq_distortion's note: per-subspace double sums accumulate in
     shuffle-group order before the round-to-micro (the oracle's SUM..GROUP
     BY is equally unordered)."""
-    cw_lits = [F.array(*[F.lit(float(x)) for x in c]) for c in codewords]
+    cw_lits = [arr_lit(c) for c in codewords]
     ex = emb.select("vec_id", F.posexplode("e").alias("pos", "val"))
     per_dim = ex.select(
         "vec_id",
@@ -1788,9 +1877,7 @@ def pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
     codewords = _centroids(spark, emb.select("vec_id", "e"), sf_dir)[:_PQ_K]
-    cw_lits = [
-        F.array(*[F.lit(float(x)) for x in c]) for c in codewords
-    ]
+    cw_lits = [arr_lit(c) for c in codewords]
     ex = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
         "vec_id", "label", F.posexplode("e").alias("pos", "val")
     )
@@ -2118,9 +2205,7 @@ def _chain_distortion_frame(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     n_steps = len(chain)
-    cw_lits = [
-        [F.array(*[F.lit(float(x)) for x in c]) for c in cb] for cb in chain
-    ]
+    cw_lits = [[arr_lit(c) for c in cb] for cb in chain]
     ex = (
         emb.filter(F.col("vec_id") >= _N_QUERIES)
         .select("vec_id", F.posexplode("e").alias("pos", "val"))

@@ -12,7 +12,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ._util import dbl, kgram_concat_sql, slot_local_checkpoint, slot_persist, t
+from ._util import (
+    _fan_out,
+    dbl,
+    kgram_concat_sql,
+    slot_local_checkpoint,
+    slot_persist,
+    t,
+)
 from .registry import query
 
 # Spark: split(trim(lower(text)), ' +')  <=>  DuckDB: string_split_regex(...)
@@ -224,7 +231,16 @@ GROUP BY lang
 def gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir)["documents"]
     w = F.split(F.trim(F.lower(F.col("text"))), " +")
-    base = docs.select("lang", w.alias("w"))
+    # The per-doc metrics are ~100 us/doc of interpreted HOF work, but the
+    # fixture corpus arrives as ONE scan split (594 KB parquet) — the whole
+    # per-row stage ran on a single core. Conditional fan-out (no-op once
+    # the scan is well-split, i.e. at corpus scale) spreads it across the
+    # executor: measured 0.79 -> 0.50 s p50 at sf0.1 (r12). Every per-lang
+    # aggregate below is an exact integer sum — partition order can't
+    # change the result.
+    base = _fan_out(docs.select("lang", "text")).select(
+        "lang", w.alias("w")
+    )
     n_words = F.size("w")
     # NB: guard BEFORE building sequence(1, n-2) — Spark's sequence() runs
     # DESCENDING when stop < start (so sequence(1, 0) = [1, 0], not empty).
@@ -647,7 +663,12 @@ GROUP BY source
 
 @query("text_pii_redact", oracle=_PII_ORACLE, tags=("text", "pii"))
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir)["documents"]
+    # Six regex passes per doc over a one-split scan: same single-core
+    # hazard (and same conditional fan-out fix) as gopher_filters above;
+    # per-source sums are exact integers, so order is immaterial.
+    docs = _fan_out(
+        t(spark, sf_dir)["documents"].select("source", "doc_id", "text")
+    )
     doc_id = F.col("doc_id")
     aug = F.concat(
         F.col("text"),
