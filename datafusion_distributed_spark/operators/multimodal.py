@@ -37,7 +37,48 @@ from ..sources.webp import decode_webp_lossless, encode_webp_lossless
 from ..sources.png import PNG_SIGNATURE, decode_png, encode_png
 from ..sources.wav import decode_wav, encode_wav
 from ..sources.y4m import decode_y4m, encode_y4m
-from ._util import t
+from ._util import _fan_out, t
+
+# r12 optimization, the REAL-codec roundtrip entries (png/wav/y4m/jpeg/webp):
+# 1. _fan_out the doc_id frame feeding the codec stage — but ONLY where the
+#    bench-scale single-core codec work clearly exceeds the fan-out's fixed
+#    stage cost (~0.5 s on this box: shuffle + 32-task schedule + worker
+#    spin-up). The per-doc encode+decode is pure-Python CPU and the
+#    bench-scale documents scan arrives as ONE split, so without it the
+#    whole codec stage ran on a single core (every mm_ stage showed
+#    `(0+1)/1` task counts; mm_jpeg_subsampled's decode alone is 3.3 s
+#    single-core). Measured single-core floors: jpeg_sub 3.4 s, webp ~2.0 s
+#    each, jpeg_color 1.6 s, jpeg_pixel 1.2 s -> fanned out; png 0.67 s,
+#    wav 0.39 s, y4m 0.60 s -> left on scan splits (fan-out measurably
+#    LOST there). _fan_out is conditional — a no-op once the scan is
+#    already >= defaultParallelism splits, i.e. at corpus scale, where the
+#    unfanned entries parallelize by scan splits anyway — and the shuffled
+#    rows are bare doc_ids, never encoded blobs.
+# 2. Fuse encode+decode into ONE mapInPandas (_roundtrip): the chained
+#    two-stage spelling shipped every encoded blob Python->JVM->Python for
+#    no reader in between, and ran 2 Python workers per task slot — at 32
+#    fanned-out tasks that is 64 busy interpreters, which thrashed (chained
+#    32-way measured 1.74 s vs fused 0.88 s for the same work; a no-op
+#    boundary function alone costs ~0.5-0.6 s at this task count, so one
+#    boundary is the floor). The encoder/decoder functions themselves are
+#    unchanged and still produce/parse the REAL container bytes.
+# Per-row results are independent of partitioning and every final aggregate
+# is an order-free sum/min/max/count, so results are bit-identical
+# (oracle-validated at all three scales, r12). The cheap stub-decode
+# entries (decode_pipeline/frame_sample/resize_dims/feature_extract) keep
+# the unfanned single-boundary shape: their per-doc work is microseconds,
+# so the fan-out's fixed stage cost exceeds the win (measured 0.58 -> 1.67 s
+# on mm_decode_pipeline before reverting).
+
+
+def _roundtrip(enc, dec):
+    """Compose an encode-batches and a decode/stats-batches generator into
+    one mapInPandas function: blobs stay inside the Python worker."""
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from dec(enc(batches))
+
+    return fused
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -531,8 +572,10 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (width, channels); the oracle recomputes every pixel from the doc_id
     formula, proving the whole codec (all five filters, CRC, inflate)."""
     docs = t(spark, sf_dir)["documents"].select("doc_id")
-    pngs = docs.mapInPandas(encode_png_batches, schema=_PNG_SCHEMA)
-    stats = pngs.mapInPandas(png_stats_batches, schema=_PNG_STATS_SCHEMA)
+    stats = docs.mapInPandas(
+        _roundtrip(encode_png_batches, png_stats_batches),
+        schema=_PNG_STATS_SCHEMA,
+    )
     return stats.groupBy("width", "channels").agg(
         F.count(F.lit(1)).alias("n_imgs"),
         F.sum("n_px").cast("bigint").alias("total_samples"),
@@ -658,8 +701,10 @@ def wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated per (sample_rate, channels); the audio twin of
     mm_png_pixel_stats."""
     docs = t(spark, sf_dir)["documents"].select("doc_id")
-    wavs = docs.mapInPandas(encode_wav_batches, schema=_WAV_SCHEMA)
-    stats = wavs.mapInPandas(wav_stats_batches, schema=_WAV_STATS_SCHEMA)
+    stats = docs.mapInPandas(
+        _roundtrip(encode_wav_batches, wav_stats_batches),
+        schema=_WAV_STATS_SCHEMA,
+    )
     return stats.groupBy("sample_rate", "channels").agg(
         F.count(F.lit(1)).alias("n_clips"),
         F.sum("s_sum").cast("bigint").alias("sum_samples"),
@@ -803,8 +848,10 @@ def y4m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode-then-decode roundtrip through REAL Y4M video bytes with a
     REAL every-2nd-frame sample step, aggregated per (width, height)."""
     docs = t(spark, sf_dir)["documents"].select("doc_id")
-    clips = docs.mapInPandas(encode_y4m_batches, schema=_Y4M_SCHEMA)
-    stats = clips.mapInPandas(y4m_frame_sample_batches, schema=_Y4M_STATS_SCHEMA)
+    stats = docs.mapInPandas(
+        _roundtrip(encode_y4m_batches, y4m_frame_sample_batches),
+        schema=_Y4M_STATS_SCHEMA,
+    )
     return stats.groupBy("width", "height").agg(
         F.count_distinct("doc_id").alias("n_videos"),
         F.count(F.lit(1)).alias("n_sampled_frames"),
@@ -1002,8 +1049,10 @@ def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle geo CTE. Do not regrow this family: encode+decode is pure
     # interpreter cost per doc, and full-corpus runs made these four
     # entries ~14% of the whole battery.
-    jpegs = docs.mapInPandas(encode_jpeg_batches, schema=_JPEG_SCHEMA)
-    stats = jpegs.mapInPandas(jpeg_stats_batches, schema=_JPEG_STATS_SCHEMA)
+    stats = _fan_out(docs).mapInPandas(
+        _roundtrip(encode_jpeg_batches, jpeg_stats_batches),
+        schema=_JPEG_STATS_SCHEMA,
+    )
     return stats.groupBy("width", "height").agg(
         F.count(F.lit(1)).alias("n_imgs"),
         F.sum("n_blocks").cast("bigint").alias("total_blocks"),
@@ -1225,9 +1274,9 @@ def jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle geo CTE. Do not regrow this family: encode+decode is pure
     # interpreter cost per doc, and full-corpus runs made these four
     # entries ~14% of the whole battery.
-    jpegs = docs.mapInPandas(encode_jpeg_color_batches, schema=_JPEG_SCHEMA)
-    stats = jpegs.mapInPandas(
-        jpeg_color_stats_batches, schema=_JPEG_COLOR_STATS_SCHEMA
+    stats = _fan_out(docs).mapInPandas(
+        _roundtrip(encode_jpeg_color_batches, jpeg_color_stats_batches),
+        schema=_JPEG_COLOR_STATS_SCHEMA,
     )
     return stats.groupBy("width").agg(
         F.count(F.lit(1)).alias("n_imgs"),
@@ -1430,9 +1479,9 @@ def jpeg_subsampled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle geo CTE. Do not regrow this family: encode+decode is pure
     # interpreter cost per doc, and full-corpus runs made these four
     # entries ~14% of the whole battery.
-    jpegs = docs.mapInPandas(encode_jpeg_sub_batches, schema=_JPEG_SCHEMA)
-    stats = jpegs.mapInPandas(
-        jpeg_color_stats_batches, schema=_JPEG_SUB_STATS_SCHEMA
+    stats = _fan_out(docs).mapInPandas(
+        _roundtrip(encode_jpeg_sub_batches, jpeg_color_stats_batches),
+        schema=_JPEG_SUB_STATS_SCHEMA,
     )
     return stats.groupBy("width").agg(
         F.count(F.lit(1)).alias("n_imgs"),
@@ -1598,8 +1647,10 @@ def webp_lossless_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle geo CTE. Do not regrow this family: encode+decode is pure
     # interpreter cost per doc, and full-corpus runs made these four
     # entries ~14% of the whole battery.
-    blobs = docs.mapInPandas(encode_webp_batches, schema=_WEBP_SCHEMA)
-    stats = blobs.mapInPandas(webp_stats_batches, schema=_WEBP_STATS_SCHEMA)
+    stats = _fan_out(docs).mapInPandas(
+        _roundtrip(encode_webp_batches, webp_stats_batches),
+        schema=_WEBP_STATS_SCHEMA,
+    )
     return stats.groupBy("width").agg(
         F.count(F.lit(1)).alias("n_imgs"),
         F.sum("sum_r").cast("bigint").alias("sum_r"),
@@ -1709,8 +1760,10 @@ def webp_predictor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir)["documents"].select("doc_id").filter(
         F.col("doc_id") % 7 == 0
     )
-    blobs = docs.mapInPandas(encode_webp_pred_batches, schema=_WEBP_SCHEMA)
-    stats = blobs.mapInPandas(webp_stats_batches, schema=_WEBP_STATS_SCHEMA)
+    stats = _fan_out(docs).mapInPandas(
+        _roundtrip(encode_webp_pred_batches, webp_stats_batches),
+        schema=_WEBP_STATS_SCHEMA,
+    )
     return stats.groupBy("width").agg(
         F.count(F.lit(1)).alias("n_imgs"),
         F.sum("sum_r").cast("bigint").alias("sum_r"),
