@@ -1137,8 +1137,15 @@ FROM grp GROUP BY doc_id, gid
 """
 
 
-def substring_spans_frames(docs: DataFrame, k: int = _SPAN_W) -> DataFrame:
-    toks = docs.select(
+def substring_spans_frames(
+    docs: DataFrame, k: int = _SPAN_W, ck_key: str | None = None
+) -> DataFrame:
+    # r12: conditional fan-out BEFORE the window explode — the bench-scale
+    # documents scan is ONE split, so the corpus-scale tokenize + k-window
+    # concat + xxhash64 pass ran on a single core (wins noop measured
+    # 1.08 s single-task vs ~0.3 s fanned). No-op at corpus scale (scan
+    # already well-split); shuffles only (doc_id, text).
+    toks = _fan_out(docs.select("doc_id", "text")).select(
         "doc_id", F.split(F.trim(F.lower("text")), " +").alias("ts")
     )
     # One row per k-token sliding window; positions are 1-based like the
@@ -1169,6 +1176,20 @@ def substring_spans_frames(docs: DataFrame, k: int = _SPAN_W) -> DataFrame:
         .select("wh")
     )
     cand = wins.join(dup_h, "wh").select("doc_id", "pos", "win")
+    # r12: `cand` is consumed TWICE below (the dup_w text-regroup AND the
+    # spans join), and each lazy consumption re-derived the ENTIRE window
+    # explode — the committed plan ran the corpus-scale
+    # tokenize+posexplode+concat pass 4x per invocation. The entries pass a
+    # slot key to materialize the CANDIDATE set once (localCheckpoint, not
+    # persist — §B plan-pollution note); cand is the output-bounded frame
+    # (only windows whose hash duplicates anywhere), i.e. exactly the
+    # intermediate the scale comment above already bounds — the full window
+    # set `wins` is never materialized. ck_key=None (the differential
+    # harness) keeps the pure-lazy lineage.
+    if ck_key is not None:
+        from ._util import slot_local_checkpoint
+
+        cand = slot_local_checkpoint(ck_key, cand)
     # Pass 2 — precision: regroup the (output-bounded) candidates by TEXT,
     # so an xxhash64 collision can never fabricate a duplicate.
     dup_w = (
@@ -1222,7 +1243,9 @@ def substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-substring dedup primitive: a cleaning pipeline cuts these
     spans out (or drops docs whose duplicated fraction is high) instead of
     discarding whole near-dup documents."""
-    return substring_spans_frames(t(spark, sf_dir)["documents"], _SPAN_W)
+    return substring_spans_frames(
+        t(spark, sf_dir)["documents"], _SPAN_W, ck_key="dd_substring_spans_cand"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1267,9 +1290,12 @@ FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
 
 
 def dup_doc_filter_frames(
-    docs: DataFrame, k: int = _SPAN_W, tau: float = _DUP_DOC_TAU
+    docs: DataFrame,
+    k: int = _SPAN_W,
+    tau: float = _DUP_DOC_TAU,
+    ck_key: str | None = None,
 ) -> DataFrame:
-    spans = substring_spans_frames(docs, k)
+    spans = substring_spans_frames(docs, k, ck_key=ck_key)
     # Non-null text contract: split('') yields [''] (size 1) so empty text
     # is safe, but a NULL text row would produce NULL n_tokens in Spark vs
     # a NULL len() in DuckDB — a silently dropped/NULL row instead of an
@@ -1308,7 +1334,9 @@ def dup_doc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-token fraction over the merged substring
     spans, with the threshold keep/drop verdict a cleaning pipeline
     actually enforces. One row per document, zero-span docs included."""
-    return dup_doc_filter_frames(t(spark, sf_dir)["documents"], _SPAN_W)
+    return dup_doc_filter_frames(
+        t(spark, sf_dir)["documents"], _SPAN_W, ck_key="dd_dup_doc_filter_cand"
+    )
 
 
 # ---------------------------------------------------------------------------

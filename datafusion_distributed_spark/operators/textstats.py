@@ -463,7 +463,10 @@ def boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (O(n^2) per doc — measured 3.2s -> 0.6s at sf0.1). With `w` an
     # attribute referenced 3x (non-cheap, multi-use), CollapseProject keeps
     # the projection separate and the split runs once per row.
-    wordsdf = docs.select(
+    # r12: conditional fan-out — the O(n^2)-per-doc phrase derivation below
+    # ran on ONE core off the single-split bench-scale scan (same move and
+    # rationale as gopher_filters above; no-op at corpus scale).
+    wordsdf = _fan_out(docs.select("doc_id", "text")).select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), " +").alias("w")
     )
     w = F.col("w")
@@ -809,7 +812,9 @@ GROUP BY p.tok
 @query("text_inverted_index", oracle=_POSTINGS_ORACLE, tags=("text", "index"))
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir)["documents"]
-    words = docs.select(
+    # r12: conditional fan-out — the tokenize + 3-gram explode + distinct
+    # ran single-core off the one-split scan (no-op at corpus scale).
+    words = _fan_out(docs.select("doc_id", "text")).select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), " +").alias("w")
     ).filter(F.size("w") >= 3)
     per_doc = words.select(
@@ -1345,8 +1350,12 @@ def _surprisal_doc_frame(docs: DataFrame, group_col: str) -> DataFrame:
     exact integer micro-bits — the shared front half of the surprisal
     operators (corpus-fit vocabulary joined back on tok — no broadcast
     hint, vocabulary is corpus-growing — floor-division mean)."""
+    # r12: conditional fan-out — the tokenize/explode plus the map-side
+    # partial of the (doc, tok) aggregate ran single-core off the one-split
+    # scan (no-op at corpus scale; shuffles only (doc_id, group, text)).
     tf = (
-        docs.select(
+        _fan_out(docs.select("doc_id", group_col, "text"))
+        .select(
             "doc_id",
             group_col,
             F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("tok"),
@@ -1485,7 +1494,10 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arrays and ran an interpreted lambda per element. The size guard keeps
     # 0/1-token docs at an empty list (sequence() would step BACKWARDS for
     # start > stop), exactly like the old clamped slice.
-    words = docs.select("doc_id", "source", toks.alias("w"))
+    # r12: conditional fan-out (single-split scan; no-op at corpus scale).
+    words = _fan_out(docs.select("doc_id", "source", "text")).select(
+        "doc_id", "source", toks.alias("w")
+    )
     bigrams = F.when(
         F.size("w") >= 2,
         F.expr(
@@ -1734,7 +1746,9 @@ def _tfidf_pairs_frames(
     tau: float = _TFIDF_TAU,
 ) -> DataFrame:
     docs = t(spark, sf_dir)["documents"]
-    words = docs.select(
+    # r12: conditional fan-out — tokenize + 3-gram shingle explode ran
+    # single-core off the one-split scan (no-op at corpus scale).
+    words = _fan_out(docs.select("doc_id", "text")).select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), " +").alias("w")
     ).filter(F.size("w") >= 3)
     shingle = F.expr(
