@@ -1350,12 +1350,15 @@ def _surprisal_doc_frame(docs: DataFrame, group_col: str) -> DataFrame:
     exact integer micro-bits — the shared front half of the surprisal
     operators (corpus-fit vocabulary joined back on tok — no broadcast
     hint, vocabulary is corpus-growing — floor-division mean)."""
-    # r12: conditional fan-out — the tokenize/explode plus the map-side
-    # partial of the (doc, tok) aggregate ran single-core off the one-split
-    # scan (no-op at corpus scale; shuffles only (doc_id, group, text)).
+    # r12: deliberately NOT fanned out (unlike the shingle/spans heads):
+    # this frame is consumed multiple times downstream (vocab fit + the
+    # per-doc join; perplexity_buckets adds the percentile pass), so an
+    # explicit repartition re-runs per consumer, and the bare split+explode
+    # is cheap per row. Interleaved entry-level A/B measured the fan-out
+    # LOSING: ds_perplexity_buckets 1.28 -> 2.35 s, text_unigram_surprisal
+    # 0.93 -> 1.20 s.
     tf = (
-        _fan_out(docs.select("doc_id", group_col, "text"))
-        .select(
+        docs.select(
             "doc_id",
             group_col,
             F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("tok"),
