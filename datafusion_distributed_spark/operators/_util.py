@@ -248,7 +248,13 @@ def kgram_concat_sql(arr: str, idx: str, k: int, base: int = 1) -> str:
     return "concat(" + ", ' ', ".join(parts) + ")"
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
+# Per-session memo of scan partition counts for _fan_out: attribute ON the
+# SparkSession (same session-scoping rationale as tables._CACHE_ATTR — two
+# sessions must not share, and the memo dies with the session wrapper).
+_FANOUT_MEMO_ATTR = "_dds_fanout_npart"
+
+
+def _fan_out(df: DataFrame, src: DataFrame | None = None) -> DataFrame:
     """Spread rows across all cores before CPU-heavy per-row transforms —
     but ONLY when the scan is actually under-split.
 
@@ -267,8 +273,33 @@ def _fan_out(df: DataFrame) -> DataFrame:
     untouched, keeping the dedup family's only real shuffle the tiny
     band-bucket self-join.  (Reference discipline: fan-out comes from scan
     splits, not shuffles — /root/reference/src/events/defaults/
-    file_scan_config.rs:36-86 sizes splits at the source.)"""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= parallelism:
+    file_scan_config.rs:36-86 sizes splits at the source.)
+
+    ``src``: the registry TABLE frame ``df`` projects/filters (projections
+    and filters preserve scan partitioning). When given and stamped with
+    ``tables._SCAN_KEY_ATTR``, the partition-count probe is memoized per
+    (session, sf_dir, table): ``df.rdd.getNumPartitions()`` physically
+    plans the frame on EVERY call (~40 ms of py4j + planning, r12 floor
+    probe) while the split count of a fixed file set under fixed confs is
+    a session constant. Frames without the stamp (synthetic test inputs,
+    checkpointed intermediates — whose RDD already exists, making the
+    probe ~free) keep the dynamic probe. Memo staleness is
+    performance-neutral by construction: _fan_out only ever decides
+    whether to insert a repartition, never what the query computes."""
+    spark = df.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    key = getattr(src, "_dds_scan_key", None) if src is not None else None
+    if key is not None:
+        memo = getattr(spark, _FANOUT_MEMO_ATTR, None)
+        if memo is None:
+            memo = {}
+            setattr(spark, _FANOUT_MEMO_ATTR, memo)
+        n = memo.get(key)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            memo[key] = n
+    else:
+        n = df.rdd.getNumPartitions()
+    if n >= parallelism:
         return df
     return df.repartition(parallelism)

@@ -1162,30 +1162,38 @@ LIMIT 20
 def ts_profile_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir)["events"]
     hours = ev.select("user_id", F.hour("ts").alias("h"))
+    # r12 (floor probe): the per-hour Column spelling built ~400 py4j round
+    # trips (~0.6 s of frame-construction latency PER INVOCATION — driver
+    # latency at any scale); each F.expr below is ONE round trip parsing to
+    # the same expression tree. All products/sums are exact ints (< 2^53)
+    # in the same fixed hour order as the oracle's strings, so values are
+    # bit-identical to the old Column fold.
     profiles = hours.groupBy("user_id").agg(
         *[
-            F.sum(F.when(F.col("h") == h, 1).otherwise(0))
-            .cast("long")
-            .alias(f"u{h}")
+            F.expr(
+                f"CAST(SUM(CASE WHEN h = {h} THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias(f"u{h}")
             for h in range(_N_HOURS)
         ]
     )
     global_profile = profiles.agg(
-        *[F.sum(f"u{h}").cast("long").alias(f"g{h}") for h in range(_N_HOURS)]
+        *[
+            F.expr(f"CAST(SUM(u{h}) AS BIGINT)").alias(f"g{h}")
+            for h in range(_N_HOURS)
+        ]
     )
     j = profiles.crossJoin(F.broadcast(global_profile))
-    dot = sum(F.col(f"u{h}") * F.col(f"g{h}") for h in range(_N_HOURS))
-    uu = sum(F.col(f"u{h}") * F.col(f"u{h}") for h in range(_N_HOURS))
-    gg = sum(F.col(f"g{h}") * F.col(f"g{h}") for h in range(_N_HOURS))
-    cos = F.round(
-        dot.cast("double") / (F.sqrt(uu.cast("double")) * F.sqrt(gg.cast("double"))),
-        6,
-    )
+    u = " + ".join(f"u{h} * g{h}" for h in range(_N_HOURS))
+    uu = " + ".join(f"u{h} * u{h}" for h in range(_N_HOURS))
+    gg = " + ".join(f"g{h} * g{h}" for h in range(_N_HOURS))
     return (
         j.select(
             "user_id",
-            dot.cast("long").alias("dot_ug"),
-            cos.alias("cos_global"),
+            F.expr(f"CAST({u} AS BIGINT)").alias("dot_ug"),
+            F.expr(
+                f"ROUND(CAST({u} AS DOUBLE) /"
+                f" (SQRT(CAST({uu} AS DOUBLE)) * SQRT(CAST({gg} AS DOUBLE))), 6)"
+            ).alias("cos_global"),
         )
         .orderBy(F.asc("cos_global"), F.asc("user_id"))
         .limit(20)

@@ -113,7 +113,7 @@ def _shingle_arrays(docs: DataFrame) -> DataFrame:
     signature extraction and set intersection local to the row.
     trim() first so the word split never yields empty tokens (keeps
     Spark/DuckDB tokenization equal)."""
-    words = _fan_out(docs.select("doc_id", "text")).select(
+    words = _fan_out(docs.select("doc_id", "text"), src=docs).select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), " +").alias("w")
     )
     sh_arr = F.expr(
@@ -639,7 +639,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus). Bit-identical to the oracle's grouped SUM: integer votes over
     # the same distinct token set.
     docs = t(spark, sf_dir)["documents"]
-    md = _fan_out(docs.select("doc_id", "text")).select(
+    md = _fan_out(docs.select("doc_id", "text"), src=docs).select(
         "doc_id",
         F.transform(
             F.expr("array_distinct(split(trim(lower(text)), ' +'))"), F.md5
@@ -707,7 +707,7 @@ def _shingle5(docs: DataFrame) -> DataFrame:
     """(doc_id, sh_arr) with DISTINCT word-5-gram shingles per row — same
     zero-shuffle per-row-array design as _shingle_arrays, longer n-gram
     (decontamination wants high-precision overlap, dedup wants recall)."""
-    words = _fan_out(docs.select("doc_id", "text")).select(
+    words = _fan_out(docs.select("doc_id", "text"), src=docs).select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), " +").alias("w")
     )
     sh_arr = F.expr(
@@ -909,7 +909,7 @@ FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 def block_dedup_frames(docs: DataFrame, width: int = _BLOCK_W) -> DataFrame:
     """Parameterized core of dd_block_dedup (width varies in the randomized
     differential family, tests/test_random_differential.py)."""
-    words = _fan_out(docs.select("doc_id", "text")).select(
+    words = _fan_out(docs.select("doc_id", "text"), src=docs).select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), " +").alias("w")
     )
     blocks = (
@@ -1145,7 +1145,7 @@ def substring_spans_frames(
     # concat + xxhash64 pass ran on a single core (wins noop measured
     # 1.08 s single-task vs ~0.3 s fanned). No-op at corpus scale (scan
     # already well-split); shuffles only (doc_id, text).
-    toks = _fan_out(docs.select("doc_id", "text")).select(
+    toks = _fan_out(docs.select("doc_id", "text"), src=docs).select(
         "doc_id", F.split(F.trim(F.lower("text")), " +").alias("ts")
     )
     # One row per k-token sliding window; positions are 1-based like the

@@ -1040,7 +1040,8 @@ def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the coefficient formulas via the same IDCT basis constants, proving the
     whole codec (markers, canonical Huffman, DC prediction, run/size + ZRL
     + EOB, byte unstuffing, dezigzag, dequant, IDCT, clamp)."""
-    docs = t(spark, sf_dir)["documents"].select("doc_id").filter(
+    tbl = t(spark, sf_dir)["documents"]
+    docs = tbl.select("doc_id").filter(
         F.col("doc_id") % 7 == 0
     )  # fixture-size policy (r11 VERDICT): the codec gate entries run a
     # deterministic 1-in-7 doc slice (7 is coprime to every geometry
@@ -1049,7 +1050,7 @@ def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle geo CTE. Do not regrow this family: encode+decode is pure
     # interpreter cost per doc, and full-corpus runs made these four
     # entries ~14% of the whole battery.
-    stats = _fan_out(docs).mapInPandas(
+    stats = _fan_out(docs, src=tbl).mapInPandas(
         _roundtrip(encode_jpeg_batches, jpeg_stats_batches),
         schema=_JPEG_STATS_SCHEMA,
     )
@@ -1265,7 +1266,8 @@ def jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline JPEG bytes: interleaved MCUs, per-component DC prediction,
     luma/chroma table slots, JFIF YCbCr->RGB. The oracle recomputes every
     RGB sample from the coefficient formulas."""
-    docs = t(spark, sf_dir)["documents"].select("doc_id").filter(
+    tbl = t(spark, sf_dir)["documents"]
+    docs = tbl.select("doc_id").filter(
         F.col("doc_id") % 7 == 0
     )  # fixture-size policy (r11 VERDICT): the codec gate entries run a
     # deterministic 1-in-7 doc slice (7 is coprime to every geometry
@@ -1274,7 +1276,7 @@ def jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle geo CTE. Do not regrow this family: encode+decode is pure
     # interpreter cost per doc, and full-corpus runs made these four
     # entries ~14% of the whole battery.
-    stats = _fan_out(docs).mapInPandas(
+    stats = _fan_out(docs, src=tbl).mapInPandas(
         _roundtrip(encode_jpeg_color_batches, jpeg_color_stats_batches),
         schema=_JPEG_COLOR_STATS_SCHEMA,
     )
@@ -1470,7 +1472,8 @@ def jpeg_subsampled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversion — one wrong bit in the RSTn re-sync, the predictor resets,
     the 4-blocks-per-MCU interleave order, or the upsample indexing breaks
     the hash."""
-    docs = t(spark, sf_dir)["documents"].select("doc_id").filter(
+    tbl = t(spark, sf_dir)["documents"]
+    docs = tbl.select("doc_id").filter(
         F.col("doc_id") % 7 == 0
     )  # fixture-size policy (r11 VERDICT): the codec gate entries run a
     # deterministic 1-in-7 doc slice (7 is coprime to every geometry
@@ -1479,7 +1482,7 @@ def jpeg_subsampled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle geo CTE. Do not regrow this family: encode+decode is pure
     # interpreter cost per doc, and full-corpus runs made these four
     # entries ~14% of the whole battery.
-    stats = _fan_out(docs).mapInPandas(
+    stats = _fan_out(docs, src=tbl).mapInPandas(
         _roundtrip(encode_jpeg_sub_batches, jpeg_color_stats_batches),
         schema=_JPEG_SUB_STATS_SCHEMA,
     )
@@ -1638,7 +1641,8 @@ def webp_lossless_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode-then-decode roundtrip through REAL VP8L bytes (backward
     reference per image + color cache); per-width aggregate of decoded RGB
     sums/extrema, hash-matched against the closed-form pixel formulas."""
-    docs = t(spark, sf_dir)["documents"].select("doc_id").filter(
+    tbl = t(spark, sf_dir)["documents"]
+    docs = tbl.select("doc_id").filter(
         F.col("doc_id") % 7 == 0
     )  # fixture-size policy (r11 VERDICT): the codec gate entries run a
     # deterministic 1-in-7 doc slice (7 is coprime to every geometry
@@ -1647,7 +1651,7 @@ def webp_lossless_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle geo CTE. Do not regrow this family: encode+decode is pure
     # interpreter cost per doc, and full-corpus runs made these four
     # entries ~14% of the whole battery.
-    stats = _fan_out(docs).mapInPandas(
+    stats = _fan_out(docs, src=tbl).mapInPandas(
         _roundtrip(encode_webp_batches, webp_stats_batches),
         schema=_WEBP_STATS_SCHEMA,
     )
@@ -1757,10 +1761,11 @@ def webp_predictor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rightmost-column TR wrap on the 2-block class): per-width aggregate of
     decoded RGB sums/extrema vs the closed-form pixel formulas. Runs the
     codec family's 1-in-7 doc slice (fixture-size policy)."""
-    docs = t(spark, sf_dir)["documents"].select("doc_id").filter(
+    tbl = t(spark, sf_dir)["documents"]
+    docs = tbl.select("doc_id").filter(
         F.col("doc_id") % 7 == 0
     )
-    stats = _fan_out(docs).mapInPandas(
+    stats = _fan_out(docs, src=tbl).mapInPandas(
         _roundtrip(encode_webp_pred_batches, webp_stats_batches),
         schema=_WEBP_STATS_SCHEMA,
     )

@@ -238,7 +238,7 @@ def gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # executor: measured 0.79 -> 0.50 s p50 at sf0.1 (r12). Every per-lang
     # aggregate below is an exact integer sum — partition order can't
     # change the result.
-    base = _fan_out(docs.select("lang", "text")).select(
+    base = _fan_out(docs.select("lang", "text"), src=docs).select(
         "lang", w.alias("w")
     )
     n_words = F.size("w")
@@ -466,7 +466,7 @@ def boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12: conditional fan-out — the O(n^2)-per-doc phrase derivation below
     # ran on ONE core off the single-split bench-scale scan (same move and
     # rationale as gopher_filters above; no-op at corpus scale).
-    wordsdf = _fan_out(docs.select("doc_id", "text")).select(
+    wordsdf = _fan_out(docs.select("doc_id", "text"), src=docs).select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), " +").alias("w")
     )
     w = F.col("w")
@@ -669,9 +669,8 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Six regex passes per doc over a one-split scan: same single-core
     # hazard (and same conditional fan-out fix) as gopher_filters above;
     # per-source sums are exact integers, so order is immaterial.
-    docs = _fan_out(
-        t(spark, sf_dir)["documents"].select("source", "doc_id", "text")
-    )
+    tbl = t(spark, sf_dir)["documents"]
+    docs = _fan_out(tbl.select("source", "doc_id", "text"), src=tbl)
     doc_id = F.col("doc_id")
     aug = F.concat(
         F.col("text"),
@@ -814,7 +813,7 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir)["documents"]
     # r12: conditional fan-out — the tokenize + 3-gram explode + distinct
     # ran single-core off the one-split scan (no-op at corpus scale).
-    words = _fan_out(docs.select("doc_id", "text")).select(
+    words = _fan_out(docs.select("doc_id", "text"), src=docs).select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), " +").alias("w")
     ).filter(F.size("w") >= 3)
     per_doc = words.select(
@@ -1498,7 +1497,7 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0/1-token docs at an empty list (sequence() would step BACKWARDS for
     # start > stop), exactly like the old clamped slice.
     # r12: conditional fan-out (single-split scan; no-op at corpus scale).
-    words = _fan_out(docs.select("doc_id", "source", "text")).select(
+    words = _fan_out(docs.select("doc_id", "source", "text"), src=docs).select(
         "doc_id", "source", toks.alias("w")
     )
     bigrams = F.when(
@@ -1751,7 +1750,7 @@ def _tfidf_pairs_frames(
     docs = t(spark, sf_dir)["documents"]
     # r12: conditional fan-out — tokenize + 3-gram shingle explode ran
     # single-core off the one-split scan (no-op at corpus scale).
-    words = _fan_out(docs.select("doc_id", "text")).select(
+    words = _fan_out(docs.select("doc_id", "text"), src=docs).select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), " +").alias("w")
     ).filter(F.size("w") >= 3)
     shingle = F.expr(

@@ -42,6 +42,12 @@ TABLE_NAMES = (
 _CACHE_ATTR = "_dds_tables_cache"  # dict[sf_dir, dict[name, DataFrame]]
 _VIEWS_ATTR = "_dds_active_views"  # sf_dir whose frames own the bare views
 
+# Stamped on every registry table frame so operators/_util._fan_out can
+# memoize its scan-partition-count probe per (sf_dir, table) — the split
+# count of a fixed file set under fixed session confs is a session constant,
+# while df.rdd.getNumPartitions() re-plans the frame on every call.
+_SCAN_KEY_ATTR = "_dds_scan_key"
+
 # Which sf_dir's frames currently own the session's bare-named temp views.
 # A cache hit alone is NOT enough to return early: if another sf_dir was
 # loaded since, the session's views point at THAT data, and every
@@ -81,6 +87,7 @@ def load_tables(
     for name in TABLE_NAMES:
         df = spark.read.parquet(f"{dir_key}/{name}.parquet")
         df = _normalize(name, df)
+        setattr(df, _SCAN_KEY_ATTR, (dir_key, name))
         if register:
             df.createOrReplaceTempView(name)
         tables[name] = df
