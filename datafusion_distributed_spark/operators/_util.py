@@ -44,9 +44,44 @@ def arr_lit(values) -> Column:
     element is bit-identical to the F.lit spelling (verified element-wise
     on the centroid fixtures), and ConstantFolding collapses the array to
     the same Literal the old spelling produced."""
-    return F.expr(
+    return F.expr(arr_lit_sql(values))
+
+
+def arr_lit_sql(values) -> str:
+    """The SQL text behind arr_lit — for embedding constant arrays inside
+    LARGER single-round-trip expression strings (selectExpr/F.expr): a
+    builder that loops K times over per-Column ops pays K×(tree size) py4j
+    calls per invocation, while one string with the array text inlined
+    parses JVM-side in a single trip (r12 floor probe: _cell_dists spent
+    ~0.5 s/invocation in Column construction at K=16)."""
+    return (
         "array(" + ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in values) + ")"
     )
+
+
+# Build-once constant-expression objects per (SparkContext, key). Column
+# objects wrap immutable JVM expression trees and are session-agnostic
+# within one gateway, so CONSTANT expressions — the K x 64 literal
+# codeword/centroid/plane matrices and the fixed HOF fold shapes — need not
+# be re-shipped and re-parsed on every invocation (r12 floor probe: those
+# matrices cost 0.2-0.5 s of py4j/SQL-parse per frame BUILD, re-paid each
+# bench run whichever API ships them). Keyed by applicationId so a
+# restarted JVM never sees stale gateway refs. The payload is expression
+# METADATA only — never data, never results; every collect still computes
+# from the parquet inputs (same class as the session-scoped centroid/
+# codebook caches).
+_CONST_EXPR_CACHE: dict = {}
+
+
+def const_exprs(spark: SparkSession, key: tuple, builder):
+    """Memoize ``builder()`` (Columns / lists of Columns — constant
+    expression trees) per (SparkContext, key)."""
+    full_key = (spark.sparkContext.applicationId, *key)
+    hit = _CONST_EXPR_CACHE.get(full_key)
+    if hit is None:
+        hit = builder()
+        _CONST_EXPR_CACHE[full_key] = hit
+    return hit
 
 
 def _c(col: str | Column) -> Column:

@@ -17,7 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ._util import cents, dbl, dec, t
+from ._util import dbl, dec, t
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -409,12 +409,17 @@ FROM est
 def cb_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir)["events"]
 
-    def bucket(d: int):
-        salted = F.concat(F.lit(f"cm{d}:"), F.col("user_id").cast("string"))
+    # One F.expr round trip per depth (r12 floor probe) — parses to the
+    # identical conv/substring/md5 tree the Column spelling built.
+    def bucket_sql(d: int) -> str:
         return (
-            F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("bigint")
-            % _CM_WIDTH
+            f"CAST(conv(substring(md5(concat('cm{d}:',"
+            f" CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            f" % {_CM_WIDTH}"
         )
+
+    def bucket(d: int):
+        return F.expr(bucket_sql(d))
 
     hashed = ev.select(
         "user_id", *[bucket(d).alias(f"b{d}") for d in range(_CM_DEPTH)]
@@ -443,23 +448,7 @@ def cb_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         est = est.join(
             F.broadcast(cd),
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.lit(f"cm{d}:"), F.col("user_id").cast("string")
-                            )
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % _CM_WIDTH
-            )
-            == F.col(f"bk{d}"),
+            F.expr(bucket_sql(d)) == F.col(f"bk{d}"),
         )
     return est.select(
         "user_id",
@@ -709,9 +698,15 @@ _WIDE_AGG_ORACLE = "SELECT " + ", ".join(
 @query("cb_wide_aggregate", oracle=_WIDE_AGG_ORACLE, tags=("agg", "wide", "clickbench"))
 def wide_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir)["events"].filter(F.col("value").isNotNull())
+    # One F.expr round trip per column (r12 floor probe): the Column
+    # spelling built ~8 py4j calls x 30 columns per invocation; each string
+    # parses to the identical exact-integer tree (ROUND(x, 0) = cents()).
     return ev.agg(
         *[
-            F.sum(cents("value") + F.lit(k)).cast("bigint").alias(f"s{k}")
+            F.expr(
+                f"CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT) + {k})"
+                " AS BIGINT)"
+            ).alias(f"s{k}")
             for k in range(_N_WIDE)
         ]
     )

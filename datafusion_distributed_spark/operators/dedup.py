@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ._util import (
     _fan_out,
+    const_exprs,
     kgram_concat_sql,
     release_local_checkpoint,
     slot_build_once,
@@ -144,20 +145,30 @@ def _signatures_from_arrays(arrs: DataFrame, n_hashes: int = _N_HASHES) -> DataF
     engines (lowercase hex ⇒ byte order == lexicographic order). The md5
     concat is materialized once per shingle in its own transform so the 16
     substring minima never re-hash."""
-    salted = " || ".join(
-        f"md5(concat('{j}:', s))" for j in range(_N_SALTS)
+    # Constant expressions built ONCE per (SparkContext, n_hashes): the 16
+    # array_min(transform(...)) Columns cost ~0.15 s of py4j per frame
+    # build, re-paid by every minhash-family invocation (r12 floor probe;
+    # the const_exprs note in _util).
+    def build():
+        salted = " || ".join(
+            f"md5(concat('{j}:', s))" for j in range(_N_SALTS)
+        )
+        mh = F.expr(f"transform(sh_arr, s -> {salted})").alias("mh")
+
+        def sub(i: int):
+            # NB: ONE-arg lambda — a second parameter would get the index.
+            return lambda m: F.substring(m, 8 * i + 1, 8)
+
+        cols = [
+            F.array_min(F.transform(F.col("mh"), sub(i))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+        return mh, cols
+
+    mh, cols = const_exprs(
+        arrs.sparkSession, ("minhash_sigs", _N_SALTS, n_hashes), build
     )
-    mh = F.expr(f"transform(sh_arr, s -> {salted})")
-    withm = arrs.select("doc_id", mh.alias("mh"))
-
-    def sub(i: int):
-        # NB: ONE-arg lambda — a second parameter would receive the index.
-        return lambda m: F.substring(m, 8 * i + 1, 8)
-
-    cols = [
-        F.array_min(F.transform(F.col("mh"), sub(i))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
+    withm = arrs.select("doc_id", mh)
     return withm.select("doc_id", *cols)
 
 
@@ -168,18 +179,25 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
 
 def lsh_bands(sigs: DataFrame, n_bands: int = _N_BANDS, rows: int = _ROWS_PER_BAND) -> DataFrame:
     """Explode signatures into (doc_id, band_idx, band_hash) rows."""
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(n_bands)
-        ]
+    # Constant expression built ONCE per (SparkContext, layout) — the
+    # _signatures_from_arrays memoization note.
+    band_structs = const_exprs(
+        sigs.sparkSession,
+        ("lsh_band_structs", n_bands, rows),
+        lambda: F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[F.col(f"h{b * rows + r}") for r in range(rows)],
+                        )
+                    ).alias("band_hash"),
+                )
+                for b in range(n_bands)
+            ]
+        ),
     )
     return sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash")

@@ -31,9 +31,17 @@ ties after rounding break on vec_id.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark import SparkContext
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ._util import _fan_out, arr_lit, slot_local_checkpoint, t
+from ._util import (
+    _CONST_EXPR_CACHE,
+    _fan_out,
+    arr_lit_sql,
+    const_exprs,
+    slot_local_checkpoint,
+    t,
+)
 from .registry import query
 
 _N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -42,7 +50,22 @@ _N_PLANES = 8  # LSH hyperplanes => 256 buckets
 
 
 def _dot(a: str, b: str):
-    """Sequential-order dot product over array<double> (JVM, codegen)."""
+    """Sequential-order dot product over array<double> (JVM, codegen).
+    Expression tree memoized per (SparkContext, names) — r12 floor probe:
+    the zip_with/aggregate Column chain costs ~20 ms of py4j per build and
+    the tree is a pure function of the two column names."""
+    sc = SparkContext._active_spark_context
+    if sc is None:  # no running context (import time): build directly
+        return _dot_build(a, b)
+    key = (sc.applicationId, "dot", a, b)
+    hit = _CONST_EXPR_CACHE.get(key)
+    if hit is None:
+        hit = _dot_build(a, b)
+        _CONST_EXPR_CACHE[key] = hit
+    return hit
+
+
+def _dot_build(a: str, b: str):
     return F.aggregate(
         F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -153,16 +176,31 @@ def _bucket_expr_spark():
     # Plane vectors are CONSTANT: materialize them as array literals once per
     # plan instead of re-evaluating transform(sequence(0,63), ...) per row
     # (round-1 profile showed the per-row rebuild in the hot path).
-    total = F.lit(0)
-    for j in range(_N_PLANES):
-        plane = arr_lit(_plane_value(j, d) for d in range(64))
-        plane_dot = F.aggregate(
-            F.zip_with(F.col("e"), plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        total = total + F.when(plane_dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return total
+    # One F.expr round trip, memoized per SparkContext (r12 floor probe):
+    # the Column/lambda spelling built ~8x(fold tree) py4j calls per
+    # invocation; the parsed SQL is the same zip_with/aggregate tree
+    # (0.0D = the DOUBLE zero F.lit(0.0) was — a bare 0.0 would parse as
+    # DECIMAL), and the expression is a process constant.
+    def build():
+        terms = []
+        for j in range(_N_PLANES):
+            plane = arr_lit_sql(_plane_value(j, d) for d in range(64))
+            dot = (
+                f"aggregate(zip_with(e, {plane}, (x, y) -> x * y),"
+                " 0.0D, (acc, x) -> acc + x)"
+            )
+            terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+        return F.expr("0 + " + " + ".join(terms))
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return build()
+    key = (sc.applicationId, "lsh_bucket_expr")
+    hit = _CONST_EXPR_CACHE.get(key)
+    if hit is None:
+        hit = build()
+        _CONST_EXPR_CACHE[key] = hit
+    return hit
 
 
 def _plane_buckets(emb: DataFrame) -> DataFrame:
@@ -177,27 +215,27 @@ def _plane_buckets(emb: DataFrame) -> DataFrame:
     the partial sum accumulates in d=0..63 order — the same sequential
     sum the fold computes (verified bucket-exact on the fixtures); the
     oracle's SUM..GROUP BY is equally unordered (§D rounding note)."""
-    planes = [
-        arr_lit(_plane_value(j, d) for d in range(64))
+    # Single-round-trip spellings (r12 floor probe, the _cell_dists note).
+    plane_sqls = [
+        arr_lit_sql(_plane_value(j, d) for d in range(64))
         for j in range(_N_PLANES)
     ]
     ex = emb.select("vec_id", F.posexplode("e").alias("pos", "val"))
-    per_dim = ex.select(
+    per_dim = ex.selectExpr(
         "vec_id",
         *[
-            (F.col("val") * F.element_at(p, F.col("pos") + 1)).alias(f"p{j}")
-            for j, p in enumerate(planes)
+            f"val * element_at({p}, pos + 1) AS p{j}"
+            for j, p in enumerate(plane_sqls)
         ],
     )
     dots = per_dim.groupBy("vec_id").agg(
         *[F.sum(f"p{j}").alias(f"d{j}") for j in range(_N_PLANES)]
     )
-    total = F.lit(0)
-    for j in range(_N_PLANES):
-        total = total + F.when(F.col(f"d{j}") > 0, F.lit(1 << j)).otherwise(
-            F.lit(0)
-        )
-    return dots.select("vec_id", total.cast("bigint").alias("bucket"))
+    total = " + ".join(
+        f"(CASE WHEN d{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_N_PLANES)
+    )
+    return dots.selectExpr("vec_id", f"CAST(0 + {total} AS BIGINT) AS bucket")
 
 
 def _lsh_oracle() -> str:
@@ -471,25 +509,38 @@ def _cell_dists(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     same rounding-boundary note: the oracle's dists CTE is an equally
     unordered SUM..GROUP BY). One map-side-combinable (vec_id) aggregate;
     K whole-stage-codegen squared-diff terms per exploded dim row."""
-    cw_lits = [arr_lit(c) for c in centroids]
-    ex = emb.select("vec_id", F.posexplode("e").alias("pos", "val"))
-    per_dim = ex.select(
-        "vec_id",
-        *[
-            (
-                (F.col("val") - F.element_at(cw, F.col("pos") + 1))
-                * (F.col("val") - F.element_at(cw, F.col("pos") + 1))
+    # Constant expressions built ONCE per (SparkContext, centroid matrix)
+    # (r12 floor probe): the per-Column K-term listcomp cost ~0.5 s of py4j
+    # frame construction PER INVOCATION at K=16, and re-spelling it as SQL
+    # strings only moved the cost into per-invocation parsing of the K x 64
+    # literal texts — the matrices are session constants, so the parsed
+    # trees are memoized (const_exprs note in _util).
+    k = len(centroids)
+
+    def build():
+        cw_sqls = [arr_lit_sql(c) for c in centroids]
+        sq = [
+            F.expr(
+                f"(val - element_at({cw}, pos + 1))"
+                f" * (val - element_at({cw}, pos + 1))"
             ).alias(f"s{c}")
-            for c, cw in enumerate(cw_lits)
-        ],
+            for c, cw in enumerate(cw_sqls)
+        ]
+        sums = [F.sum(f"s{c}").alias(f"t{c}") for c in range(k)]
+        darr = F.expr(
+            "array(" + ", ".join(f"ROUND(t{c}, 6)" for c in range(k)) + ")"
+        ).alias("darr")
+        return sq, sums, darr
+
+    sq, sums, darr = const_exprs(
+        emb.sparkSession,
+        ("cell_dists", tuple(tuple(c) for c in centroids)),
+        build,
     )
-    agg = per_dim.groupBy("vec_id").agg(
-        *[F.sum(f"s{c}").alias(f"t{c}") for c in range(len(centroids))]
-    )
-    darr = F.array(
-        *[F.round(F.col(f"t{c}"), 6) for c in range(len(centroids))]
-    )
-    return agg.select("vec_id", darr.alias("darr"))
+    ex = emb.select("vec_id", F.posexplode("e").alias("pos", "val"))
+    per_dim = ex.select("vec_id", *sq)
+    agg = per_dim.groupBy("vec_id").agg(*sums)
+    return agg.select("vec_id", darr)
 
 
 def _cell_of():
@@ -1181,20 +1232,31 @@ def _semdedup_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _cell_of().alias("cell")
     )
     # cosine to the OWN cell's centroid: index the broadcast centroid matrix
-    # by the assigned cell — per-row array algebra, no extra join.
-    cent_mat = F.array(
-        *[arr_lit(c) for c in centroids]
-    )
-    ce = F.element_at(cent_mat, F.col("cell").cast("int"))
-    ccos_num = F.aggregate(
-        F.zip_with(F.col("e"), ce, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    ce_norm = F.sqrt(
-        F.aggregate(
-            F.zip_with(ce, ce, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    # by the assigned cell — per-row array algebra, no extra join. Constant
+    # expressions memoized per (SparkContext, centroids) — _cell_dists note.
+    def build():
+        cent_mat = F.expr(
+            "array(" + ", ".join(arr_lit_sql(c) for c in centroids) + ")"
         )
+        ce = F.element_at(cent_mat, F.col("cell").cast("int"))
+        num = F.aggregate(
+            F.zip_with(F.col("e"), ce, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nrm = F.sqrt(
+            F.aggregate(
+                F.zip_with(ce, ce, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        return num, nrm
+
+    ccos_num, ce_norm = const_exprs(
+        spark,
+        ("semdedup_ccos", tuple(tuple(c) for c in centroids)),
+        build,
     )
     # Per-MEMBER norm, computed once: sqrt(dot(e,e)) folded over the same
     # array in the same order yields the bit-identical float the per-pair
@@ -1574,30 +1636,43 @@ def _pq_subspace_dists(emb: DataFrame, codewords: list[list[float]]) -> DataFram
     as pq_distortion's note: per-subspace double sums accumulate in
     shuffle-group order before the round-to-micro (the oracle's SUM..GROUP
     BY is equally unordered)."""
-    cw_lits = [arr_lit(c) for c in codewords]
-    ex = emb.select("vec_id", F.posexplode("e").alias("pos", "val"))
-    per_dim = ex.select(
-        "vec_id",
-        (F.col("pos") / _PQ_D).cast("int").alias("m0"),
-        *[
-            (
-                (F.col("val") - F.element_at(cw, F.col("pos") + 1))
-                * (F.col("val") - F.element_at(cw, F.col("pos") + 1))
+    # Constant expressions built ONCE per (SparkContext, codebook) — the
+    # _cell_dists memoization note applies verbatim (K x 64 literal
+    # matrices are session constants; re-shipping OR re-parsing them per
+    # invocation costs ~0.5 s of frame build).
+    k = len(codewords)
+
+    def build():
+        cw_sqls = [arr_lit_sql(c) for c in codewords]
+        m0 = F.expr(f"CAST(pos / {_PQ_D} AS INT)").alias("m0")
+        sq = [
+            F.expr(
+                f"(val - element_at({cw}, pos + 1))"
+                f" * (val - element_at({cw}, pos + 1))"
             ).alias(f"s{c}")
-            for c, cw in enumerate(cw_lits)
-        ],
-    )
-    per_sub = per_dim.groupBy("vec_id", "m0").agg(
-        *[F.sum(f"s{c}").alias(f"t{c}") for c in range(len(codewords))]
-    )
-    d2u = F.array(
-        *[
-            F.round(F.col(f"t{c}") * 1000000.0, 0).cast("long")
-            for c in range(len(codewords))
+            for c, cw in enumerate(cw_sqls)
         ]
+        sums = [F.sum(f"s{c}").alias(f"t{c}") for c in range(k)]
+        d2u = F.expr(
+            "array("
+            + ", ".join(
+                f"CAST(ROUND(t{c} * 1000000.0, 0) AS BIGINT)"
+                for c in range(k)
+            )
+            + ")"
+        ).alias("d2u")
+        return m0, sq, sums, d2u
+
+    m0, sq, sums, d2u = const_exprs(
+        emb.sparkSession,
+        ("pq_subspace_dists", tuple(tuple(c) for c in codewords)),
+        build,
     )
+    ex = emb.select("vec_id", F.posexplode("e").alias("pos", "val"))
+    per_dim = ex.select("vec_id", m0, *sq)
+    per_sub = per_dim.groupBy("vec_id", "m0").agg(*sums)
     return per_sub.select(
-        "vec_id", (F.col("m0") + 1).cast("int").alias("m"), d2u.alias("d2u")
+        "vec_id", (F.col("m0") + 1).cast("int").alias("m"), d2u
     )
 
 
@@ -1877,29 +1952,39 @@ def pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
     codewords = _centroids(spark, emb.select("vec_id", "e"), sf_dir)[:_PQ_K]
-    cw_lits = [arr_lit(c) for c in codewords]
+    # Constant expressions built ONCE per (SparkContext, codebook) — the
+    # _cell_dists memoization note.
+    def build():
+        cw_sqls = [arr_lit_sql(c) for c in codewords]
+        m = F.expr(f"CAST(pos / {_PQ_D} AS INT)").alias("m")
+        sq = [
+            F.expr(
+                f"(val - element_at({cw}, pos + 1))"
+                f" * (val - element_at({cw}, pos + 1))"
+            ).alias(f"s{c}")
+            for c, cw in enumerate(cw_sqls)
+        ]
+        sums = [F.sum(f"s{c}").alias(f"t{c}") for c in range(_PQ_K)]
+        md = F.expr(
+            "least("
+            + ", ".join(
+                f"CAST(ROUND(t{c} * 1000000.0, 0) AS BIGINT)"
+                for c in range(_PQ_K)
+            )
+            + ")"
+        )
+        return m, sq, sums, md
+
+    m, sq, sums, md = const_exprs(
+        spark,
+        ("pq_distortion", tuple(tuple(c) for c in codewords)),
+        build,
+    )
     ex = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
         "vec_id", "label", F.posexplode("e").alias("pos", "val")
     )
-    per_dim = ex.select(
-        "vec_id",
-        "label",
-        (F.col("pos") / _PQ_D).cast("int").alias("m"),
-        *[
-            ((F.col("val") - F.element_at(cw, F.col("pos") + 1))
-             * (F.col("val") - F.element_at(cw, F.col("pos") + 1))).alias(f"s{c}")
-            for c, cw in enumerate(cw_lits)
-        ],
-    )
-    per_sub = per_dim.groupBy("vec_id", "label", "m").agg(
-        *[F.sum(f"s{c}").alias(f"t{c}") for c in range(_PQ_K)]
-    )
-    md = F.least(
-        *[
-            F.round(F.col(f"t{c}") * 1000000.0, 0).cast("long")
-            for c in range(_PQ_K)
-        ]
-    )
+    per_dim = ex.select("vec_id", "label", m, *sq)
+    per_sub = per_dim.groupBy("vec_id", "label", "m").agg(*sums)
     per_vec = (
         per_sub.select("vec_id", "label", md.alias("md"))
         .groupBy("vec_id", "label")
@@ -2205,41 +2290,53 @@ def _chain_distortion_frame(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     n_steps = len(chain)
-    cw_lits = [[arr_lit(c) for c in cb] for cb in chain]
+
+    # Constant expressions built ONCE per (SparkContext, chain) — the
+    # _cell_dists memoization note, amplified here: T*K literal-matrix
+    # terms per invocation.
+    def build():
+        cw_sqls = [[arr_lit_sql(c) for c in cb] for cb in chain]
+        m0 = F.expr(f"CAST(pos / {_PQ_D} AS INT)").alias("m0")
+        sq = [
+            F.expr(
+                f"(val - element_at({cw}, pos + 1))"
+                f" * (val - element_at({cw}, pos + 1))"
+            ).alias(f"s{ti}_{c}")
+            for ti, cws in enumerate(cw_sqls)
+            for c, cw in enumerate(cws)
+        ]
+        sums = [
+            F.sum(f"s{ti}_{c}").alias(f"t{ti}_{c}")
+            for ti, cws in enumerate(cw_sqls)
+            for c in range(len(cws))
+        ]
+        mins = [
+            F.expr(
+                "array_min(array("
+                + ", ".join(
+                    f"CAST(ROUND(t{ti}_{c} * 1000000.0, 0) AS BIGINT)"
+                    for c in range(len(cw_sqls[ti]))
+                )
+                + "))"
+            ).alias(f"min{ti}")
+            for ti in range(n_steps)
+        ]
+        return m0, sq, sums, mins
+
+    m0, sq, sums, mins = const_exprs(
+        spark,
+        (
+            "chain_distortion",
+            tuple(tuple(tuple(c) for c in cb) for cb in chain),
+        ),
+        build,
+    )
     ex = (
         emb.filter(F.col("vec_id") >= _N_QUERIES)
         .select("vec_id", F.posexplode("e").alias("pos", "val"))
     )
-    per_dim = ex.select(
-        "vec_id",
-        (F.col("pos") / _PQ_D).cast("int").alias("m0"),
-        *[
-            (
-                (F.col("val") - F.element_at(cw, F.col("pos") + 1))
-                * (F.col("val") - F.element_at(cw, F.col("pos") + 1))
-            ).alias(f"s{ti}_{c}")
-            for ti, cws in enumerate(cw_lits)
-            for c, cw in enumerate(cws)
-        ],
-    )
-    per_sub = per_dim.groupBy("vec_id", "m0").agg(
-        *[
-            F.sum(f"s{ti}_{c}").alias(f"t{ti}_{c}")
-            for ti, cws in enumerate(cw_lits)
-            for c in range(len(cws))
-        ]
-    )
-    mins = [
-        F.array_min(
-            F.array(
-                *[
-                    F.round(F.col(f"t{ti}_{c}") * 1000000.0, 0).cast("long")
-                    for c in range(len(cw_lits[ti]))
-                ]
-            )
-        ).alias(f"min{ti}")
-        for ti in range(n_steps)
-    ]
+    per_dim = ex.select("vec_id", m0, *sq)
+    per_sub = per_dim.groupBy("vec_id", "m0").agg(*sums)
     glob = per_sub.select(*mins).agg(
         *[F.sum(f"min{ti}").alias(f"dist{ti}") for ti in range(n_steps)],
         F.count(F.lit(1)).alias("n_sub"),
