@@ -76,7 +76,15 @@ _CONST_EXPR_CACHE: dict = {}
 def const_exprs(spark: SparkSession, key: tuple, builder):
     """Memoize ``builder()`` (Columns / lists of Columns — constant
     expression trees) per (SparkContext, key)."""
-    full_key = (spark.sparkContext.applicationId, *key)
+    app = spark.sparkContext.applicationId
+    first = next(iter(_CONST_EXPR_CACHE), None)
+    if first is not None and first[0] != app:
+        # A different SparkContext is active: entries built under a
+        # previous context hold dead gateway refs — drop them (one context
+        # per process is the norm; alternating contexts would just rebuild).
+        for stale in [k for k in _CONST_EXPR_CACHE if k[0] != app]:
+            del _CONST_EXPR_CACHE[stale]
+    full_key = (app, *key)
     hit = _CONST_EXPR_CACHE.get(full_key)
     if hit is None:
         hit = builder()
