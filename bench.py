@@ -46,6 +46,8 @@ def main() -> None:
         table_row_counts,
     )
 
+    from datafusion_distributed_spark.operators._util import release_all_slots
+
     row_counts = table_row_counts(spark, SF_DIR)
     per_query: dict[str, float] = {}
     cost_flags: list[str] = []
@@ -79,39 +81,53 @@ def main() -> None:
         # inflating later queries' times (measured ~1.4x on the
         # alphabetically-late sim_* family at 155 queries). clearCache drops
         # cached frames; gc.collect() releases Python-side RDD handles so
-        # the ContextCleaner frees checkpoint blocks.
+        # the ContextCleaner frees checkpoint blocks. clearCache does NOT
+        # free slot-held localCheckpoint blocks (the slot dict keeps a
+        # strong ref until the owner's next invocation — the r12
+        # text_token_stats cost-flag mechanism), so release those
+        # explicitly too.
+        release_all_slots(spark)
         spark.catalog.clearCache()
         gc.collect()
 
     total = round(sum(v for v in per_query.values() if v >= 0), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_p50_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf_val,
-                "n_queries": len(per_query),
-                "runs_per_query": N_RUNS,
-                # Narrow-only queries whose p50 exceeds the per-row cost
-                # budget (plans/cost_lint.py) — empty means no hidden
-                # per-row scale-killers this round.
-                "cost_flags": cost_flags,
-                # Session configs BASELINE.md §B says to record per run.
-                "configs": {
-                    k: spark.conf.get(k, None)
-                    for k in (
-                        "spark.master",
-                        "spark.sql.shuffle.partitions",
-                        "spark.sql.adaptive.enabled",
-                        "spark.sql.files.maxPartitionBytes",
-                        "spark.sql.autoBroadcastJoinThreshold",
-                    )
-                },
-            }
-        )
+    record = json.dumps(
+        {
+            "metric": "total_p50_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": per_query,
+            "sf": sf_val,
+            "n_queries": len(per_query),
+            "runs_per_query": N_RUNS,
+            # Narrow-only queries whose p50 exceeds the per-row cost
+            # budget (plans/cost_lint.py) — empty means no hidden
+            # per-row scale-killers this round.
+            "cost_flags": cost_flags,
+            # Session configs BASELINE.md §B says to record per run.
+            "configs": {
+                k: spark.conf.get(k, None)
+                for k in (
+                    "spark.master",
+                    "spark.sql.shuffle.partitions",
+                    "spark.sql.adaptive.enabled",
+                    "spark.sql.files.maxPartitionBytes",
+                    "spark.sql.autoBroadcastJoinThreshold",
+                )
+            },
+        }
     )
+    print(record)
+    # Mirror the SAME line to a file (r12 VERDICT item 8): the driver's
+    # stdout capture truncates at 2,000 chars, which cost round 12 its
+    # round-over-round comparison. Additive only — stdout stays the
+    # one-line contract; the file is best-effort.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "tools", "bench_last.json"), "w") as f:
+            f.write(record + "\n")
+    except OSError:
+        pass
     spark.stop()
 
 

@@ -73,10 +73,7 @@ def arr_lit_sql(values) -> str:
 _CONST_EXPR_CACHE: dict = {}
 
 
-def const_exprs(spark: SparkSession, key: tuple, builder):
-    """Memoize ``builder()`` (Columns / lists of Columns — constant
-    expression trees) per (SparkContext, key)."""
-    app = spark.sparkContext.applicationId
+def _const_exprs_for_app(app: str, key: tuple, builder):
     first = next(iter(_CONST_EXPR_CACHE), None)
     if first is not None and first[0] != app:
         # A different SparkContext is active: entries built under a
@@ -90,6 +87,38 @@ def const_exprs(spark: SparkSession, key: tuple, builder):
         hit = builder()
         _CONST_EXPR_CACHE[full_key] = hit
     return hit
+
+
+def const_exprs(spark: SparkSession, key: tuple, builder):
+    """Memoize ``builder()`` (Columns / lists of Columns — constant
+    expression trees) per (SparkContext, key).
+
+    Constraints (r12 ADVICE):
+    - Keyed by applicationId, so sibling SparkSessions of one context share
+      trees parsed under whichever session's parser conf ran first; the
+      engine builds sessions uniformly (engine.RUNTIME_CONFS), so
+      parser-affecting conf divergence between siblings does not arise.
+    - Cached trees containing Alias expressions carry exprIds fixed at
+      build time: every frame built from them shares attribute IDs, so a
+      cached aliased tree must not surface as an output attribute on BOTH
+      sides of a join (analyzer ambiguity hazards). Today's callers project
+      them away before any self-join."""
+    return _const_exprs_for_app(spark.sparkContext.applicationId, key, builder)
+
+
+def const_exprs_active(key: tuple, builder):
+    """const_exprs keyed off the ACTIVE SparkContext — for expression
+    helpers with no session handle (similarity's _dot / LSH bucket tree).
+    Routing through the same cache + stale-context sweep as const_exprs
+    (r12 ADVICE: direct inserts bypassed the pruning, so dead-gateway
+    entries could linger after a context restart). Builds unmemoized when
+    no context is live (import time)."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return builder()
+    return _const_exprs_for_app(sc.applicationId, key, builder)
 
 
 def _c(col: str | Column) -> Column:
@@ -211,30 +240,25 @@ def slot_local_checkpoint(key: str, df) -> "DataFrame":
     return ck
 
 
-_BUILD_ONCE_SLOTS: dict = {}
+def slot_rebuild(key: str, spark: SparkSession, builder) -> "DataFrame":
+    """Rebuild-per-invocation slot over an ALREADY-materialized frame.
 
-
-def slot_build_once(key: str, spark: SparkSession, builder) -> "DataFrame":
-    """Build-once shared stage per (session, key): the first caller runs
-    ``builder()`` and the materialized frame is returned to every later
-    caller with the same key for the session's lifetime.
-
-    This models the production build-once shape: a 100 TB pipeline
-    materializes an expensive shared intermediate (the near-dup cluster
-    table) ONCE and feeds every downstream consumer from it, instead of
-    re-running minhash -> LSH -> connected components per consumer. The
-    builder must return a frame backed by materialized storage (eager
-    localCheckpoint / persisted blocks) so reuse never re-executes the
-    lineage. Unlike slot_local_checkpoint there is no release-on-rebuild:
-    the inputs are immutable fixture tables, so the entry is valid for the
-    whole session and bounded at one block-set per (session, key)."""
-    _prune_dead_sessions(_BUILD_ONCE_SLOTS)
+    Same single-slot ownership contract as slot_local_checkpoint, for
+    builders that return a frame already backed by checkpoint blocks
+    (connected_components' final eager localCheckpoint) — re-checkpointing
+    such a frame would copy its blocks for nothing. EVERY call runs
+    ``builder()`` from the parquet inputs and releases the previous
+    invocation's blocks: nothing survives across invocations, so a bench
+    run of a consumer times the full declared computation (r12 VERDICT
+    item 3 — the former build-once slot served later calls from cached
+    blocks, which measured a cache read, not the operator)."""
+    _prune_dead_sessions(_CHECKPOINT_SLOTS)
     skey = (spark, key)
-    hit = _BUILD_ONCE_SLOTS.get(skey)
-    if hit is not None:
-        return hit
+    prev = _CHECKPOINT_SLOTS.pop(skey, None)
+    if prev is not None:
+        release_local_checkpoint(prev)
     df = builder()
-    _BUILD_ONCE_SLOTS[skey] = df
+    _CHECKPOINT_SLOTS[skey] = df
     return df
 
 
@@ -264,6 +288,36 @@ def slot_persist(key: str, df, eager: bool = False) -> "DataFrame":
         df.count()
     _PERSIST_SLOTS[skey] = df
     return df
+
+
+def release_all_slots(spark: SparkSession | None = None) -> None:
+    """Release EVERY live slot-held frame (checkpoint, persist, build-once)
+    owned by ``spark`` (or by any session when ``spark`` is None).
+
+    Bench hygiene (r12 VERDICT item 2): ``spark.catalog.clearCache()`` drops
+    CacheManager entries but NOT localCheckpoint RDD blocks, so the LAST
+    invocation's slot-held frame of every slotted operator stayed live
+    while later queries were timed — measured as the `text_token_stats`
+    cost flag (1.16 s vs 0.15 s on a quiet store). Calling this between
+    bench queries bounds cross-query block pressure at zero. Safe by the
+    slot contract: a slot frame is only valid until the owner's next
+    invocation, and the bench consumes each query's result before moving
+    on."""
+    for skey in list(_CHECKPOINT_SLOTS):
+        if spark is not None and skey[0] is not spark:
+            continue
+        frame = _CHECKPOINT_SLOTS.pop(skey, None)
+        if frame is not None:
+            release_local_checkpoint(frame)
+    for skey in list(_PERSIST_SLOTS):
+        if spark is not None and skey[0] is not spark:
+            continue
+        frame = _PERSIST_SLOTS.pop(skey, None)
+        if frame is not None:
+            try:
+                frame.unpersist(blocking=False)
+            except Exception:
+                pass
 
 
 def kgram_concat_sql(arr: str, idx: str, k: int, base: int = 1) -> str:
@@ -319,7 +373,11 @@ def _fan_out(df: DataFrame, src: DataFrame | None = None) -> DataFrame:
     file_scan_config.rs:36-86 sizes splits at the source.)
 
     ``src``: the registry TABLE frame ``df`` projects/filters (projections
-    and filters preserve scan partitioning). When given and stamped with
+    and filters preserve scan partitioning). CONTRACT (r12 ADVICE): ``src``
+    must be the table frame ``df`` derives from via select/filter ONLY —
+    passing it alongside a joined/unioned/exploded ``df`` would memoize a
+    wrong split count for the table key (mis-sized fan-out; perf only,
+    never correctness). When given and stamped with
     ``tables._SCAN_KEY_ATTR``, the partition-count probe is memoized per
     (session, sf_dir, table): ``df.rdd.getNumPartitions()`` physically
     plans the frame on EVERY call (~40 ms of py4j + planning, r12 floor

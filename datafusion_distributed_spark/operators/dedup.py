@@ -28,8 +28,8 @@ from ._util import (
     const_exprs,
     kgram_concat_sql,
     release_local_checkpoint,
-    slot_build_once,
     slot_local_checkpoint,
+    slot_rebuild,
     t,
 )
 from .registry import query
@@ -577,18 +577,20 @@ SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
 
 def near_dup_cluster_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared near-dup cluster table (doc_id, cluster_id): minhash ->
-    LSH bands -> capped candidate pairs -> connected components, built ONCE
-    per (session, sf_dir) and reused by every consumer (dd_dup_clusters,
+    LSH bands -> capped candidate pairs -> connected components,
+    re-materialized on EVERY call (consumers: dd_dup_clusters,
     dd_cluster_representatives, ds_leakage_safe_split).
 
-    A production 100 TB pipeline materializes this table once — it is the
-    single most expensive shared intermediate in the dedup family (three
-    shuffle stages plus an iterative fixpoint) — and every downstream job
-    (keep-best-per-cluster, leakage-safe splitting, decontamination) reads
-    the materialized output. Re-deriving it per consumer, as the r9 battery
-    did, triples the cost of the family for zero information. The returned
-    frame is backed by connected_components' final eager localCheckpoint,
-    so reuse replays cached blocks, never the lineage."""
+    r13 (VERDICT item 3): this was a build-once slot — first caller built,
+    every later same-session call replayed cached blocks, so the consumers'
+    bench runs timed a cache read (dd_dup_clusters 0.017 s), not the
+    declared computation. A production pipeline DOES materialize this table
+    once and fan consumers off it, but the bench contract is that every
+    invocation computes from the parquet inputs — so the slot now rebuilds
+    per invocation (releasing the previous table's blocks, bounded at one
+    block-set). The returned frame is backed by connected_components' final
+    eager localCheckpoint, so a consumer referencing it twice in one plan
+    replays blocks WITHIN its own invocation only."""
 
     def build() -> DataFrame:
         docs = t(spark, sf_dir)["documents"]
@@ -597,20 +599,7 @@ def near_dup_cluster_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.unpersist(blocking=False)
         return out
 
-    # The cached frame is checkpoint-backed, and a localCheckpoint PRESERVES
-    # the build-time output partitioning — so a table built under different
-    # planning confs (the AQE-off sweep, a shuffle-partition override) would
-    # hand later same-session consumers a different join plan than the one
-    # their own mode would produce (caught by the plan-snapshot suite when
-    # test_aqe_off built the cache first). Keying the slot by the confs that
-    # shape the build keeps each planning mode's consumers deterministic —
-    # and matches production, where an AQE-off job materializes its own
-    # cluster table.
-    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    sp = spark.conf.get("spark.sql.shuffle.partitions", "")
-    return slot_build_once(
-        f"near_dup_clusters:{sf_dir}:aqe={aqe}:sp={sp}", spark, build
-    )
+    return slot_rebuild("near_dup_clusters", spark, build)
 
 
 @query("dd_dup_clusters", oracle=_cc_oracle(), tags=("dedup", "graph", "iterative"))
@@ -1526,6 +1515,15 @@ def incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus band index is the maintained artifact and the shingle sets
     # ride with the shard.
     arrs = slot_local_checkpoint("dd_ingest_arrs", _shingle_arrays(docs))
+    # r13 negative result, recorded: materializing bands pre-partitioned on
+    # (band_idx, band_hash) — so the cap window and candidate joins could
+    # reuse one exchange (guide §2.4) — does NOT work on Spark 4.1:
+    # Dataset.localCheckpoint drops the physical outputPartitioning
+    # (LogicalRDD reports UnknownPartitioning(0), verified empirically), so
+    # every consumer re-shuffled anyway and the added repartition was a
+    # pure extra pass (measured 1.23 -> 1.53 s; reverted). persist() would
+    # preserve partitioning but re-introduces the CacheManager plan
+    # pollution documented above.
     bands = slot_local_checkpoint(
         "dd_ingest_bands", lsh_bands(_signatures_from_arrays(arrs))
     )

@@ -31,14 +31,13 @@ ties after rounding break on vec_id.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark import SparkContext
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ._util import (
-    _CONST_EXPR_CACHE,
     _fan_out,
     arr_lit_sql,
     const_exprs,
+    const_exprs_active,
     slot_local_checkpoint,
     t,
 )
@@ -54,15 +53,7 @@ def _dot(a: str, b: str):
     Expression tree memoized per (SparkContext, names) — r12 floor probe:
     the zip_with/aggregate Column chain costs ~20 ms of py4j per build and
     the tree is a pure function of the two column names."""
-    sc = SparkContext._active_spark_context
-    if sc is None:  # no running context (import time): build directly
-        return _dot_build(a, b)
-    key = (sc.applicationId, "dot", a, b)
-    hit = _CONST_EXPR_CACHE.get(key)
-    if hit is None:
-        hit = _dot_build(a, b)
-        _CONST_EXPR_CACHE[key] = hit
-    return hit
+    return const_exprs_active(("dot", a, b), lambda: _dot_build(a, b))
 
 
 def _dot_build(a: str, b: str):
@@ -192,15 +183,7 @@ def _bucket_expr_spark():
             terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
         return F.expr("0 + " + " + ".join(terms))
 
-    sc = SparkContext._active_spark_context
-    if sc is None:
-        return build()
-    key = (sc.applicationId, "lsh_bucket_expr")
-    hit = _CONST_EXPR_CACHE.get(key)
-    if hit is None:
-        hit = build()
-        _CONST_EXPR_CACHE[key] = hit
-    return hit
+    return const_exprs_active(("lsh_bucket_expr",), build)
 
 
 def _plane_buckets(emb: DataFrame) -> DataFrame:

@@ -1386,33 +1386,60 @@ def df_tree_depth_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    # Two-hop edge table k -> parent(parent(k)), computed once (r13, guide
+    # §2.4/§5 — the VERDICT item-7 frontier batching): the walk advances TWO
+    # levels per round, and ONE tagged-union aggregate job both counts the
+    # two levels and materializes the new frontier's checkpoint — halving
+    # the O(depth) per-level job/scheduling floor (the walk's dominant cost:
+    # each level job moves KB-scale cached rows). Still a BFS frontier walk
+    # — per-level counts are computed level-exactly, unlike the doubling
+    # entry's log-round label propagation.
+    cust2 = (
+        cust.alias("c")
+        .join(cust.alias("p"), F.col("c.parent") == F.col("p.k"))
+        .select(F.col("c.k").alias("k"), F.col("p.parent").alias("parent2"))
+        .persist()
+    )
     try:
         frontier = spark.range(1, 2).select(F.col("id").alias("fk"))
         counts: list[tuple[int, int]] = [(0, 1)]  # the seed row (k=1, depth 0)
         depth = 0
         while True:
-            depth += 1
             if depth > 64:  # a binary tree over 64-bit keys can't go deeper
                 raise RuntimeError("tree walk exceeded 64 levels")
-            nxt = (
-                cust.join(frontier, cust.parent == F.col("fk"))
-                .select(F.col("k").alias("fk"))
-                .localCheckpoint(eager=False)  # materialized by count(): one job/level
+            lvl1 = cust.join(frontier, cust.parent == F.col("fk")).select(
+                F.lit(1).alias("lv")
             )
-            n = nxt.count()
-            # nxt is materialized by count(): the previous frontier's
-            # checkpoint blocks are dead state — free them now (GC will not,
-            # see release_local_checkpoint).
+            nxt = (
+                cust2.join(frontier, cust2.parent2 == F.col("fk"))
+                .select(F.col("k").alias("fk"))
+                .localCheckpoint(eager=False)  # materialized by the stats job
+            )
+            stats = dict(
+                lvl1.unionByName(nxt.select(F.lit(2).alias("lv")))
+                .groupBy("lv")
+                .count()
+                .collect()
+            )
+            n1, n2 = int(stats.get(1, 0)), int(stats.get(2, 0))
+            # nxt is materialized by the stats job: the previous frontier's
+            # checkpoint blocks are dead state — free them now (GC will
+            # not, see release_local_checkpoint).
             release_local_checkpoint(frontier)
-            if n == 0:
+            if n1 == 0:
                 release_local_checkpoint(nxt)
                 break
-            counts.append((depth, n))
+            counts.append((depth + 1, n1))
+            if n2 == 0:
+                release_local_checkpoint(nxt)
+                break
+            counts.append((depth + 2, n2))
+            depth += 2
             frontier = nxt
-        release_local_checkpoint(frontier)
         # Output is driver-side counts only — no checkpoint outlives the walk.
         return spark.createDataFrame(counts, schema="depth int, n_nodes bigint")
     finally:
+        cust2.unpersist()
         cust.unpersist()
 
 
